@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 + §7.
+  *
+  * Every operator registers here as a `(SparkSession, sfDir) => DataFrame`
+  * plus, when SQL-expressible, a DuckDB oracle statement the driver
+  * hash-compares against at sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val modules: Seq[(String, Query)] =
+    etl.EtlQueries.entries ++
+      operators.Relational.entries ++
+      operators.Temporal.entries
+
+  /** Flagship: the reference's project -> GroupByKey -> per-key sum+count
+    * (dataflow_pipeline.py:187-206) on sf0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("etl_groupby_count")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map { case (name, q) => name -> q.fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (driver falls back to a rows-only check).
+    */
+  def oracleSql: Map[String, String] =
+    modules.collect { case (name, Query(_, Some(sql))) => name -> sql }.toMap
 }

@@ -1,0 +1,456 @@
+package graft.operators
+
+import graft.{Parity, Query, Tables}
+import graft.Parity._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY §2.2): declarative DataFrame plans only, so
+  * Catalyst gets pushdown/pruning/join-reorder and Tungsten codegens the
+  * whole pipeline. Scale notes per query inline — dims broadcast, facts
+  * shuffle on join keys, aggregates are map-side partial by construction.
+  */
+object Relational {
+
+  private val revenue =
+    (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")
+
+  val entries: Seq[(String, Query)] = Seq(
+
+    // TPC-H Q1 shape: single scan, map-side partial agg, 6 groups.
+    // At 100 TB: no join, shuffle carries only (flag,status) partials.
+    "q1_agg" -> Query(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02 00:00:00")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(revenue).cast("double").as("sum_disc_price"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+              .cast("decimal(18,6)")).cast("double").as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_price,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // TPC-H Q3 shape: selective dim filter -> two fact joins -> agg ->
+    // global top-k. customer is broadcast (small after filter); the
+    // orders⋈lineitem join shuffles on orderkey; top-k is TakeOrdered
+    // (no global sort materialization).
+    "q3_top_revenue" -> Query(
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(revenue).cast("double").as("revenue"))
+          .select(col("l_orderkey"), col("revenue"),
+            dateStr(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |              JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+    ),
+
+    // TPC-H Q5 shape: star join. region/nation/supplier/customer are
+    // broadcast dims; lineitem⋈orders is the only shuffle join.
+    "q5_regional_join" -> Query(
+      (s, d) => {
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        val n = Tables.nation(s, d)
+        val c = Tables.customer(s, d)
+        val sup = Tables.supplier(s, d)
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                  col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        Tables.lineitem(s, d)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c),
+            col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(revenue).cast("double").as("revenue"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY n_name""".stripMargin)
+    ),
+
+    // Explicit broadcast-hash-join of the fact against a small dim:
+    // zero shuffle for the join itself at any fact size.
+    "join_broadcast_dim" -> Query(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price")),
+      Some("""SELECT p_brand, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand""".stripMargin)
+    ),
+
+    // EXISTS as left-semi: probe side never materializes right columns.
+    "join_semi" -> Query(
+      (s, d) => {
+        val big = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+          .select(col("l_orderkey"))
+        Tables.orders(s, d)
+          .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            dateStr(col("o_orderdate")).as("o_orderdate"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+             |FROM orders WHERE EXISTS (
+             |  SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey AND l_quantity > 45)""".stripMargin)
+    ),
+
+    // NOT EXISTS as left-anti.
+    "join_anti" -> Query(
+      (s, d) => {
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey"))
+        Tables.customer(s, d)
+          .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal
+             |FROM customer WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin)
+    ),
+
+    // Full outer join + null coalescing over a pre-aggregated side.
+    "join_outer_coalesce" -> Query(
+      (s, d) => {
+        val oa = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        Tables.customer(s, d)
+          .join(oa, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            coalesce(col("c_name"), lit("(unknown)")).as("name"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("spend"), lit(0.0)).as("spend"))
+      },
+      Some("""WITH oa AS (
+             |  SELECT o_custkey, COUNT(*) AS n_orders,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
+             |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+             |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+             |  COALESCE(c_name, '(unknown)') AS name,
+             |  COALESCE(n_orders, 0) AS n_orders,
+             |  COALESCE(spend, 0.0) AS spend
+             |FROM customer FULL OUTER JOIN oa ON c_custkey = o_custkey""".stripMargin)
+    ),
+
+    // row_number top-k per group — one shuffle on the partition key,
+    // rank pushdown (WindowGroupLimit) keeps per-partition state at k.
+    "window_topk_per_group" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin)
+    ),
+
+    // Running sum over an ordered frame; decimal accumulator so the
+    // result is exact regardless of the engine's frame evaluation order.
+    "window_running_sum" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+            .cast("double").as("running_spend"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+             |FROM orders""".stripMargin)
+    ),
+
+    // lag/lead deltas per user over event time. ts is raw int64 nanos in
+    // the parquet; DuckDB's reader truncates to µs, so both sides emit
+    // epoch MICROS for parity.
+    "window_lag_delta" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+          (expr("lead(ts div 1000, 1) over (partition by user_id order by ts, event_id)")
+            - expr("ts div 1000")).as("us_to_next"))
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |  value - LAG(value) OVER w AS delta,
+             |  LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS us_to_next
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)
+    ),
+
+    // Exact distinct counting (expand + two-phase agg under the hood).
+    "agg_distinct" -> Query(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+             |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    ),
+
+    // stddev/variance/covar/corr derived from exact decimal power sums:
+    // the only float ops run on bit-identical operands in both engines,
+    // so results are exact — no tolerance games.
+    "agg_stats" -> Query(
+      (s, d) => {
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(x).as("sx"), dsumWide(x * x).as("sxx"),
+            dsum(y).as("sy"), dsumWide(y * y).as("syy"),
+            dsumWide(x * y).as("sxy"))
+          .select(
+            // engines convert wide decimals to double with one-ulp
+            // differences, so finals are rounded (4dp; corr 6dp)
+            col("l_returnflag"), col("n"),
+            round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 4).as("var_qty"),
+            round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4).as("stddev_qty"),
+            round(sqrt((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)), 4).as("stddev_price"),
+            round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 4).as("covar_qty_price"),
+            round((col("sxy") - col("sx") * col("sy") / col("n")) /
+              (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+               sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr_qty_price"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  ROUND((sxx - sx*sx/n)/(n-1), 4) AS var_qty,
+             |  ROUND(sqrt((sxx - sx*sx/n)/(n-1)), 4) AS stddev_qty,
+             |  ROUND(sqrt((syy - sy*sy/n)/(n-1)), 4) AS stddev_price,
+             |  ROUND((sxy - sx*sy/n)/(n-1), 4) AS covar_qty_price,
+             |  ROUND((sxy - sx*sy/n)/(sqrt(sxx - sx*sx/n)*sqrt(syy - sy*sy/n)), 6) AS corr_qty_price
+             |FROM m""".stripMargin)
+    ),
+
+    // Exact interpolated percentiles; engines may differ in the last ulp
+    // of the interpolation, so both sides round to 4dp.
+    "agg_percentiles" -> Query(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+            round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+            round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
+            round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99")),
+      Some("""SELECT l_returnflag,
+             |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             |  ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+             |  ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    ),
+
+    // HLL approx distinct — the 100 TB path for agg_distinct. Sketch
+    // values are engine-specific, so this takes the rows-only check.
+    "agg_approx_distinct" -> Query(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_orderkey")).as("approx_orders")),
+      None
+    ),
+
+    // ROLLUP hierarchy totals.
+    "rollup_nation_segment" -> Query(
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal")),
+      Some("""SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP(n_name, c_mktsegment)""".stripMargin)
+    ),
+
+    // CUBE over two low-cardinality dims.
+    "cube_flag_status" -> Query(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)
+    ),
+
+    // Pivot == conditional aggregation; explicit value list so no extra
+    // distinct-values job runs at scale.
+    "pivot_status_by_flag" -> Query(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum(col("l_quantity").cast("decimal(18,6)")).cast("double")),
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CASE WHEN l_linestatus='F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS "F",
+             |  CAST(SUM(CASE WHEN l_linestatus='O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS "O"
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    ),
+
+    // Global order + limit: planned as TakeOrdered (per-partition heap +
+    // driver merge), never a full sort at scale.
+    "sort_topk_global" -> Query(
+      (s, d) =>
+        Tables.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+    ),
+
+    // union / intersect / except with branch tags (set semantics).
+    "set_ops" -> Query(
+      (s, d) => {
+        val a = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("k")).distinct()
+        val b = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("k"))
+        a.intersect(b).select(lit("intersect").as("op"), col("k"))
+          .unionAll(a.except(b).select(lit("except").as("op"), col("k")))
+          .unionAll(a.union(b).distinct().select(lit("union").as("op"), col("k")))
+      },
+      Some("""WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus='F'),
+             |     b AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+             |SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+             |UNION ALL
+             |SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+             |UNION ALL
+             |SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)""".stripMargin)
+    ),
+
+    // Scalar string/date/math suite — every function stays inside
+    // whole-stage codegen; libm-divergent fns (exp/ln/pow) excluded by
+    // design, sqrt is IEEE-exact.
+    "scalar_functions" -> Query(
+      (s, d) =>
+        Tables.part(s, d).select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 5).as("sub"),
+          length(col("p_name")).cast("long").as("len"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("cat"),
+          regexp_replace(col("p_type"), lit(" "), lit("_")).as("repl"),
+          lpad(col("p_size").cast("string"), 4, "0").as("pad"),
+          abs(col("p_retailprice") - 1000.0).as("ab"),
+          ceil(col("p_retailprice")).as("ce"),
+          floor(col("p_retailprice")).as("fl"),
+          sqrt(col("p_size").cast("double")).as("sq"),
+          (col("p_size") % 7).cast("long").as("md"),
+          signum(col("p_retailprice") - 1500.0).as("sg")),
+      Some("""SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+             |  substr(p_name, 1, 5) AS sub, CAST(length(p_name) AS BIGINT) AS len,
+             |  concat(p_brand, '#', p_type) AS cat,
+             |  regexp_replace(p_type, ' ', '_', 'g') AS repl,
+             |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS pad,
+             |  abs(p_retailprice - 1000.0) AS ab,
+             |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+             |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+             |  sqrt(CAST(p_size AS DOUBLE)) AS sq,
+             |  CAST(p_size % 7 AS BIGINT) AS md,
+             |  CAST(sign(p_retailprice - 1500.0) AS DOUBLE) AS sg
+             |FROM part""".stripMargin)
+    ),
+
+    // CASE / coalesce / nullif / null-safe equality.
+    "conditional_null" -> Query(
+      (s, d) =>
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "F", "finished")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("other").as("status_word"),
+          coalesce(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")), lit("(none)")).as("pri"),
+          when(col("o_totalprice") > 200000, "big").otherwise("small").as("size_band"),
+          (col("o_orderstatus") <=> lit("P")).as("is_p"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("g"),
+          least(col("o_totalprice"), lit(100000.0)).as("l")),
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderstatus='F' THEN 'finished'
+             |       WHEN o_orderstatus='O' THEN 'open' ELSE 'other' END AS status_word,
+             |  COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), '(none)') AS pri,
+             |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_band,
+             |  (o_orderstatus IS NOT DISTINCT FROM 'P') AS is_p,
+             |  GREATEST(o_totalprice, 100000.0) AS g,
+             |  LEAST(o_totalprice, 100000.0) AS l
+             |FROM orders""".stripMargin)
+    )
+  )
+}

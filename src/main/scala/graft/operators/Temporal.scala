@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-structured operators (SURVEY §2.2 tail): as-of join, range join,
+  * sessionization, tumbling windows.
+  *
+  * The as-of join is composed as union + ordered window (last_value
+  * ignoreNulls) — one shuffle on (key, time), which is exactly the plan a
+  * dedicated sort-merge as-of exec node would produce, with no custom
+  * physical operator to maintain. DuckDB's native ASOF JOIN is the oracle.
+  */
+object Temporal {
+
+  /** Events carry 2024 timestamps but orders live in 1995-2001; derive a
+    * deterministic in-era probe date per event so nearest-past semantics
+    * are actually exercised: 1995-01-01 + (event_id % 2400) days.
+    */
+  private def eventProbes(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      date_add(to_date(lit("1995-01-01")), (col("event_id") % 2400).cast("int"))
+        .as("probe_date"))
+
+  /** Orders deduped to one row per (custkey, order date) — max orderkey
+    * wins — so as-of tie-breaks are deterministic in both engines.
+    */
+  private def dedupedOrders(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("o_date"),
+        col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val entries: Seq[(String, Query)] = Seq(
+
+    // Nearest-past (as-of) join: each event picks the latest order of the
+    // same customer with order date <= probe date. Union + window runs in
+    // ONE shuffle on (key, time) — at 100 TB this beats the naive
+    // range-join + argmax formulation (no candidate blowup).
+    "asof_join" -> Query(
+      (s, d) => {
+        val o = dedupedOrders(s, d).select(
+          col("o_custkey").as("k"), col("o_date").as("t"),
+          lit(0).as("ord"), lit(null).cast("long").as("event_id"),
+          col("o_orderkey"), col("o_totalprice"))
+        val e = eventProbes(s, d).select(
+          col("user_id").as("k"), col("probe_date").as("t"),
+          lit(1).as("ord"), col("event_id"),
+          lit(null).cast("long").as("o_orderkey"),
+          lit(null).cast("double").as("o_totalprice"))
+        val w = Window.partitionBy(col("k"))
+          .orderBy(col("t"), col("ord"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.unionAll(e)
+          .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+          .withColumn("asof_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+          .filter(col("ord") === 1)
+          .select(col("event_id"), col("k").as("user_id"),
+            date_format(col("t"), "yyyy-MM-dd").as("probe_date"),
+            col("asof_orderkey"), col("asof_totalprice"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date, o_orderkey, o_totalprice
+             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+             |                                     ORDER BY o_orderkey DESC) AS rn FROM orders)
+             |  WHERE rn = 1),
+             |e AS (
+             |  SELECT event_id, user_id,
+             |    DATE '1995-01-01' + CAST(event_id % 2400 AS INTEGER) AS probe_date
+             |  FROM events)
+             |SELECT e.event_id, e.user_id, strftime(e.probe_date, '%Y-%m-%d') AS probe_date,
+             |  o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice
+             |FROM e ASOF LEFT JOIN o
+             |  ON e.user_id = o.o_custkey AND e.probe_date >= o.o_date""".stripMargin)
+    ),
+
+    // Interval join: orders within the 30 days before each event probe.
+    // Equi key (user) + range predicate -> shuffled hash/sort-merge on the
+    // equi key; the range filter never cross-products beyond the key group.
+    "range_join" -> Query(
+      (s, d) => {
+        val e = eventProbes(s, d)
+        val o = Tables.orders(s, d).select(
+          col("o_custkey"), to_date(col("o_orderdate")).as("o_date"),
+          col("o_orderkey"))
+        e.join(o,
+            col("user_id") === col("o_custkey") &&
+            col("o_date") >= date_sub(col("probe_date"), 30) &&
+            col("o_date") <= col("probe_date"),
+            "left")
+          .groupBy(col("event_id"), col("user_id"))
+          .agg(count(col("o_orderkey")).as("n_orders_30d"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id,
+             |    DATE '1995-01-01' + CAST(event_id % 2400 AS INTEGER) AS probe_date
+             |  FROM events)
+             |SELECT e.event_id, e.user_id, COUNT(o.o_orderkey) AS n_orders_30d
+             |FROM e LEFT JOIN orders o
+             |  ON e.user_id = o.o_custkey
+             | AND CAST(o.o_orderdate AS DATE) BETWEEN e.probe_date - 30 AND e.probe_date
+             |GROUP BY e.event_id, e.user_id""".stripMargin)
+    ),
+
+    // Gaps-and-islands sessionization: 6h inactivity gap starts a new
+    // session. Two windows over one shuffle on (user, time). Session
+    // bounds emit epoch MICROS (DuckDB truncates parquet ns to µs).
+    "sessionize" -> Query(
+      (s, d) => {
+        val gapUs = 21600000000L // 6h in µs
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("tus", expr("ts div 1000"))
+          .withColumn("new_sess",
+            when(col("tus") - lag(col("tus"), 1).over(w) > gapUs ||
+                 lag(col("tus"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+             |g AS (SELECT *, CASE WHEN tus - LAG(tus) OVER w > 21600000000
+             |                       OR LAG(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+             |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM g)
+             |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+             |  MIN(tus) AS start_us, MAX(tus) AS end_us
+             |FROM s GROUP BY user_id, sess_id""".stripMargin)
+    ),
+
+    // Tumbling 1h window aggregation — batch twin of
+    // streaming.WindowedAgg; bucket arithmetic on raw nanos is exact in
+    // both engines.
+    "window_tumbling" -> Query(
+      (s, d) => {
+        val hourNs = 3600000000000L
+        Tables.events(s, d)
+          .withColumn("win_start_ns", col("ts") - (col("ts") % hourNs))
+          .groupBy(col("win_start_ns"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      },
+      Some("""SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS win_start_ns, event_type,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)
+    )
+  )
+}
