@@ -14,7 +14,11 @@ object SparkEntry {
   private val modules: Seq[(String, Query)] =
     etl.EtlQueries.entries ++
       operators.Relational.entries ++
-      operators.Temporal.entries
+      operators.Temporal.entries ++
+      dedup.DedupQueries.entries ++
+      similarity.SimilarityQueries.entries ++
+      text.TextQueries.entries ++
+      multimodal.MultimodalQueries.entries
 
   /** Flagship: the reference's project -> GroupByKey -> per-key sum+count
     * (dataflow_pipeline.py:187-206) on sf0.001; driver smoke-checks rows>0.

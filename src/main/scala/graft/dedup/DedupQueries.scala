@@ -1,0 +1,190 @@
+package graft.dedup
+
+import graft.{Query, Tables}
+import graft.functions.{Hashing, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family (SURVEY §2.3).
+  *
+  * 100 TB design rule: candidate generation is ALWAYS an equi-join on a
+  * bucket key (content hash, LSH band, SimHash band, shingle) — the
+  * shuffle is O(n·bands), never the O(n²) all-pairs cross product. All
+  * hashing derives from md5 so DuckDB reproduces every value bit-for-bit
+  * (`graft.functions.Hashing`).
+  */
+object DedupQueries {
+
+  /** Shared DuckDB fragments: cleaned token lists and distinct 3-gram
+    * shingle lists per doc — the SQL mirror of
+    * `TextFunctions.cleanTokens` / `shingleSet`.
+    */
+  private val tokCte =
+    """t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+      |      FROM documents)""".stripMargin
+  private val shingleCte =
+    tokCte + """,
+      |td AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
+      |shl AS (SELECT doc_id,
+      |  list_distinct(list_transform(generate_series(1, len(tk)-2),
+      |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+      |FROM td)""".stripMargin
+
+  private def cleanToks: Column = TextFunctions.cleanTokens(col("text"))
+
+  /** doc_id + distinct 3-gram shingle array, docs with >= 3 tokens. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(size(cleanToks) >= 3)
+      .select(col("doc_id"), array_distinct(TextFunctions.shingles(cleanToks, 3)).as("shl"))
+
+  val entries: Seq[(String, Query)] = Seq(
+
+    // Exact dedup: group by content hash, min doc_id survives. One
+    // map-side-combinable shuffle on the 128-bit hash.
+    "dedup_exact" -> Query(
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin)
+    ),
+
+    // Word 3-gram Jaccard pairs via shingle equi-join: |∩| from the
+    // join, |∪| from per-doc set sizes. Exact integer arithmetic until
+    // the final (deterministic) double division.
+    "dedup_ngram_jaccard" -> Query(
+      (s, d) => {
+        val ex = docShingles(s, d).select(col("doc_id"), explode(col("shl")).as("sh"))
+        val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val pairs = ex.as("a")
+          .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sz.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+          .select(col("da"), col("db"), col("inter"),
+            (col("sa.n") + col("sb.n") - col("inter")).as("un"),
+            (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.2)
+      },
+      Some(s"""WITH $shingleCte,
+             |shx AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
+             |sz AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+             |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+             |       FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT da, db, inter, (sa.n + sb.n - inter) AS un,
+             |  CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
+             |FROM pr JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+             |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.2""".stripMargin)
+    ),
+
+    // MinHash (16 salted-hash "permutations") + LSH banding (8 bands x
+    // 2 rows): near-dup candidates from band-key equi-joins only.
+    "dedup_minhash_lsh" -> Query(
+      (s, d) => {
+        val sig = array((0 until 16).map(i => Hashing.minHash(i, col("shl"))): _*)
+        val withSig = docShingles(s, d).select(col("doc_id"), sig.as("sig"))
+        val bandStructs = (0 until 8).map { b =>
+          struct(lit(b).as("band_idx"),
+            concat_ws("_", element_at(col("sig"), 2 * b + 1),
+              element_at(col("sig"), 2 * b + 2)).as("bkey"))
+        }
+        val bands = withSig
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+          .select(col("doc_id"), col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey"))
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+      },
+      Some(s"""WITH $shingleCte,
+             |sg AS (SELECT doc_id,
+             |  list_transform(generate_series(0, 15),
+             |    s -> list_min(list_transform(sh,
+             |           x -> CAST('0x' || substr(md5(concat(s, '_', x)), 1, 15) AS BIGINT)))) AS sig
+             |FROM shl),
+             |bd AS (SELECT doc_id, bb.b AS band_idx,
+             |         concat(sig[2*bb.b+1], '_', sig[2*bb.b+2]) AS bkey
+             |       FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bb)
+             |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             |FROM bd a JOIN bd b
+             |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin)
+    ),
+
+    // 60-bit SimHash, 4 x 15-bit bands, Hamming <= 20 confirm step.
+    "dedup_simhash" -> Query(
+      (s, d) => {
+        val sims = Tables.documents(s, d)
+          .filter(size(cleanToks) >= 1)
+          .select(col("doc_id"), Hashing.simHash60(cleanToks).as("sim"))
+        val bandStructs = (0 until 4).map { b =>
+          struct(lit(b).as("band_idx"), Hashing.simHashBand(col("sim"), b).as("bkey"))
+        }
+        val bands = sims
+          .select(col("doc_id"), col("sim"), explode(array(bandStructs: _*)).as("bd"))
+          .select(col("doc_id"), col("sim"), col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey"))
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("a.sim").as("sima"),
+            col("b.doc_id").as("db"), col("b.sim").as("simb"))
+          .distinct()
+          .select(col("da"), col("db"), Hashing.hamming60(col("sima"), col("simb")).as("hamming"))
+          .filter(col("hamming") <= 20)
+      },
+      Some(s"""WITH $tokCte,
+             |tok AS (SELECT doc_id, unnest(tk) AS tn FROM t WHERE len(tk) >= 1),
+             |th AS (SELECT doc_id, CAST('0x' || substr(md5(tn), 1, 15) AS BIGINT) AS h FROM tok),
+             |bitsum AS (SELECT doc_id, jj.j AS j,
+             |             SUM(CASE WHEN (h >> jj.j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+             |           FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) jj
+             |           GROUP BY doc_id, jj.j),
+             |sh AS (SELECT doc_id,
+             |         CAST(SUM(CASE WHEN vote >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sim
+             |       FROM bitsum GROUP BY doc_id),
+             |bands AS (SELECT doc_id, sim, bb.b AS band_idx, (sim >> (15*bb.b)) & 32767 AS bkey
+             |          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
+             |cand AS (SELECT DISTINCT a.doc_id AS da, a.sim AS sima, b.doc_id AS db, b.sim AS simb
+             |         FROM bands a JOIN bands b
+             |           ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+             |SELECT da, db, CAST(bit_count(xor(sima, simb)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(sima, simb)) <= 20""".stripMargin)
+    ),
+
+    // Embedding near-dup pairs, blocked by label (the IVF-cell stand-in
+    // at test scale): exact cosine inside each block, rounded to 4dp on
+    // both sides before the threshold compare.
+    "dedup_embedding" -> Query(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        e.as("a")
+          .join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+            col("a.label").as("label"),
+            round(graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+          .filter(col("cos") >= 0.3)
+      },
+      Some("""WITH p AS (
+             |  SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+             |    ROUND(
+             |      list_sum(list_transform(generate_series(1, 64),
+             |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+             |      (sqrt(list_sum(list_transform(generate_series(1, 64),
+             |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+             |       sqrt(list_sum(list_transform(generate_series(1, 64),
+             |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+             |    , 4) AS cos
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.label = b.label AND a.vec_id < b.vec_id)
+             |SELECT va, vb, label, cos FROM p WHERE cos >= 0.3""".stripMargin)
+    )
+  )
+}

@@ -15,12 +15,15 @@ import org.apache.spark.sql.types.StructType
 object CsvIngest {
 
   def read(spark: SparkSession, path: String, schema: StructType,
-           header: Boolean = true): DataFrame =
+           header: Boolean = true, multiLine: Boolean = false): DataFrame =
     spark.read
       .option("header", header.toString)
       .option("quote", "\"")
       .option("escape", "\"")
-      .option("multiLine", "true") // quoted fields may embed newlines
+      // multiLine makes the file NON-splittable (one task per file) —
+      // only opt in when quoted fields truly embed newlines; the default
+      // keeps a 1 TB CSV splittable across executors.
+      .option("multiLine", multiLine.toString)
       .option("mode", "PERMISSIVE")
       .schema(schema)
       .csv(path)

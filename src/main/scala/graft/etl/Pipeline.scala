@@ -20,13 +20,17 @@ final case class Pipeline(
   def branch(name: String)(transform: DataFrame => DataFrame)(sink: DataFrame => Unit): Pipeline =
     copy(branches = branches :+ ((name, transform, sink)))
 
-  /** Execute all branches; returns branch name → row count written. */
+  /** Execute all branches; returns branch name → row count written.
+    * Each branch output is persisted across its two actions (sink +
+    * count) so the branch plan — and the source scan — runs once, and
+    * the reported count is exactly the rows written.
+    */
   def run(spark: SparkSession, cacheSource: Boolean = false): Map[String, Long] = {
     val src = if (cacheSource && branches.size > 1) source(spark).persist() else source(spark)
     try branches.map { case (name, transform, sink) =>
-      val out = transform(src)
-      sink(out)
-      name -> out.count()
+      val out = transform(src).persist()
+      try { sink(out); name -> out.count() }
+      finally { out.unpersist(); () }
     }.toMap
     finally if (cacheSource && branches.size > 1) { src.unpersist(); () }
   }

@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens. */
+  /** Whitespace tokens, raw (may contain leading empty on untrimmed text). */
   def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Canonical token form used by every registered query: trim first,
+    * drop empties — `string_split_regex`/`split` edge behavior around
+    * leading/trailing whitespace differs between engines otherwise.
+    */
+  def cleanTokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
 
   /** BPE-ish sub-token count: alpha runs, single digits, single
     * punctuation marks — a cheap deterministic proxy for a BPE vocab.
@@ -28,34 +35,43 @@ object TextFunctions {
     ).otherwise(array(concat_ws(" ", toks)))
 
   /** Distinct shingles — the set form used by Jaccard / MinHash. */
-  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(tokens(text), n))
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(cleanTokens(text), n))
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
     "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "pour", "dans", "que"),
     "es" -> Seq("el", "la", "de", "y", "un", "una", "es", "para", "en", "que"),
-    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "für", "in", "nicht"),
-    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "人")
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "für", "in", "nicht")
   )
+
+  /** zh profile characters — counted at CHARACTER level because Chinese
+    * text is unspaced (whitespace tokenization never matches it).
+    */
+  val zhChars: Seq[String] = Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "人")
 
   /** Stopword hit count for one language profile over a token array. */
   def stopwordHits(toks: Column, lang: String): Column =
     size(filter(toks, t => t.isin(stopwords(lang): _*)))
 
-  /** Language-ID: argmax of stopword-profile hits, deterministic
-    * tie-break by fixed language order (en, fr, es, de, zh). Classic
-    * profile-based heuristic (Cavnar-Trenkle style, word-level).
+  /** Character-level zh profile hits over the raw text. */
+  def zhHits(text: Column): Column =
+    size(regexp_extract_all(text, lit(zhChars.mkString("|")), lit(0)))
+
+  /** Language-ID: argmax of profile hits with a fixed-order (en, fr, es,
+    * de, zh) tie-break, written as a CASE chain so the oracle SQL is the
+    * literally identical decision procedure. Classic Cavnar-Trenkle-style
+    * profile heuristic; zh counted at char level (see zhHits).
     */
   def langId(text: Column): Column = {
-    val toks  = tokens(lower(text))
-    val langs = Seq("en", "fr", "es", "de", "zh")
-    // array_max orders structs lexicographically by (hits, prio, lang); we
-    // want highest hits and FIRST profile on ties, so prio descends with
-    // profile order.
-    val withOrder = langs.zipWithIndex.map { case (l, i) =>
-      struct(stopwordHits(toks, l).as("hits"), lit(langs.size - i).as("prio"), lit(l).as("lang"))
-    }
-    array_max(array(withOrder: _*)).getField("lang")
+    val toks = cleanTokens(lower(text))
+    val en = stopwordHits(toks, "en"); val fr = stopwordHits(toks, "fr")
+    val es = stopwordHits(toks, "es"); val de = stopwordHits(toks, "de")
+    val zh = zhHits(text)
+    when(en >= fr && en >= es && en >= de && en >= zh, "en")
+      .when(fr >= es && fr >= de && fr >= zh, "fr")
+      .when(es >= de && es >= zh, "es")
+      .when(de >= zh, "de")
+      .otherwise("zh")
   }
 
   /** Ratio of punctuation characters to total characters. */
@@ -66,13 +82,13 @@ object TextFunctions {
 
   /** Ratio of (english) stopword tokens to all tokens. */
   def stopwordRatio(text: Column): Column = {
-    val toks = tokens(lower(text))
+    val toks = cleanTokens(lower(text))
     when(size(toks) > 0, stopwordHits(toks, "en").cast("double") / size(toks)).otherwise(lit(0.0))
   }
 
   /** Mean token length. */
   def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+    val toks = cleanTokens(text)
     when(size(toks) > 0,
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
     ).otherwise(lit(0.0))

@@ -28,20 +28,29 @@ object VectorFunctions {
       lit(0.0), (acc, x) => acc + x
     ))
 
-  /** Sign-bit LSH bucket from `nPlanes` deterministic pseudo-random
-    * hyperplanes. Plane p's coefficient for dimension d is derived from
-    * md5("p_d") mapped to [-500, 500) — data-independent, identical on
-    * every executor without any broadcast of plane matrices.
+  /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
+    * first 32 bits of md5("plane{p}_{d}") mapped to [-500, 500).
+    * Computed ONCE driver-side and shipped as literal arrays — the
+    * previous per-row md5 formulation evaluated dims×planes hashes per
+    * row, which at 100 TB would dominate the whole ANN stage.
     */
-  def hyperplaneLshBucket(v: Column, nPlanes: Int): Column = {
+  private def planeCoef(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane${p}_$d".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % 1000 - 500).toDouble
+  }
+
+  /** Sign-bit LSH bucket from `nPlanes` deterministic hyperplanes over a
+    * `dims`-dimensional vector. Projection is a codegen'd zip_with over a
+    * literal coefficient array — zero per-row hashing, zero broadcast.
+    */
+  def hyperplaneLshBucket(v: Column, nPlanes: Int, dims: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
+      val coefs = typedlit((0 until dims).map(planeCoef(p, _)))
       val proj = aggregate(
-        transform(asDouble(v), (x, i) => {
-          val coef = Hashing.md5Long32(concat(lit(s"plane${p}_"), i.cast("string"))) % 1000 - 500
-          x * coef.cast("double")
-        }),
-        lit(0.0), (acc, x) => acc + x
-      )
+        zip_with(asDouble(v), coefs, (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

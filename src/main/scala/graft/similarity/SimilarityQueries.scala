@@ -1,0 +1,109 @@
+package graft.similarity
+
+import graft.{Query, Tables}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search (SURVEY §2.4) over the embeddings table.
+  *
+  * Brute-force exact top-k is the oracle-checked baseline — it
+  * BROADCASTS the (small) query set against the full corpus, so even the
+  * exact variant is one scan with no shuffle of the big side. The LSH
+  * and IVF variants are the 100 TB scale path: candidate generation is
+  * an equi-join on bucket/cell keys, then top-k within candidates.
+  */
+object SimilarityQueries {
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+
+  /** Query set: 10 probe vectors, broadcast everywhere. */
+  private def queriesDf(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  private def topK(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("rn",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rn") <= k)
+
+  private val cosSql =
+    """ROUND(
+      |  list_sum(list_transform(generate_series(1, 64),
+      |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+      |  (sqrt(list_sum(list_transform(generate_series(1, 64),
+      |    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+      |   sqrt(list_sum(list_transform(generate_series(1, 64),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+      |, 4)""".stripMargin
+
+  val entries: Seq[(String, Query)] = Seq(
+
+    // Exact cosine top-5 per query vector (the baseline ANN answers are
+    // judged against).
+    "ann_bruteforce_topk" -> Query(
+      (s, d) => {
+        val scored = corpus(s, d).crossJoin(broadcast(queriesDf(s, d)))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            round(VectorFunctions.cosine(col("qv"), col("embedding")), 4).as("cos"))
+        topK(scored, 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT q.qid, e.vec_id, $cosSql AS cos
+             |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+             |r AS (SELECT qid, vec_id, cos,
+             |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |      FROM c)
+             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
+    ),
+
+    // Random-hyperplane LSH ANN: bucket the corpus once (literal
+    // coefficient arrays — zero per-row hashing), probe only the query's
+    // bucket. Approximate by construction => rows-only check.
+    "ann_lsh_topk" -> Query(
+      (s, d) => {
+        val bucketed = corpus(s, d)
+          .withColumn("bucket", VectorFunctions.hyperplaneLshBucket(col("embedding"), 6, 64))
+        val qb = bucketed.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+        val cand = bucketed.join(broadcast(qb), Seq("bucket"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            round(VectorFunctions.cosine(col("qv"), col("embedding")), 4).as("cos"))
+        topK(cand, 5)
+      },
+      None
+    ),
+
+    // IVF-style coarse quantization: deterministic seed centroids
+    // (vec_id % 50 == 0), assign every vector to its nearest centroid,
+    // probe the query's top-2 cells. Rows-only check.
+    "ann_ivf_topk" -> Query(
+      (s, d) => {
+        val e = corpus(s, d)
+        val cent = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        def nearestCells(df: DataFrame, n: Int): DataFrame =
+          df.crossJoin(broadcast(cent))
+            .select(col("vec_id"), col("embedding"), col("cid"),
+              VectorFunctions.cosine(col("embedding"), col("cv")).as("csim"))
+            .withColumn("crn", row_number().over(
+              Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
+            .filter(col("crn") <= n)
+        val assigned = nearestCells(e, 1).select(col("vec_id"), col("embedding"), col("cid"))
+        val probes = nearestCells(e.filter(col("vec_id") < 10), 2)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid"))
+        val cand = assigned.join(broadcast(probes), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            round(VectorFunctions.cosine(col("qv"), col("embedding")), 4).as("cos"))
+        topK(cand, 5)
+      },
+      None
+    )
+  )
+}

@@ -1,0 +1,114 @@
+package graft.text
+
+import graft.{Query, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries (SURVEY §2.5) over the documents table. Every
+  * formula is a codegen'd builtin composition (graft.functions
+  * .TextFunctions) with a literally-mirrored DuckDB oracle.
+  */
+object TextQueries {
+
+  private def cleanToks: Column = TextFunctions.cleanTokens(col("text"))
+
+  /** DuckDB mirror of cleanTokens over lower(text). */
+  private val lowToksSql =
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+
+  private def hitsSql(lang: String): String = {
+    val lst = TextFunctions.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($lowToksSql, x -> list_contains([$lst], x)))"
+  }
+
+  val entries: Seq[(String, Query)] = Seq(
+
+    // Whitespace + BPE-ish regex token counting.
+    "text_token_count" -> Query(
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(cleanToks).cast("long").as("n_tokens"),
+          size(TextFunctions.bpeishTokens(col("text"))).cast("long").as("n_bpeish"),
+          round(TextFunctions.meanTokenLen(col("text")), 4).as("mean_token_len")),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpeish,
+             |  ROUND(CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) > 0
+             |    THEN CAST(list_sum(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> length(x))) AS DOUBLE)
+             |         / len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+             |    ELSE 0.0 END, 4) AS mean_token_len
+             |FROM documents""".stripMargin)
+    ),
+
+    // Quality scoring: length/punct/stopword-ratio composite — the
+    // standard cheap corpus-curation pre-filter.
+    "text_quality" -> Query(
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("quality")),
+      Some(s"""WITH c AS (
+             |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars_m,
+             |    CASE WHEN length(text) > 0
+             |      THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)
+             |      ELSE 0.0 END AS pr,
+             |    CASE WHEN len($lowToksSql) > 0
+             |      THEN CAST(${hitsSql("en")} AS DOUBLE) / len($lowToksSql)
+             |      ELSE 0.0 END AS sr
+             |  FROM documents)
+             |SELECT doc_id, n_chars_m, ROUND(pr, 6) AS punct_ratio, ROUND(sr, 6) AS stopword_ratio,
+             |  ROUND(LEAST(length(text)/500.0, 1.0) * 0.4
+             |      + GREATEST(1.0 - pr * 5, 0.0) * 0.4
+             |      + LEAST(sr * 5, 1.0) * 0.2, 6) AS quality
+             |FROM c""".stripMargin)
+    ),
+
+    // Language-ID: stopword-profile argmax (char-level profile for
+    // unspaced zh), identical CASE-chain decision procedure both sides.
+    "text_langid" -> Query(
+      (s, d) => {
+        val toks = TextFunctions.cleanTokens(lower(col("text")))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TextFunctions.stopwordHits(toks, "en").cast("long").as("en_hits"),
+          TextFunctions.stopwordHits(toks, "fr").cast("long").as("fr_hits"),
+          TextFunctions.stopwordHits(toks, "es").cast("long").as("es_hits"),
+          TextFunctions.stopwordHits(toks, "de").cast("long").as("de_hits"),
+          TextFunctions.zhHits(col("text")).cast("long").as("zh_hits"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+      },
+      Some(s"""WITH h AS (SELECT doc_id,
+             |  CAST(${hitsSql("en")} AS BIGINT) AS en_hits,
+             |  CAST(${hitsSql("fr")} AS BIGINT) AS fr_hits,
+             |  CAST(${hitsSql("es")} AS BIGINT) AS es_hits,
+             |  CAST(${hitsSql("de")} AS BIGINT) AS de_hits,
+             |  CAST(len(regexp_extract_all(text, '${TextFunctions.zhChars.mkString("|")}')) AS BIGINT) AS zh_hits
+             |FROM documents)
+             |SELECT doc_id, en_hits, fr_hits, es_hits, de_hits, zh_hits,
+             |  CASE WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= zh_hits THEN 'en'
+             |       WHEN fr_hits >= es_hits AND fr_hits >= de_hits AND fr_hits >= zh_hits THEN 'fr'
+             |       WHEN es_hits >= de_hits AND es_hits >= zh_hits THEN 'es'
+             |       WHEN de_hits >= zh_hits THEN 'de'
+             |       ELSE 'zh' END AS lang_pred
+             |FROM h""".stripMargin)
+    ),
+
+    // Order-sensitive positional rolling-hash fingerprint.
+    "text_fingerprint" -> Query(
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          graft.functions.Hashing.positionalFingerprint(cleanToks).as("fp")),
+      Some("""SELECT doc_id,
+             |  CAST(COALESCE(list_sum(list_transform(
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+             |    (x, i) -> CAST('0x' || substr(md5(concat(i, '_', x)), 1, 8) AS BIGINT))), 0) AS BIGINT) AS fp
+             |FROM documents""".stripMargin)
+    )
+  )
+}
