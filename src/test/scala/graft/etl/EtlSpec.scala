@@ -1,0 +1,88 @@
+package graft.etl
+
+import graft.SparkTestSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class EtlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("Schemas parses BigQuery JSON regardless of key order") {
+    val st = Schemas.fromBigQueryJson(
+      """{"fields": [
+        |  {"type": "INTEGER", "name": "id", "mode": "REQUIRED"},
+        |  {"name": "name", "mode": "NULLABLE", "type": "STRING"},
+        |  {"name": "score", "type": "FLOAT"}
+        |]}""".stripMargin)
+    assert(st === StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("score", DoubleType))))
+  }
+
+  test("Schemas handles braces inside strings and nested RECORDs") {
+    val st = Schemas.fromBigQueryJson(
+      """{"fields": [
+        |  {"name": "weird}", "type": "STRING"},
+        |  {"name": "nested", "type": "RECORD", "mode": "REPEATED",
+        |   "fields": [{"name": "x", "type": "INTEGER"}]}
+        |]}""".stripMargin)
+    assert(st.fieldNames.toSeq === Seq("weird}", "nested"))
+    assert(st("nested").dataType ===
+      ArrayType(StructType(Seq(StructField("x", LongType)))))
+  }
+
+  test("Schemas rejects unknown types and empty field lists") {
+    intercept[IllegalArgumentException] {
+      Schemas.fromBigQueryJson("""{"fields": [{"name": "x", "type": "BLOB"}]}""")
+    }
+    intercept[IllegalArgumentException] {
+      Schemas.fromBigQueryJson("""{"fields": []}""")
+    }
+  }
+
+  test("CsvIngest round-trips typed rows incl quoted commas") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "in.csv")
+    Files.writeString(f.toPath,
+      "id,name,score\n1,\"a,b\",1.5\n2,plain,2.25\n")
+    val df = CsvIngest.readWithJsonSchema(spark, f.getAbsolutePath,
+      """{"fields": [
+        |  {"name": "id", "type": "INTEGER", "mode": "REQUIRED"},
+        |  {"name": "name", "type": "STRING"},
+        |  {"name": "score", "type": "FLOAT"}
+        |]}""".stripMargin)
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows(0).getString(1) === "a,b")
+    assert(rows(1).getDouble(2) === 2.25)
+  }
+
+  test("Pipeline fans one source out to two sinks, counts = rows written") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft_pipe").toFile
+    val rawPath = s"$out/raw"
+    val aggPath = s"$out/agg"
+    val counts = Pipeline
+      .from(s => s.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .branch("raw")(identity)(df => Sinks.parquet(df, rawPath))
+      .branch("agg")(df => df.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs")))(df => Sinks.csv(df, aggPath))
+      .run(spark, cacheSource = true)
+    assert(counts("raw") === spark.read.parquet(rawPath).count())
+    assert(counts("agg") ===
+      spark.read.option("header", "true").csv(aggPath).count())
+    assert(counts("raw") > 0 && counts("agg") > 0)
+  }
+
+  test("Sinks dispositions: truncate replaces, append adds") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_sink").toFile.getAbsolutePath + "/t"
+    Sinks.parquet(Seq(1, 2, 3).toDF("x"), p, Sinks.Truncate)
+    Sinks.parquet(Seq(4).toDF("x"), p, Sinks.Append)
+    assert(spark.read.parquet(p).count() === 4)
+    Sinks.parquet(Seq(9).toDF("x"), p, Sinks.Truncate)
+    assert(spark.read.parquet(p).count() === 1)
+  }
+}
