@@ -34,8 +34,11 @@ object Parity {
   /** Exact order-independent sum of a double column, emitted as double. */
   def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
 
-  /** Exact sum of a wider product term (e.g. price*price up to ~1e10). */
-  def dsumWide(c: Column): Column = sum(c.cast("decimal(28,8)")).cast("double")
+  /** Exact sum of a wider product term (e.g. price*price up to ~1e10).
+    * Scale 4 keeps unscaled element values within long range so the
+    * decimal sum stays on Spark's compact fast path.
+    */
+  def dsumWide(c: Column): Column = sum(c.cast("decimal(26,4)")).cast("double")
 
   /** Mean via exact sum / count — both operands bit-identical cross-engine. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))

@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
   *  - shuffle partitions sized to local cores, not the 200 default.
   */
 object Session {
-  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+              Runtime.getRuntime.availableProcessors().toString)): SparkSession = {
     val s = SparkSession
       .builder()
       .master(s"local[$cores]")

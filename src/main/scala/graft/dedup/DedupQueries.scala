@@ -32,11 +32,34 @@ object DedupQueries {
 
   private def cleanToks: Column = TextFunctions.cleanTokens(col("text"))
 
-  /** doc_id + distinct 3-gram shingle array, docs with >= 3 tokens. */
+  /** doc_id + distinct 3-gram shingle array, docs with >= 3 tokens.
+    * (Array form — handy for signatures over small inputs.)
+    */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(size(cleanToks) >= 3)
       .select(col("doc_id"), array_distinct(TextFunctions.shingles(cleanToks, 3)).as("shl"))
+
+  /** Distinct (doc_id, shingle) rows built RELATIONALLY: one posexplode
+    * of the token array, then lead() windows assemble the 3-grams.
+    * Higher-order array lambdas don't run in whole-stage codegen — the
+    * array formulation costs ~1ms/doc interpreted; this shape keeps the
+    * whole pass codegen'd (one shuffle on doc_id for the window), which
+    * is the difference between hours and minutes at corpus scale.
+    * Produces exactly the same shingle set as `docShingles`.
+    */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(cleanToks).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tok.select(col("doc_id"),
+        concat_ws(" ", col("t"), lead(col("t"), 1).over(w), lead(col("t"), 2).over(w)).as("sh"),
+        lead(col("t"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("sh"))
+      .distinct()
+  }
 
   val entries: Seq[(String, Query)] = Seq(
 
@@ -52,14 +75,21 @@ object DedupQueries {
     ),
 
     // Word 3-gram Jaccard pairs via shingle equi-join: |∩| from the
-    // join, |∪| from per-doc set sizes. Exact integer arithmetic until
-    // the final (deterministic) double division.
+    // join, |∪| from per-doc set sizes. The join key is the 60-bit hash
+    // of the shingle (8-byte key beats variable strings through the
+    // shuffle), and the exploded shingle index is persisted — it feeds
+    // both join sides and the size table, so the expensive tokenize+
+    // shingle+hash pass runs once, the same materialize-the-index move a
+    // 100 TB corpus would make. Exact integer arithmetic to the final
+    // (deterministic) double division.
     "dedup_ngram_jaccard" -> Query(
       (s, d) => {
-        val ex = docShingles(s, d).select(col("doc_id"), explode(col("shl")).as("sh"))
+        val ex = shingleRows(s, d)
+          .select(col("doc_id"), Hashing.md5Long60(col("sh")).as("shh"))
+          .persist()
         val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val pairs = ex.as("a")
-          .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .join(ex.as("b"), col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
         pairs
@@ -71,10 +101,11 @@ object DedupQueries {
           .filter(col("jaccard") >= 0.2)
       },
       Some(s"""WITH $shingleCte,
-             |shx AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
+             |shx AS (SELECT doc_id, CAST('0x' || substr(md5(u.sh), 1, 15) AS BIGINT) AS shh
+             |        FROM (SELECT doc_id, unnest(sh) AS sh FROM shl) u),
              |sz AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
              |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
-             |       FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |       FROM shx a JOIN shx b ON a.shh = b.shh AND a.doc_id < b.doc_id
              |       GROUP BY 1, 2)
              |SELECT da, db, inter, (sa.n + sb.n - inter) AS un,
              |  CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
@@ -82,20 +113,30 @@ object DedupQueries {
              |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.2""".stripMargin)
     ),
 
-    // MinHash (16 salted-hash "permutations") + LSH banding (8 bands x
-    // 2 rows): near-dup candidates from band-key equi-joins only.
+    // MinHash (16 affine permutations over one md5 per shingle) + LSH
+    // banding (8 bands x 2 rows): near-dup candidates from band-key
+    // equi-joins only. The shingle array is hashed ONCE into `hs`; each
+    // signature entry is min((a_i*h + b_i) mod p) — cheap arithmetic,
+    // not 16 separate md5 passes.
     "dedup_minhash_lsh" -> Query(
       (s, d) => {
-        val sig = array((0 until 16).map(i => Hashing.minHash(i, col("shl"))): _*)
-        val withSig = docShingles(s, d).select(col("doc_id"), sig.as("sig"))
+        // one md5 per distinct shingle; 16 signature entries as
+        // codegen'd MIN aggregates of the affine permutations
+        val hs = shingleRows(s, d)
+          .select(col("doc_id"), Hashing.md5Long32(col("sh")).as("h"))
+        val sigAggs = (0 until 16).map { i =>
+          val (a, b) = Hashing.minHashConsts(i)
+          min((col("h") * a + b) % Hashing.minHashP).as(s"sig$i")
+        }
+        val withSig = hs.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
         val bandStructs = (0 until 8).map { b =>
           struct(lit(b).as("band_idx"),
-            concat_ws("_", element_at(col("sig"), 2 * b + 1),
-              element_at(col("sig"), 2 * b + 2)).as("bkey"))
+            concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
         }
         val bands = withSig
           .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
           .select(col("doc_id"), col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey"))
+          .persist()
         bands.as("a")
           .join(bands.as("b"),
             col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey") &&
@@ -104,11 +145,15 @@ object DedupQueries {
           .distinct()
       },
       Some(s"""WITH $shingleCte,
-             |sg AS (SELECT doc_id,
-             |  list_transform(generate_series(0, 15),
-             |    s -> list_min(list_transform(sh,
-             |           x -> CAST('0x' || substr(md5(concat(s, '_', x)), 1, 15) AS BIGINT)))) AS sig
+             |hsx AS (SELECT doc_id,
+             |  list_transform(sh, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs
              |FROM shl),
+             |sg AS (SELECT doc_id, [${
+               (0 until 16).map { i =>
+                 val (a, b) = Hashing.minHashConsts(i)
+                 s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Hashing.minHashP}))"
+               }.mkString(", ")
+             }] AS sig FROM hsx),
              |bd AS (SELECT doc_id, bb.b AS band_idx,
              |         concat(sig[2*bb.b+1], '_', sig[2*bb.b+2]) AS bkey
              |       FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bb)
@@ -118,17 +163,29 @@ object DedupQueries {
     ),
 
     // 60-bit SimHash, 4 x 15-bit bands, Hamming <= 20 confirm step.
+    // The per-doc bit votes are 60 codegen'd SUM aggregates over the
+    // exploded token hashes (one md5 per token) — the scalar
+    // `Hashing.simHash60` computes the same value but runs its fold
+    // interpreted, which is ~10x slower per doc.
     "dedup_simhash" -> Query(
       (s, d) => {
-        val sims = Tables.documents(s, d)
-          .filter(size(cleanToks) >= 1)
-          .select(col("doc_id"), Hashing.simHash60(cleanToks).as("sim"))
+        val th = Tables.documents(s, d)
+          .select(col("doc_id"), explode(cleanToks).as("tn"))
+          .select(col("doc_id"), Hashing.md5Long60(col("tn")).as("h"))
+        val voteAggs = (0 until 60).map { j =>
+          sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"v$j")
+        }
+        val sims = th.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+          .select(col("doc_id"),
+            (0 until 60).map(j =>
+              when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("sim"))
         val bandStructs = (0 until 4).map { b =>
           struct(lit(b).as("band_idx"), Hashing.simHashBand(col("sim"), b).as("bkey"))
         }
         val bands = sims
           .select(col("doc_id"), col("sim"), explode(array(bandStructs: _*)).as("bd"))
           .select(col("doc_id"), col("sim"), col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey"))
+          .persist()
         bands.as("a")
           .join(bands.as("b"),
             col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey") &&
@@ -163,13 +220,18 @@ object DedupQueries {
     // both sides before the threshold compare.
     "dedup_embedding" -> Query(
       (s, d) => {
-        val e = Tables.embeddings(s, d)
+        import graft.functions.VectorFunctions
+        // norms precomputed per VECTOR (not per pair) — same arithmetic,
+        // bit-identical cosine, 1/3 the per-pair flops
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+          col("embedding"), VectorFunctions.norm(col("embedding")).as("nrm"))
         e.as("a")
           .join(e.as("b"),
             col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
             col("a.label").as("label"),
-            round(graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+            round(VectorFunctions.dot(col("a.embedding"), col("b.embedding"))
+              / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
           .filter(col("cos") >= 0.3)
       },
       Some("""WITH p AS (

@@ -31,27 +31,62 @@ object Hashing {
   def saltedHash60(salt: Int, c: Column): Column =
     md5Long60(concat(lit(s"${salt}_"), c))
 
-  /** MinHash signature entry i over an array<string> column. */
+  /** MinHash signature entry i over an array<string> column.
+    * (Simple salted form — one md5 per (salt, element). Prefer
+    * `minHashAffine` over a pre-hashed array when computing many
+    * signature entries: one md5 per element total.)
+    */
   def minHash(salt: Int, shingles: Column): Column =
     array_min(transform(shingles, s => saltedHash60(salt, s)))
+
+  /** Mersenne-ish prime modulus for the affine MinHash family. */
+  val minHashP: Long = 2147483647L
+
+  /** Deterministic affine constants (a odd < 2^28, b < p) for salt i,
+    * derived from md5 driver-side — identical constants are embedded in
+    * the DuckDB oracle SQL.
+    */
+  def minHashConsts(salt: Int): (Long, Long) = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"minhash_$salt".getBytes("UTF-8"))
+    val a = (BigInt(1, h.take(4)).toLong % ((1L << 28) - 1)) | 1L
+    val b = BigInt(1, h.slice(4, 8)).toLong % minHashP
+    (a, b)
+  }
+
+  /** MinHash entry i over a PRE-HASHED element array (md5Long32 values):
+    * min of the affine permutation (a_i*h + b_i) mod p. The md5 is paid
+    * once per element for the whole signature instead of once per
+    * (salt, element) — at 100 TB the difference is the entire stage.
+    */
+  def minHashAffine(salt: Int, hashed: Column): Column = {
+    val (a, b) = minHashConsts(salt)
+    array_min(transform(hashed, h => (h * a + b) % minHashP))
+  }
 
   /** 60-bit SimHash over an array<string> token column.
     * bit j of the result is set iff sum over tokens of
     * (2*bit_j(md5Long60(token)) - 1) >= 0.
     * Integer-only arithmetic → exact parity with the SQL oracle.
+    *
+    * Structured as ONE fold over the hashed-token array carrying a
+    * 60-slot vote vector: the md5 transform is evaluated once per token.
+    * (The naive per-bit formulation re-evaluates the hash array inside
+    * each of the 60 bit lambdas — 60x the hashing work; higher-order
+    * functions don't get common-subexpression elimination.)
     */
   def simHash60(tokens: Column): Column = {
-    val hashes = transform(tokens, t => md5Long60(t))
-    val bits = transform(sequence(lit(0), lit(59)), j => {
-      val vote = aggregate(
-        hashes,
-        lit(0L),
-        (acc, h) =>
-          acc + (call_function("shiftright", h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
-      )
-      when(vote >= 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, b) => acc + b)
+    val bitIdx = sequence(lit(0), lit(59))
+    val votes = aggregate(
+      transform(tokens, t => md5Long60(t)),
+      transform(bitIdx, _ => lit(0L)),
+      (acc, h) => zip_with(acc, bitIdx, (a, j) =>
+        a + (call_function("shiftright", h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+    )
+    aggregate(
+      zip_with(votes, bitIdx, (v, j) =>
+        when(v >= 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
   }
 
   /** b-th 15-bit band of a 60-bit SimHash (b in 0..3). */

@@ -280,10 +280,10 @@ object Relational {
       Some("""WITH m AS (
              |  SELECT l_returnflag, COUNT(*) AS n,
              |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(26,4))) AS DOUBLE) AS sxx,
              |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-             |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy,
-             |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+             |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(26,4))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(26,4))) AS DOUBLE) AS sxy
              |  FROM lineitem GROUP BY l_returnflag)
              |SELECT l_returnflag, n,
              |  ROUND((sxx - sx*sx/n)/(n-1), 4) AS var_qty,

@@ -2,7 +2,7 @@ package graft.similarity
 
 import graft.{Query, Tables}
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,13 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
+  /** Corpus with the vector norm precomputed per ROW — cosine against
+    * any probe is then dot/(nrm*qnrm): same arithmetic (bit-identical
+    * vs the oracle's sqrt(sum a^2)*sqrt(sum b^2) form), 1/3 the
+    * per-pair flops.
+    */
   private def corpus(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    Tables.embeddings(s, d).withColumn("nrm", VectorFunctions.norm(col("embedding")))
 
   /** Query set: 10 probe vectors, broadcast everywhere. */
   private def queriesDf(s: SparkSession, d: String): DataFrame =
     corpus(s, d).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+
+  private def pairCos(qv: Column, qnrm: Column): Column =
+    round(VectorFunctions.dot(qv, col("embedding")) / (qnrm * col("nrm")), 4)
 
   private def topK(df: DataFrame, k: Int): DataFrame =
     df.withColumn("rn",
@@ -49,7 +57,7 @@ object SimilarityQueries {
         val scored = corpus(s, d).crossJoin(broadcast(queriesDf(s, d)))
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
-            round(VectorFunctions.cosine(col("qv"), col("embedding")), 4).as("cos"))
+            pairCos(col("qv"), col("qnrm")).as("cos"))
         topK(scored, 5)
       },
       Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -69,11 +77,12 @@ object SimilarityQueries {
         val bucketed = corpus(s, d)
           .withColumn("bucket", VectorFunctions.hyperplaneLshBucket(col("embedding"), 6, 64))
         val qb = bucketed.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("nrm").as("qnrm"), col("bucket"))
         val cand = bucketed.join(broadcast(qb), Seq("bucket"))
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
-            round(VectorFunctions.cosine(col("qv"), col("embedding")), 4).as("cos"))
+            pairCos(col("qv"), col("qnrm")).as("cos"))
         topK(cand, 5)
       },
       None
@@ -86,21 +95,24 @@ object SimilarityQueries {
       (s, d) => {
         val e = corpus(s, d)
         val cent = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cnrm"))
         def nearestCells(df: DataFrame, n: Int): DataFrame =
           df.crossJoin(broadcast(cent))
-            .select(col("vec_id"), col("embedding"), col("cid"),
-              VectorFunctions.cosine(col("embedding"), col("cv")).as("csim"))
+            .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+              (VectorFunctions.dot(col("embedding"), col("cv"))
+                / (col("nrm") * col("cnrm"))).as("csim"))
             .withColumn("crn", row_number().over(
               Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
             .filter(col("crn") <= n)
-        val assigned = nearestCells(e, 1).select(col("vec_id"), col("embedding"), col("cid"))
+        val assigned = nearestCells(e, 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
         val probes = nearestCells(e.filter(col("vec_id") < 10), 2)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid"))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("nrm").as("qnrm"), col("cid"))
         val cand = assigned.join(broadcast(probes), Seq("cid"))
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
-            round(VectorFunctions.cosine(col("qv"), col("embedding")), 4).as("cos"))
+            pairCos(col("qv"), col("qnrm")).as("cos"))
         topK(cand, 5)
       },
       None
