@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 42+ codegen'd queries in one JVM overflow the default 240m code
+  // cache -> JIT silently stops compiling and later queries run
+  // interpreted (~8x slower); measured 2x on the full bench.
+  "-XX:ReservedCodeCacheSize=512m",
 )

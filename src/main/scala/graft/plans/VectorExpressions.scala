@@ -1,0 +1,106 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the dense-vector dot product.
+  *
+  * The `zip_with`/`aggregate` formulation in VectorFunctions is exact
+  * but runs interpreted (higher-order functions are excluded from
+  * whole-stage codegen), allocating a lambda frame per element. This
+  * expression generates a tight Java loop instead — the preference-order
+  * step up ((b) custom Expression) once profiling shows the lambda path
+  * dominating, per SURVEY §4.
+  *
+  * Semantics BIT-MATCH the HOF form (and therefore the DuckDB oracle):
+  * left-to-right fold of `(double)a[i] * (double)b[i]`; null result on
+  * length mismatch or any null element (zip_with pads/propagates null
+  * the same way).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: NumericType, _), ArrayType(_: NumericType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_dot expects two numeric arrays, got ${left.dataType} / ${right.dataType}")
+    }
+
+  private def elemType(e: Expression): NumericType =
+    e.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+  private def getD(arr: ArrayData, i: Int, t: NumericType): Double = t match {
+    case FloatType   => arr.getFloat(i).toDouble
+    case DoubleType  => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType    => arr.getLong(i).toDouble
+    case ShortType   => arr.getShort(i).toDouble
+    case ByteType    => arr.getByte(i).toDouble
+    case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val (lt, rt) = (elemType(left), elemType(right))
+    var acc = 0.0
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += getD(a, i, lt) * getD(b, i, rt)
+      i += 1
+    }
+    acc
+  }
+
+  private def genGet(arr: String, i: String, t: NumericType): String = t match {
+    case FloatType   => s"(double) $arr.getFloat($i)"
+    case DoubleType  => s"$arr.getDouble($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType    => s"(double) $arr.getLong($i)"
+    case ShortType   => s"(double) $arr.getShort($i)"
+    case ByteType    => s"(double) $arr.getByte($i)"
+    case d: DecimalType => s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${genGet(a, i, elemType(left))} * ${genGet(b, i, elemType(right))};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column-level entry point for the codegen'd dot product. */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

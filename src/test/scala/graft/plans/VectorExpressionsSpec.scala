@@ -1,0 +1,43 @@
+package graft.plans
+
+import graft.SparkTestSession
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("DotProduct matches the HOF formulation bit-for-bit on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val mismatches = e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        VectorFunctions.dot(col("a.embedding"), col("b.embedding")).as("native"),
+        VectorFunctions.dotHof(col("a.embedding"), col("b.embedding")).as("hof"))
+      .filter(!(col("native") <=> col("hof")))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("DotProduct null semantics: length mismatch and null elements") {
+    def arr(xs: Any*) = array(xs.map {
+      case null => lit(null).cast("double"); case d: Double => lit(d)
+    }: _*)
+    val row = spark.range(1).select(
+      VectorFunctions.dot(arr(1.0, 2.0), arr(3.0)).as("mismatch"),
+      VectorFunctions.dot(arr(1.0, null), arr(3.0, 4.0)).as("nullelem"),
+      VectorFunctions.dot(arr(1.0, 2.0), arr(3.0, 4.0)).as("ok")).collect()(0)
+    assert(row.isNullAt(0))
+    assert(row.isNullAt(1))
+    assert(row.getDouble(2) === 11.0)
+  }
+
+  test("DotProduct evaluates in interpreted mode too (eval path)") {
+    // a literal-only projection goes through ConstantFolding -> eval
+    val v = spark.range(1).select(
+      VectorFunctions.dot(array(lit(1.0f), lit(2.0f)), array(lit(3.0f), lit(4.0f))).as("d"))
+      .collect()(0).getDouble(0)
+    assert(v === 11.0)
+  }
+}
