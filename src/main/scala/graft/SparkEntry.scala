@@ -15,6 +15,7 @@ object SparkEntry {
     etl.EtlQueries.entries ++
       operators.Relational.entries ++
       operators.Temporal.entries ++
+      operators.Extended.entries ++
       dedup.DedupQueries.entries ++
       similarity.SimilarityQueries.entries ++
       text.TextQueries.entries ++

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Extensions beyond the reference surface (SURVEY §2.8): operators a
+  * production training-data pipeline reaches for next. All oracle-checked.
+  */
+object Extended {
+
+  val entries: Seq[(String, Query)] = Seq(
+
+    // Typed JSON extraction from a string column (events.props) with
+    // schema'd from_json — the scan stays columnar, the parse is
+    // codegen'd, and the grouped agg is map-side partial. Oracle
+    // recovers the same value with a regex (no JSON extension needed).
+    "events_json_extract" -> Query(
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+              .getField("k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+      Some("""SELECT event_type,
+             |  COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+             |  MIN(k) AS min_k, MAX(k) AS max_k
+             |FROM (SELECT event_type,
+             |        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+             |      FROM events)
+             |GROUP BY event_type""".stripMargin)
+    ),
+
+    // Two-stage salted aggregation — the skew-mitigation pattern for
+    // hot keys at 100 TB: partial agg on (key, salt) spreads a hot key
+    // over 8 reducers, final agg merges partials. Result provably equals
+    // the plain GROUP BY (the oracle).
+    "agg_salted_skew" -> Query(
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("salt", (col("event_id") % 8).cast("int"))
+          .groupBy(col("user_id"), col("salt"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("value").cast("decimal(18,6)")).as("pv"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("pn")).as("n_events"),
+            sum(col("pv")).cast("double").as("sum_value")),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY user_id""".stripMargin)
+    ),
+
+    // Quality-aware exact-dedup survivor selection: one row per content
+    // hash, keeping the longest doc (ties -> lowest doc_id) — the
+    // "keep best copy" policy real corpus dedup uses, as a window over
+    // the hash partition.
+    "dedup_exact_survivor" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("h"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"), md5(col("text")).as("h"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("h"), col("doc_id").as("keep_id"), col("n_chars"))
+      },
+      Some("""SELECT h, doc_id AS keep_id, n_chars FROM (
+             |  SELECT md5(text) AS h, doc_id, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY md5(text)
+             |                       ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents) WHERE rn = 1""".stripMargin)
+    ),
+
+    // PII-style scrubbing: number runs and email-shaped tokens replaced
+    // by placeholder tags; emits the scrubbed digest + how many chars
+    // were dropped. Pure regexp_replace — codegen'd, oracle-identical.
+    "text_pii_scrub" -> Query(
+      (s, d) => {
+        val scrubbed = regexp_replace(
+          regexp_replace(col("text"), lit("[A-Za-z0-9.]+@[A-Za-z0-9.]+"), lit("<EMAIL>")),
+          lit("[0-9]+"), lit("<NUM>"))
+        Tables.documents(s, d).select(
+          col("doc_id"), md5(scrubbed).as("scrubbed_md5"),
+          (length(col("text")) - length(scrubbed)).cast("long").as("chars_delta"))
+      },
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(regexp_replace(text,
+             |        '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+             |      '[0-9]+', '<NUM>', 'g')) AS scrubbed_md5,
+             |  CAST(length(text) - length(regexp_replace(regexp_replace(text,
+             |        '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+             |      '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS chars_delta
+             |FROM documents""".stripMargin)
+    ),
+
+    // Mode (most frequent value) per group with deterministic tie-break
+    // — two-phase: count per (group, value), then rank. Both phases are
+    // partial-aggregatable shuffles.
+    "agg_mode" -> Query(
+      (s, d) => {
+        val counts = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("n").desc, col("l_quantity"))
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+      },
+      Some("""SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+             |  SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |                       ORDER BY COUNT(*) DESC, l_quantity) AS rn
+             |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+             |WHERE rn = 1""".stripMargin)
+    ),
+
+    // Decile assignment via ntile over a deterministic total order, then
+    // per-decile stats — the "bucket your corpus by quality score"
+    // shape.
+    "window_ntile_decile" -> Query(
+      (s, d) => {
+        val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("sum_price"))
+      },
+      Some("""SELECT decile, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+             |FROM (SELECT o_totalprice,
+             |        CAST(NTILE(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS decile
+             |      FROM orders)
+             |GROUP BY decile""".stripMargin)
+    )
+  )
+}
