@@ -13,6 +13,7 @@ object SparkEntry {
 
   private val modules: Seq[(String, Query)] =
     etl.EtlQueries.entries ++
+      etl.IngestQueries.entries ++
       operators.Relational.entries ++
       operators.Temporal.entries ++
       operators.Extended.entries ++

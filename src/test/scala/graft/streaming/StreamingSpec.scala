@@ -53,6 +53,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(open2 === Some(OpenSession(5000, 5500, 2, 4.0)))
   }
 
+  test("StreamingDedup drops repeated content within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val out = StreamingDedup(in.toDF().toDF("ts", "text"), "ts", "text", "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:00:00"), "alpha"),
+        (ts("2024-01-01 00:00:10"), "alpha"),
+        (ts("2024-01-01 00:00:20"), "beta"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:10:00"), "alpha")) // dup across batches
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream").select("text")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(texts === Seq("alpha", "beta"))
+    } finally q.stop()
+  }
+
   test("SessionizeStream emits closed sessions across MemoryStream batches") {
     import SessionizeStream._
     import spark.implicits._
