@@ -118,6 +118,54 @@ object Extended {
              |WHERE rn = 1""".stripMargin)
     ),
 
+    // GROUPING SETS with mixed granularities (finer-grained than what
+    // rollup/cube express) through the SQL front end over a temp view.
+    "grouping_sets_mixed" -> Query(
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("li_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+                |FROM li_gs
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    ),
+
+    // Fixed-width histogram by pure arithmetic binning (engine-agnostic,
+    // single map-side-combinable shuffle).
+    "agg_histogram" -> Query(
+      (s, d) =>
+        Tables.orders(s, d)
+          .withColumn("bucket",
+            least(floor(col("o_totalprice") / 50000), lit(11)).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi")),
+      Some("""SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 11) AS BIGINT) AS bucket,
+             |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+             |FROM orders GROUP BY 1""".stripMargin)
+    ),
+
+    // Rank-family windows: percent_rank and cume_dist over a unique
+    // total order per group (exact rational values — identical doubles).
+    "window_percent_rank" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderstatus"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin)
+    ),
+
     // Decile assignment via ntile over a deterministic total order, then
     // per-decile stats — the "bucket your corpus by quality score"
     // shape.
