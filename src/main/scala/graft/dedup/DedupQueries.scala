@@ -169,16 +169,7 @@ object DedupQueries {
     // interpreted, which is ~10x slower per doc.
     "dedup_simhash" -> Query(
       (s, d) => {
-        val th = Tables.documents(s, d)
-          .select(col("doc_id"), explode(cleanToks).as("tn"))
-          .select(col("doc_id"), Hashing.md5Long60(col("tn")).as("h"))
-        val voteAggs = (0 until 60).map { j =>
-          sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"v$j")
-        }
-        val sims = th.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
-          .select(col("doc_id"),
-            (0 until 60).map(j =>
-              when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("sim"))
+        val sims = SimHash.relational(Tables.documents(s, d), "doc_id", "text")
         val bandStructs = (0 until 4).map { b =>
           struct(lit(b).as("band_idx"), Hashing.simHashBand(col("sim"), b).as("bkey"))
         }

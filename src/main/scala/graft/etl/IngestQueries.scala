@@ -53,8 +53,9 @@ object IngestQueries {
             org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
               .orderBy(col("doc_id"))))
           .filter(col("rn") === 1).drop("rn", "h")
-        val sims = exact.select(col("doc_id"), col("quality"),
-          Hashing.simHash60(toks).as("sim"))
+        val sims = exact.select(col("doc_id"), col("quality"))
+          .join(graft.dedup.SimHash.relational(
+            exact.select(col("doc_id"), col("text")), "doc_id", "text"), Seq("doc_id"))
         val bands = sims.select(col("doc_id"), col("quality"), col("sim"),
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("bi"), Hashing.simHashBand(col("sim"), b).as("bk"))): _*)).as("bd"))
