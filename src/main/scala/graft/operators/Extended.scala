@@ -168,7 +168,10 @@ object Extended {
 
     // Decile assignment via ntile over a deterministic total order, then
     // per-decile stats — the "bucket your corpus by quality score"
-    // shape.
+    // shape. NOTE: exact global ntile is inherently single-partition
+    // (any exact global ranking is); the scale path for 100 TB is
+    // approximate boundary binning — `agg_histogram` above, or
+    // approxQuantile boundaries + a broadcast bin join.
     "window_ntile_decile" -> Query(
       (s, d) => {
         val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))

