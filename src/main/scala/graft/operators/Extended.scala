@@ -53,6 +53,45 @@ object Extended {
              |FROM events GROUP BY user_id""".stripMargin)
     ),
 
+    // Skew-safe JOIN: the build side is replicated across 8 salt values
+    // and the (hot-keyed) probe side picks a deterministic salt, so one
+    // hot key spreads over 8 reducers instead of melting one. events'
+    // 5-value event_type is maximal skew; result provably equals the
+    // unsalted join (the oracle).
+    "join_skew_salted" -> Query(
+      (s, d) => {
+        val dim = Tables.events(s, d).select(col("event_type")).distinct()
+          .withColumn("type_code", length(col("event_type")).cast("long"))
+          .withColumn("salt", explode(sequence(lit(0), lit(7))))
+        val probe = Tables.events(s, d)
+          .withColumn("salt", (col("event_id") % 8).cast("int"))
+        probe.join(dim, Seq("event_type", "salt"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("type_code")).as("type_code"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      },
+      Some("""SELECT e.event_type, COUNT(*) AS n,
+             |  CAST(MAX(length(t.event_type)) AS BIGINT) AS type_code,
+             |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events e JOIN (SELECT DISTINCT event_type FROM events) t
+             |  ON e.event_type = t.event_type
+             |GROUP BY e.event_type""".stripMargin)
+    ),
+
+    // Partitioned-sink round trip: write parquet partitioned by the
+    // grouping column (partition pruning for every later read), read it
+    // back, prove losslessness against the straight projection.
+    "etl_sink_roundtrip" -> Query(
+      (s, d) => {
+        val dir = s"/root/repo/target/tmp/sinkrt_${new java.io.File(d).getName}"
+        graft.etl.Sinks.parquet(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("source")),
+          dir, graft.etl.Sinks.Truncate, partitionBy = Seq("source"))
+        s.read.parquet(dir).select(col("doc_id"), col("n_chars"), col("source"))
+      },
+      Some("SELECT doc_id, n_chars, source FROM documents")
+    ),
+
     // Quality-aware exact-dedup survivor selection: one row per content
     // hash, keeping the longest doc (ties -> lowest doc_id) — the
     // "keep best copy" policy real corpus dedup uses, as a window over
