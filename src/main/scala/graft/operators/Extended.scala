@@ -157,6 +157,40 @@ object Extended {
              |WHERE rn = 1""".stripMargin)
     ),
 
+    // Deterministic per-group uniform sample via the bottom-k hash
+    // sketch (graft.functions.BottomKAgg, a typed Aggregator): k
+    // smallest md5 hashes of the content per source. Unlike seeded
+    // reservoir sampling this is reproducible in ANY engine — the
+    // oracle recomputes it with a rank window.
+    "agg_bottomk_sample" -> Query(
+      (s, d) => {
+        val hashed = Tables.documents(s, d).select(col("source"),
+          graft.functions.Hashing.md5Long60(col("text")).as("h"))
+        hashed.groupBy(col("source"))
+          .agg(graft.functions.BottomKAgg.bottomK(col("h"), 8).as("sk"))
+          .select(col("source"), posexplode(col("sk")).as(Seq("rank", "h")))
+          .select(col("source"), (col("rank") + 1).cast("long").as("rank"), col("h"))
+      },
+      Some("""SELECT source, CAST(rank AS BIGINT) AS rank, h FROM (
+             |  SELECT source, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |                       ORDER BY CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS rank
+             |  FROM documents) WHERE rank <= 8""".stripMargin)
+    ),
+
+    // Approximate percentiles — the sketch-based scale path for
+    // agg_percentiles (t-digest-style, engine-specific values => rows
+    // check only).
+    "agg_approx_percentiles" -> Query(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+            approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_approx")),
+      None
+    ),
+
     // GROUPING SETS with mixed granularities (finer-grained than what
     // rollup/cube express) through the SQL front end over a temp view.
     "grouping_sets_mixed" -> Query(
