@@ -18,6 +18,7 @@ object Session {
               Runtime.getRuntime.availableProcessors().toString)): SparkSession = {
     val s = SparkSession
       .builder()
+      .withExtensions(new plans.GraftExtensions)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")

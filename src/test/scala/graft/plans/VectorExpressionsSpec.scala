@@ -33,6 +33,13 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(row.getDouble(2) === 11.0)
   }
 
+  test("graft_dot is registered for SQL via GraftExtensions") {
+    val v = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(v === 11.0)
+  }
+
   test("DotProduct evaluates in interpreted mode too (eval path)") {
     // a literal-only projection goes through ConstantFolding -> eval
     val v = spark.range(1).select(
