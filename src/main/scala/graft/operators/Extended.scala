@@ -157,6 +157,29 @@ object Extended {
              |WHERE rn = 1""".stripMargin)
     ),
 
+    // Array-column scalar suite over the embedding vectors: length,
+    // element access, explicit head-sum (fixed evaluation order =
+    // bit-identical doubles), membership-ish predicates.
+    "scalar_array_ops" -> Query(
+      (s, d) => {
+        def el(i: Int) = element_at(col("embedding"), i).cast("double")
+        Tables.embeddings(s, d).select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          el(1).as("first"),
+          el(64).as("last"),
+          (el(1) + el(2) + el(3) + el(4)).as("head4_sum"),
+          (el(1) > 0.0).as("first_pos"))
+      },
+      Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+             |  CAST(embedding[1] AS DOUBLE) AS first,
+             |  CAST(embedding[64] AS DOUBLE) AS last,
+             |  CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+             |    + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS head4_sum,
+             |  (CAST(embedding[1] AS DOUBLE) > 0.0) AS first_pos
+             |FROM embeddings""".stripMargin)
+    ),
+
     // Deterministic per-group uniform sample via the bottom-k hash
     // sketch (graft.functions.BottomKAgg, a typed Aggregator): k
     // smallest md5 hashes of the content per source. Unlike seeded
