@@ -157,6 +157,45 @@ object Extended {
              |WHERE rn = 1""".stripMargin)
     ),
 
+    // RANGE window frame (value-based, not row-based): rolling 30-day
+    // spend per customer. Peers at the same day fall in the frame on
+    // both sides identically, so the result is deterministic without a
+    // tiebreak.
+    "window_range_frame" -> Query(
+      (s, d) => {
+        val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long")
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+          .rangeBetween(-30, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("day", day)
+          .select(col("o_custkey"), col("o_orderkey"), col("day"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+              .cast("double").as("sum_30d"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             |    PARTITION BY o_custkey
+             |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+             |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d
+             |FROM orders""".stripMargin)
+    ),
+
+    // Pure inequality (theta) join — planned as a broadcast nested loop
+    // over the (tiny) dims; counts pairs where the nation's region key
+    // exceeds the region's key.
+    "join_theta_inequality" -> Query(
+      (s, d) =>
+        Tables.region(s, d)
+          .join(Tables.nation(s, d), col("n_regionkey") > col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_pairs")),
+      Some("""SELECT r_name, COUNT(*) AS n_pairs
+             |FROM region JOIN nation ON n_regionkey > r_regionkey
+             |GROUP BY r_name""".stripMargin)
+    ),
+
     // Array-column scalar suite over the embedding vectors: length,
     // element access, explicit head-sum (fixed evaluation order =
     // bit-identical doubles), membership-ish predicates.
