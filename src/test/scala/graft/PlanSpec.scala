@@ -42,4 +42,14 @@ class PlanSpec extends AnyFunSuite {
   test("ann brute force broadcasts the probe set") {
     assert(plan("ann_bruteforce_topk").contains("BroadcastNestedLoopJoin"))
   }
+
+  test("partitioned sink output gets partition pruning on read") {
+    import org.apache.spark.sql.functions.col
+    // materialize the partitioned layout once
+    SparkEntry.queries("etl_sink_roundtrip")(spark, sf).queryExecution.toRdd.count()
+    val dir = "/root/repo/target/tmp/sinkrt_sf0.001"
+    val p = spark.read.parquet(dir).filter(col("source") === "src3")
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("PartitionFilters: [isnotnull(source"), p.take(1500))
+  }
 }

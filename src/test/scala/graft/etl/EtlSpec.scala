@@ -59,6 +59,18 @@ class EtlSpec extends AnyFunSuite {
     assert(rows(1).getDouble(2) === 2.25)
   }
 
+  test("CsvIngest multiLine opt-in parses quoted embedded newlines") {
+    val dir = Files.createTempDirectory("graft_csv_ml").toFile
+    val f = new java.io.File(dir, "in.csv")
+    Files.writeString(f.toPath, "id,name\n1,\"line1\nline2\"\n2,plain\n")
+    val df = CsvIngest.read(spark, f.getAbsolutePath,
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))),
+      header = true, multiLine = true)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getString(1) === "line1\nline2")
+  }
+
   test("Pipeline fans one source out to two sinks, counts = rows written") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("graft_pipe").toFile
