@@ -14,18 +14,30 @@ object SimHash {
 
   /** @return one row per id: (idCol, sim). Rows with zero tokens drop
     *         out (no hashable content).
+    *
+    * The 60 per-bit ONES counters are packed 4-per-long in 16-bit lanes
+    * (15 SUM aggregates + a count instead of 60 sums): lane sums cannot
+    * carry below 65536 tokens/doc, far above any real document. Bit j is
+    * set iff 2*ones_j >= n — algebraically identical to the signed-vote
+    * formulation (vote = 2*ones - n >= 0), so values match the scalar
+    * simHash60 and the DuckDB oracle exactly.
     */
   def relational(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val th = docs
       .select(col(idCol).as("__id"),
         explode(TextFunctions.cleanTokens(col(textCol))).as("tn"))
       .select(col("__id"), Hashing.md5Long60(col("tn")).as("h"))
-    val voteAggs = (0 until 60).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"v$j")
+    val laneAggs = (0 until 15).map { k =>
+      sum((0 until 4).map { l =>
+        shiftright(col("h"), 4 * k + l).bitwiseAND(lit(1L)) * lit(1L << (16 * l))
+      }.reduce(_ + _)).as(s"p$k")
     }
-    th.groupBy(col("__id")).agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col("__id").as(idCol),
-        (0 until 60).map(j =>
-          when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("sim"))
+    val agg = th.groupBy(col("__id"))
+      .agg(laneAggs.head, (laneAggs.tail :+ count(lit(1)).as("n")): _*)
+    val sim = (0 until 60).map { j =>
+      val ones = shiftright(col(s"p${j / 4}"), 16 * (j % 4)).bitwiseAND(lit(0xFFFFL))
+      when(ones * 2 >= col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("__id").as(idCol), sim.as("sim"))
   }
 }
