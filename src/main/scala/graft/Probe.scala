@@ -1,26 +1,26 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 import java.nio.file.{Files, Paths}
-/** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
-object Verify {
+
+/** Dev tool: Verify restricted to the named queries — fast inner loop for
+  * checking one operator against its DuckDB oracle via
+  * `tools/local_verify.py` without running the whole suite.
+  *
+  * Usage: runMain graft.Probe <sfDir> <outDir> <query...>
+  */
+object Probe {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0); val outDir = args(1); val names = args.drop(2).toSet
     val spark = Session.local()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => names(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[probe] $name failed: ${e.getMessage}")
       }
-      // release any frames the query persisted (dedup self-join indexes)
-      // so 60 queries' caches don't accumulate in one JVM
       spark.catalog.clearCache()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -23,7 +23,7 @@ object IngestQueries {
     // parquet projection.
     "etl_ingest_jsonl" -> Query(
       (s, d) => {
-        val dir = s"/root/repo/target/tmp/jsonl_${new java.io.File(d).getName}"
+        val dir = TmpDirs.dir(s"jsonl_${new java.io.File(d).getName}")
         Tables.documents(s, d).write.mode("overwrite").json(dir)
         graft.sources.Sources
           .jsonlWithJsonSchema(s, dir, documentsSchemaJson)
@@ -39,8 +39,9 @@ object IngestQueries {
     // dedup (min doc_id survivor) -> near-dup drop (SimHash band
     // collision with a better-quality doc) -> clean corpus stats per
     // source. Chains the engine's text + dedup stages the way a real
-    // curation run would; rows-only check (the full chain is covered
-    // piecewise by the oracle-checked stage queries).
+    // curation run would; the oracle mirrors the FULL chain stage by
+    // stage (quality formula, dedup window, SimHash votes, band join,
+    // anti-join, stats) in one DuckDB statement.
     "pipeline_corpus_curation" -> Query(
       (s, d) => {
         val toks = TextFunctions.cleanTokens(col("text"))
@@ -69,12 +70,51 @@ object IngestQueries {
               Hashing.hamming60(col("a.sim"), col("b.sim")) <= 20)
           .select(col("a.doc_id").as("doc_id")).distinct()
         val clean = exact.join(losers, Seq("doc_id"), "left_anti")
+        // decimal-sum mean, not avg(double): double summation order is
+        // partition-dependent, the decimal sum is exact in any order
         clean.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("sum_chars"),
-            round(avg(col("quality")), 4).as("avg_quality"))
+            round(sum(col("quality").cast("decimal(18,12)")).cast("double")
+              / count(lit(1)), 4).as("avg_quality"))
       },
-      None
+      Some("""WITH base AS (
+             |  SELECT doc_id, text, source, n_chars,
+             |    LEAST(length(text)/500.0, 1.0) * 0.4
+             |      + GREATEST(1.0 - (CASE WHEN length(text) > 0
+             |          THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / length(text)
+             |          ELSE 0.0 END) * 5, 0.0) * 0.4
+             |      + LEAST((CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) > 0
+             |          THEN CAST(len(list_filter(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''),
+             |                 x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'], x))) AS DOUBLE)
+             |               / len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))
+             |          ELSE 0.0 END) * 5, 1.0) * 0.2 AS quality,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+             |  FROM documents),
+             |filt AS (SELECT * FROM base WHERE quality >= 0.3 AND len(tk) >= 3),
+             |ex AS (SELECT * FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |    FROM filt) WHERE rn = 1),
+             |th AS (SELECT doc_id, CAST('0x' || substr(md5(u.tn), 1, 15) AS BIGINT) AS h
+             |       FROM (SELECT doc_id, unnest(tk) AS tn FROM ex) u),
+             |bitsum AS (SELECT doc_id, jj.j AS j,
+             |             SUM(CASE WHEN (h >> jj.j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+             |           FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) jj
+             |           GROUP BY doc_id, jj.j),
+             |sh AS (SELECT doc_id,
+             |         CAST(SUM(CASE WHEN vote >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sim
+             |       FROM bitsum GROUP BY doc_id),
+             |bands AS (SELECT e.doc_id, e.quality, s.sim, bb.b AS bi, (s.sim >> (15*bb.b)) & 32767 AS bk
+             |          FROM ex e JOIN sh s ON e.doc_id = s.doc_id
+             |          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
+             |losers AS (SELECT DISTINCT a.doc_id
+             |           FROM bands a JOIN bands b ON a.bi = b.bi AND a.bk = b.bk
+             |             AND (b.quality > a.quality OR (b.quality = a.quality AND b.doc_id < a.doc_id))
+             |             AND bit_count(xor(a.sim, b.sim)) <= 20),
+             |clean AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+             |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 4) AS avg_quality
+             |FROM clean GROUP BY source""".stripMargin)
     )
   )
 }

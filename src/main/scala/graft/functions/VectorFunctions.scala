@@ -43,6 +43,11 @@ object VectorFunctions {
     * previous per-row md5 formulation evaluated dims×planes hashes per
     * row, which at 100 TB would dominate the whole ANN stage.
     */
+  /** The literal coefficient row for plane `p` — exposed so the DuckDB
+    * oracle SQL can embed the identical constants.
+    */
+  def planeCoefs(p: Int, dims: Int): Seq[Double] = (0 until dims).map(planeCoef(p, _))
+
   private def planeCoef(p: Int, d: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"plane${p}_$d".getBytes("UTF-8"))
@@ -62,6 +67,9 @@ object VectorFunctions {
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    // dims mismatch => null bucket: zip_with null-pads length mismatches,
+    // which would silently zero every projection and collapse all vectors
+    // into bucket 0 — surface the misconfiguration instead.
+    when(size(v) === dims, bits.reduce(_ + _))
   }
 }

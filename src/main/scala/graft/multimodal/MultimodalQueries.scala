@@ -40,23 +40,31 @@ object MultimodalQueries {
 
     // Deterministic frame sampling over the binary payload: 64-byte
     // "frames", every 4th sampled, per-frame digest. The decode step a
-    // real video pipeline would run on each frame is stubbed by md5 —
+    // real video pipeline would run on each frame is stubbed by an md5
+    // over the frame's hex image (the oracle's DuckDB version has no
+    // blob slicing, and hashing the hex is byte-equivalent evidence) —
     // the explode/slice plumbing and batch shape are the real thing.
-    // Approximate media semantics => rows-only check.
     "mm_frame_sample" -> Query(
       (s, d) =>
         Tables.documents(s, d)
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .withColumn("n_bytes", length(col("payload")))
+          .withColumn("hx", lower(hex(col("payload"))))
           .withColumn("n_frames", ceil(col("n_bytes") / 64.0).cast("int"))
           .withColumn("frame_id",
             explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(4))))
           .select(
             col("doc_id"),
             col("frame_id").cast("long").as("frame_id"),
-            expr("md5(substring(payload, frame_id*64 + 1, 64))").as("frame_md5"),
-            expr("length(substring(payload, frame_id*64 + 1, 64))").cast("long").as("frame_bytes")),
-      None
+            expr("md5(substring(hx, frame_id*128 + 1, 128))").as("frame_md5"),
+            expr("length(substring(hx, frame_id*128 + 1, 128)) div 2").cast("long").as("frame_bytes")),
+      Some("""SELECT doc_id, CAST(f AS BIGINT) AS frame_id,
+             |  md5(substr(lower(hex(encode(text))), f*128 + 1, 128)) AS frame_md5,
+             |  CAST(length(substr(lower(hex(encode(text))), f*128 + 1, 128)) // 2 AS BIGINT) AS frame_bytes
+             |FROM (SELECT doc_id, text,
+             |        unnest(generate_series(0,
+             |          GREATEST(CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1, 0), 4)) AS f
+             |      FROM documents)""".stripMargin)
     )
   )
 }

@@ -83,7 +83,7 @@ object Extended {
     // back, prove losslessness against the straight projection.
     "etl_sink_roundtrip" -> Query(
       (s, d) => {
-        val dir = s"/root/repo/target/tmp/sinkrt_${new java.io.File(d).getName}"
+        val dir = graft.etl.TmpDirs.dir(s"sinkrt_${new java.io.File(d).getName}")
         graft.etl.Sinks.parquet(
           Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("source")),
           dir, graft.etl.Sinks.Truncate, partitionBy = Seq("source"))
@@ -301,17 +301,45 @@ object Extended {
              |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin)
     ),
 
-    // Decile assignment via ntile over a deterministic total order, then
-    // per-decile stats — the "bucket your corpus by quality score"
-    // shape. NOTE: exact global ntile is inherently single-partition
-    // (any exact global ranking is); the scale path for 100 TB is
-    // approximate boundary binning — `agg_histogram` above, or
-    // approxQuantile boundaries + a broadcast bin join.
+    // Decile assignment via DISTRIBUTED exact ranking, then per-decile
+    // stats — the "bucket your corpus by quality score" shape. The naive
+    // `ntile(10) over (order by ...)` is a single-partition Window — the
+    // plan that dies at 100x scale. Here the total order is realized as a
+    // range repartition (a distributed sort: every partition holds a
+    // contiguous key range), local ranks come free from
+    // monotonically_increasing_id (partition id in the upper bits,
+    // in-partition record number in the lower 33 — well-defined because
+    // rows are sorted within partitions), and the global rank is local
+    // rank + the cumulative offset of the (tiny, broadcast) per-partition
+    // counts. The decile formula reproduces NTILE semantics exactly —
+    // the first (n mod 10) buckets get ceil(n/10) rows, the rest
+    // floor(n/10) — so the unchanged exact-NTILE oracle hash-matches.
     "window_ntile_decile" -> Query(
       (s, d) => {
-        val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        Tables.orders(s, d)
-          .withColumn("decile", ntile(10).over(w).cast("long"))
+        val sorted = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(32, col("o_totalprice").desc, col("o_orderkey"))
+          .sortWithinPartitions(col("o_totalprice").desc, col("o_orderkey"))
+          .withColumn("mid", monotonically_increasing_id())
+          .withColumn("pid", shiftright(col("mid"), 33))
+          .withColumn("lrank", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+          .persist()
+        val psz = sorted.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+        // cumulative offsets over <= 32 rows: the single-partition window
+        // here touches partition COUNTS, never the data
+        val offs = psz.withColumn("off",
+            coalesce(sum(col("pn")).over(Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("pid"), col("off"))
+        val nDf = psz.agg(sum(col("pn")).as("n"))
+        sorted.join(broadcast(offs), Seq("pid"))
+          .crossJoin(broadcast(nDf))
+          .withColumn("rnk", col("off") + col("lrank") + lit(1L))
+          .withColumn("decile", expr(
+            """CASE WHEN rnk <= (n div 10 + 1) * (n % 10)
+              |     THEN (rnk + n div 10) div (n div 10 + 1)
+              |     ELSE n % 10 + (rnk - (n div 10 + 1) * (n % 10) + n div 10 - 1) div (n div 10)
+              |END""".stripMargin))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n"),
             sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("sum_price"))

@@ -224,11 +224,15 @@ object Relational {
     // epoch MICROS for parity.
     "window_lag_delta" -> Query(
       (s, d) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        // order by the µs value actually compared (not raw ns): the oracle
+        // sorts by epoch_us(ts), and two events sharing a µs but differing
+        // in ns would otherwise order differently between engines
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(expr("ts div 1000"), col("event_id"))
         Tables.events(s, d).select(
           col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
           (col("value") - lag(col("value"), 1).over(w)).as("delta"),
-          (expr("lead(ts div 1000, 1) over (partition by user_id order by ts, event_id)")
+          (expr("lead(ts div 1000, 1) over (partition by user_id order by ts div 1000, event_id)")
             - expr("ts div 1000")).as("us_to_next"))
       },
       Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,

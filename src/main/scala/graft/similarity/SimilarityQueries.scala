@@ -48,6 +48,29 @@ object SimilarityQueries {
       |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
       |, 4)""".stripMargin
 
+  /** DuckDB mirror of `VectorFunctions.hyperplaneLshBucket(_, 6, 64)`:
+    * the identical literal coefficient rows, the identical sequential
+    * projection sum (both engines fold the 64 products left-to-right, so
+    * the sign compare sees bit-identical doubles).
+    */
+  private val lshBucketSql: String = (0 until 6).map { p =>
+    val coefs = VectorFunctions.planeCoefs(p, 64).map(c => f"$c%.1f").mkString(", ")
+    s"""CASE WHEN list_sum(list_transform(generate_series(1, 64),
+       |  i -> CAST(embedding[i] AS DOUBLE) * ([$coefs])[i])) >= 0
+       |THEN ${1L << p} ELSE 0 END""".stripMargin
+  }.mkString("\n + ")
+
+  /** Unrounded centroid cosine (assignment ordering only — never output,
+    * so no rounding is applied on either side).
+    */
+  private val centSimSql =
+    """(list_sum(list_transform(generate_series(1, 64),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) /
+      |  (sqrt(list_sum(list_transform(generate_series(1, 64),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+      |   sqrt(list_sum(list_transform(generate_series(1, 64),
+      |    i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))))""".stripMargin
+
   val entries: Seq[(String, Query)] = Seq(
 
     // Exact cosine top-5 per query vector (the baseline ANN answers are
@@ -71,7 +94,11 @@ object SimilarityQueries {
 
     // Random-hyperplane LSH ANN: bucket the corpus once (literal
     // coefficient arrays — zero per-row hashing), probe only the query's
-    // bucket. Approximate by construction => rows-only check.
+    // bucket. Approximate RECALL by construction, but a fully
+    // deterministic computation — the oracle rebuilds the identical
+    // buckets from the same literal coefficients, so this hash-checks
+    // like any exact query. (Recall@5 vs brute force is asserted
+    // separately in QualitySpec.)
     "ann_lsh_topk" -> Query(
       (s, d) => {
         val bucketed = corpus(s, d)
@@ -85,12 +112,21 @@ object SimilarityQueries {
             pairCos(col("qv"), col("qnrm")).as("cos"))
         topK(cand, 5)
       },
-      None
+      Some(s"""WITH b AS (SELECT vec_id, embedding, $lshBucketSql AS bucket FROM embeddings),
+             |q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+             |c AS (SELECT q.qid, e.vec_id, $cosSql AS cos
+             |      FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.qid),
+             |r AS (SELECT qid, vec_id, cos,
+             |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |      FROM c)
+             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
     ),
 
     // IVF-style coarse quantization: deterministic seed centroids
     // (vec_id % 50 == 0), assign every vector to its nearest centroid,
-    // probe the query's top-2 cells. Rows-only check.
+    // probe the query's top-2 cells. Deterministic end to end — the
+    // oracle replays assignment + probe + top-k exactly. (Recall@5 vs
+    // brute force asserted in QualitySpec.)
     "ann_ivf_topk" -> Query(
       (s, d) => {
         val e = corpus(s, d)
@@ -115,7 +151,21 @@ object SimilarityQueries {
             pairCos(col("qv"), col("qnrm")).as("cos"))
         topK(cand, 5)
       },
-      None
+      Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+             |sc AS (SELECT e.vec_id, e.embedding, c.cid, $centSimSql AS csim
+             |       FROM embeddings e CROSS JOIN cent c),
+             |asg AS (SELECT vec_id, embedding, cid FROM (
+             |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+             |          FROM sc) WHERE crn = 1),
+             |q AS (SELECT vec_id AS qid, embedding AS qv, cid FROM (
+             |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+             |          FROM sc WHERE vec_id < 10) WHERE crn <= 2),
+             |c AS (SELECT q.qid, e.vec_id, $cosSql AS cos
+             |      FROM asg e JOIN q ON e.cid = q.cid AND e.vec_id <> q.qid),
+             |r AS (SELECT qid, vec_id, cos,
+             |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |      FROM c)
+             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
     )
   )
 }

@@ -47,7 +47,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     // materialize the partitioned layout once
     SparkEntry.queries("etl_sink_roundtrip")(spark, sf).queryExecution.toRdd.count()
-    val dir = "/root/repo/target/tmp/sinkrt_sf0.001"
+    val dir = etl.TmpDirs.dir("sinkrt_sf0.001")
     val p = spark.read.parquet(dir).filter(col("source") === "src3")
       .queryExecution.explainString(FormattedMode)
     assert(p.contains("PartitionFilters: [isnotnull(source"), p.take(1500))
