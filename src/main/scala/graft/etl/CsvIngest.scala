@@ -1,7 +1,8 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Schema'd CSV ingestion — the Spark-native form of the reference's
   * `ReadFromText(skip_header_lines=1)` + per-line `csv.reader` parse
@@ -33,4 +34,35 @@ object CsvIngest {
     */
   def readWithJsonSchema(spark: SparkSession, path: String, schemaJson: String): DataFrame =
     read(spark, path, Schemas.fromBigQueryJson(schemaJson))
+
+  /** PERMISSIVE parse with VISIBLE malformed-row capture: a row that
+    * fails the schema keeps its raw line in `corruptCol` instead of
+    * being silently nulled away (plain PERMISSIVE mode's behavior) —
+    * the analog of the reference's per-line parse where a bad record
+    * surfaces as an exception, not a null. Split the result with
+    * `deadLetterSplit` and route the bad branch to a quarantine sink.
+    */
+  def readWithCorrupt(spark: SparkSession, path: String, schema: StructType,
+                      header: Boolean = true,
+                      corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema.add(corruptCol, StringType))
+      .csv(path)
+
+  /** (good rows without the marker column, dead-letter rows). The frame
+    * is cached first: Spark refuses to filter a raw CSV scan on ONLY the
+    * internal corrupt-record column (SPARK-21610), and the cache also
+    * keeps the two branches consistent with one parse pass.
+    */
+  def deadLetterSplit(df: DataFrame,
+                      corruptCol: String = "_corrupt_record"): (DataFrame, DataFrame) = {
+    val parsed = df.cache()
+    (parsed.filter(col(corruptCol).isNull).drop(corruptCol),
+      parsed.filter(col(corruptCol).isNotNull))
+  }
 }

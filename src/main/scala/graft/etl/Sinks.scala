@@ -20,6 +20,18 @@ object Sinks {
   /** WRITE_EMPTY: fail if data already present. */
   case object FailIfExists extends Disposition { val mode = SaveMode.ErrorIfExists }
 
+  /** Managed-catalog-table sink — the closest Spark analog of the
+    * reference's named-table write (`BigQuerySink(dataset.table,
+    * CREATE_IF_NEEDED, WRITE_TRUNCATE)`, reference
+    * dataflow_pipeline.py:167-179): `saveAsTable` creates the table if
+    * absent (CREATE_IF_NEEDED), and the disposition decides what happens
+    * to existing contents (Truncate replaces them, Append adds,
+    * FailIfExists errors). On a cluster the same call targets the shared
+    * metastore; locally it is the session catalog + warehouse dir.
+    */
+  def table(df: DataFrame, name: String, disposition: Disposition = Truncate): Unit =
+    df.write.mode(disposition.mode).saveAsTable(name)
+
   def parquet(df: DataFrame, path: String, disposition: Disposition = Truncate,
               partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(disposition.mode)

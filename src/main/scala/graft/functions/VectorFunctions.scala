@@ -58,10 +58,13 @@ object VectorFunctions {
   /** Sign-bit LSH bucket from `nPlanes` deterministic hyperplanes over a
     * `dims`-dimensional vector. Projection is a codegen'd zip_with over a
     * literal coefficient array — zero per-row hashing, zero broadcast.
+    * `planeOffset` selects a disjoint plane family — each table of a
+    * multi-table (banded) LSH index uses its own offset.
     */
-  def hyperplaneLshBucket(v: Column, nPlanes: Int, dims: Int): Column = {
+  def hyperplaneLshBucket(v: Column, nPlanes: Int, dims: Int,
+                          planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val coefs = typedlit((0 until dims).map(planeCoef(p, _)))
+      val coefs = typedlit((0 until dims).map(planeCoef(planeOffset + p, _)))
       val proj = aggregate(
         zip_with(asDouble(v), coefs, (x, c) => x * c),
         lit(0.0), (acc, x) => acc + x)

@@ -48,13 +48,25 @@ object SimilarityQueries {
       |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
       |, 4)""".stripMargin
 
-  /** DuckDB mirror of `VectorFunctions.hyperplaneLshBucket(_, 6, 64)`:
-    * the identical literal coefficient rows, the identical sequential
+  /** Multi-table LSH geometry: `lshTables` independent hash tables of
+    * `lshPlanes` hyperplanes each (table t uses the disjoint plane family
+    * starting at t*lshPlanes). Banding trades precision for recall the
+    * same way MinHash bands do: a true neighbor only needs to collide in
+    * ONE table. With the weakly-clustered test embeddings (top-5 cos
+    * ~0.3-0.5) a single 6-plane table has ~0.1 recall@5; 5x3 banding
+    * lifts the collision probability 1-(1-s^3)^5 to ~0.7 at the same
+    * O(L*n) index cost.
+    */
+  private val lshTables = 5
+  private val lshPlanes = 3
+
+  /** DuckDB mirror of `hyperplaneLshBucket(_, lshPlanes, 64, off)`: the
+    * identical literal coefficient rows, the identical sequential
     * projection sum (both engines fold the 64 products left-to-right, so
     * the sign compare sees bit-identical doubles).
     */
-  private val lshBucketSql: String = (0 until 6).map { p =>
-    val coefs = VectorFunctions.planeCoefs(p, 64).map(c => f"$c%.1f").mkString(", ")
+  private def lshBucketSql(planeOffset: Int): String = (0 until lshPlanes).map { p =>
+    val coefs = VectorFunctions.planeCoefs(planeOffset + p, 64).map(c => f"$c%.1f").mkString(", ")
     s"""CASE WHEN list_sum(list_transform(generate_series(1, 64),
        |  i -> CAST(embedding[i] AS DOUBLE) * ([$coefs])[i])) >= 0
        |THEN ${1L << p} ELSE 0 END""".stripMargin
@@ -92,30 +104,45 @@ object SimilarityQueries {
              |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
     ),
 
-    // Random-hyperplane LSH ANN: bucket the corpus once (literal
-    // coefficient arrays — zero per-row hashing), probe only the query's
-    // bucket. Approximate RECALL by construction, but a fully
-    // deterministic computation — the oracle rebuilds the identical
-    // buckets from the same literal coefficients, so this hash-checks
-    // like any exact query. (Recall@5 vs brute force is asserted
-    // separately in QualitySpec.)
+    // Multi-table random-hyperplane LSH ANN: hash the corpus once into
+    // L=5 tables of 3 planes each (literal coefficient arrays — zero
+    // per-row hashing), candidates = union of same-(table,bucket)
+    // matches, dedup BEFORE scoring, then exact cosine top-k within
+    // candidates. Shuffle is O(L*n) equi-join rows, never all-pairs.
+    // Approximate RECALL by construction but a fully deterministic
+    // computation — the oracle rebuilds identical buckets from the same
+    // literal coefficients, so this hash-checks like any exact query.
+    // (Recall@5 vs brute force is asserted separately in QualitySpec.)
     "ann_lsh_topk" -> Query(
       (s, d) => {
-        val bucketed = corpus(s, d)
-          .withColumn("bucket", VectorFunctions.hyperplaneLshBucket(col("embedding"), 6, 64))
-        val qb = bucketed.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-            col("nrm").as("qnrm"), col("bucket"))
-        val cand = bucketed.join(broadcast(qb), Seq("bucket"))
+        val tables = (0 until lshTables).map { t =>
+          struct(lit(t).as("tbl"),
+            VectorFunctions.hyperplaneLshBucket(col("embedding"), lshPlanes, 64,
+              planeOffset = lshPlanes * t).as("bucket"))
+        }
+        val hashed = corpus(s, d)
+          .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+          .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val qh = hashed.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "qid")
+        val cand = hashed.join(broadcast(qh), Seq("tbl", "bucket"))
           .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
-            pairCos(col("qv"), col("qnrm")).as("cos"))
-        topK(cand, 5)
+          .select(col("qid"), col("vec_id")).distinct()
+        val scored = cand.join(corpus(s, d), Seq("vec_id"))
+          .join(broadcast(queriesDf(s, d)), Seq("qid"))
+          .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos"))
+        topK(scored, 5)
       },
-      Some(s"""WITH b AS (SELECT vec_id, embedding, $lshBucketSql AS bucket FROM embeddings),
-             |q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id < 10),
-             |c AS (SELECT q.qid, e.vec_id, $cosSql AS cos
-             |      FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.qid),
+      Some(s"""WITH b AS (${(0 until lshTables).map(t =>
+                 s"SELECT vec_id, embedding, $t AS tbl, ${lshBucketSql(lshPlanes * t)} AS bucket FROM embeddings")
+                 .mkString("\n UNION ALL ")}),
+             |bq AS (SELECT vec_id AS qid, tbl, bucket FROM b WHERE vec_id < 10),
+             |cand AS (SELECT DISTINCT bq.qid, e.vec_id
+             |         FROM b e JOIN bq ON e.tbl = bq.tbl AND e.bucket = bq.bucket AND e.vec_id <> bq.qid),
+             |c AS (SELECT cand.qid, cand.vec_id, $cosSql AS cos
+             |      FROM cand
+             |      JOIN embeddings e ON e.vec_id = cand.vec_id
+             |      JOIN (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10) q
+             |        ON q.qid = cand.qid),
              |r AS (SELECT qid, vec_id, cos,
              |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
              |      FROM c)
@@ -124,9 +151,11 @@ object SimilarityQueries {
 
     // IVF-style coarse quantization: deterministic seed centroids
     // (vec_id % 50 == 0), assign every vector to its nearest centroid,
-    // probe the query's top-2 cells. Deterministic end to end — the
-    // oracle replays assignment + probe + top-k exactly. (Recall@5 vs
-    // brute force asserted in QualitySpec.)
+    // probe the query's top-3 cells (nprobe trades scan fraction for
+    // recall — 3 of ~C cells keeps the probe sublinear while roughly
+    // doubling recall vs nprobe=2 on the weakly-clustered test data).
+    // Deterministic end to end — the oracle replays assignment + probe +
+    // top-k exactly. (Recall@5 vs brute force asserted in QualitySpec.)
     "ann_ivf_topk" -> Query(
       (s, d) => {
         val e = corpus(s, d)
@@ -142,7 +171,7 @@ object SimilarityQueries {
             .filter(col("crn") <= n)
         val assigned = nearestCells(e, 1)
           .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-        val probes = nearestCells(e.filter(col("vec_id") < 10), 2)
+        val probes = nearestCells(e.filter(col("vec_id") < 10), 3)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"),
             col("nrm").as("qnrm"), col("cid"))
         val cand = assigned.join(broadcast(probes), Seq("cid"))
@@ -159,7 +188,7 @@ object SimilarityQueries {
              |          FROM sc) WHERE crn = 1),
              |q AS (SELECT vec_id AS qid, embedding AS qv, cid FROM (
              |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
-             |          FROM sc WHERE vec_id < 10) WHERE crn <= 2),
+             |          FROM sc WHERE vec_id < 10) WHERE crn <= 3),
              |c AS (SELECT q.qid, e.vec_id, $cosSql AS cos
              |      FROM asg e JOIN q ON e.cid = q.cid AND e.vec_id <> q.qid),
              |r AS (SELECT qid, vec_id, cos,

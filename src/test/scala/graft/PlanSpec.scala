@@ -43,6 +43,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("ann_bruteforce_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ntile deciles rank via distributed range sort, not a global window") {
+    val p = plan("window_ntile_decile")
+    assert(p.contains("rangepartitioning"), "expected a range repartition of the data")
+    assert(!p.contains("ntile("), "must not fall back to the single-partition global ntile")
+  }
+
   test("partitioned sink output gets partition pruning on read") {
     import org.apache.spark.sql.functions.col
     // materialize the partitioned layout once

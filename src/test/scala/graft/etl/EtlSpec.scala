@@ -123,4 +123,54 @@ class EtlSpec extends AnyFunSuite {
     Sinks.parquet(Seq(9).toDF("x"), p, Sinks.Truncate)
     assert(spark.read.parquet(p).count() === 1)
   }
+
+  test("Sinks.table: managed-table dispositions mirror the reference's named sink") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val t = "graft_test.sink_table"
+    try {
+      // CREATE_IF_NEEDED + WRITE_TRUNCATE on a fresh table
+      Sinks.table(Seq(1, 2, 3).toDF("x"), t, Sinks.Truncate)
+      assert(spark.table(t).count() === 3)
+      // WRITE_APPEND adds
+      Sinks.table(Seq(4).toDF("x"), t, Sinks.Append)
+      assert(spark.table(t).count() === 4)
+      // WRITE_TRUNCATE replaces existing contents
+      Sinks.table(Seq(9, 10).toDF("x"), t, Sinks.Truncate)
+      assert(spark.table(t).as[Int].collect().sorted.toSeq === Seq(9, 10))
+      // WRITE_EMPTY fails when data is already present
+      intercept[Exception] { Sinks.table(Seq(0).toDF("x"), t, Sinks.FailIfExists) }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("CsvIngest dead-letter branch routes malformed rows visibly") {
+    val dir = Files.createTempDirectory("graft_csv_dl").toFile
+    val f = new java.io.File(dir, "in.csv")
+    // row 3 has a non-numeric id, row 5 a non-numeric score
+    Files.writeString(f.toPath,
+      "id,name,score\n1,ok,1.5\n2,fine,2.0\nnot_a_number,bad,3.0\n4,also ok,4.5\n5,bad2,NaNope\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val (good, bad) = CsvIngest.deadLetterSplit(
+      CsvIngest.readWithCorrupt(spark, f.getAbsolutePath, schema))
+    assert(good.count() === 3)
+    assert(good.columns.toSeq === Seq("id", "name", "score"))
+    val badLines = bad.select("_corrupt_record").collect().map(_.getString(0)).sorted
+    assert(badLines.length === 2)
+    assert(badLines.exists(_.startsWith("not_a_number")))
+    assert(badLines.exists(_.endsWith("NaNope")))
+
+    // the reference pipeline shape: one parsed source fanned out to a
+    // clean sink and a quarantine sink
+    val out = Files.createTempDirectory("graft_dl_out").toFile
+    val counts = Pipeline
+      .from(s => CsvIngest.readWithCorrupt(s, f.getAbsolutePath, schema))
+      .branch("clean")(df => CsvIngest.deadLetterSplit(df)._1)(
+        df => Sinks.parquet(df, s"$out/clean"))
+      .branch("quarantine")(df => CsvIngest.deadLetterSplit(df)._2)(
+        df => Sinks.json(df, s"$out/quarantine"))
+      .run(spark)
+    assert(counts("clean") === 3 && counts("quarantine") === 2)
+  }
 }
