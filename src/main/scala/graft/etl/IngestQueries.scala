@@ -35,6 +35,46 @@ object IngestQueries {
              |FROM documents""".stripMargin)
     ),
 
+    // ORC round-trip: the second columnar warehouse format Spark ships
+    // natively (splittable, predicate-pushdown-capable like parquet).
+    // Green iff the ORC path preserves types and values losslessly;
+    // oracle is the straight parquet projection.
+    "etl_ingest_orc" -> Query(
+      (s, d) => {
+        val dir = TmpDirs.dir(s"orc_${new java.io.File(d).getName}")
+        Tables.documents(s, d).write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"),
+            col("lang"), col("source"), col("n_chars"))
+      },
+      Some("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars FROM documents")
+    ),
+
+    // Deterministic stratified corpus subsampling: hash-threshold
+    // sampling (keep iff md5(doc_id) mod rate == 0) with a per-stratum
+    // rate — hot sources downsampled 1:10, the rest 1:5. Unlike seeded
+    // random sampling this is reproducible in ANY engine and stable
+    // under re-partitioning/re-runs — the property a 100 TB corpus
+    // refresh needs (adding new files never changes which old docs are
+    // kept). One scan, no shuffle.
+    "etl_stratified_sample" -> Query(
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("rate",
+            when(col("source").isin("src0", "src1"), 10L).otherwise(5L))
+          .filter(
+            Hashing.md5Long60(concat(lit("sample_"), col("doc_id").cast("string")))
+              % col("rate") === 0)
+          .select(col("doc_id"), col("source"), col("rate")),
+      Some("""SELECT doc_id, source, rate FROM (
+             |  SELECT doc_id, source,
+             |    CASE WHEN source IN ('src0', 'src1') THEN CAST(10 AS BIGINT)
+             |         ELSE CAST(5 AS BIGINT) END AS rate,
+             |    CAST('0x' || substr(md5('sample_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+             |  FROM documents)
+             |WHERE h % rate = 0""".stripMargin)
+    ),
+
     // End-to-end corpus curation composite: quality filter -> exact
     // dedup (min doc_id survivor) -> near-dup drop (SimHash band
     // collision with a better-quality doc) -> clean corpus stats per

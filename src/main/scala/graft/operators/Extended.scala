@@ -301,6 +301,53 @@ object Extended {
              |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin)
     ),
 
+    // first_value / last_value / nth_value navigation family over the
+    // full-partition frame (explicit UNBOUNDED FOLLOWING — last_value
+    // over the default frame is the classic silent bug both engines
+    // share, so the frame is pinned identically on both sides).
+    "window_first_last" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+             |  LAST_VALUE(o_totalprice) OVER w AS last_price,
+             |  NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)
+    ),
+
+    // Correlated scalar subquery semantics ("orders above their
+    // customer's average") as the decorrelated plan Spark's optimizer
+    // would produce anyway: one grouped aggregate + an equi-join. The
+    // compare is kept in exact decimal arithmetic (price * n > sum)
+    // so no engine-specific fp division decides membership; the oracle
+    // states the same predicate in its correlated form.
+    "subquery_correlated" -> Query(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val perCust = o.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).as("sum_p"))
+        o.join(perCust, Seq("o_custkey"))
+          .filter(col("o_totalprice").cast("decimal(18,6)") * col("n") > col("sum_p"))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+             |WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+             |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+             |    > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+             |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    ),
+
     // Decile assignment via DISTRIBUTED exact ranking, then per-decile
     // stats — the "bucket your corpus by quality score" shape. The naive
     // `ntile(10) over (order by ...)` is a single-partition Window — the

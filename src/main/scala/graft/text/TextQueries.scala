@@ -98,6 +98,41 @@ object TextQueries {
              |FROM h""".stripMargin)
     ),
 
+    // Corpus n-gram statistics: top-3 word bigrams per language by
+    // corpus frequency — the "what does this corpus actually say"
+    // summary every curation run reports. Bigrams are assembled
+    // relationally (posexplode + lead window, fully codegen'd — same
+    // shape as the dedup shingling), counted with one map-side-partial
+    // shuffle, ranked per language with a deterministic tie-break.
+    "text_ngram_topk" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), posexplode(cleanToks).as(Seq("pos", "t")))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bigrams = tok
+          .select(col("lang"), col("t"), lead(col("t"), 1).over(wd).as("t2"))
+          .filter(col("t2").isNotNull)
+          .select(col("lang"), concat_ws(" ", col("t"), col("t2")).as("bigram"))
+        val counts = bigrams.groupBy(col("lang"), col("bigram"))
+          .agg(count(lit(1)).as("n"))
+        val wr = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+        counts.withColumn("rn", row_number().over(wr).cast("long"))
+          .filter(col("rn") <= 3)
+      },
+      Some("""WITH t AS (SELECT lang, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+             |           FROM documents),
+             |bg AS (SELECT lang,
+             |         unnest(list_transform(generate_series(1, len(tk) - 1),
+             |           i -> concat_ws(' ', tk[i], tk[i+1]))) AS bigram
+             |       FROM t WHERE len(tk) >= 2),
+             |c AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram)
+             |SELECT lang, bigram, n, CAST(rn AS BIGINT) AS rn FROM (
+             |  SELECT lang, bigram, n,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+             |  FROM c) WHERE rn <= 3""".stripMargin)
+    ),
+
     // Order-sensitive positional rolling-hash fingerprint.
     "text_fingerprint" -> Query(
       (s, d) =>
