@@ -88,12 +88,16 @@ object IngestQueries {
         val scored = Tables.documents(s, d)
           .withColumn("quality", TextFunctions.qualityScore(col("text")))
           .filter(col("quality") >= 0.3 && size(toks) >= 3)
+        // persisted: feeds the SimHash pass AND the final anti-join —
+        // without it the tokenize+hash+window dedup runs twice
+        // (Bench/Verify clearCache releases it after the query)
         val exact = scored
           .withColumn("h", md5(col("text")))
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
               .orderBy(col("doc_id"))))
           .filter(col("rn") === 1).drop("rn", "h")
+          .persist()
         val sims = exact.select(col("doc_id"), col("quality"))
           .join(graft.dedup.SimHash.relational(
             exact.select(col("doc_id"), col("text")), "doc_id", "text"), Seq("doc_id"))
@@ -102,6 +106,7 @@ object IngestQueries {
             struct(lit(b).as("bi"), Hashing.simHashBand(col("sim"), b).as("bk"))): _*)).as("bd"))
           .select(col("doc_id"), col("quality"), col("sim"),
             col("bd.bi").as("bi"), col("bd.bk").as("bk"))
+          .persist() // both sides of the loser self-join below
         // drop any doc that band-collides with a strictly better one
         val losers = bands.as("a").join(bands.as("b"),
             col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&

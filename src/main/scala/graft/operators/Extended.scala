@@ -254,15 +254,16 @@ object Extended {
     ),
 
     // GROUPING SETS with mixed granularities (finer-grained than what
-    // rollup/cube express) through the SQL front end over a temp view.
+    // rollup/cube express) via the native Dataset groupingSets API —
+    // no temp view, no session-state mutation.
     "grouping_sets_mixed" -> Query(
-      (s, d) => {
-        Tables.lineitem(s, d).createOrReplaceTempView("li_gs")
-        s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-                |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
-                |FROM li_gs
-                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
-      },
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty")),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
              |FROM lineitem

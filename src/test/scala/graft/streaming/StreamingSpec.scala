@@ -128,6 +128,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() === 2)
   }
 
+  test("EnrichStream joins a stream to a broadcast static dim per batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq(("click", 1), ("view", 2)).toDF("event_type", "type_code")
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = EnrichStream(in.toDF().toDF("ts", "event_type", "value"), dim, "event_type")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:00:00"), "click", 1.0),
+        (ts("2024-01-01 00:00:10"), "view", 2.0),
+        (ts("2024-01-01 00:00:20"), "scroll", 3.0)) // no dim row -> null code
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("event_type", "type_code").collect()
+        .map(r => (r.getString(0), Option(r.get(1)))).toSet
+      assert(rows === Set(
+        ("click", Some(1)), ("view", Some(2)), ("scroll", None)))
+    } finally q.stop()
+  }
+
   test("SessionizeStream emits closed sessions across MemoryStream batches") {
     import SessionizeStream._
     import spark.implicits._
