@@ -80,6 +80,49 @@ object Temporal {
              |  ON e.user_id = o.o_custkey AND e.probe_date >= o.o_date""".stripMargin)
     ),
 
+    // Forward (nearest-future) as-of join: each event picks the EARLIEST
+    // order of the same customer with order date >= probe date — the
+    // "next action after the event" shape. Same union + one-shuffle
+    // window machinery as asof_join, with the frame flipped to
+    // (currentRow, unboundedFollowing) and events ordered before
+    // same-date orders so an order on the probe date qualifies.
+    "asof_join_forward" -> Query(
+      (s, d) => {
+        val o = dedupedOrders(s, d).select(
+          col("o_custkey").as("k"), col("o_date").as("t"),
+          lit(1).as("ord"), lit(null).cast("long").as("event_id"),
+          col("o_orderkey"), col("o_totalprice"))
+        val e = eventProbes(s, d).select(
+          col("user_id").as("k"), col("probe_date").as("t"),
+          lit(0).as("ord"), col("event_id"),
+          lit(null).cast("long").as("o_orderkey"),
+          lit(null).cast("double").as("o_totalprice"))
+        val w = Window.partitionBy(col("k"))
+          .orderBy(col("t"), col("ord"), col("event_id"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        o.unionAll(e)
+          .withColumn("next_orderkey", first(col("o_orderkey"), ignoreNulls = true).over(w))
+          .withColumn("next_totalprice", first(col("o_totalprice"), ignoreNulls = true).over(w))
+          .filter(col("ord") === 0)
+          .select(col("event_id"), col("k").as("user_id"),
+            date_format(col("t"), "yyyy-MM-dd").as("probe_date"),
+            col("next_orderkey"), col("next_totalprice"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date, o_orderkey, o_totalprice
+             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+             |                                     ORDER BY o_orderkey DESC) AS rn FROM orders)
+             |  WHERE rn = 1),
+             |e AS (
+             |  SELECT event_id, user_id,
+             |    DATE '1995-01-01' + CAST(event_id % 2400 AS INTEGER) AS probe_date
+             |  FROM events)
+             |SELECT e.event_id, e.user_id, strftime(e.probe_date, '%Y-%m-%d') AS probe_date,
+             |  o.o_orderkey AS next_orderkey, o.o_totalprice AS next_totalprice
+             |FROM e ASOF LEFT JOIN o
+             |  ON e.user_id = o.o_custkey AND e.probe_date <= o.o_date""".stripMargin)
+    ),
+
     // Interval join: orders within the 30 days before each event probe.
     // Equi key (user) + range predicate -> shuffled hash/sort-merge on the
     // equi key; the range filter never cross-products beyond the key group.

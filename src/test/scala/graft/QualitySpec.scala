@@ -57,6 +57,37 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("minhash signature agreement estimates true Jaccard within sketch error") {
+    import graft.functions.{Hashing, TextFunctions}
+    // signatures + true shingle sets for every doc, computed from the
+    // same primitives the dedup family registers
+    val sigCols = (0 until 16).map(i =>
+      Hashing.minHashAffine(i, col("hs")).as(s"sig$i"))
+    val base = Tables.documents(spark, sf)
+      .filter(size(TextFunctions.cleanTokens(col("text"))) >= 3)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        transform(TextFunctions.shingleSet(col("text"), 3),
+          s => Hashing.md5Long32(s)).as("hs"))
+    val rows = base.select(col("doc_id") +: col("hs") +: sigCols: _*).collect()
+    val sets = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[scala.collection.Seq[Long]]("hs").toSet).toMap
+    val sigs = rows.map(r => r.getAs[Long]("doc_id") ->
+      (0 until 16).map(i => r.getAs[Long](s"sig$i"))).toMap
+    // candidate pairs the LSH banding actually surfaces
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select(col("da").cast("long"), col("db").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val errs = pairs.map { case (a, b) =>
+      val trueJ = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      val estJ = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 16.0
+      math.abs(estJ - trueJ)
+    }
+    val mae = errs.sum / errs.size
+    // 16 permutations => per-pair sigma ~ sqrt(J(1-J)/16) <= 0.125
+    assert(mae <= 0.2, s"minhash estimator MAE = $mae over ${errs.size} pairs")
+  }
+
   test("approx_percentile lands within 2% of the exact percentile per group") {
     val approx = SparkEntry.queries("agg_approx_percentiles")(spark, sf)
     val exact = SparkEntry.queries("agg_percentiles")(spark, sf)
