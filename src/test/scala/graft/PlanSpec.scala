@@ -49,6 +49,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ntile("), "must not fall back to the single-partition global ntile")
   }
 
+  test("ngram top-k gets WindowGroupLimit rank pushdown") {
+    assert(plan("text_ngram_topk").contains("WindowGroupLimit"))
+  }
+
+  test("stratified sample scan prunes to the projected columns") {
+    val p = plan("etl_stratified_sample")
+    assert(p.contains("ReadSchema"), p.take(500))
+    assert(!p.contains("text:string") && !p.contains("n_chars"),
+      "sample scan must not read unprojected document columns")
+  }
+
   test("partitioned sink output gets partition pruning on read") {
     import org.apache.spark.sql.functions.col
     // materialize the partitioned layout once
