@@ -180,6 +180,41 @@ object Temporal {
              |FROM s GROUP BY user_id, sess_id""".stripMargin)
     ),
 
+    // Time-series gap filling: per-customer monthly order counts with
+    // explicit zero rows for the months inside their activity span
+    // that had no orders — the densify step every downstream
+    // time-series model needs. The month scaffold comes from
+    // sequence+explode over each customer's (min, max) month (no
+    // calendar table, no cross join against the global date range),
+    // then a left join back to the real counts.
+    "timeseries_gap_fill" -> Query(
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_custkey"),
+          trunc(to_date(col("o_orderdate")), "month").as("m"))
+        val counts = o.groupBy(col("o_custkey"), col("m"))
+          .agg(count(lit(1)).as("n_orders"))
+        val spans = o.groupBy(col("o_custkey"))
+          .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+        val scaffold = spans.select(col("o_custkey"),
+          explode(sequence(col("m0"), col("m1"), expr("interval 1 month"))).as("m"))
+        scaffold.join(counts, Seq("o_custkey", "m"), "left")
+          .select(col("o_custkey"),
+            date_format(col("m"), "yyyy-MM-dd").as("month"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+             |             date_trunc('month', CAST(o_orderdate AS DATE)) AS m
+             |           FROM orders),
+             |c AS (SELECT o_custkey, m, COUNT(*) AS n_orders FROM o GROUP BY o_custkey, m),
+             |sp AS (SELECT o_custkey, MIN(m) AS m0, MAX(m) AS m1 FROM o GROUP BY o_custkey),
+             |mg AS (SELECT o_custkey, CAST(unnest(generate_series(CAST(m0 AS TIMESTAMP),
+             |                CAST(m1 AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS m
+             |       FROM sp)
+             |SELECT mg.o_custkey, strftime(mg.m, '%Y-%m-%d') AS month,
+             |  COALESCE(c.n_orders, 0) AS n_orders
+             |FROM mg LEFT JOIN c ON c.o_custkey = mg.o_custkey AND c.m = mg.m""".stripMargin)
+    ),
+
     // Tumbling 1h window aggregation — batch twin of
     // streaming.WindowedAgg; bucket arithmetic on raw nanos is exact in
     // both engines.

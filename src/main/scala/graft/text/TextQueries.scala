@@ -133,6 +133,45 @@ object TextQueries {
              |  FROM c) WHERE rn <= 3""".stripMargin)
     ),
 
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf * ln(N/df). Three partial-agg shuffles (term frequency, doc
+    // frequency, corpus size) + one term-keyed join — no all-pairs
+    // work anywhere, the classic "what is this document about"
+    // relevance op. Ordering compares the unrounded double score (both
+    // engines compute bigint*ln(double/bigint) identically); term is
+    // the tie-break.
+    "text_tfidf_topk" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), explode(cleanToks).as("term"))
+        val tf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = t.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = t.agg(countDistinct(col("doc_id")).as("n"))
+        val scored = tf.join(df, "term").crossJoin(broadcast(n))
+          .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            round(col("score"), 6).as("score"), col("rn"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |            unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+             |          FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+             |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+             |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM t),
+             |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |        tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+             |      FROM tf JOIN df USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, tf, df, ROUND(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |                                   ORDER BY score DESC, term) AS rn FROM s)
+             |WHERE rn <= 3""".stripMargin)
+    ),
+
     // Order-sensitive positional rolling-hash fingerprint.
     "text_fingerprint" -> Query(
       (s, d) =>
