@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions with the SQL function registry, so `spark.sql` users get
@@ -20,6 +20,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "graft_dot(arrayA, arrayB) takes two arguments")
         DotProduct(exprs.head, exprs(1))
+      }))
+    // cosine as a pure composition over the native dot — all three dot
+    // products run codegen'd; no separate expression to maintain
+    e.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_cosine(arrayA, arrayB) takes two arguments")
+        val (a, b) = (exprs.head, exprs(1))
+        Divide(DotProduct(a, b),
+          Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
       }))
   }
 }

@@ -40,6 +40,15 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(v === 11.0)
   }
 
+  test("graft_cosine is registered and normalizes correctly") {
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS same,
+        |       graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS orth,
+        |       graft_cosine(array(1.0D, 0.0D), array(-2.0D, 0.0D)) AS anti""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 0.0 && r.getDouble(2) === -1.0)
+  }
+
   test("DotProduct evaluates in interpreted mode too (eval path)") {
     // a literal-only projection goes through ConstantFolding -> eval
     val v = spark.range(1).select(
