@@ -85,6 +85,42 @@ object SimilarityQueries {
 
   val entries: Seq[(String, Query)] = Seq(
 
+    // Symmetric int8 quantization of the embedding column — the 4x
+    // storage/bandwidth reduction a 100 TB embedding corpus ships with.
+    // Per-vector scale = max|x|; q_i = floor(x_i * 127 / scale + 0.5)
+    // (explicit floor(+0.5), NOT round(): banker's-vs-half-up rounding
+    // differs between engines, floor(+0.5) is identical). Emits the
+    // scale, a digest of the quantized vector, and the saturation count
+    // (integer-exact; the float reconstruction-error BOUND is asserted
+    // in QualitySpec — engine round() at the 6th decimal of the raw
+    // error is the one place the two engines' double rounding diverges).
+    // All codegen'd array ops in the scan stage.
+    "vec_quantize_int8" -> Query(
+      (s, d) => {
+        val xd = transform(col("embedding"), x => x.cast("double"))
+        val scale = array_max(transform(xd, x => abs(x)))
+        val q = transform(xd, x => floor(x * 127.0 / col("scale") + 0.5).cast("long"))
+        Tables.embeddings(s, d)
+          .withColumn("scale", scale)
+          .withColumn("q", q)
+          .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+            md5(concat_ws(",", col("q"))).as("q_md5"),
+            size(filter(col("q"), qi => abs(qi) === 127)).cast("long").as("n_sat"))
+      },
+      Some("""WITH b AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+             |  FROM embeddings),
+             |q AS (SELECT vec_id, scale,
+             |        list_transform(xd, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS qv
+             |      FROM b)
+             |SELECT vec_id, ROUND(scale, 6) AS scale,
+             |  md5(array_to_string(qv, ',')) AS q_md5,
+             |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+             |FROM q""".stripMargin)
+    ),
+
     // Exact cosine top-5 per query vector (the baseline ANN answers are
     // judged against).
     "ann_bruteforce_topk" -> Query(

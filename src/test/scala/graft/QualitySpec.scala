@@ -88,6 +88,20 @@ class QualitySpec extends AnyFunSuite {
     assert(mae <= 0.2, s"minhash estimator MAE = $mae over ${errs.size} pairs")
   }
 
+  test("int8 quantization reconstructs within half a quantization step") {
+    // round-to-nearest symmetric quantization: |x - q*scale/127| <= scale/254
+    val xd = transform(col("embedding"), x => x.cast("double"))
+    val bad = Tables.embeddings(spark, sf)
+      .withColumn("scale", array_max(transform(xd, x => abs(x))))
+      .withColumn("q", transform(xd, x => floor(x * 127.0 / col("scale") + 0.5).cast("long")))
+      .withColumn("max_err", aggregate(
+        zip_with(col("q"), xd, (qi, x) => abs(qi * col("scale") / 127.0 - x)),
+        lit(0.0), (a, x) => greatest(a, x)))
+      .filter(col("max_err") > col("scale") / 254.0 * 1.000001)
+      .count()
+    assert(bad === 0L)
+  }
+
   test("approx_percentile lands within 2% of the exact percentile per group") {
     val approx = SparkEntry.queries("agg_approx_percentiles")(spark, sf)
     val exact = SparkEntry.queries("agg_percentiles")(spark, sf)

@@ -128,6 +128,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() === 2)
   }
 
+  test("StreamStreamJoin matches within the interval and respects the bound") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val imp = MemoryStream[(Long, Timestamp)]   // impressions (key, ts)
+    val clk = MemoryStream[(Long, Timestamp)]   // clicks (key, ts)
+    val out = StreamStreamJoin(
+      imp.toDF().toDF("key", "ts"), clk.toDF().toDF("key", "ts"),
+      "key", "ts", windowSec = 60)
+    val q = out.select(col("l.key").as("key"),
+        col("l_ts").cast("string"), col("r_ts").cast("string"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin").start()
+    try {
+      imp.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+      clk.addData(
+        (1L, ts("2024-01-01 00:00:30")),  // within 60s -> joins
+        (2L, ts("2024-01-01 00:02:00")),  // past the 60s bound -> dropped
+        (3L, ts("2024-01-01 00:00:10")))  // no impression -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows === Set((1L, "2024-01-01 00:00:00", "2024-01-01 00:00:30")))
+    } finally q.stop()
+  }
+
   test("EnrichStream joins a stream to a broadcast static dim per batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
