@@ -32,6 +32,27 @@ object DedupQueries {
 
   private def cleanToks: Column = TextFunctions.cleanTokens(col("text"))
 
+  /** DuckDB mirror of `minhashPairs` — also embedded as a CTE by the
+    * clustering oracle.
+    */
+  private lazy val minhashPairsSql: String =
+    s"""WITH $shingleCte,
+       |hsx AS (SELECT doc_id,
+       |  list_transform(sh, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs
+       |FROM shl),
+       |sg AS (SELECT doc_id, [${
+         (0 until 16).map { i =>
+           val (a, b) = Hashing.minHashConsts(i)
+           s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Hashing.minHashP}))"
+         }.mkString(", ")
+       }] AS sig FROM hsx),
+       |bd AS (SELECT doc_id, bb.b AS band_idx,
+       |         concat(sig[2*bb.b+1], '_', sig[2*bb.b+2]) AS bkey
+       |       FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bb)
+       |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |FROM bd a JOIN bd b
+       |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+
   /** doc_id + distinct 3-gram shingle array, docs with >= 3 tokens.
     * (Array form — handy for signatures over small inputs.)
     */
@@ -58,6 +79,35 @@ object DedupQueries {
         lead(col("t"), 2).over(w).as("t2"))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), col("sh"))
+      .distinct()
+  }
+
+  /** MinHash+LSH candidate pairs (da < db) — the body of
+    * `dedup_minhash_lsh`, shared with the clustering query. One md5 per
+    * distinct shingle; 16 signature entries as codegen'd MIN aggregates
+    * of the affine permutations; candidates via band-key equi-join.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val hs = shingleRows(s, d)
+      .select(col("doc_id"), Hashing.md5Long32(col("sh")).as("h"))
+    val sigAggs = (0 until 16).map { i =>
+      val (a, b) = Hashing.minHashConsts(i)
+      min((col("h") * a + b) % Hashing.minHashP).as(s"sig$i")
+    }
+    val withSig = hs.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val bandStructs = (0 until 8).map { b =>
+      struct(lit(b).as("band_idx"),
+        concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
+    }
+    val bands = withSig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey"))
+      .persist()
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
   }
 
@@ -128,48 +178,50 @@ object DedupQueries {
     // equi-joins only. The shingle array is hashed ONCE into `hs`; each
     // signature entry is min((a_i*h + b_i) mod p) — cheap arithmetic,
     // not 16 separate md5 passes.
-    "dedup_minhash_lsh" -> Query(
+    "dedup_minhash_lsh" -> Query((s, d) => minhashPairs(s, d), Some(minhashPairsSql)),
+
+    // Near-dup CLUSTERS from the MinHash candidate pairs: connected
+    // components by iterative min-label propagation — the transitive
+    // closure production dedup needs (A~B and B~C must collapse to ONE
+    // survivor even when A~C was never a candidate pair). Each
+    // iteration is one equi-join + map-side-combinable min aggregate
+    // (the Pregel step GraphX would run); the driver holds only the
+    // converged? scalar per iteration, never data. Iterations are
+    // bounded by component diameter — near-dup clusters are shallow,
+    // and the cap is a safety net. Oracle: DuckDB recursive CTE
+    // computing min reachable doc_id per node over the same pairs.
+    "dedup_cluster_components" -> Query(
       (s, d) => {
-        // one md5 per distinct shingle; 16 signature entries as
-        // codegen'd MIN aggregates of the affine permutations
-        val hs = shingleRows(s, d)
-          .select(col("doc_id"), Hashing.md5Long32(col("sh")).as("h"))
-        val sigAggs = (0 until 16).map { i =>
-          val (a, b) = Hashing.minHashConsts(i)
-          min((col("h") * a + b) % Hashing.minHashP).as(s"sig$i")
-        }
-        val withSig = hs.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-        val bandStructs = (0 until 8).map { b =>
-          struct(lit(b).as("band_idx"),
-            concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
-        }
-        val bands = withSig
-          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
-          .select(col("doc_id"), col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey"))
+        val pairs = minhashPairs(s, d)
+        val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+          .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
           .persist()
-        bands.as("a")
-          .join(bands.as("b"),
-            col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .distinct()
+        var labels = edges.select(col("src").as("node")).distinct()
+          .withColumn("lbl", col("node")).persist()
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 25) {
+          val neighborMin = edges.join(labels, col("dst") === col("node"))
+            .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+          val next = labels.join(neighborMin, col("node") === col("src"), "left")
+            .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+            .persist()
+          converged = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(col("lbl") =!= col("old")).isEmpty
+          labels = next
+          iter += 1
+        }
+        labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       },
-      Some(s"""WITH $shingleCte,
-             |hsx AS (SELECT doc_id,
-             |  list_transform(sh, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs
-             |FROM shl),
-             |sg AS (SELECT doc_id, [${
-               (0 until 16).map { i =>
-                 val (a, b) = Hashing.minHashConsts(i)
-                 s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Hashing.minHashP}))"
-               }.mkString(", ")
-             }] AS sig FROM hsx),
-             |bd AS (SELECT doc_id, bb.b AS band_idx,
-             |         concat(sig[2*bb.b+1], '_', sig[2*bb.b+2]) AS bkey
-             |       FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bb)
-             |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-             |FROM bd a JOIN bd b
-             |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin)
+      Some(s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+             |edges AS (SELECT da AS src, db AS dst FROM pairs
+             |          UNION ALL SELECT db, da FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS node FROM edges),
+             |walk(node, lbl) AS (
+             |  SELECT node, node FROM nodes
+             |  UNION
+             |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node)
+             |SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node""".stripMargin)
     ),
 
     // 60-bit SimHash, 4 x 15-bit bands, Hamming <= 20 confirm step.
