@@ -184,31 +184,45 @@ object DedupQueries {
     // components by iterative min-label propagation — the transitive
     // closure production dedup needs (A~B and B~C must collapse to ONE
     // survivor even when A~C was never a candidate pair). Each
-    // iteration is one equi-join + map-side-combinable min aggregate
-    // (the Pregel step GraphX would run); the driver holds only the
-    // converged? scalar per iteration, never data. Iterations are
-    // bounded by component diameter — near-dup clusters are shallow,
-    // and the cap is a safety net. Oracle: DuckDB recursive CTE
-    // computing min reachable doc_id per node over the same pairs.
+    // iteration is a neighbor-min step (one equi-join +
+    // map-side-combinable min aggregate — the Pregel step GraphX would
+    // run) followed by a pointer jump (lbl <- lbl(lbl)), which turns
+    // O(diameter) convergence into O(log diameter); the driver holds
+    // only the changed-count scalar per iteration, never data. The cap
+    // is a safety net. Oracle: DuckDB recursive CTE computing min
+    // reachable doc_id per node over the same pairs.
     "dedup_cluster_components" -> Query(
       (s, d) => {
         val pairs = minhashPairs(s, d)
+        // localCheckpoint (not persist): every iteration's plan embeds
+        // the previous one, so with lazy caching the logical plan — and
+        // the optimizer's work — still grows 4x per iteration.
+        // Checkpointing SEVERS the lineage: each iteration plans against
+        // a materialized leaf. (On a cluster, executor-stored blocks;
+        // for fault-tolerant runs use a checkpoint dir instead.)
         val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
           .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
-          .persist()
+          .localCheckpoint()
         var labels = edges.select(col("src").as("node")).distinct()
-          .withColumn("lbl", col("node")).persist()
+          .withColumn("lbl", col("node")).localCheckpoint()
         var converged = false
         var iter = 0
-        while (!converged && iter < 25) {
+        while (!converged && iter < 20) {
           val neighborMin = edges.join(labels, col("dst") === col("node"))
             .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-          val next = labels.join(neighborMin, col("node") === col("src"), "left")
-            .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-            .persist()
-          converged = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-            .filter(col("lbl") =!= col("old")).isEmpty
-          labels = next
+          val stepped = labels.join(neighborMin, col("node") === col("src"), "left")
+            .select(col("node"), col("lbl").as("old"),
+              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl1"))
+            .localCheckpoint()
+          // pointer jump: labels only ever shrink (lbl(x) <= x), so
+          // lbl(lbl(x)) is a reachable, <= label — valid and faster
+          val parents = stepped.select(col("node").as("pnode"), col("lbl1").as("plbl"))
+          val next = stepped.join(parents, col("lbl1") === col("pnode"), "left")
+            .select(col("node"), col("old"),
+              coalesce(col("plbl"), col("lbl1")).as("lbl"))
+            .localCheckpoint()
+          converged = next.filter(col("lbl") =!= col("old")).isEmpty
+          labels = next.select(col("node"), col("lbl"))
           iter += 1
         }
         labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
