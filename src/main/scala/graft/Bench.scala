@@ -24,20 +24,25 @@ object Bench {
     try SparkEntry.queries.get("q1_agg").foreach(run)
     catch { case _: Throwable => () }
 
-    // Each query runs twice and records the MIN of the two timings: the
-    // first execution of a new plan shape pays one-off JIT/codegen cost
-    // (measured at 5-12x on some queries), which is a property of the
-    // fresh JVM, not of the plan. clearCache between runs and between
-    // queries releases the self-join indexes the dedup family persists,
-    // so no run reads another run's cache and no cache outlives its query.
+    // Each query runs twice; the headline number is the MIN of the two
+    // timings (the first execution of a new plan shape pays one-off
+    // JIT/codegen cost — measured at 5-12x on some queries — which is a
+    // property of the fresh JVM, not of the plan) but BOTH raw runs are
+    // recorded under "runs" and the policy is stated in the JSON, so the
+    // warm/cold split stays visible to anyone comparing against numbers
+    // timed under a different policy. clearCache + Caches.releaseAll
+    // between runs and queries releases the self-join indexes the dedup
+    // family persists, so no run reads another run's cache and no cache
+    // outlives its query.
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val res =
         try {
-          val t1 = run(fn); spark.catalog.clearCache()
+          val t1 = run(fn); Caches.releaseAll(); spark.catalog.clearCache()
           val t2 = run(fn)
-          Right(math.min(t1, t2))
+          Right((t1, t2))
         }
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
+      Caches.releaseAll()
       spark.catalog.clearCache()
       name -> res
     }
@@ -49,12 +54,13 @@ object Bench {
         case c => c.toString
       } + "\""
 
-    val ok = timed.collect { case (n, Right(t)) => n -> t }
+    val ok = timed.collect { case (n, Right((t1, t2))) => n -> (t1, t2) }
     val errs = timed.collect { case (n, Left(m)) => n -> m }
-    val qs = ok.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qs = ok.map { case (k, (t1, t2)) => s"${jstr(k)}:${math.min(t1, t2)}" }.mkString("{", ",", "}")
+    val rs = ok.map { case (k, (t1, t2)) => s"${jstr(k)}:[$t1,$t2]" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir"}""")
+    val total = ok.map { case (_, (t1, t2)) => math.min(t1, t2) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"min-of-2 runs, cache cleared between runs; raw pairs in runs","queries":$qs,"runs":$rs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

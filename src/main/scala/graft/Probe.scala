@@ -19,6 +19,7 @@ object Probe {
       catch { case e: Throwable =>
         System.err.println(s"[probe] $name failed: ${e.getMessage}")
       }
+      Caches.releaseAll()
       spark.catalog.clearCache()
     }
     def q(s: String): String = "\"" + s.flatMap {

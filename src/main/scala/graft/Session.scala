@@ -24,6 +24,9 @@ object Session {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed-table data (catalog sinks, the bucketed dedup index)
+      // lands in per-JVM scratch, not whatever cwd the caller ran from
+      .config("spark.sql.warehouse.dir", etl.TmpDirs.dir("warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -15,7 +15,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release any frames the query persisted (dedup self-join indexes)
-      // so 60 queries' caches don't accumulate in one JVM
+      // so 60+ queries' caches don't accumulate in one JVM
+      Caches.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

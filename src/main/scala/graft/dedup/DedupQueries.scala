@@ -32,11 +32,11 @@ object DedupQueries {
 
   private def cleanToks: Column = TextFunctions.cleanTokens(col("text"))
 
-  /** DuckDB mirror of `minhashPairs` — also embedded as a CTE by the
-    * clustering oracle.
+  /** DuckDB CTE chain ending in `bd(doc_id, band_idx, bkey)` — the
+    * MinHash band table both the pair and the incremental oracles read.
     */
-  private lazy val minhashPairsSql: String =
-    s"""WITH $shingleCte,
+  private lazy val bandsCteSql: String =
+    s"""$shingleCte,
        |hsx AS (SELECT doc_id,
        |  list_transform(sh, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs
        |FROM shl),
@@ -48,7 +48,13 @@ object DedupQueries {
        }] AS sig FROM hsx),
        |bd AS (SELECT doc_id, bb.b AS band_idx,
        |         concat(sig[2*bb.b+1], '_', sig[2*bb.b+2]) AS bkey
-       |       FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bb)
+       |       FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bb)""".stripMargin
+
+  /** DuckDB mirror of `minhashPairs` — also embedded as a CTE by the
+    * clustering oracle.
+    */
+  private lazy val minhashPairsSql: String =
+    s"""WITH $bandsCteSql
        |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |FROM bd a JOIN bd b
        |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
@@ -82,12 +88,12 @@ object DedupQueries {
       .distinct()
   }
 
-  /** MinHash+LSH candidate pairs (da < db) — the body of
-    * `dedup_minhash_lsh`, shared with the clustering query. One md5 per
-    * distinct shingle; 16 signature entries as codegen'd MIN aggregates
-    * of the affine permutations; candidates via band-key equi-join.
+  /** MinHash band table `(doc_id, band_idx, bkey)`: one md5 per distinct
+    * shingle; 16 signature entries as codegen'd MIN aggregates of the
+    * affine permutations; 8 bands x 2 rows. The index every MinHash-based
+    * dedup variant (self-pair, clustering, incremental) joins on.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private def bandTable(s: SparkSession, d: String): DataFrame = {
     val hs = shingleRows(s, d)
       .select(col("doc_id"), Hashing.md5Long32(col("sh")).as("h"))
     val sigAggs = (0 until 16).map { i =>
@@ -99,10 +105,18 @@ object DedupQueries {
       struct(lit(b).as("band_idx"),
         concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
     }
-    val bands = withSig
+    withSig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey"))
-      .persist()
+  }
+
+  /** MinHash+LSH candidate pairs (da < db) — the body of
+    * `dedup_minhash_lsh`, shared with the clustering query. Candidates
+    * via band-key equi-join over the (cached) band table — the caller
+    * releases the cache via graft.Caches.releaseAll() once materialized.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = graft.Caches.scoped(bandTable(s, d))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey") &&
@@ -110,6 +124,65 @@ object DedupQueries {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
   }
+
+  /** Connected components over an undirected candidate-pair edge list:
+    * iterative min-label propagation (one equi-join + map-side-combinable
+    * MIN per step — the Pregel step GraphX would run) plus a pointer jump
+    * (lbl <- lbl(lbl)) for O(log diameter) convergence. Each iteration is
+    * checkpointed — the plan would otherwise grow 4x per iteration and
+    * drown the optimizer. `checkpointDir = None` uses localCheckpoint
+    * (executor-stored blocks — fast, but lost with an executor); cluster
+    * runs pass a reliable dir (HDFS/object store) for fault tolerance.
+    * Throws rather than returning silently-unconverged labels if the
+    * iteration cap is hit (pointer jumping makes 20 iterations enough for
+    * any component diameter < 2^20 — hitting the cap means something is
+    * structurally wrong, not that the answer is "close").
+    */
+  def connectedComponents(pairs: DataFrame, checkpointDir: Option[String] = None,
+                          maxIter: Int = 20): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+    val edges = ckpt(pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionAll(pairs.select(col("db").as("src"), col("da").as("dst"))))
+    var labels = ckpt(edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val stepped = ckpt(labels.join(neighborMin, col("node") === col("src"), "left")
+        .select(col("node"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl1")))
+      // pointer jump: labels only ever shrink (lbl(x) <= x), so
+      // lbl(lbl(x)) is a reachable, <= label — valid and faster
+      val parents = stepped.select(col("node").as("pnode"), col("lbl1").as("plbl"))
+      val next = ckpt(stepped.join(parents, col("lbl1") === col("pnode"), "left")
+        .select(col("node"), col("old"),
+          coalesce(col("plbl"), col("lbl1")).as("lbl")))
+      converged = next.filter(col("lbl") =!= col("old")).isEmpty
+      labels = next.select(col("node"), col("lbl"))
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter iterations — " +
+          "labels would be silently wrong; raise maxIter or inspect the edge list")
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Multi-table hyperplane-LSH geometry for `dedup_embedding`. Plane
+    * family base 100 keeps these planes disjoint from the ANN index's
+    * (offsets 0..14 in SimilarityQueries). Declared BEFORE `entries` —
+    * the oracle SQL strings interpolate them at object init.
+    */
+  private val embLshTables = 6
+  private val embLshPlanes = 4
+  private val embPlaneBase = 100
 
   val entries: Seq[(String, Query)] = Seq(
 
@@ -134,9 +207,8 @@ object DedupQueries {
     // (deterministic) double division.
     "dedup_ngram_jaccard" -> Query(
       (s, d) => {
-        val raw = shingleRows(s, d)
-          .select(col("doc_id"), Hashing.md5Long60(col("sh")).as("shh"))
-          .persist()
+        val raw = graft.Caches.scoped(shingleRows(s, d)
+          .select(col("doc_id"), Hashing.md5Long60(col("sh")).as("shh")))
         // stop-shingle guard: a shingle present in >100 docs contributes
         // ~df^2 candidate pairs and no near-dup signal — drop it from the
         // index (broadcast anti-join; the hot list is tiny by definition).
@@ -144,7 +216,7 @@ object DedupQueries {
         // oracle applies the identical cap.
         val hot = raw.groupBy(col("shh")).agg(count(lit(1)).as("df"))
           .filter(col("df") > 100).select(col("shh"))
-        val ex = raw.join(broadcast(hot), Seq("shh"), "left_anti").persist()
+        val ex = graft.Caches.scoped(raw.join(broadcast(hot), Seq("shh"), "left_anti"))
         val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val pairs = ex.as("a")
           .join(ex.as("b"), col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
@@ -192,41 +264,7 @@ object DedupQueries {
     // is a safety net. Oracle: DuckDB recursive CTE computing min
     // reachable doc_id per node over the same pairs.
     "dedup_cluster_components" -> Query(
-      (s, d) => {
-        val pairs = minhashPairs(s, d)
-        // localCheckpoint (not persist): every iteration's plan embeds
-        // the previous one, so with lazy caching the logical plan — and
-        // the optimizer's work — still grows 4x per iteration.
-        // Checkpointing SEVERS the lineage: each iteration plans against
-        // a materialized leaf. (On a cluster, executor-stored blocks;
-        // for fault-tolerant runs use a checkpoint dir instead.)
-        val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-          .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
-          .localCheckpoint()
-        var labels = edges.select(col("src").as("node")).distinct()
-          .withColumn("lbl", col("node")).localCheckpoint()
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 20) {
-          val neighborMin = edges.join(labels, col("dst") === col("node"))
-            .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-          val stepped = labels.join(neighborMin, col("node") === col("src"), "left")
-            .select(col("node"), col("lbl").as("old"),
-              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl1"))
-            .localCheckpoint()
-          // pointer jump: labels only ever shrink (lbl(x) <= x), so
-          // lbl(lbl(x)) is a reachable, <= label — valid and faster
-          val parents = stepped.select(col("node").as("pnode"), col("lbl1").as("plbl"))
-          val next = stepped.join(parents, col("lbl1") === col("pnode"), "left")
-            .select(col("node"), col("old"),
-              coalesce(col("plbl"), col("lbl1")).as("lbl"))
-            .localCheckpoint()
-          converged = next.filter(col("lbl") =!= col("old")).isEmpty
-          labels = next.select(col("node"), col("lbl"))
-          iter += 1
-        }
-        labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-      },
+      (s, d) => connectedComponents(minhashPairs(s, d)),
       Some(s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
              |edges AS (SELECT da AS src, db AS dst FROM pairs
              |          UNION ALL SELECT db, da FROM pairs),
@@ -249,10 +287,9 @@ object DedupQueries {
         val bandStructs = (0 until 4).map { b =>
           struct(lit(b).as("band_idx"), Hashing.simHashBand(col("sim"), b).as("bkey"))
         }
-        val bands = sims
+        val bands = graft.Caches.scoped(sims
           .select(col("doc_id"), col("sim"), explode(array(bandStructs: _*)).as("bd"))
-          .select(col("doc_id"), col("sim"), col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey"))
-          .persist()
+          .select(col("doc_id"), col("sim"), col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey")))
         bands.as("a")
           .join(bands.as("b"),
             col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey") &&
@@ -282,27 +319,56 @@ object DedupQueries {
              |FROM cand WHERE bit_count(xor(sima, simb)) <= 20""".stripMargin)
     ),
 
-    // Embedding near-dup pairs, blocked by label (the IVF-cell stand-in
-    // at test scale): exact cosine inside each block, rounded to 4dp on
-    // both sides before the threshold compare.
+    // Embedding near-dup pairs, blocked by multi-table hyperplane LSH:
+    // candidate generation is a (table, bucket)-key EQUI-JOIN over an
+    // O(L*n) hash index — unlike label blocking (whose per-block
+    // self-join is quadratic in corpus size at a fixed label count),
+    // bucket occupancy is controlled by the plane count (P planes =>
+    // 2^P buckets per table; at 100 TB P grows with log n to keep
+    // blocks bounded). L tables band the planes the way MinHash bands
+    // signature rows: a true near-dup pair only needs to collide in ONE
+    // table. Exact cosine confirms candidates, rounded to 4dp on both
+    // sides before the threshold compare. Fully deterministic (literal
+    // plane coefficients) => hash-checked; pair recall vs the exact
+    // same-label pairs is asserted in QualitySpec.
     "dedup_embedding" -> Query(
       (s, d) => {
         import graft.functions.VectorFunctions
         // norms precomputed per VECTOR (not per pair) — same arithmetic,
         // bit-identical cosine, 1/3 the per-pair flops
-        val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        val e = Tables.embeddings(s, d).select(col("vec_id"),
           col("embedding"), VectorFunctions.norm(col("embedding")).as("nrm"))
-        e.as("a")
-          .join(e.as("b"),
-            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-            col("a.label").as("label"),
-            round(VectorFunctions.dot(col("a.embedding"), col("b.embedding"))
-              / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+        val tableStructs = (0 until embLshTables).map { t =>
+          struct(lit(t).as("tbl"),
+            VectorFunctions.hyperplaneLshBucket(col("embedding"), embLshPlanes, 64,
+              planeOffset = embPlaneBase + embLshPlanes * t).as("bucket"))
+        }
+        val hashed = graft.Caches.scoped(
+          e.select(col("vec_id"), explode(array(tableStructs: _*)).as("tb"))
+            .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
+        val cand = hashed.as("a")
+          .join(hashed.as("b"),
+            col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+          .distinct()
+        cand
+          .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na")), Seq("va"))
+          .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("vb"))
+          .select(col("va"), col("vb"),
+            round(VectorFunctions.dot(col("ea"), col("eb"))
+              / (col("na") * col("nb")), 4).as("cos"))
           .filter(col("cos") >= 0.3)
       },
-      Some("""WITH p AS (
-             |  SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+      Some(s"""WITH b AS (${(0 until embLshTables).map(t =>
+                 s"SELECT vec_id, embedding, $t AS tbl, ${graft.functions.VectorFunctions
+                   .lshBucketSql(embPlaneBase + embLshPlanes * t, embLshPlanes, 64)} AS bucket FROM embeddings")
+                 .mkString("\n UNION ALL ")}),
+             |cand AS (SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
+             |         FROM b l JOIN b r
+             |           ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+             |p AS (
+             |  SELECT cand.va, cand.vb,
              |    ROUND(
              |      list_sum(list_transform(generate_series(1, 64),
              |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
@@ -311,9 +377,51 @@ object DedupQueries {
              |       sqrt(list_sum(list_transform(generate_series(1, 64),
              |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
              |    , 4) AS cos
-             |  FROM embeddings a JOIN embeddings b
-             |    ON a.label = b.label AND a.vec_id < b.vec_id)
-             |SELECT va, vb, label, cos FROM p WHERE cos >= 0.3""".stripMargin)
+             |  FROM cand JOIN embeddings a ON a.vec_id = cand.va
+             |            JOIN embeddings b ON b.vec_id = cand.vb)
+             |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin)
+    ),
+
+    // Incremental dedup: NEW BATCH vs a PERSISTED corpus index — the
+    // shape production corpus curation actually runs (dedup the day's
+    // crawl against 100 TB already ingested, NOT batch-vs-self). The
+    // corpus's MinHash band table is written ONCE as a bucketed+sorted
+    // table on the band key; each incoming batch computes only its own
+    // signatures and equi-joins them against the index. Because the
+    // stored side is bucketed on the join key, the 100 TB side reads
+    // co-located buckets with NO shuffle — only the (small) batch side
+    // exchanges (plan pinned in PlanSpec). Batch here = doc_id % 10 == 0,
+    // corpus = the rest; emits (new_id, corpus_id, n_bands agreeing).
+    "dedup_incremental" -> Query(
+      (s, d) => {
+        val bands = bandTable(s, d)
+          .withColumn("bk", concat_ws("#", col("band_idx"), col("bkey")))
+          .select(col("doc_id"), col("bk"))
+        val tbl = "graft_corpus_bands_" +
+          new java.io.File(d).getName.replaceAll("\\W", "_")
+        // corpus index build — in production this runs once per corpus
+        // version, amortized over every batch that joins against it.
+        // 8 buckets at test scale; a real deployment sizes buckets so
+        // each holds ~128MB (e.g. thousands for 100 TB).
+        graft.etl.Bucketing.writeBucketed(
+          bands.filter(col("doc_id") % 10 =!= 0)
+            .select(col("doc_id").as("corpus_id"), col("bk")),
+          tbl, "bk", buckets = 8)
+        val corpusIdx = s.table(tbl)
+        // hint("merge") keeps the demonstration honest at test scale —
+        // without it the tiny corpus side would broadcast and the
+        // bucket-join property being pinned would never materialize.
+        bands.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("new_id"), col("bk"))
+          .join(corpusIdx.hint("merge"), Seq("bk"))
+          .groupBy(col("new_id"), col("corpus_id"))
+          .agg(count(lit(1)).as("n_bands"))
+      },
+      Some(s"""WITH $bandsCteSql
+             |SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, COUNT(*) AS n_bands
+             |FROM bd n JOIN bd c ON n.band_idx = c.band_idx AND n.bkey = c.bkey
+             |WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+             |GROUP BY 1, 2""".stripMargin)
     )
   )
 }

@@ -57,11 +57,14 @@ object CsvIngest {
   /** (good rows without the marker column, dead-letter rows). The frame
     * is cached first: Spark refuses to filter a raw CSV scan on ONLY the
     * internal corrupt-record column (SPARK-21610), and the cache also
-    * keeps the two branches consistent with one parse pass.
+    * keeps the two branches consistent with one parse pass. Cache
+    * ownership: registered through graft.Caches — call
+    * `graft.Caches.releaseAll()` after both branches are materialized,
+    * or the parse cache lives for the session.
     */
   def deadLetterSplit(df: DataFrame,
                       corruptCol: String = "_corrupt_record"): (DataFrame, DataFrame) = {
-    val parsed = df.cache()
+    val parsed = graft.Caches.scoped(df)
     (parsed.filter(col(corruptCol).isNull).drop(corruptCol),
       parsed.filter(col(corruptCol).isNotNull))
   }

@@ -70,9 +70,28 @@ object VectorFunctions {
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    // dims mismatch => null bucket: zip_with null-pads length mismatches,
-    // which would silently zero every projection and collapse all vectors
-    // into bucket 0 — surface the misconfiguration instead.
+    // dims mismatch: zip_with null-pads length mismatches, which would
+    // silently zero every projection and collapse all vectors into
+    // bucket 0 — and a null bucket would instead silently drop every
+    // candidate (null never equi-joins). FAIL the query loudly instead.
     when(size(v) === dims, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"hyperplaneLshBucket: expected $dims dims, got "),
+        size(v).cast("string"))))
   }
+
+  /** DuckDB mirror of `hyperplaneLshBucket(vecExpr, nPlanes, dims, off)`:
+    * the identical literal coefficient rows, the identical sequential
+    * projection sum (both engines fold the products left-to-right, so the
+    * sign compare sees bit-identical doubles). Shared by the ANN and the
+    * embedding-dedup oracles.
+    */
+  def lshBucketSql(planeOffset: Int, nPlanes: Int, dims: Int,
+                   vecExpr: String = "embedding"): String =
+    (0 until nPlanes).map { p =>
+      val coefs = planeCoefs(planeOffset + p, dims).map(c => f"$c%.1f").mkString(", ")
+      s"""CASE WHEN list_sum(list_transform(generate_series(1, $dims),
+         |  i -> CAST($vecExpr[i] AS DOUBLE) * ([$coefs])[i])) >= 0
+         |THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString("\n + ")
 }

@@ -287,14 +287,44 @@ object Extended {
 
     // Rank-family windows: percent_rank and cume_dist over a unique
     // total order per group (exact rational values — identical doubles).
+    // o_orderstatus has THREE distinct values, so the naive
+    // `percent_rank() over (partition by o_orderstatus ...)` puts n/3
+    // rows in one window task — the single-task-holds-the-data plan that
+    // dies at 100x scale. Instead ranks come from a DISTRIBUTED range
+    // sort (group leads the sort key, so each group's rows are contiguous
+    // across/within partitions): local rank via monotonically_increasing_id,
+    // global per-group rank = (lrank - first lrank of the group in this
+    // partition) + cumulative count of the group's rows in earlier
+    // partitions. The only windows run over the <=96-row per-partition
+    // group COUNTS, never the data. With a unique tiebreak there are no
+    // rank ties, so pr=(rnk-1)/(ng-1) and cd=rnk/ng reproduce
+    // PERCENT_RANK/CUME_DIST exactly (identical integer operands =>
+    // identical IEEE doubles vs the plain-window oracle).
     "window_percent_rank" -> Query(
       (s, d) => {
-        val w = Window.partitionBy(col("o_orderstatus"))
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
-        Tables.orders(s, d).select(
-          col("o_orderkey"), col("o_orderstatus"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
+        val sorted = graft.Caches.scoped(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .repartitionByRange(32, col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("mid", monotonically_increasing_id())
+          .withColumn("pid", shiftright(col("mid"), 33))
+          .withColumn("lrank", col("mid").bitwiseAND(lit((1L << 33) - 1))))
+        val grpPart = sorted.groupBy(col("pid"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("pn"), min(col("lrank")).as("lmin"))
+        val wOff = Window.partitionBy(col("o_orderstatus")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.partitionBy(col("o_orderstatus"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val offs = grpPart
+          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+          .withColumn("ng", sum(col("pn")).over(wTot))
+          .select(col("pid"), col("o_orderstatus"), col("lmin"), col("off"), col("ng"))
+        sorted.join(broadcast(offs), Seq("pid", "o_orderstatus"))
+          .withColumn("rnk", col("off") + (col("lrank") - col("lmin")) + lit(1L))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            when(col("ng") === 1, lit(0.0))
+              .otherwise((col("rnk") - 1).cast("double") / (col("ng") - 1).cast("double")).as("pr"),
+            (col("rnk").cast("double") / col("ng").cast("double")).as("cd"))
       },
       Some("""SELECT o_orderkey, o_orderstatus,
              |  PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
@@ -364,14 +394,13 @@ object Extended {
     // floor(n/10) — so the unchanged exact-NTILE oracle hash-matches.
     "window_ntile_decile" -> Query(
       (s, d) => {
-        val sorted = Tables.orders(s, d)
+        val sorted = graft.Caches.scoped(Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_totalprice"))
           .repartitionByRange(32, col("o_totalprice").desc, col("o_orderkey"))
           .sortWithinPartitions(col("o_totalprice").desc, col("o_orderkey"))
           .withColumn("mid", monotonically_increasing_id())
           .withColumn("pid", shiftright(col("mid"), 33))
-          .withColumn("lrank", col("mid").bitwiseAND(lit((1L << 33) - 1)))
-          .persist()
+          .withColumn("lrank", col("mid").bitwiseAND(lit((1L << 33) - 1))))
         val psz = sorted.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
         // cumulative offsets over <= 32 rows: the single-partition window
         // here touches partition COUNTS, never the data

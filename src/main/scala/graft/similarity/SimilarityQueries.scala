@@ -60,17 +60,11 @@ object SimilarityQueries {
   private val lshTables = 5
   private val lshPlanes = 3
 
-  /** DuckDB mirror of `hyperplaneLshBucket(_, lshPlanes, 64, off)`: the
-    * identical literal coefficient rows, the identical sequential
-    * projection sum (both engines fold the 64 products left-to-right, so
-    * the sign compare sees bit-identical doubles).
+  /** DuckDB mirror of `hyperplaneLshBucket(_, lshPlanes, 64, off)` —
+    * shared with the embedding-dedup oracle (VectorFunctions.lshBucketSql).
     */
-  private def lshBucketSql(planeOffset: Int): String = (0 until lshPlanes).map { p =>
-    val coefs = VectorFunctions.planeCoefs(planeOffset + p, 64).map(c => f"$c%.1f").mkString(", ")
-    s"""CASE WHEN list_sum(list_transform(generate_series(1, 64),
-       |  i -> CAST(embedding[i] AS DOUBLE) * ([$coefs])[i])) >= 0
-       |THEN ${1L << p} ELSE 0 END""".stripMargin
-  }.mkString("\n + ")
+  private def lshBucketSql(planeOffset: Int): String =
+    VectorFunctions.lshBucketSql(planeOffset, lshPlanes, 64)
 
   /** Unrounded centroid cosine (assignment ordering only — never output,
     * so no rounding is applied on either side).
@@ -94,12 +88,16 @@ object SimilarityQueries {
     // (integer-exact; the float reconstruction-error BOUND is asserted
     // in QualitySpec — engine round() at the 6th decimal of the raw
     // error is the one place the two engines' double rounding diverges).
-    // All codegen'd array ops in the scan stage.
+    // All codegen'd array ops in the scan stage. An all-zero vector has
+    // scale=0 — guarded to quantize to all zeros on BOTH sides (x/0 is
+    // NaN, and floor(NaN) under ANSI mode throws rather than diverging).
     "vec_quantize_int8" -> Query(
       (s, d) => {
         val xd = transform(col("embedding"), x => x.cast("double"))
         val scale = array_max(transform(xd, x => abs(x)))
-        val q = transform(xd, x => floor(x * 127.0 / col("scale") + 0.5).cast("long"))
+        val q = transform(xd, x => floor(
+          when(col("scale") === 0, lit(0.0)).otherwise(x * 127.0 / col("scale"))
+            + 0.5).cast("long"))
         Tables.embeddings(s, d)
           .withColumn("scale", scale)
           .withColumn("q", q)
@@ -113,7 +111,8 @@ object SimilarityQueries {
              |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
              |  FROM embeddings),
              |q AS (SELECT vec_id, scale,
-             |        list_transform(xd, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS qv
+             |        list_transform(xd, x -> CAST(floor(
+             |          CASE WHEN scale = 0 THEN 0.0 ELSE x * 127.0 / scale END + 0.5) AS BIGINT)) AS qv
              |      FROM b)
              |SELECT vec_id, ROUND(scale, 6) AS scale,
              |  md5(array_to_string(qv, ',')) AS q_md5,
@@ -197,17 +196,30 @@ object SimilarityQueries {
         val e = corpus(s, d)
         val cent = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cnrm"))
-        def nearestCells(df: DataFrame, n: Int): DataFrame =
+        def cellScores(df: DataFrame): DataFrame =
           df.crossJoin(broadcast(cent))
             .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
               (VectorFunctions.dot(col("embedding"), col("cv"))
                 / (col("nrm") * col("cnrm"))).as("csim"))
-            .withColumn("crn", row_number().over(
-              Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
-            .filter(col("crn") <= n)
-        val assigned = nearestCells(e, 1)
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-        val probes = nearestCells(e.filter(col("vec_id") < 10), 3)
+        // Assignment = per-vector argmax over the C centroid scores, as a
+        // map-side-combinable max_by — NOT a window. The window form
+        // shuffles all n*C scored rows just to pick one per vector; the
+        // aggregate's partial combine collapses each vector's C rows to
+        // one BEFORE the exchange, so only n rows ever move. Tie-break
+        // (csim desc, cid asc) is preserved by max_by on (csim, -cid).
+        // (Plan shape pinned in PlanSpec.)
+        val assigned = cellScores(e)
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("cid"), col("embedding"), col("nrm")),
+            struct(col("csim"), (-col("cid")).as("nc"))).as("best"))
+          .select(col("vec_id"), col("best.embedding").as("embedding"),
+            col("best.nrm").as("nrm"), col("best.cid").as("cid"))
+        // Probe side: top-nprobe cells per QUERY vector — 10 rows, the
+        // window is over the broadcast-sized probe set only.
+        val probes = cellScores(e.filter(col("vec_id") < 10))
+          .withColumn("crn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
+          .filter(col("crn") <= 3)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"),
             col("nrm").as("qnrm"), col("cid"))
         val cand = assigned.join(broadcast(probes), Seq("cid"))

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.execution.{FormattedMode, SimpleMode}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape regressions: the properties that keep these queries fast
@@ -13,6 +13,11 @@ class PlanSpec extends AnyFunSuite {
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  /** Physical plan as the indented operator tree (one line per node). */
+  private def tree(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(SimpleMode).linesIterator.toSeq
 
   test("q1_agg pushes the shipdate filter into the parquet scan") {
     val p = plan("q1_agg")
@@ -58,6 +63,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema"), p.take(500))
     assert(!p.contains("text:string") && !p.contains("n_chars"),
       "sample scan must not read unprojected document columns")
+  }
+
+  test("ivf centroid assignment combines map-side — no exchange between cross-join and argmax") {
+    // The partial max_by must sit DIRECTLY on the broadcast cross join:
+    // each vector's C centroid scores collapse to one row before any
+    // shuffle. A window/row_number formulation (or a lost partial agg)
+    // would push all n*C rows through an Exchange first.
+    val t = tree("ann_ivf_topk")
+    val pi = t.indexWhere(_.contains("partial_max_by"))
+    assert(pi >= 0, "assignment must be a partial max_by aggregate")
+    val bi = t.indexWhere(_.contains("BroadcastNestedLoopJoin"), pi)
+    assert(bi > pi, "partial max_by must be fed by the broadcast cross join")
+    val between = t.slice(pi + 1, bi)
+    assert(!between.exists(_.contains("Exchange hashpartitioning")),
+      s"shuffle between cross-join and assignment argmax:\n${between.mkString("\n")}")
+  }
+
+  test("percent_rank ranks via distributed range sort, not a 3-partition window") {
+    val t = tree("window_percent_rank")
+    assert(t.exists(_.contains("rangepartitioning")),
+      "expected a range repartition of the data")
+    assert(!t.exists(_.contains("percent_rank(")),
+      "must not fall back to the window percent_rank over a 3-value partition key")
+  }
+
+  test("incremental dedup joins the bucketed corpus index without shuffling it") {
+    val t = tree("dedup_incremental")
+    assert(t.exists(l => l.contains("Bucketed: true") && l.contains("graft_corpus_bands")),
+      "corpus band index must be read as a bucketed table")
+    // only the (small) batch side exchanges on the band key; the corpus
+    // side's bucket layout IS its partitioning
+    val bkExchanges = t.count(_.contains("Exchange hashpartitioning(bk"))
+    assert(bkExchanges === 1,
+      s"expected exactly the batch-side exchange on bk, found $bkExchanges")
   }
 
   test("partitioned sink output gets partition pruning on read") {
