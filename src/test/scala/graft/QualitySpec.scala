@@ -40,6 +40,32 @@ class QualitySpec extends AnyFunSuite {
     assert(r >= 0.4, s"IVF mean recall@5 = $r")
   }
 
+  test("dedup_embedding LSH blocking recovers most true near-dup pairs") {
+    // Truth = ALL pairs with rounded cosine >= 0.3 (brute force is fine at
+    // sf0.01: 500 vectors). The registered query only scores pairs that
+    // collide in >=1 of the 6 LSH tables — this asserts the banding
+    // geometry actually surfaces the real pairs, not just *some* pairs.
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding"), VectorFunctions.norm(col("embedding")).as("nrm"))
+    val truth = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(VectorFunctions.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .select(col("va").cast("long"), col("vb").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("dedup_embedding")(spark, sf)
+      .select(col("va").cast("long"), col("vb").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caches.releaseAll()
+    assert(truth.nonEmpty)
+    assert(got.subsetOf(truth), "LSH-blocked pairs must be a subset of true pairs")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.5, s"embedding pair recall = $recall (${got.size}/${truth.size})")
+  }
+
   test("approx_count_distinct lands within 5% of exact per group") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
     // agg_distinct counts parts/supps; recompute the exact twin of each
