@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import graft.{Query, Tables}
+import org.apache.spark.sql.{Column, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY §2.6).
@@ -15,7 +16,69 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** Little-endian uint32 as 8 hex chars — the byte order RIFF headers
+    * use. Built from the big-endian hex by swapping byte pairs.
+    */
+  private def leHex32(c: Column): Column = {
+    val h = lpad(lower(hex(c.cast("long"))), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+  }
+
   val entries: Seq[(String, Query)] = Seq(
+
+    // REAL container decode: each document's UTF-8 bytes become the PCM
+    // payload of a genuine RIFF/WAVE file (44-byte header built field by
+    // field in the scan — the blob would open in any audio tool), then
+    // FrameFeatures.WavDecoder parses the container back: chunk walk,
+    // magic/fmt validation, per-128-sample frame stats over the int16
+    // LE samples. The oracle never sees the container — it recomputes
+    // the sample stats from the raw text bytes by hex arithmetic and
+    // the header fields from the same construction formula, so a decoder
+    // that mis-parses offsets, endianness, or sign diverges immediately.
+    // Integer-exact end to end.
+    "mm_wav_decode" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val nBytes = length(bin)
+        val dataSize = nBytes - nBytes % 2 // whole int16 samples only
+        val rate = (lit(8000) + (col("doc_id") % 3) * 4000).cast("int")
+        val wavHex = concat(
+          lit("52494646"), leHex32(dataSize + 36), lit("57415645"), // RIFF size WAVE
+          lit("666d7420"), lit("10000000"),                         // fmt , 16
+          lit("0100"), lit("0100"),                                 // PCM, mono
+          leHex32(rate), leHex32(rate * 2),                         // rate, byte rate
+          lit("0200"), lit("1000"),                                 // align 2, 16 bit
+          lit("64617461"), leHex32(dataSize),                       // data, size
+          lower(hex(bin)).substr(lit(1), dataSize * 2))
+        val wavs = Tables.documents(s, d)
+          .filter(nBytes >= 2)
+          .select(col("doc_id"), unhex(wavHex).as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        FrameFeatures.decodeWav(wavs).toDF()
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |         octet_length(encode(text)) // 2 AS n_samp,
+             |         8000 + (doc_id % 3) * 4000 AS rate
+             |  FROM documents
+             |  WHERE octet_length(encode(text)) >= 2),
+             |u AS (SELECT doc_id, rate, hx,
+             |        unnest(generate_series(0, n_samp - 1)) AS i FROM d),
+             |s AS (SELECT doc_id, rate, i // 128 AS frame_id,
+             |        CAST('0x' || substr(hx, i*4 + 3, 2) || substr(hx, i*4 + 1, 2) AS INT) AS v
+             |      FROM u),
+             |sg AS (SELECT doc_id, rate, frame_id,
+             |         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS samp FROM s)
+             |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+             |  CAST(1 AS BIGINT) AS n_channels, CAST(16 AS BIGINT) AS bits_per_sample,
+             |  CAST(frame_id AS BIGINT) AS frame_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+             |  CAST(SUM(samp) AS BIGINT) AS sum_samples,
+             |  CAST(MIN(samp) AS BIGINT) AS min_sample,
+             |  CAST(MAX(samp) AS BIGINT) AS max_sample
+             |FROM sg GROUP BY doc_id, rate, frame_id""".stripMargin)
+    ),
 
     // Binary payload + typed metadata extraction: byte length (vs char
     // length), head-bytes hex signature ("magic number" sniffing), and

@@ -1,37 +1,80 @@
 package graft.multimodal
 
 import graft.SparkTestSession
-import graft.multimodal.FrameFeatures.{FrameFeature, FramePayload}
+import graft.multimodal.FrameFeatures.{WavDecoder, WavPayload, encodeWav}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private def frames() = {
+  test("WavDecoder round-trips a hand-built PCM file exactly") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 100, -100, 12345)
+    val frames = new WavDecoder().decode(7L, encodeWav(samples, 16000)).toSeq
+    assert(frames.size === 1) // 8 samples < one 128-sample frame
+    val f = frames.head
+    assert(f.doc_id === 7L)
+    assert(f.sample_rate === 16000L)
+    assert(f.n_channels === 1L)
+    assert(f.bits_per_sample === 16L)
+    assert(f.n_samples === 8L)
+    assert(f.sum_samples === samples.map(_.toLong).sum)
+    assert(f.min_sample === -32768L)
+    assert(f.max_sample === 32767L)
+  }
+
+  test("WavDecoder splits long payloads into 128-sample frames") {
+    val samples = Array.tabulate(300)(i => (i - 150).toShort) // 3 frames: 128+128+44
+    val frames = new WavDecoder().decode(1L, encodeWav(samples, 8000)).toSeq
+    assert(frames.map(_.n_samples) === Seq(128L, 128L, 44L))
+    assert(frames.map(_.frame_id) === Seq(0L, 1L, 2L))
+    assert(frames.map(_.sum_samples).sum === samples.map(_.toLong).sum)
+    assert(frames.head.min_sample === -150L && frames.last.max_sample === 149L)
+  }
+
+  test("WavDecoder walks past unknown chunks to find fmt/data") {
+    // splice a LIST chunk between fmt and data, as real recorders emit
+    val base = encodeWav(Array[Short](5, -5), 12000)
+    val listChunk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = base.slice(0, 36) ++ listChunk ++ base.slice(36, base.length)
+    // fix the RIFF size field (+12 bytes), little-endian at offset 4
+    val riffSize = (base.length - 8) + listChunk.length
+    spliced(4) = (riffSize & 0xff).toByte
+    spliced(5) = ((riffSize >> 8) & 0xff).toByte
+    val frames = new WavDecoder().decode(2L, spliced).toSeq
+    assert(frames.size === 1)
+    assert(frames.head.n_samples === 2L && frames.head.sum_samples === 0L)
+  }
+
+  test("WavDecoder fails loudly on a malformed container") {
+    val ex = intercept[IllegalArgumentException] {
+      new WavDecoder().decode(3L, Array.fill[Byte](64)(0x41)).toSeq
+    }
+    assert(ex.getMessage.contains("RIFF"))
+  }
+
+  test("mm_wav_decode emits one row per 128-sample frame of each doc") {
+    val sf = "/root/testdata/sf0.001"
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(ceil((length(col("text").cast("binary")) / lit(2)).cast("int") / 128.0).cast("long").as("nf"))
+      .filter(col("nf") >= 1)
+      .agg(sum(col("nf"))).collect()(0).getLong(0)
+    val got = graft.SparkEntry.queries("mm_wav_decode")(spark, sf).count()
+    assert(got === expected)
+  }
+
+  test("distributed decodeWav equals a local decode of the same blobs") {
     import spark.implicits._
-    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .withColumn("n_frames", ceil(length(col("payload")) / 64.0).cast("int"))
-      .withColumn("frame_id",
-        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(4))))
-      .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
-        expr("substring(payload, frame_id*64 + 1, 64)").as("payload"))
-      .as[FramePayload]
-  }
-
-  test("FrameFeatures.extract is deterministic and typed") {
-    val a = FrameFeatures.extract(frames()).collect().sortBy(f => (f.doc_id, f.frame_id))
-    val b = FrameFeatures.extract(frames()).collect().sortBy(f => (f.doc_id, f.frame_id))
-    assert(a.length > 500)
-    assert(a.toSeq === b.toSeq)
-    assert(a.forall(f => f.width >= 320 && f.height >= 240 &&
-      f.mean_luma >= 0.0 && f.mean_luma <= 1.0))
-  }
-
-  test("mm_frame_sample plumbing and FrameFeatures agree on frame counts") {
-    val viaQuery = graft.SparkEntry.queries("mm_frame_sample")(spark, "/root/testdata/sf0.001").count()
-    val viaTyped = FrameFeatures.extract(frames()).count()
-    assert(viaQuery === viaTyped)
+    val wavs = (0L until 8L).map(i =>
+      WavPayload(i, encodeWav(Array.tabulate(200)(j => ((j * 31 + i * 7) % 1000 - 500).toShort),
+        8000 + (i % 3).toInt * 4000)))
+    val dist = FrameFeatures.decodeWav(spark.createDataset(wavs).repartition(4))
+      .collect().sortBy(f => (f.doc_id, f.frame_id)).toSeq
+    val local = {
+      val c = new WavDecoder()
+      wavs.flatMap(w => c.decode(w.doc_id, w.payload)).sortBy(f => (f.doc_id, f.frame_id))
+    }
+    assert(dist === local)
+    assert(dist.map(_.sample_rate).distinct.sorted === Seq(8000L, 12000L, 16000L))
   }
 }
