@@ -245,6 +245,45 @@ object DedupQueries {
              |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.2""".stripMargin)
     ),
 
+    // Shingle CONTAINMENT pairs: |Sa ∩ Sb| / min(|Sa|, |Sb|) >= 0.8 —
+    // catches the quote/excerpt/boilerplate-wrapper case Jaccard
+    // misses (a short doc embedded in a long one has tiny Jaccard but
+    // containment ~1). Same candidate machinery as dedup_ngram_jaccard
+    // (capped shingle index, 60-bit-key equi-join, never all-pairs);
+    // the threshold compare is integer cross-multiplication
+    // (5*inter >= 4*min) so no float exists for engines to disagree on.
+    "dedup_containment" -> Query(
+      (s, d) => {
+        val raw = graft.Caches.scoped(shingleRows(s, d)
+          .select(col("doc_id"), Hashing.md5Long60(col("sh")).as("shh")))
+        val hot = raw.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > 100).select(col("shh"))
+        val ex = graft.Caches.scoped(raw.join(broadcast(hot), Seq("shh"), "left_anti"))
+        val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        ex.as("a")
+          .join(ex.as("b"), col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+          .join(sz.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+          .select(col("da"), col("db"), col("inter"),
+            col("sa.n").as("na"), col("sb.n").as("nb"))
+          .filter(col("inter") * 5 >= least(col("na"), col("nb")) * 4)
+      },
+      Some(s"""WITH $shingleCte,
+             |shx0 AS (SELECT doc_id, CAST('0x' || substr(md5(u.sh), 1, 15) AS BIGINT) AS shh
+             |         FROM (SELECT doc_id, unnest(sh) AS sh FROM shl) u),
+             |hot AS (SELECT shh FROM shx0 GROUP BY shh HAVING COUNT(*) > 100),
+             |shx AS (SELECT doc_id, shh FROM shx0 WHERE shh NOT IN (SELECT shh FROM hot)),
+             |sz AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+             |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+             |       FROM shx a JOIN shx b ON a.shh = b.shh AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT da, db, inter, sa.n AS na, sb.n AS nb
+             |FROM pr JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+             |WHERE inter * 5 >= LEAST(sa.n, sb.n) * 4""".stripMargin)
+    ),
+
     // MinHash (16 affine permutations over one md5 per shingle) + LSH
     // banding (8 bands x 2 rows): near-dup candidates from band-key
     // equi-joins only. The shingle array is hashed ONCE into `hs`; each

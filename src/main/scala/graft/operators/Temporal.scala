@@ -39,6 +39,36 @@ object Temporal {
 
   val entries: Seq[(String, Query)] = Seq(
 
+    // SCD Type-2 history build: fold an event CHANGELOG into validity
+    // intervals — each user's events become [valid_from, valid_to)
+    // rows, open-ended on the newest (the dimension-table shape every
+    // warehouse merge maintains). One window over (user_id), a
+    // high-cardinality key: lead() supplies the closing edge,
+    // row_number() the version. Event time is epoch MICROS on both
+    // sides (parquet ns truncates to µs in DuckDB); event_id breaks
+    // same-timestamp ties deterministically.
+    "etl_scd2_history" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("tus", expr("ts div 1000"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("tus").as("valid_from_us"),
+            lead(col("tus"), 1).over(w).as("valid_to_us"),
+            row_number().over(w).cast("long").as("version"))
+          .withColumn("is_current",
+            col("valid_to_us").isNull.cast("long"))
+      },
+      Some("""SELECT user_id, event_id, event_type, value,
+             |  epoch_us(ts) AS valid_from_us,
+             |  LEAD(epoch_us(ts)) OVER w AS valid_to_us,
+             |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+             |  CAST(LEAD(epoch_us(ts)) OVER w IS NULL AS BIGINT) AS is_current
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin)
+    ),
+
     // Nearest-past (as-of) join: each event picks the latest order of the
     // same customer with order date <= probe date. Union + window runs in
     // ONE shuffle on (key, time) — at 100 TB this beats the naive

@@ -172,6 +172,75 @@ object TextQueries {
              |WHERE rn <= 3""".stripMargin)
     ),
 
+    // Gopher-style repetition filters: duplicate-line fraction,
+    // duplicate-token fraction, top-bigram mass — the published
+    // repetition signals LLM corpus curation actually gates on
+    // (Rae et al. 2021 §A1.1; C4 uses the line-dedup variant). All
+    // counts are INTEGER-exact and the keep decision is integer
+    // cross-multiplication (dup_lines*10 <= 3*n_lines etc.), so there
+    // is no float rounding anywhere for engines to disagree on.
+    // Per-doc line/token stats are array ops in the scan; the top-
+    // bigram stat is the relational posexplode+lead shape shared with
+    // text_ngram_topk — two map-side-partial shuffles on doc_id, no
+    // all-pairs work, 100 TB-safe.
+    "text_repetition_filter" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val lines = filter(split(col("text"), "\n"), l => trim(l) =!= "")
+        val base = docs.select(col("doc_id"),
+          size(lines).cast("long").as("n_lines"),
+          (size(lines) - size(array_distinct(lines))).cast("long").as("n_dup_lines"),
+          size(cleanToks).cast("long").as("n_tokens"),
+          (size(cleanToks) - size(array_distinct(cleanToks))).cast("long").as("n_dup_tokens"))
+        val tok = docs.select(col("doc_id"), posexplode(cleanToks).as(Seq("pos", "t")))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bstats = tok
+          .select(col("doc_id"), col("t"), lead(col("t"), 1).over(wd).as("t2"))
+          .filter(col("t2").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("t"), col("t2")).as("bigram"))
+          .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("nb"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("nb")).as("top_bigram_n"), sum(col("nb")).as("n_bigrams"))
+        base.join(bstats, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+            col("n_tokens"), col("n_dup_tokens"),
+            coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+          .withColumn("keep",
+            (col("n_dup_lines") * 10 <= col("n_lines") * 3 &&
+              col("n_dup_tokens") * 2 <= col("n_tokens") &&
+              col("top_bigram_n") * 5 <= col("n_bigrams")).cast("long"))
+      },
+      Some("""WITH ln AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+             |  FROM documents),
+             |base AS (
+             |  SELECT doc_id,
+             |    CAST(len(lines) AS BIGINT) AS n_lines,
+             |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+             |    CAST(len(tk) AS BIGINT) AS n_tokens,
+             |    CAST(len(tk) - len(list_distinct(tk)) AS BIGINT) AS n_dup_tokens
+             |  FROM ln),
+             |bg AS (SELECT doc_id,
+             |         unnest(list_transform(generate_series(1, len(tk) - 1),
+             |           i -> concat_ws(' ', tk[i], tk[i+1]))) AS bigram
+             |       FROM ln WHERE len(tk) >= 2),
+             |bc AS (SELECT doc_id, bigram, COUNT(*) AS nb FROM bg GROUP BY doc_id, bigram),
+             |bs AS (SELECT doc_id, CAST(MAX(nb) AS BIGINT) AS top_bigram_n,
+             |         CAST(SUM(nb) AS BIGINT) AS n_bigrams
+             |       FROM bc GROUP BY doc_id)
+             |SELECT base.doc_id, n_lines, n_dup_lines, n_tokens, n_dup_tokens,
+             |  COALESCE(top_bigram_n, 0) AS top_bigram_n,
+             |  COALESCE(n_bigrams, 0) AS n_bigrams,
+             |  CAST(n_dup_lines * 10 <= n_lines * 3
+             |   AND n_dup_tokens * 2 <= n_tokens
+             |   AND COALESCE(top_bigram_n, 0) * 5 <= COALESCE(n_bigrams, 0) AS BIGINT) AS keep
+             |FROM base LEFT JOIN bs ON base.doc_id = bs.doc_id""".stripMargin)
+    ),
+
     // Order-sensitive positional rolling-hash fingerprint.
     "text_fingerprint" -> Query(
       (s, d) =>
