@@ -120,6 +120,89 @@ object SimilarityQueries {
              |FROM q""".stripMargin)
     ),
 
+    // K-MEANS TRAINING (2 Lloyd iterations) — the step that produces a
+    // real IVF coarse quantizer instead of sampled seed centroids.
+    // Spark-first shape = MLlib's: centroids live on the DRIVER (k*d
+    // doubles — constant-size, never data) and ship into each
+    // assignment pass as LITERAL arrays, so assignment is a zero-
+    // shuffle codegen'd argmin in the scan (sort_array over k
+    // (dist, cid) structs); the update is one map-side-combinable
+    // partial agg on (cid, dim) — n*64 exploded rows collapse to k*64
+    // before the exchange. Cross-engine exactness: embeddings quantize
+    // to integers (floor(x*1000+0.5) — engine-identical), so member
+    // sums are exact BIGINTs and iteration-1 centroids are exact
+    // integer/integer divisions; the distance fold is left-to-right in
+    // both engines, so even unrounded argmin ordering hash-matches.
+    "kmeans_train" -> Query(
+      (s, d) => {
+        val k64 = transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
+        val q = Tables.embeddings(s, d).select(col("vec_id"), k64.as("qv"))
+
+        def sqDistTo(cv: Seq[Double]): Column =
+          aggregate(
+            zip_with(transform(col("qv"), x => x.cast("double")), typedlit(cv),
+              (x, c) => (x - c) * (x - c)),
+            lit(0.0), (acc, x) => acc + x)
+
+        // nearest centroid of a literal centroid set: sort k structs by
+        // (dist, cid) and take the head — pure codegen, no join/shuffle
+        def assign(cents: Seq[(Long, Seq[Double])]) = q.withColumn("best",
+            sort_array(array(cents.map { case (cid, cv) =>
+              struct(sqDistTo(cv).as("dist"), lit(cid).as("cid"))
+            }: _*)).getItem(0))
+          .select(col("vec_id"), col("qv"), col("best.cid").as("cid"))
+
+        def memberSums(assigned: org.apache.spark.sql.DataFrame) = assigned
+          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), (col("pos") + 1).cast("long").as("dim"))
+          .agg(sum(col("v")).as("c_sum"), count(lit(1)).as("n_members"))
+
+        // iteration 0: seed centroids = the deterministic sample, as
+        // exact doubles of the quantized ints (collect is k vectors)
+        val c0 = q.filter(col("vec_id") % 50 === 0).collect().map { r =>
+          r.getLong(0) -> r.getSeq[Long](1).map(_.toDouble)
+        }.toSeq.sortBy(_._1)
+        // iteration 1 centroids: exact bigint sums / counts, collected
+        // k*64 rows to the driver (the MLlib broadcast-centroids loop)
+        val c1 = memberSums(assign(c0)).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_._2).map(t => t._3.toDouble / t._4).toSeq
+          }
+        memberSums(assign(c1))
+          .select(col("cid"), col("dim"), col("c_sum"), col("n_members"))
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
+             |            x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+             |          FROM embeddings),
+             |c0 AS (SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+             |       FROM q WHERE vec_id % 50 = 0),
+             |d0 AS (SELECT q.vec_id, q.qv, c.cid,
+             |         list_sum(list_transform(generate_series(1,64),
+             |           i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i]) * (CAST(q.qv[i] AS DOUBLE) - c.cv[i]))) AS dist
+             |       FROM q CROSS JOIN c0 c),
+             |a0 AS (SELECT vec_id, qv, cid FROM (
+             |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+             |         FROM d0) WHERE rn = 1),
+             |ii AS (SELECT unnest(generate_series(1,64)) AS i),
+             |u1 AS (SELECT cid, i AS dim, SUM(qv[i]) AS s, COUNT(*) AS n
+             |       FROM a0 CROSS JOIN ii GROUP BY cid, i),
+             |c1 AS (SELECT cid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS cv FROM u1 GROUP BY cid),
+             |d1 AS (SELECT q.vec_id, q.qv, c.cid,
+             |         list_sum(list_transform(generate_series(1,64),
+             |           i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i]) * (CAST(q.qv[i] AS DOUBLE) - c.cv[i]))) AS dist
+             |       FROM q CROSS JOIN c1 c),
+             |a1 AS (SELECT vec_id, qv, cid FROM (
+             |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+             |         FROM d1) WHERE rn = 1),
+             |u2 AS (SELECT cid, i AS dim, CAST(SUM(qv[i]) AS BIGINT) AS c_sum,
+             |         CAST(COUNT(*) AS BIGINT) AS n_members
+             |       FROM a1 CROSS JOIN ii GROUP BY cid, i)
+             |SELECT cid, CAST(dim AS BIGINT) AS dim, c_sum, n_members FROM u2""".stripMargin)
+    ),
+
     // Exact cosine top-5 per query vector (the baseline ANN answers are
     // judged against).
     "ann_bruteforce_topk" -> Query(

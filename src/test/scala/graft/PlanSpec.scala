@@ -99,6 +99,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly the batch-side exchange on bk, found $bkExchanges")
   }
 
+  test("kmeans assignment is shuffle-free and the update agg is partial") {
+    // Centroids ship as literals, so assignment must contain NO join
+    // and NO exchange below the (cid, dim) aggregate; the update's only
+    // shuffle carries the k*64 partially-combined rows.
+    val t = tree("kmeans_train")
+    assert(!t.exists(l => l.contains("Join") || l.contains("CartesianProduct")),
+      "literal-centroid assignment must not plan a join")
+    assert(t.exists(_.contains("partial_sum")), "update agg must be partial")
+    val exchanges = t.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"expected exactly the (cid, dim) update exchange, found $exchanges")
+  }
+
+  test("wav decode plans as one scan with no shuffle") {
+    val t = tree("mm_wav_decode")
+    assert(!t.exists(_.contains("Exchange")),
+      "container decode is per-row work — any shuffle is a regression")
+  }
+
   test("partitioned sink output gets partition pruning on read") {
     import org.apache.spark.sql.functions.col
     // materialize the partitioned layout once
