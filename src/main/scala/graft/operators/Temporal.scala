@@ -69,6 +69,49 @@ object Temporal {
              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin)
     ),
 
+    // Ordered-funnel analysis: per user, the earliest view -> the
+    // earliest click AFTER that view -> the earliest purchase AFTER
+    // that click (the product-analytics "did they convert, and when"
+    // op). Three chained conditional-min aggregations — every join and
+    // groupBy keys on user_id, so after the first exchange the plan
+    // stays co-partitioned; each min is map-side combinable. No
+    // windows, no per-user event arrays — state per user is three
+    // scalars, which is what survives 100 TB of events. Event times
+    // are epoch MICROS both sides; steps_completed is integer-exact.
+    "events_funnel" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("tus")).as("t1_us"))
+        val t2 = ev.filter(col("event_type") === "click")
+          .join(t1, Seq("user_id")).filter(col("tus") > col("t1_us"))
+          .groupBy(col("user_id")).agg(min(col("tus")).as("t2_us"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, Seq("user_id")).filter(col("tus") > col("t2_us"))
+          .groupBy(col("user_id")).agg(min(col("tus")).as("t3_us"))
+        ev.select(col("user_id")).distinct()
+          .join(t1, Seq("user_id"), "left")
+          .join(t2, Seq("user_id"), "left")
+          .join(t3, Seq("user_id"), "left")
+          .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+            (col("t1_us").isNotNull.cast("long") + col("t2_us").isNotNull.cast("long")
+              + col("t3_us").isNotNull.cast("long")).as("steps_completed"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+             |t1 AS (SELECT user_id, MIN(tus) AS t1_us FROM ev WHERE event_type = 'view' GROUP BY user_id),
+             |t2 AS (SELECT ev.user_id, MIN(tus) AS t2_us FROM ev JOIN t1 USING (user_id)
+             |       WHERE event_type = 'click' AND tus > t1_us GROUP BY ev.user_id),
+             |t3 AS (SELECT ev.user_id, MIN(tus) AS t3_us FROM ev JOIN t2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND tus > t2_us GROUP BY ev.user_id),
+             |u AS (SELECT DISTINCT user_id FROM ev)
+             |SELECT u.user_id, t1_us, t2_us, t3_us,
+             |  CAST(t1_us IS NOT NULL AS BIGINT) + CAST(t2_us IS NOT NULL AS BIGINT)
+             |    + CAST(t3_us IS NOT NULL AS BIGINT) AS steps_completed
+             |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+             |       LEFT JOIN t3 USING (user_id)""".stripMargin)
+    ),
+
     // Nearest-past (as-of) join: each event picks the latest order of the
     // same customer with order date <= probe date. Union + window runs in
     // ONE shuffle on (key, time) — at 100 TB this beats the naive

@@ -77,6 +77,88 @@ object SimilarityQueries {
       |   sqrt(list_sum(list_transform(generate_series(1, 64),
       |    i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))))""".stripMargin
 
+  // ---- k-means machinery (kmeans_train + ann_ivf_trained) ----------
+  // Embeddings quantized to exact integers (floor(x*1000+0.5) is
+  // engine-identical where round() is not) — every k-means sum is then
+  // an exact BIGINT and every derived centroid an exact int/int
+  // division, so the whole training loop hash-matches DuckDB.
+
+  private def quantCol: Column =
+    transform(col("embedding"), x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
+
+  private def quantizedVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), quantCol.as("qv"))
+
+  /** Squared L2 distance from the row's `qv` to a literal centroid —
+    * left-to-right fold, bit-identical to the oracle's list_sum.
+    */
+  private def sqDistTo(cv: Seq[Double]): Column =
+    aggregate(
+      zip_with(transform(col("qv"), x => x.cast("double")), typedlit(cv),
+        (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** All centroids ranked by (dist, cid) for the row's `qv`: a sorted
+    * array of k structs, computed entirely inside codegen — element 0
+    * is the k-means assignment, the first nprobe are the IVF probe
+    * cells. No join, no shuffle: centroids are literals.
+    */
+  private def centroidRanks(cents: Seq[(Long, Seq[Double])]): Column =
+    sort_array(array(cents.map { case (cid, cv) =>
+      struct(sqDistTo(cv).as("dist"), lit(cid).as("cid"))
+    }: _*))
+
+  /** Exact per-(cid, dim) member sums of the assigned quantized vectors
+    * — one map-side-combinable shuffle of k*64 combined rows.
+    */
+  private def memberSums(assigned: DataFrame): DataFrame = assigned
+    .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+    .groupBy(col("cid"), (col("pos") + 1).cast("long").as("dim"))
+    .agg(sum(col("v")).as("c_sum"), count(lit(1)).as("n_members"))
+
+  /** One Lloyd update from the deterministic seed sample: the MLlib
+    * broadcast-centroids loop — the driver holds k*64 exact (sum, n)
+    * pairs between iterations, never data.
+    */
+  private def trainedCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
+    val q = quantizedVecs(s, d)
+    val c0 = q.filter(col("vec_id") % 50 === 0).collect().map { r =>
+      r.getLong(0) -> r.getSeq[Long](1).map(_.toDouble).toSeq
+    }.toSeq.sortBy(_._1)
+    memberSums(q.withColumn("cid", centroidRanks(c0).getItem(0).getField("cid")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_._2).map(t => t._3.toDouble / t._4).toSeq
+      }
+  }
+
+  /** Shared oracle CTE chain ending in `c1(cid, cv)` — the trained
+    * centroids both kmeans queries replay.
+    */
+  private val kmeansCteSql =
+    """q AS (SELECT vec_id, list_transform(embedding,
+      |        x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+      |      FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+      |       FROM q WHERE vec_id % 50 = 0),
+      |d0 AS (SELECT q.vec_id, q.qv, c.cid,
+      |         list_sum(list_transform(generate_series(1,64),
+      |           i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i]) * (CAST(q.qv[i] AS DOUBLE) - c.cv[i]))) AS dist
+      |       FROM q CROSS JOIN c0 c),
+      |a0 AS (SELECT vec_id, qv, cid FROM (
+      |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+      |         FROM d0) WHERE rn = 1),
+      |ii AS (SELECT unnest(generate_series(1,64)) AS i),
+      |u1 AS (SELECT cid, i AS dim, SUM(qv[i]) AS s, COUNT(*) AS n
+      |       FROM a0 CROSS JOIN ii GROUP BY cid, i),
+      |c1 AS (SELECT cid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS cv FROM u1 GROUP BY cid),
+      |d1 AS (SELECT q.vec_id, q.qv, c.cid,
+      |         list_sum(list_transform(generate_series(1,64),
+      |           i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i]) * (CAST(q.qv[i] AS DOUBLE) - c.cv[i]))) AS dist
+      |       FROM q CROSS JOIN c1 c)""".stripMargin
+
   val entries: Seq[(String, Query)] = Seq(
 
     // Symmetric int8 quantization of the embedding column — the 4x
@@ -135,65 +217,12 @@ object SimilarityQueries {
     // both engines, so even unrounded argmin ordering hash-matches.
     "kmeans_train" -> Query(
       (s, d) => {
-        val k64 = transform(col("embedding"),
-          x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
-        val q = Tables.embeddings(s, d).select(col("vec_id"), k64.as("qv"))
-
-        def sqDistTo(cv: Seq[Double]): Column =
-          aggregate(
-            zip_with(transform(col("qv"), x => x.cast("double")), typedlit(cv),
-              (x, c) => (x - c) * (x - c)),
-            lit(0.0), (acc, x) => acc + x)
-
-        // nearest centroid of a literal centroid set: sort k structs by
-        // (dist, cid) and take the head — pure codegen, no join/shuffle
-        def assign(cents: Seq[(Long, Seq[Double])]) = q.withColumn("best",
-            sort_array(array(cents.map { case (cid, cv) =>
-              struct(sqDistTo(cv).as("dist"), lit(cid).as("cid"))
-            }: _*)).getItem(0))
-          .select(col("vec_id"), col("qv"), col("best.cid").as("cid"))
-
-        def memberSums(assigned: org.apache.spark.sql.DataFrame) = assigned
-          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
-          .groupBy(col("cid"), (col("pos") + 1).cast("long").as("dim"))
-          .agg(sum(col("v")).as("c_sum"), count(lit(1)).as("n_members"))
-
-        // iteration 0: seed centroids = the deterministic sample, as
-        // exact doubles of the quantized ints (collect is k vectors)
-        val c0 = q.filter(col("vec_id") % 50 === 0).collect().map { r =>
-          r.getLong(0) -> r.getSeq[Long](1).map(_.toDouble)
-        }.toSeq.sortBy(_._1)
-        // iteration 1 centroids: exact bigint sums / counts, collected
-        // k*64 rows to the driver (the MLlib broadcast-centroids loop)
-        val c1 = memberSums(assign(c0)).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-          .groupBy(_._1).toSeq.sortBy(_._1)
-          .map { case (cid, rows) =>
-            cid -> rows.sortBy(_._2).map(t => t._3.toDouble / t._4).toSeq
-          }
-        memberSums(assign(c1))
+        val q = quantizedVecs(s, d)
+        memberSums(q.withColumn("cid",
+            centroidRanks(trainedCentroids(s, d)).getItem(0).getField("cid")))
           .select(col("cid"), col("dim"), col("c_sum"), col("n_members"))
       },
-      Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
-             |            x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
-             |          FROM embeddings),
-             |c0 AS (SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
-             |       FROM q WHERE vec_id % 50 = 0),
-             |d0 AS (SELECT q.vec_id, q.qv, c.cid,
-             |         list_sum(list_transform(generate_series(1,64),
-             |           i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i]) * (CAST(q.qv[i] AS DOUBLE) - c.cv[i]))) AS dist
-             |       FROM q CROSS JOIN c0 c),
-             |a0 AS (SELECT vec_id, qv, cid FROM (
-             |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
-             |         FROM d0) WHERE rn = 1),
-             |ii AS (SELECT unnest(generate_series(1,64)) AS i),
-             |u1 AS (SELECT cid, i AS dim, SUM(qv[i]) AS s, COUNT(*) AS n
-             |       FROM a0 CROSS JOIN ii GROUP BY cid, i),
-             |c1 AS (SELECT cid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS cv FROM u1 GROUP BY cid),
-             |d1 AS (SELECT q.vec_id, q.qv, c.cid,
-             |         list_sum(list_transform(generate_series(1,64),
-             |           i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i]) * (CAST(q.qv[i] AS DOUBLE) - c.cv[i]))) AS dist
-             |       FROM q CROSS JOIN c1 c),
+      Some(s"""WITH $kmeansCteSql,
              |a1 AS (SELECT vec_id, qv, cid FROM (
              |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
              |         FROM d1) WHERE rn = 1),
@@ -201,6 +230,49 @@ object SimilarityQueries {
              |         CAST(COUNT(*) AS BIGINT) AS n_members
              |       FROM a1 CROSS JOIN ii GROUP BY cid, i)
              |SELECT cid, CAST(dim AS BIGINT) AS dim, c_sum, n_members FROM u2""".stripMargin)
+    ),
+
+    // IVF ANN over the TRAINED quantizer: corpus assignment and query
+    // probe selection both come from `centroidRanks` — literal-centroid
+    // arithmetic in the SCAN, so unlike ann_ivf_topk there is no
+    // assignment shuffle at all: the corpus's only exchange is the
+    // candidate equi-join on cid (broadcast probes), then exact-cosine
+    // top-k within candidates. This is the full production IVF shape:
+    // train (kmeans_train) -> assign at ingest -> probe nprobe=3 cells.
+    "ann_ivf_trained" -> Query(
+      (s, d) => {
+        val cents = trainedCentroids(s, d)
+        val e = corpus(s, d).withColumn("qv", quantCol)
+          .withColumn("ranks", centroidRanks(cents))
+        val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
+          col("ranks").getItem(0).getField("cid").as("cid"))
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv2"),
+            col("nrm").as("qnrm"),
+            explode(slice(col("ranks"), 1, 3)).as("pr"))
+          .select(col("qid"), col("qv2"), col("qnrm"), col("pr.cid").as("cid"))
+        val scored = assigned.join(broadcast(probes), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            pairCos(col("qv2"), col("qnrm")).as("cos"))
+        topK(scored, 5)
+      },
+      Some(s"""WITH $kmeansCteSql,
+             |asg AS (SELECT vec_id, cid FROM (
+             |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+             |          FROM d1) WHERE rn = 1),
+             |pr AS (SELECT vec_id AS qid, cid FROM (
+             |         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+             |         FROM d1 WHERE vec_id < 10) WHERE rn <= 3),
+             |c AS (SELECT pr.qid, a.vec_id, $cosSql AS cos
+             |      FROM asg a JOIN pr ON a.cid = pr.cid AND a.vec_id <> pr.qid
+             |      JOIN embeddings e ON e.vec_id = a.vec_id
+             |      JOIN (SELECT vec_id AS qid2, embedding AS qv FROM embeddings) q
+             |        ON q.qid2 = pr.qid),
+             |r AS (SELECT qid, vec_id, cos,
+             |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |      FROM c)
+             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
     ),
 
     // Exact cosine top-5 per query vector (the baseline ANN answers are

@@ -40,6 +40,13 @@ class QualitySpec extends AnyFunSuite {
     assert(r >= 0.4, s"IVF mean recall@5 = $r")
   }
 
+  test("ann_ivf_trained recall@5 vs brute force clears 0.5") {
+    // trained quantizer should not be WORSE than the seed-sampled one
+    // (measured 0.62 vs untrained 0.60 at sf0.01)
+    val r = meanRecallAt5("ann_ivf_trained")
+    assert(r >= 0.5, s"trained-IVF mean recall@5 = $r")
+  }
+
   test("dedup_embedding LSH blocking recovers most true near-dup pairs") {
     // Truth = ALL pairs with rounded cosine >= 0.3 (brute force is fine at
     // sf0.01: 500 vectors). The registered query only scores pairs that
