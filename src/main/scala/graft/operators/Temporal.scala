@@ -112,6 +112,32 @@ object Temporal {
              |       LEFT JOIN t3 USING (user_id)""".stripMargin)
     ),
 
+    // Cohort retention: users grouped by first-active day, counted in
+    // each later day they return — the (cohort, offset) retention
+    // triangle every growth dashboard is built on. The (user, day)
+    // pairs are deduped FIRST (map-side combinable distinct), so the
+    // cohort join carries at most one row per user-day regardless of
+    // event volume; day arithmetic is integer epoch-µs division, no
+    // date/timezone functions for engines to disagree on.
+    "events_retention" -> Query(
+      (s, d) => {
+        val um = Tables.events(s, d)
+          .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("di"))
+          .distinct()
+        val first = um.groupBy(col("user_id")).agg(min(col("di")).as("d0"))
+        um.join(first, Seq("user_id"))
+          .groupBy(col("d0").as("cohort_day"), (col("di") - col("d0")).as("offset"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH um AS (SELECT DISTINCT user_id,
+             |              epoch_us(ts) // 86400000000 AS di
+             |            FROM events),
+             |f AS (SELECT user_id, MIN(di) AS d0 FROM um GROUP BY user_id)
+             |SELECT d0 AS cohort_day, di - d0 AS offset, COUNT(*) AS n_users
+             |FROM um JOIN f USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
     // Nearest-past (as-of) join: each event picks the latest order of the
     // same customer with order date <= probe date. Union + window runs in
     // ONE shuffle on (key, time) — at 100 TB this beats the naive
