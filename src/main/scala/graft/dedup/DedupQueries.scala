@@ -35,7 +35,7 @@ object DedupQueries {
   /** DuckDB CTE chain ending in `bd(doc_id, band_idx, bkey)` — the
     * MinHash band table both the pair and the incremental oracles read.
     */
-  private lazy val bandsCteSql: String =
+  private[graft] lazy val bandsCteSql: String =
     s"""$shingleCte,
        |hsx AS (SELECT doc_id,
        |  list_transform(sh, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs
@@ -93,7 +93,7 @@ object DedupQueries {
     * affine permutations; 8 bands x 2 rows. The index every MinHash-based
     * dedup variant (self-pair, clustering, incremental) joins on.
     */
-  private def bandTable(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bandTable(s: SparkSession, d: String): DataFrame = {
     val hs = shingleRows(s, d)
       .select(col("doc_id"), Hashing.md5Long32(col("sh")).as("h"))
     val sigAggs = (0 until 16).map { i =>

@@ -82,6 +82,88 @@ object IngestQueries {
     // curation run would; the oracle mirrors the FULL chain stage by
     // stage (quality formula, dedup window, SimHash votes, band join,
     // anti-join, stats) in one DuckDB statement.
+    // INCREMENTAL curation: the day's batch (doc_id % 10 == 0) judged
+    // against the standing corpus (the rest) — the shape a production
+    // training-data pipeline actually runs daily. Each batch doc gets
+    // ONE verdict with fixed precedence: low_quality (integer
+    // repetition gates, text_repetition_filter's exact rules) >
+    // exact_dup (content hash seen in the corpus, or an earlier batch
+    // doc) > near_dup (shares a MinHash band with any corpus doc —
+    // dedup_incremental's equi-join, used here as a drop filter) >
+    // kept. Every stage is a bucket-key equi-join or a map-side
+    // combinable agg; nothing is all-pairs, and every threshold is
+    // integer arithmetic.
+    "pipeline_incremental_curation" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+        val lines = filter(split(col("text"), "\n"), l => trim(l) =!= "")
+        val toks = TextFunctions.cleanTokens(col("text"))
+        val base = batch.select(col("doc_id"), col("source"),
+          size(lines).cast("long").as("nl"),
+          (size(lines) - size(array_distinct(lines))).cast("long").as("dl"),
+          size(toks).cast("long").as("nt"),
+          (size(toks) - size(array_distinct(toks))).cast("long").as("dt"),
+          md5(col("text")).as("h"))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bstat = batch.select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
+          .select(col("doc_id"), col("t"), lead(col("t"), 1).over(wd).as("t2"))
+          .filter(col("t2").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("t"), col("t2")).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("nb"))
+          .groupBy(col("doc_id")).agg(max(col("nb")).as("tb"), sum(col("nb")).as("nbg"))
+        val corpusH = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(md5(col("text")).as("h")).distinct()
+          .withColumn("in_corpus", lit(1L))
+        val bands = graft.Caches.scoped(graft.dedup.DedupQueries.bandTable(s, d))
+        val near = bands.filter(col("doc_id") % 10 === 0).as("n")
+          .join(bands.filter(col("doc_id") % 10 =!= 0).as("c"),
+            col("n.band_idx") === col("c.band_idx") && col("n.bkey") === col("c.bkey"))
+          .select(col("n.doc_id").as("doc_id")).distinct()
+          .withColumn("near", lit(1L))
+        base
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+          .join(corpusH, Seq("h"), "left")
+          .join(bstat, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            when(!(col("dl") * 10 <= col("nl") * 3 &&
+                   col("dt") * 2 <= col("nt") &&
+                   coalesce(col("tb"), lit(0L)) * 5 <= coalesce(col("nbg"), lit(0L)) &&
+                   col("nt") >= 3), "low_quality")
+              .when(col("in_corpus").isNotNull || col("rn") > 1, "exact_dup")
+              .when(col("near").isNotNull, "near_dup")
+              .otherwise("kept").as("verdict"))
+      },
+      Some(s"""WITH ${graft.dedup.DedupQueries.bandsCteSql},
+             |near AS (SELECT DISTINCT n.doc_id FROM bd n JOIN bd c
+             |           ON n.band_idx = c.band_idx AND n.bkey = c.bkey
+             |         WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+             |b AS (SELECT doc_id, source,
+             |        list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+             |        list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk2,
+             |        md5(text) AS h
+             |      FROM documents WHERE doc_id % 10 = 0),
+             |bgx AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk2) - 1),
+             |          i -> concat_ws(' ', tk2[i], tk2[i+1]))) AS bg
+             |        FROM b WHERE len(tk2) >= 2),
+             |bc2 AS (SELECT doc_id, bg, COUNT(*) AS nb FROM bgx GROUP BY 1, 2),
+             |bstat AS (SELECT doc_id, MAX(nb) AS tb, SUM(nb) AS nbg FROM bc2 GROUP BY 1),
+             |ch AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+             |rnk AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM b)
+             |SELECT b.doc_id, b.source,
+             |  CASE WHEN NOT ((len(lines) - len(list_distinct(lines))) * 10 <= len(lines) * 3
+             |             AND (len(tk2) - len(list_distinct(tk2))) * 2 <= len(tk2)
+             |             AND COALESCE(tb, 0) * 5 <= COALESCE(nbg, 0)
+             |             AND len(tk2) >= 3) THEN 'low_quality'
+             |       WHEN b.h IN (SELECT h FROM ch) OR rnk.rn > 1 THEN 'exact_dup'
+             |       WHEN b.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+             |       ELSE 'kept' END AS verdict
+             |FROM b JOIN rnk USING (doc_id) LEFT JOIN bstat USING (doc_id)""".stripMargin)
+    ),
+
     "pipeline_corpus_curation" -> Query(
       (s, d) => {
         val toks = TextFunctions.cleanTokens(col("text"))
@@ -90,23 +172,22 @@ object IngestQueries {
           .filter(col("quality") >= 0.3 && size(toks) >= 3)
         // persisted: feeds the SimHash pass AND the final anti-join —
         // without it the tokenize+hash+window dedup runs twice
-        // (Bench/Verify clearCache releases it after the query)
-        val exact = scored
+        // (cache ownership via graft.Caches: caller releases)
+        val exact = graft.Caches.scoped(scored
           .withColumn("h", md5(col("text")))
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
               .orderBy(col("doc_id"))))
-          .filter(col("rn") === 1).drop("rn", "h")
-          .persist()
+          .filter(col("rn") === 1).drop("rn", "h"))
         val sims = exact.select(col("doc_id"), col("quality"))
           .join(graft.dedup.SimHash.relational(
             exact.select(col("doc_id"), col("text")), "doc_id", "text"), Seq("doc_id"))
-        val bands = sims.select(col("doc_id"), col("quality"), col("sim"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("bi"), Hashing.simHashBand(col("sim"), b).as("bk"))): _*)).as("bd"))
+        val bands = graft.Caches.scoped(sims
           .select(col("doc_id"), col("quality"), col("sim"),
-            col("bd.bi").as("bi"), col("bd.bk").as("bk"))
-          .persist() // both sides of the loser self-join below
+            explode(array((0 until 4).map(b =>
+              struct(lit(b).as("bi"), Hashing.simHashBand(col("sim"), b).as("bk"))): _*)).as("bd"))
+          .select(col("doc_id"), col("quality"), col("sim"),
+            col("bd.bi").as("bi"), col("bd.bk").as("bk"))) // both sides of the loser self-join below
         // drop any doc that band-collides with a strictly better one
         val losers = bands.as("a").join(bands.as("b"),
             col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
