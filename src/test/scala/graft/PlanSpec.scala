@@ -118,6 +118,18 @@ class PlanSpec extends AnyFunSuite {
       "container decode is per-row work — any shuffle is a regression")
   }
 
+  test("trained-IVF ANN never shuffles the corpus before the candidate join") {
+    // assignment + probe-cell selection are literal-centroid arithmetic
+    // in the scan; the only hashpartitioning exchange is the (small)
+    // candidate set moving to the per-query top-k window
+    val t = tree("ann_ivf_trained")
+    assert(t.exists(_.contains("BroadcastHashJoin")), "candidates join must broadcast probes")
+    val exchanges = t.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"expected only the candidate top-k exchange, found $exchanges")
+    assert(t.exists(_.contains("WindowGroupLimit")), "top-k must get rank pushdown")
+  }
+
   test("partitioned sink output gets partition pruning on read") {
     import org.apache.spark.sql.functions.col
     // materialize the partitioned layout once
