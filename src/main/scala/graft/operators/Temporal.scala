@@ -138,6 +138,87 @@ object Temporal {
              |GROUP BY 1, 2""".stripMargin)
     ),
 
+    // Key-less interval-overlap join at scale: how many OTHER users had
+    // a co-active session (padded +-15 min) overlapping each of mine?
+    // There is no equi key — the naive form is an O(n^2) theta join, the
+    // one shape that cannot ship at 100 TB. The scale path implemented
+    // here: explode each interval into fixed-width (1 h) time buckets,
+    // EQUI-join on the bucket, dedup, then refine with the exact overlap
+    // predicate — shuffle is O(n * duration/width), never n^2. The
+    // oracle runs the naive theta join (DuckDB's IEJoin), so the bucket
+    // decomposition is proven lossless. (Plan pinned: no nested-loop.)
+    "join_interval_overlap" -> Query(
+      (s, d) => {
+        val gapUs = 1800000000L // 30 min session gap
+        val padUs = 900000000L  // +-15 min co-activity pad
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ses = Tables.events(s, d)
+          .withColumn("tus", expr("ts div 1000"))
+          .withColumn("new_sess",
+            when(col("tus") - lag(col("tus"), 1).over(w) > gapUs ||
+                 lag(col("tus"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg((min(col("tus")) - padUs).as("s0"), (max(col("tus")) + padUs).as("s1"))
+        val sesC = graft.Caches.scoped(ses)
+        val bk = sesC.withColumn("bkt",
+          explode(sequence(expr("s0 div 3600000000"), expr("s1 div 3600000000"))))
+        val ov = bk.as("a").join(bk.as("b"),
+            col("a.bkt") === col("b.bkt") && col("a.user_id") =!= col("b.user_id") &&
+              col("a.s0") <= col("b.s1") && col("b.s0") <= col("a.s1"))
+          .select(col("a.user_id").as("user_id"), col("a.sess_id").as("sess_id"),
+            col("b.user_id").as("ou"))
+          .distinct()
+          .groupBy(col("user_id"), col("sess_id")).agg(count(lit(1)).as("n"))
+        sesC.join(ov, Seq("user_id", "sess_id"), "left")
+          .select(col("user_id"), col("sess_id"),
+            coalesce(col("n"), lit(0L)).as("n_concurrent_users"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+             |g AS (SELECT *, CASE WHEN tus - LAG(tus) OVER w > 1800000000
+             |                       OR LAG(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+             |sx AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM g),
+             |ses AS (SELECT user_id, sess_id, MIN(tus) - 900000000 AS s0, MAX(tus) + 900000000 AS s1
+             |        FROM sx GROUP BY user_id, sess_id),
+             |ov AS (SELECT DISTINCT a.user_id, a.sess_id, b.user_id AS ou
+             |       FROM ses a JOIN ses b
+             |         ON a.user_id <> b.user_id AND a.s0 <= b.s1 AND b.s0 <= a.s1),
+             |c AS (SELECT user_id, sess_id, COUNT(*) AS n FROM ov GROUP BY user_id, sess_id)
+             |SELECT ses.user_id, CAST(ses.sess_id AS BIGINT) AS sess_id,
+             |  COALESCE(n, 0) AS n_concurrent_users
+             |FROM ses LEFT JOIN c USING (user_id, sess_id)""".stripMargin)
+    ),
+
+    // Hopping (sliding) windows, batch twin: 1 h windows every 30 min —
+    // each event lands in exactly size/step windows via an exploded
+    // window-start sequence, then one map-side-partial agg on
+    // (win_start, event_type). Integer epoch-µs window arithmetic.
+    "window_hopping" -> Query(
+      (s, d) => {
+        Tables.events(s, d)
+          .withColumn("tus", expr("ts div 1000"))
+          .withColumn("win_start_us", explode(sequence(
+            expr("((tus - 3600000000) div 1800000000 + 1) * 1800000000"),
+            expr("(tus div 1800000000) * 1800000000"),
+            lit(1800000000L))))
+          .groupBy(col("win_start_us"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            graft.Parity.dsum(col("value")).as("sum_value"))
+      },
+      Some("""SELECT win_start_us, event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM (SELECT event_type, value,
+             |        unnest(generate_series(
+             |          ((epoch_us(ts) - 3600000000) // 1800000000 + 1) * 1800000000,
+             |          (epoch_us(ts) // 1800000000) * 1800000000,
+             |          1800000000)) AS win_start_us
+             |      FROM events)
+             |GROUP BY win_start_us, event_type""".stripMargin)
+    ),
+
     // Nearest-past (as-of) join: each event picks the latest order of the
     // same customer with order date <= probe date. Union + window runs in
     // ONE shuffle on (key, time) — at 100 TB this beats the naive

@@ -130,6 +130,12 @@ class PlanSpec extends AnyFunSuite {
     assert(t.exists(_.contains("WindowGroupLimit")), "top-k must get rank pushdown")
   }
 
+  test("interval-overlap join decomposes to a bucket equi-join, never a nested loop") {
+    val t = tree("join_interval_overlap")
+    assert(!t.exists(l => l.contains("NestedLoop") || l.contains("CartesianProduct")),
+      "key-less interval join must bucketize, not theta-join")
+  }
+
   test("partitioned sink output gets partition pruning on read") {
     import org.apache.spark.sql.functions.col
     // materialize the partitioned layout once
