@@ -197,6 +197,26 @@ object DedupQueries {
              |FROM documents GROUP BY md5(text)""".stripMargin)
     ),
 
+    // NORMALIZED exact dedup: case folding + punctuation/whitespace
+    // canonicalization BEFORE hashing — catches the "same doc, different
+    // capitalization/markup" family that byte-exact dedup misses and
+    // near-dup machinery is overkill for. Same one-shuffle plan as
+    // dedup_exact, on the canonical hash. (Spark regexp_replace is
+    // global by default; the oracle passes DuckDB's 'g' flag for the
+    // identical semantics.)
+    "dedup_normalized" -> Query(
+      (s, d) => {
+        val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+        Tables.documents(s, d)
+          .groupBy(md5(canon).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      },
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h,
+             |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents
+             |GROUP BY 1""".stripMargin)
+    ),
+
     // Word 3-gram Jaccard pairs via shingle equi-join: |∩| from the
     // join, |∪| from per-doc set sizes. The join key is the 60-bit hash
     // of the shingle (8-byte key beats variable strings through the

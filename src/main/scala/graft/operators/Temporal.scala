@@ -219,6 +219,36 @@ object Temporal {
              |GROUP BY win_start_us, event_type""".stripMargin)
     ),
 
+    // First-order event-transition matrix (the Markov view of user
+    // behavior): per-user lead() pairs each event with its successor,
+    // then one partial agg on (from, to) and a per-source rank. The
+    // window partitions on user_id (high cardinality); the transition
+    // matrix itself is |event_type|^2 rows — driver-small at any scale.
+    "events_transitions" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        val wr = Window.partitionBy(col("event_type"))
+          .orderBy(col("n").desc, col("next_type"))
+        Tables.events(s, d)
+          .withColumn("tus", expr("ts div 1000"))
+          .select(col("user_id"), col("event_type"), col("tus"), col("event_id"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(wr).cast("long"))
+      },
+      Some("""WITH t AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+             |p AS (SELECT event_type,
+             |        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS next_type
+             |      FROM t),
+             |c AS (SELECT event_type, next_type, COUNT(*) AS n FROM p
+             |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT event_type, next_type, n,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, next_type) AS BIGINT) AS rn
+             |FROM c""".stripMargin)
+    ),
+
     // Nearest-past (as-of) join: each event picks the latest order of the
     // same customer with order date <= probe date. Union + window runs in
     // ONE shuffle on (key, time) — at 100 TB this beats the naive
