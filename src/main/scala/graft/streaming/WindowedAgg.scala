@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object WindowedAgg {
 
+  /** `slide` < `windowDur` gives hopping windows (each event lands in
+    * windowDur/slide windows — the streaming twin of the batch
+    * `window_hopping` query); the default slide = window is tumbling.
+    */
   def apply(events: DataFrame, tsCol: String, windowDur: String,
-            watermarkDelay: String): DataFrame =
+            watermarkDelay: String, slide: Option[String] = None): DataFrame =
     events
       .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowDur), col("event_type"))
+      .groupBy(window(col(tsCol), windowDur, slide.getOrElse(windowDur)), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(

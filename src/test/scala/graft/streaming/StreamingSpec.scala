@@ -40,6 +40,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("WindowedAgg with a slide emits hopping windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = WindowedAgg(in.toDF().toDF("ts", "event_type", "value"),
+      "ts", "1 minute", "10 minutes", slide = Some("30 seconds"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hopagg").start()
+    try {
+      in.addData((ts("2024-01-01 00:00:45"), "click", 2.0))
+      q.processAllAvailable()
+      val wins = spark.table("hopagg")
+        .select(col("win_start").cast("string")).collect().map(_.getString(0)).sorted.toSeq
+      // one event, two overlapping 1-min windows 30 s apart
+      assert(wins === Seq("2024-01-01 00:00:00", "2024-01-01 00:00:30"))
+    } finally q.stop()
+  }
+
   test("SessionizeStream.foldUser splits on gaps and carries state") {
     import SessionizeStream._
     val gap = 1000L
