@@ -78,6 +78,38 @@ object Relational {
              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
     ),
 
+    // TPC-H Q18 shape (large-volume orders): HAVING-subquery semi-join —
+    // the qualifying-keys set comes from a map-side-partial agg over
+    // lineitem, re-joined to orders+lineitem; customer broadcasts. The
+    // big-side scans stay pruned and the only shuffles are the orderkey
+    // agg and the orderkey join.
+    "q18_large_orders" -> Query(
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").as("bok"))
+          .agg(dsum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 200)
+        Tables.orders(s, d)
+          .join(big, col("o_orderkey") === col("bok"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            dateStr(col("o_orderdate")).as("o_orderdate"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH big AS (
+             |  SELECT l_orderkey AS bok,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+             |  FROM lineitem GROUP BY 1
+             |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 200)
+             |SELECT c_name, c_custkey, o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, total_qty
+             |FROM orders JOIN big ON o_orderkey = bok
+             |            JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+    ),
+
     // TPC-H Q5 shape: star join. region/nation/supplier/customer are
     // broadcast dims; lineitem⋈orders is the only shuffle join.
     "q5_regional_join" -> Query(
