@@ -102,6 +102,12 @@ object SimilarityQueries {
     * array of k structs, computed entirely inside codegen — element 0
     * is the k-means assignment, the first nprobe are the IVF probe
     * cells. No join, no shuffle: centroids are literals.
+    *
+    * Scale bound: literal arrays keep plan size O(k*d), fine to k in
+    * the low thousands (k=sqrt(n) for IVF at 10^7 vectors). Beyond
+    * that, ship the centroid table as a BROADCAST and rank via the
+    * max_by aggregate (the ann_ivf_topk shape) — same zero-shuffle
+    * property, k*d moves through the broadcast instead of the plan.
     */
   private def centroidRanks(cents: Seq[(Long, Seq[Double])]): Column =
     sort_array(array(cents.map { case (cid, cv) =>
