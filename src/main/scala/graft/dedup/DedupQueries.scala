@@ -335,6 +335,44 @@ object DedupQueries {
              |SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node""".stripMargin)
     ),
 
+    // The CONSUME step of transitive dedup: per near-dup cluster, keep
+    // the best document (longest, tie -> lowest id) and report how many
+    // it displaces — what a curation run actually writes back. Survivor
+    // choice is integer-keyed (n_chars, doc_id) so both engines pick
+    // identically; the per-cluster argmax is a map-side-combinable
+    // max_by, not a window.
+    "dedup_cluster_survivors" -> Query(
+      (s, d) => {
+        val cc = connectedComponents(minhashPairs(s, d))
+        cc.join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+          .groupBy(col("cluster_id"))
+          .agg(
+            max_by(col("doc_id"), struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("survivor_id"),
+            max(col("n_chars")).as("survivor_chars"),
+            count(lit(1)).as("n_members"),
+            (count(lit(1)) - 1).as("n_dropped"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+             |edges AS (SELECT da AS src, db AS dst FROM pairs
+             |          UNION ALL SELECT db, da FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS node FROM edges),
+             |walk(node, lbl) AS (
+             |  SELECT node, node FROM nodes
+             |  UNION
+             |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+             |cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node),
+             |m AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars,
+             |        ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+             |                           ORDER BY d.n_chars DESC, cc.doc_id) AS rk
+             |      FROM cc JOIN documents d ON d.doc_id = cc.doc_id)
+             |SELECT cluster_id,
+             |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
+             |  MAX(n_chars) AS survivor_chars,
+             |  COUNT(*) AS n_members,
+             |  COUNT(*) - 1 AS n_dropped
+             |FROM m GROUP BY cluster_id""".stripMargin)
+    ),
+
     // 60-bit SimHash, 4 x 15-bit bands, Hamming <= 20 confirm step.
     // The per-doc bit votes are 60 codegen'd SUM aggregates over the
     // exploded token hashes (one md5 per token) — the scalar
