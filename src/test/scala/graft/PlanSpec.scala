@@ -136,6 +136,33 @@ class PlanSpec extends AnyFunSuite {
       "key-less interval join must bucketize, not theta-join")
   }
 
+  test("runtime bloom filter injects on a selective shuffle join") {
+    // The 100 TB lever AQE alone doesn't give: a selective dim filter
+    // turns into a bloom filter applied at the FACT scan, so filtered
+    // rows never reach the shuffle. Thresholds are tuned down because
+    // sf0.001 is below the defaults; the pinned property — Spark 4's
+    // InjectRuntimeFilter fires for this plan shape — is what holds at
+    // real scale with the default thresholds.
+    import org.apache.spark.sql.functions._
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> c.get(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join
+      val l = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val p = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+        .queryExecution.explainString(SimpleMode)
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter did not inject:\n${p.take(1500)}")
+    } finally saved.foreach { case (k, v) => c.set(k, v) }
+  }
+
   test("partitioned sink output gets partition pruning on read") {
     import org.apache.spark.sql.functions.col
     // materialize the partitioned layout once

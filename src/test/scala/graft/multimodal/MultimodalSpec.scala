@@ -46,6 +46,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.head.n_samples === 2L && frames.head.sum_samples === 0L)
   }
 
+  test("WavDecoder clamps a data chunk longer than the file") {
+    // a truncated upload: header claims more samples than bytes present
+    val full = encodeWav(Array.tabulate(10)(i => i.toShort), 8000)
+    val truncated = full.slice(0, full.length - 4) // drop 2 samples
+    val frames = new WavDecoder().decode(9L, truncated).toSeq
+    assert(frames.size === 1)
+    assert(frames.head.n_samples === 8L)
+    assert(frames.head.max_sample === 7L)
+  }
+
   test("WavDecoder fails loudly on a malformed container") {
     val ex = intercept[IllegalArgumentException] {
       new WavDecoder().decode(3L, Array.fill[Byte](64)(0x41)).toSeq
