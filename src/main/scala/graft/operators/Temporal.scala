@@ -249,6 +249,49 @@ object Temporal {
              |FROM c""".stripMargin)
     ),
 
+    // Trailing-window anomaly detection on the daily event-count series:
+    // a day is anomalous when its count sits more than 3 sigma from the
+    // trailing 7-day mean. The entire decision is INTEGER arithmetic —
+    // z^2 > 9 rewrites to (x*n - sum)^2 * (n-1) > 9*n*(n*sumsq - sum^2)
+    // over exact window sums — so no float (mean, stddev, or z) ever
+    // crosses the oracle boundary. The heavy pass is the (type, day)
+    // partial count agg; the rolling window then runs over the tiny
+    // per-type daily series.
+    "events_anomaly_zscore" -> Query(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("di"))
+          .groupBy(col("event_type"), col("di")).agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+          .rowsBetween(-7, -1)
+        daily
+          .withColumn("n7", count(col("x")).over(w))
+          .withColumn("sum7", sum(col("x")).over(w))
+          .withColumn("sumsq7", sum(col("x") * col("x")).over(w))
+          .filter(col("n7") >= 3)
+          .select(col("event_type"), col("di").as("day"), col("x"),
+            col("n7"), col("sum7"), col("sumsq7"),
+            ((col("x") * col("n7") - col("sum7")) * (col("x") * col("n7") - col("sum7"))
+              * (col("n7") - 1) >
+              (col("n7") * col("sumsq7") - col("sum7") * col("sum7")) * col("n7") * 9)
+              .cast("long").as("is_anomaly"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS di, COUNT(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, di, x,
+             |        COUNT(x) OVER w AS n7, SUM(x) OVER w AS sum7,
+             |        SUM(x * x) OVER w AS sumsq7
+             |      FROM daily
+             |      WINDOW w AS (PARTITION BY event_type ORDER BY di
+             |                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, di AS day, x, n7,
+             |  CAST(sum7 AS BIGINT) AS sum7, CAST(sumsq7 AS BIGINT) AS sumsq7,
+             |  CAST((x * n7 - sum7) * (x * n7 - sum7) * (n7 - 1)
+             |        > (n7 * sumsq7 - sum7 * sum7) * n7 * 9 AS BIGINT) AS is_anomaly
+             |FROM r WHERE n7 >= 3""".stripMargin)
+    ),
+
     // Nearest-past (as-of) join: each event picks the latest order of the
     // same customer with order date <= probe date. Union + window runs in
     // ONE shuffle on (key, time) — at 100 TB this beats the naive
