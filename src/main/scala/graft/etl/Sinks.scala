@@ -38,6 +38,41 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Small-files compaction — the maintenance pass every long-lived
+    * 100 TB table needs: streaming/incremental appends leave thousands
+    * of KB-sized files whose open/seek overhead eventually dominates
+    * scans. Rewrites `path` with AQE-coalesced partitions bounded by
+    * `maxRecordsPerFile`, preserving the data exactly. Returns
+    * (files before, files after). The write goes through a temp dir +
+    * atomic-ish swap so a failed compaction never loses the original.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              maxRecordsPerFile: Long): (Int, Int) = {
+    def dataFiles(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles(f => f.getName.endsWith(".parquet"))
+    val before = dataFiles(path).length
+    val tmp = path.stripSuffix("/") + ".compact_tmp"
+    spark.read.parquet(path)
+      .coalesce(1) // local compaction unit; a cluster-size job uses AQE target sizes
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(tmp)
+    val dst = new java.io.File(path)
+    val bak = new java.io.File(path + ".compact_bak")
+    if (bak.exists()) throw new IllegalStateException(s"stale backup at $bak")
+    if (!dst.renameTo(bak)) throw new IllegalStateException(s"cannot move $dst aside")
+    if (!new java.io.File(tmp).renameTo(dst)) {
+      bak.renameTo(dst) // roll back
+      throw new IllegalStateException(s"cannot promote $tmp")
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(bak)
+    (before, dataFiles(path).length)
+  }
+
   def csv(df: DataFrame, path: String, disposition: Disposition = Truncate): Unit =
     df.write.mode(disposition.mode).option("header", "true").csv(path)
 

@@ -249,6 +249,77 @@ object Temporal {
              |FROM c""".stripMargin)
     ),
 
+    // Nearest-in-EITHER-direction as-of join, completing the as-of
+    // family: per probe, the latest past order (o_date <= probe) and the
+    // earliest future order (o_date > probe) come out of ONE union +
+    // two window frames over the same (key, time) sort — still a single
+    // shuffle — then integer day-deltas pick the nearer side (tie ->
+    // past). Oracle: two DuckDB ASOF joins (>= and strict <) + the same
+    // CASE.
+    "asof_join_nearest" -> Query(
+      (s, d) => {
+        val o = dedupedOrders(s, d).select(
+          col("o_custkey").as("k"), col("o_date").as("t"),
+          lit(0).as("ord"), lit(null).cast("long").as("event_id"),
+          col("o_orderkey"), col("o_date").as("ot"))
+        val e = eventProbes(s, d).select(
+          col("user_id").as("k"), col("probe_date").as("t"),
+          lit(1).as("ord"), col("event_id"),
+          lit(null).cast("long").as("o_orderkey"), lit(null).cast("date").as("ot"))
+        val base = Window.partitionBy(col("k"))
+          .orderBy(col("t"), col("ord"), col("event_id"))
+        val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val pd = datediff(col("t"), col("pt")).cast("long")
+        val nd = datediff(col("nt"), col("t")).cast("long")
+        o.unionAll(e)
+          .withColumn("pk", last(col("o_orderkey"), ignoreNulls = true).over(back))
+          .withColumn("pt", last(col("ot"), ignoreNulls = true).over(back))
+          .withColumn("nk", first(col("o_orderkey"), ignoreNulls = true).over(fwd))
+          .withColumn("nt", first(col("ot"), ignoreNulls = true).over(fwd))
+          .filter(col("ord") === 1)
+          .select(col("event_id"), col("k").as("user_id"),
+            date_format(col("t"), "yyyy-MM-dd").as("probe_date"),
+            when(col("pt").isNull && col("nt").isNull, "none")
+              .when(col("nt").isNull || (col("pt").isNotNull && pd <= nd), "past")
+              .otherwise("future").as("direction"),
+            when(col("nt").isNull || (col("pt").isNotNull && pd <= nd), col("pk"))
+              .otherwise(col("nk")).as("nearest_orderkey"),
+            when(col("pt").isNull && col("nt").isNull, lit(null).cast("long"))
+              .when(col("nt").isNull || (col("pt").isNotNull && pd <= nd), pd)
+              .otherwise(nd).as("delta_days"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date, o_orderkey
+             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+             |                                     ORDER BY o_orderkey DESC) AS rn FROM orders)
+             |  WHERE rn = 1),
+             |e AS (
+             |  SELECT event_id, user_id,
+             |    DATE '1995-01-01' + CAST(event_id % 2400 AS INTEGER) AS probe_date
+             |  FROM events),
+             |p AS (SELECT e.event_id, e.user_id, e.probe_date,
+             |        o.o_orderkey AS pk, o.o_date AS pt
+             |      FROM e ASOF LEFT JOIN o
+             |        ON e.user_id = o.o_custkey AND e.probe_date >= o.o_date),
+             |n AS (SELECT e.event_id, o.o_orderkey AS nk, o.o_date AS nt
+             |      FROM e ASOF LEFT JOIN o
+             |        ON e.user_id = o.o_custkey AND e.probe_date < o.o_date)
+             |SELECT p.event_id, p.user_id, strftime(p.probe_date, '%Y-%m-%d') AS probe_date,
+             |  CASE WHEN pt IS NULL AND nt IS NULL THEN 'none'
+             |       WHEN nt IS NULL OR (pt IS NOT NULL
+             |             AND p.probe_date - pt <= nt - p.probe_date) THEN 'past'
+             |       ELSE 'future' END AS direction,
+             |  CASE WHEN nt IS NULL OR (pt IS NOT NULL
+             |             AND p.probe_date - pt <= nt - p.probe_date) THEN pk
+             |       ELSE nk END AS nearest_orderkey,
+             |  CAST(CASE WHEN pt IS NULL AND nt IS NULL THEN NULL
+             |       WHEN nt IS NULL OR (pt IS NOT NULL
+             |             AND p.probe_date - pt <= nt - p.probe_date) THEN p.probe_date - pt
+             |       ELSE nt - p.probe_date END AS BIGINT) AS delta_days
+             |FROM p JOIN n USING (event_id)""".stripMargin)
+    ),
+
     // Trailing-window anomaly detection on the daily event-count series:
     // a day is anomalous when its count sits more than 3 sigma from the
     // trailing 7-day mean. The entire decision is INTEGER arithmetic —

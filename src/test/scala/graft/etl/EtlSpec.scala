@@ -114,6 +114,21 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("Sinks.compact merges a fragmented table without changing its rows") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_compact").toFile.getAbsolutePath + "/t"
+    // simulate incremental appends: 20 tiny files
+    (0 until 20).foreach(i =>
+      Sinks.parquet(Seq(i * 2, i * 2 + 1).toDF("x"), p, Sinks.Append))
+    val beforeRows = spark.read.parquet(p).as[Int].collect().sorted.toSeq
+    val (nBefore, nAfter) = Sinks.compact(spark, p, maxRecordsPerFile = 1000)
+    assert(nBefore >= 20)
+    assert(nAfter === 1, s"expected one compacted file, got $nAfter")
+    assert(spark.read.parquet(p).as[Int].collect().sorted.toSeq === beforeRows)
+    // backup dir must be gone after a successful swap
+    assert(!new java.io.File(p + ".compact_bak").exists())
+  }
+
   test("Sinks dispositions: truncate replaces, append adds") {
     import spark.implicits._
     val p = Files.createTempDirectory("graft_sink").toFile.getAbsolutePath + "/t"
