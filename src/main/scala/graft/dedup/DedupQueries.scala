@@ -335,6 +335,55 @@ object DedupQueries {
              |SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node""".stripMargin)
     ),
 
+    // SUB-DOCUMENT dedup: drop duplicate LINES corpus-wide, keeping only
+    // the globally-first occurrence (min doc_id, then min position) —
+    // the C4-style boilerplate-removal pass (headers, footers, nav
+    // text repeat across pages; whole-doc dedup never sees them).
+    // First-occurrence election is a map-side-combinable MIN per line
+    // hash; docs are reassembled from their kept lines in order, and
+    // the output is integer counts + an md5 of the rebuilt text, so the
+    // whole op is digest-exact. Shuffles: one agg + one join on the
+    // line hash, one reassembly agg on doc_id.
+    "dedup_paragraphs" -> Query(
+      (s, d) => {
+        val lines = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "ln")))
+          .filter(trim(col("ln")) =!= "")
+          .select(col("doc_id"), col("pos"), col("ln"), md5(col("ln")).as("lh"))
+        // first occurrence as ONE integer key (doc_id*2^20 + pos) — a
+        // plain MIN both engines combine map-side and agree on exactly
+        val first = lines.groupBy(col("lh"))
+          .agg(min(col("doc_id") * 1048576 + col("pos")).as("fk"))
+        val kept = lines.join(first, Seq("lh"))
+          .withColumn("keep",
+            (col("doc_id") * 1048576 + col("pos") === col("fk")).cast("long"))
+        kept.groupBy(col("doc_id"))
+          .agg(
+            sum(col("keep")).as("n_kept"),
+            (count(lit(1)) - sum(col("keep"))).as("n_dropped"),
+            md5(concat_ws("\n",
+              transform(
+                array_sort(collect_list(when(col("keep") === 1,
+                  struct(col("pos"), col("ln"))))),
+                x => x.getField("ln")))).as("new_text_md5"))
+      },
+      Some("""WITH ln0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+             |ln AS (SELECT doc_id, i - 1 AS pos, ls[i] AS ln
+             |       FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM ln0)
+             |       WHERE trim(ls[i]) <> ''),
+             |f AS (SELECT md5(ln) AS lh, MIN(doc_id * 1048576 + pos) AS fk
+             |      FROM ln GROUP BY md5(ln)),
+             |k AS (SELECT ln.doc_id, ln.pos, ln.ln,
+             |        CASE WHEN ln.doc_id * 1048576 + ln.pos = f.fk THEN 1 ELSE 0 END AS keep
+             |      FROM ln JOIN f ON md5(ln.ln) = f.lh)
+             |SELECT doc_id,
+             |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+             |  CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_dropped,
+             |  md5(COALESCE(string_agg(CASE WHEN keep = 1 THEN ln END, chr(10) ORDER BY pos), ''))
+             |    AS new_text_md5
+             |FROM k GROUP BY doc_id""".stripMargin)
+    ),
+
     // The CONSUME step of transitive dedup: per near-dup cluster, keep
     // the best document (longest, tie -> lowest id) and report how many
     // it displaces — what a curation run actually writes back. Survivor

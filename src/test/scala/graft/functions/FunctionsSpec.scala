@@ -14,6 +14,36 @@ class FunctionsSpec extends AnyFunSuite {
     spark.range(1).select(c.as("v")).collect()(0)
       .getAs[scala.collection.Seq[String]]("v").toList
 
+  test("HeavyHittersAgg keeps every true heavy hitter within the MG error bound") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val k = 20
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), explode(TextFunctions.cleanTokens(col("text"))).as("t"))
+    val sketches = toks.groupBy(col("lang"))
+      .agg(HeavyHittersAgg.heavyHitters(col("t"), k).as("hh"))
+      .as[(String, Map[String, Long])].collect().toMap
+    val exact = toks.groupBy(col("lang"), col("t")).count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (l, rows) => l -> rows.map(r => r._2 -> r._3).toMap }
+    val totals = exact.map { case (l, m) => l -> m.values.sum }
+    assert(sketches.nonEmpty && sketches.keySet == exact.keySet)
+    sketches.foreach { case (lang, hh) =>
+      val n = totals(lang); val bound = n / (k + 1)
+      // coverage: every token with true freq > n/(k+1) must be present
+      exact(lang).foreach { case (t, c) =>
+        if (c > bound) assert(hh.contains(t), s"$lang/$t freq $c > $bound missing")
+      }
+      // counts never overcount and undercount by at most the bound
+      hh.foreach { case (t, est) =>
+        val truth = exact(lang).getOrElse(t, 0L)
+        assert(est <= truth, s"$lang/$t overcounted: $est > $truth")
+        assert(truth - est <= bound, s"$lang/$t undercount ${truth - est} > $bound")
+      }
+      assert(hh.size <= k)
+    }
+  }
+
   test("md5Long60 matches the DuckDB hex-prefix reduction") {
     // DuckDB: CAST('0x' || substr(md5('hello'),1,15) AS BIGINT)
     assert(eval1[Long](Hashing.md5Long60(lit("hello"))) === 419982666956583591L)
