@@ -114,6 +114,73 @@ object FrameFeatures {
     bb.array()
   }
 
+  case class BmpStats(doc_id: Long, width: Long, height: Long, n_px: Long,
+                      sum_b: Long, sum_g: Long, sum_r: Long)
+
+  /** 24bpp BMP parser: validates the BITMAPFILEHEADER magic, reads the
+    * pixel-array offset, width/height and bit depth from the
+    * BITMAPINFOHEADER, then folds exact per-channel byte sums over the
+    * BGR pixel rows (stride padded to 4 bytes, rows stored bottom-up —
+    * irrelevant for channel sums, handled for per-pixel access).
+    */
+  final class BmpDecoder {
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    def decode(docId: Long, bytes: Array[Byte]): BmpStats = {
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        s"doc $docId: not a BMP (${bytes.length} bytes)")
+      val dataOff = i32(bytes, 10)
+      val w = i32(bytes, 18)
+      val h = i32(bytes, 22)
+      require(u16(bytes, 28) == 24, s"doc $docId: only 24bpp supported")
+      val stride = ((w * 3 + 3) / 4) * 4
+      var sb = 0L; var sg = 0L; var sr = 0L
+      var row = 0
+      while (row < h) {
+        val base = dataOff + row * stride
+        var c = 0
+        while (c < w) {
+          val p = base + c * 3
+          sb += bytes(p) & 0xff
+          sg += bytes(p + 1) & 0xff
+          sr += bytes(p + 2) & 0xff
+          c += 1
+        }
+        row += 1
+      }
+      BmpStats(docId, w.toLong, h.toLong, w.toLong * h, sb, sg, sr)
+    }
+  }
+
+  /** Build a minimal valid 24bpp BMP (the ingest-side twin). */
+  def encodeBmp(pixelsBgr: Array[Byte], width: Int): Array[Byte] = {
+    require(width * 3 % 4 == 0, "test encoder supports aligned strides only")
+    val height = pixelsBgr.length / (width * 3)
+    val dataSize = height * width * 3
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)            // reserved, data offset
+      .putInt(40).putInt(width).putInt(height)       // info header, w, h
+      .putShort(1).putShort(24).putInt(0)            // planes, bpp, no compression
+      .putInt(dataSize).putInt(2835).putInt(2835)    // size, 72 dpi
+      .putInt(0).putInt(0)                           // palette counts
+      .put(pixelsBgr, 0, dataSize)
+    bb.array()
+  }
+
+  def decodeBmp(imgs: Dataset[WavPayload]): Dataset[BmpStats] = {
+    implicit val enc = Encoders.product[BmpStats]
+    imgs.mapPartitions { it =>
+      val codec = new BmpDecoder
+      it.map(w => codec.decode(w.doc_id, w.payload))
+    }
+  }
+
   /** Distributed decode: one codec instance per partition, streamed. */
   def decodeWav(wavs: Dataset[WavPayload]): Dataset[WavFrame] = {
     implicit val enc = Encoders.product[WavFrame]

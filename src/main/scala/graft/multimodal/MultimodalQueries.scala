@@ -80,6 +80,48 @@ object MultimodalQueries {
              |FROM sg GROUP BY doc_id, rate, frame_id""".stripMargin)
     ),
 
+    // Second real container format, IMAGE side: each document's bytes
+    // become the 24bpp pixel array of a genuine BMP (16 px wide =>
+    // 48-byte stride, 4-byte aligned by construction), and the
+    // BmpDecoder parses the headers back and folds exact per-channel
+    // BGR sums. Oracle: channel c of data byte i is i mod 3, so DuckDB
+    // reproduces the sums by hex arithmetic without ever seeing the
+    // container. Integer-exact end to end.
+    "mm_bmp_decode" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val nB = length(bin)
+        val h = expr("length(cast(text as binary)) div 48")
+        val dataSize = h * 48
+        val bmpHex = concat(
+          lit("424d"), leHex32(dataSize + 54), lit("00000000"), // BM, size, reserved
+          lit("36000000"), lit("28000000"),                     // data offset 54, info 40
+          lit("10000000"), leHex32(h),                          // width 16, height
+          lit("0100"), lit("1800"), lit("00000000"),            // planes, 24bpp, raw
+          leHex32(dataSize), lit("130b0000130b0000"),           // data size, 72dpi
+          lit("0000000000000000"),                              // palette counts
+          lower(hex(bin)).substr(lit(1), dataSize * 2))
+        val imgs = Tables.documents(s, d)
+          .filter(nB >= 48)
+          .select(col("doc_id"), unhex(bmpHex).as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        FrameFeatures.decodeBmp(imgs).toDF()
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |                  octet_length(encode(text)) // 48 AS h
+             |           FROM documents WHERE octet_length(encode(text)) >= 48),
+             |b AS (SELECT doc_id, h, i, CAST('0x' || substr(hx, i*2 + 1, 2) AS BIGINT) AS v
+             |      FROM (SELECT doc_id, hx, h,
+             |              unnest(generate_series(0, h*48 - 1)) AS i FROM d))
+             |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(16*h AS BIGINT) AS n_px,
+             |  CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+             |  CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+             |  CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r
+             |FROM b GROUP BY doc_id, h""".stripMargin)
+    ),
+
     // Binary payload + typed metadata extraction: byte length (vs char
     // length), head-bytes hex signature ("magic number" sniffing), and
     // content digest. All codegen'd builtins over the binary column.

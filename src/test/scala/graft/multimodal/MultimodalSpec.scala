@@ -63,6 +63,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("RIFF"))
   }
 
+  test("BmpDecoder round-trips a hand-built 24bpp image exactly") {
+    import graft.multimodal.FrameFeatures.{BmpDecoder, encodeBmp}
+    // 16x2 image: row0 all (b=1,g=2,r=3), row1 all (b=10,g=20,r=30)
+    val px = (Array.fill(16)(Array[Byte](1, 2, 3)).flatten ++
+      Array.fill(16)(Array[Byte](10, 20, 30)).flatten)
+    val st = new BmpDecoder().decode(4L, encodeBmp(px, 16))
+    assert(st.width === 16L && st.height === 2L && st.n_px === 32L)
+    assert(st.sum_b === 16 * 1 + 16 * 10)
+    assert(st.sum_g === 16 * 2 + 16 * 20)
+    assert(st.sum_r === 16 * 3 + 16 * 30)
+    val bad = intercept[IllegalArgumentException] {
+      new BmpDecoder().decode(5L, Array.fill[Byte](64)(0x7f))
+    }
+    assert(bad.getMessage.contains("BMP"))
+  }
+
   test("mm_wav_decode emits one row per 128-sample frame of each doc") {
     val sf = "/root/testdata/sf0.001"
     val expected = spark.read.parquet(s"$sf/documents.parquet")
