@@ -62,7 +62,12 @@ object FrameFeatures {
       var dataOff = -1; var dataLen = -1
       while (pos + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
         val id = ascii(bytes, pos)
-        val size = u32(bytes, pos + 4).toInt
+        val sizeL = u32(bytes, pos + 4)
+        // a corrupt size field larger than the file would wrap negative
+        // through toInt and walk the chunk scan backwards — fail instead
+        require(sizeL <= bytes.length.toLong,
+          s"doc $docId: chunk '$id' claims $sizeL bytes in a ${bytes.length}-byte file")
+        val size = sizeL.toInt
         id match {
           case "fmt " =>
             require(u16(bytes, pos + 8) == 1, s"doc $docId: not PCM")
@@ -135,12 +140,16 @@ object FrameFeatures {
         s"doc $docId: not a BMP (${bytes.length} bytes)")
       val dataOff = i32(bytes, 10)
       val w = i32(bytes, 18)
-      val h = i32(bytes, 22)
+      val h = i32(bytes, 22) // negative height = top-down row order (legal BMP)
       require(u16(bytes, 28) == 24, s"doc $docId: only 24bpp supported")
+      require(w > 0 && h != 0, s"doc $docId: bad dimensions ${w}x$h")
+      val rows = math.abs(h)
       val stride = ((w * 3 + 3) / 4) * 4
+      require(dataOff >= 54 && dataOff.toLong + rows.toLong * stride <= bytes.length,
+        s"doc $docId: pixel array out of bounds")
       var sb = 0L; var sg = 0L; var sr = 0L
       var row = 0
-      while (row < h) {
+      while (row < rows) {
         val base = dataOff + row * stride
         var c = 0
         while (c < w) {
@@ -152,7 +161,7 @@ object FrameFeatures {
         }
         row += 1
       }
-      BmpStats(docId, w.toLong, h.toLong, w.toLong * h, sb, sg, sr)
+      BmpStats(docId, w.toLong, rows.toLong, w.toLong * rows, sb, sg, sr)
     }
   }
 

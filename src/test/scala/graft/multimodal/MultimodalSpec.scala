@@ -77,6 +77,21 @@ class MultimodalSpec extends AnyFunSuite {
       new BmpDecoder().decode(5L, Array.fill[Byte](64)(0x7f))
     }
     assert(bad.getMessage.contains("BMP"))
+    // truncated pixel array must fail, not read out of bounds
+    val whole = encodeBmp(px, 16)
+    intercept[IllegalArgumentException] {
+      new BmpDecoder().decode(6L, whole.slice(0, whole.length - 8))
+    }
+  }
+
+  test("WavDecoder rejects a chunk size larger than the file") {
+    val wav = encodeWav(Array[Short](1, 2, 3, 4), 8000)
+    wav(42) = 0xff.toByte // corrupt the data-chunk size field upward
+    wav(43) = 0xff.toByte
+    val ex = intercept[IllegalArgumentException] {
+      new WavDecoder().decode(8L, wav).toSeq
+    }
+    assert(ex.getMessage.contains("claims"))
   }
 
   test("mm_wav_decode emits one row per 128-sample frame of each doc") {
