@@ -50,6 +50,9 @@ object Sinks {
               maxRecordsPerFile: Long): (Int, Int) = {
     def dataFiles(p: String): Array[java.io.File] =
       new java.io.File(p).listFiles(f => f.getName.endsWith(".parquet"))
+    val parts = new java.io.File(path).listFiles(f => f.isDirectory && f.getName.contains("="))
+    require(parts == null || parts.isEmpty,
+      s"$path has a partitioned layout — compact each partition directory instead")
     val before = dataFiles(path).length
     val tmp = path.stripSuffix("/") + ".compact_tmp"
     spark.read.parquet(path)

@@ -325,7 +325,9 @@ object Temporal {
     // trailing 7-day mean. The entire decision is INTEGER arithmetic —
     // z^2 > 9 rewrites to (x*n - sum)^2 * (n-1) > 9*n*(n*sumsq - sum^2)
     // over exact window sums — so no float (mean, stddev, or z) ever
-    // crosses the oracle boundary. The heavy pass is the (type, day)
+    // crosses the oracle boundary. (Exact in int64 while daily counts
+    // stay under ~1e8; beyond that the same rewrite runs in decimal —
+    // DuckDB already promotes to HUGEINT.) The heavy pass is the (type, day)
     // partial count agg; the rolling window then runs over the tiny
     // per-type daily series.
     "events_anomaly_zscore" -> Query(
