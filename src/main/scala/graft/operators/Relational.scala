@@ -491,6 +491,74 @@ object Relational {
              |  GREATEST(o_totalprice, 100000.0) AS g,
              |  LEAST(o_totalprice, 100000.0) AS l
              |FROM orders""".stripMargin)
+    ),
+
+    // TPC-H Q2 shape: per-part cheapest supplier. The correlated
+    // MIN-subquery decorrelates to two partial aggregations — (part,supp)
+    // cost totals, then a map-side-combinable min_by per part — so the
+    // plan is two shrinking shuffles and zero repeated scans; part and
+    // supplier are broadcast dims. Cost stays DECIMAL through the min_by
+    // ordering (exact, order-independent) and is emitted as double.
+    "q2_min_cost_supplier" -> Query(
+      (s, d) => {
+        val cost = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("cost"))
+        val best = cost.groupBy(col("l_partkey"))
+          .agg(min_by(struct(col("l_suppkey"), col("cost")),
+            struct(col("cost"), col("l_suppkey"))).as("b"))
+          .select(col("l_partkey"), col("b.l_suppkey").as("best_suppkey"),
+            col("b.cost").cast("double").as("min_cost"))
+        best
+          .join(broadcast(Tables.part(s, d).filter(col("p_size") < 15)),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("best_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_name"), col("best_suppkey"),
+            col("s_name"), col("min_cost"))
+      },
+      Some("""WITH cost AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS cost
+             |  FROM lineitem GROUP BY 1, 2),
+             |best AS (
+             |  SELECT l_partkey, l_suppkey AS best_suppkey,
+             |    CAST(cost AS DOUBLE) AS min_cost,
+             |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+             |                       ORDER BY cost, l_suppkey) AS rn
+             |  FROM cost)
+             |SELECT p_partkey, p_name, best_suppkey, s_name, min_cost
+             |FROM best JOIN part ON l_partkey = p_partkey
+             |          JOIN supplier ON best_suppkey = s_suppkey
+             |WHERE rn = 1 AND p_size < 15""".stripMargin)
+    ),
+
+    // TPC-H Q4 shape: priority counts over orders with at least one late
+    // line (shipped >60 days after order date). The EXISTS subquery is a
+    // left-semi hash join on orderkey with the lateness inequality as a
+    // residual condition — each order passes at most once regardless of
+    // how many lines are late, and the date-range filter pushes into the
+    // orders scan.
+    "q4_order_priority" -> Query(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                  col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        o.join(Tables.lineitem(s, d),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o_orderpriority""".stripMargin)
     )
   )
 }
