@@ -75,6 +75,96 @@ object IngestQueries {
              |WHERE h % rate = 0""".stripMargin)
     ),
 
+    // Partition-pruned scan: events re-laid-out hive-partitioned by
+    // epoch-day, then read back with a 7-day filter. At 100 TB this is
+    // THE data-skipping lever — the filter resolves against directory
+    // metadata so the scan never opens files outside the week
+    // (PlanSpec pins PartitionFilters + the pruned partition count).
+    // Day arithmetic is integer epoch-µs division on both engines.
+    "etl_partition_prune" -> Query(
+      (s, d) => {
+        val dir = TmpDirs.dir(s"ppart_${new java.io.File(d).getName}")
+        Tables.events(s, d)
+          .withColumn("di", expr("(ts div 1000) div 86400000000"))
+          .write.mode("overwrite").partitionBy("di").parquet(dir)
+        // partition-column values are directory names; Spark re-infers
+        // them as INT — cast back to BIGINT for cross-engine schema parity
+        s.read.parquet(dir)
+          .filter(col("di") >= 19725 && col("di") < 19732)
+          .groupBy(col("di").cast("bigint").as("di"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      },
+      Some("""SELECT epoch_us(ts) // 86400000000 AS di, event_type,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events
+             |WHERE epoch_us(ts) // 86400000000 >= 19725
+             |  AND epoch_us(ts) // 86400000000 <  19732
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // Bucketed fact-fact join: orders and lineitem written as managed
+    // tables bucketed (and sorted) on the order key, then joined and
+    // aggregated. The bucketing IS the shuffle, paid once at write time —
+    // every later join/agg on the key reads co-located buckets with no
+    // Exchange (PlanSpec pins the shuffle-free plan; EtlSpec proves the
+    // same for ad-hoc tables). This is how a 100 TB fact table amortizes
+    // its join shuffle across the daily query load.
+    "etl_bucketed_join" -> Query(
+      (s, d) => {
+        val tag = new java.io.File(d).getName.replace('.', '_')
+        val ot = s"g_bk_orders_$tag"; val lt = s"g_bk_lineitem_$tag"
+        Bucketing.writeBucketed(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus")), ot, "o_orderkey", 8)
+        Bucketing.writeBucketed(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice")), lt, "l_orderkey", 8)
+        s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_price"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_lines,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1""".stripMargin)
+    ),
+
+    // CDC changelog apply (MERGE / upsert-delete compaction): events as
+    // an ordered per-key op stream — 'error' is a tombstone, everything
+    // else an upsert — folded to the final table state: the latest op
+    // wins per user, tombstoned keys disappear. One window on the key
+    // (high cardinality, grows with the data) + at-most-once emit per
+    // key; this is the snapshot-compaction half of a streaming CDC sink.
+    "etl_cdc_apply" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // order on the µs value, not raw ns: DuckDB reads parquet ns
+        // timestamps µs-truncated, so ns-precision ordering could pick a
+        // different "latest" row on a same-µs tie (event_id breaks ties)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), expr("ts div 1000").as("ts_us"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_ops", count(lit(1)).over(
+            Window.partitionBy(col("user_id"))))
+          .filter(col("rn") === 1 && col("event_type") =!= "error")
+          .select(col("user_id"), col("event_type").as("last_op"),
+            col("value").as("last_value"), col("ts_us").as("last_ts_us"),
+            col("n_ops"))
+      },
+      Some("""SELECT user_id, event_type AS last_op, value AS last_value,
+             |  epoch_us(ts) AS last_ts_us, n_ops
+             |FROM (SELECT user_id, event_type, value, ts,
+             |        ROW_NUMBER() OVER (PARTITION BY user_id
+             |          ORDER BY ts DESC, event_id DESC) AS rn,
+             |        COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+             |      FROM events)
+             |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)
+    ),
+
     // End-to-end corpus curation composite: quality filter -> exact
     // dedup (min doc_id survivor) -> near-dup drop (SimHash band
     // collision with a better-quality doc) -> clean corpus stats per

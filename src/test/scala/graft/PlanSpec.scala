@@ -163,6 +163,30 @@ class PlanSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => c.set(k, v) }
   }
 
+  test("etl_partition_prune resolves the day filter against partition metadata") {
+    val p = plan("etl_partition_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(di"),
+      s"day filter must prune partitions, not rows:\n${p.take(1500)}")
+    assert(p.contains("(di#") && p.contains(">= 19725"),
+      s"range predicate missing from partition filters:\n${p.take(1500)}")
+  }
+
+  test("etl_bucketed_join reads co-located buckets — only the final agg shuffles") {
+    val c = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> c.get(k))
+    try {
+      c.set("spark.sql.adaptive.enabled", "false")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("etl_bucketed_join")
+      assert("Bucketed: true".r.findAllIn(p).size == 2,
+        s"both scans must read the bucket layout:\n${p.take(2000)}")
+      val ex = "hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(p).toSeq
+      assert(ex.map(_.group(1)) == Seq("o_orderstatus"),
+        s"join keys must not shuffle (bucketing is the shuffle): ${ex.map(_.group(1))}")
+    } finally saved.foreach { case (k, v) => c.set(k, v) }
+  }
+
   test("partitioned sink output gets partition pruning on read") {
     import org.apache.spark.sql.functions.col
     // materialize the partitioned layout once
