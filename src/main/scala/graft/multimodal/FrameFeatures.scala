@@ -135,7 +135,8 @@ object FrameFeatures {
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
         ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
 
-    def decode(docId: Long, bytes: Array[Byte]): BmpStats = {
+    /** Validate magics/depth/bounds, return (pixel offset, width, rows). */
+    private[multimodal] def header(docId: Long, bytes: Array[Byte]): (Int, Int, Int) = {
       require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
         s"doc $docId: not a BMP (${bytes.length} bytes)")
       val dataOff = i32(bytes, 10)
@@ -147,6 +148,12 @@ object FrameFeatures {
       val stride = ((w * 3 + 3) / 4) * 4
       require(dataOff >= 54 && dataOff.toLong + rows.toLong * stride <= bytes.length,
         s"doc $docId: pixel array out of bounds")
+      (dataOff, w, rows)
+    }
+
+    def decode(docId: Long, bytes: Array[Byte]): BmpStats = {
+      val (dataOff, w, rows) = header(docId, bytes)
+      val stride = ((w * 3 + 3) / 4) * 4
       var sb = 0L; var sg = 0L; var sr = 0L
       var row = 0
       while (row < rows) {
@@ -180,6 +187,60 @@ object FrameFeatures {
       .putInt(0).putInt(0)                           // palette counts
       .put(pixelsBgr, 0, dataSize)
     bb.array()
+  }
+
+  case class BmpResized(doc_id: Long, width: Long, height: Long,
+                        out_w: Long, out_h: Long, n_px_out: Long,
+                        sum_b: Long, sum_g: Long, sum_r: Long,
+                        px_md5: String)
+
+  /** Nearest-neighbor 2x downsample over a parsed 24bpp BMP: keeps the
+    * even-indexed pixels of every even STORAGE-ORDER row (BMP rows are
+    * stored bottom-up; sampling in storage order keeps the byte
+    * arithmetic engine-reproducible). Emits the resized dimensions,
+    * exact per-channel sums over the kept pixels, and an md5 over the
+    * resized BGR bytes' lowercase hex — the digest pins pixel VALUES and
+    * assembly ORDER, so an off-by-one in stride, sampling phase, or
+    * channel order diverges immediately.
+    */
+  final class BmpResizer {
+    private val inner = new BmpDecoder
+    def resize(docId: Long, bytes: Array[Byte]): BmpResized = {
+      val (dataOff, w, rows) = inner.header(docId, bytes)
+      val stride = ((w * 3 + 3) / 4) * 4
+      val outW = (w + 1) / 2; val outH = (rows + 1) / 2
+      val hexDigits = "0123456789abcdef"
+      val hx = new java.lang.StringBuilder(outW * outH * 6)
+      var sb = 0L; var sg = 0L; var sr = 0L
+      var row = 0
+      while (row < rows) {
+        val base = dataOff + row * stride
+        var x = 0
+        while (x < w) {
+          val p = base + x * 3
+          val b = bytes(p) & 0xff; val g = bytes(p + 1) & 0xff; val r = bytes(p + 2) & 0xff
+          sb += b; sg += g; sr += r
+          hx.append(hexDigits(b >> 4)).append(hexDigits(b & 15))
+            .append(hexDigits(g >> 4)).append(hexDigits(g & 15))
+            .append(hexDigits(r >> 4)).append(hexDigits(r & 15))
+          x += 2
+        }
+        row += 2
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(hx.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val digest = md.map(b => f"${b & 0xff}%02x").mkString
+      BmpResized(docId, w.toLong, rows.toLong, outW.toLong, outH.toLong,
+        outW.toLong * outH, sb, sg, sr, digest)
+    }
+  }
+
+  def resizeBmp(imgs: Dataset[WavPayload]): Dataset[BmpResized] = {
+    implicit val enc = Encoders.product[BmpResized]
+    imgs.mapPartitions { it =>
+      val codec = new BmpResizer
+      it.map(w => codec.resize(w.doc_id, w.payload))
+    }
   }
 
   def decodeBmp(imgs: Dataset[WavPayload]): Dataset[BmpStats] = {

@@ -122,6 +122,53 @@ object MultimodalQueries {
              |FROM b GROUP BY doc_id, h""".stripMargin)
     ),
 
+    // Image RESIZE over the real container: the same 24bpp BMPs as
+    // mm_bmp_decode, nearest-neighbor 2x downsampled inside the
+    // mapPartitions codec. The emitted md5 over the resized pixels' hex
+    // pins pixel values AND assembly order (stride, sampling phase,
+    // BGR order); the oracle rebuilds the identical byte string from the
+    // raw text bytes — byte i of the pixel array is storage row i/48,
+    // x (i%48)/3, channel i%3, kept iff row and x are even.
+    "mm_image_resize" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val nB = length(bin)
+        val h = expr("length(cast(text as binary)) div 48")
+        val dataSize = h * 48
+        val bmpHex = concat(
+          lit("424d"), leHex32(dataSize + 54), lit("00000000"),
+          lit("36000000"), lit("28000000"),
+          lit("10000000"), leHex32(h),
+          lit("0100"), lit("1800"), lit("00000000"),
+          leHex32(dataSize), lit("130b0000130b0000"),
+          lit("0000000000000000"),
+          lower(hex(bin)).substr(lit(1), dataSize * 2))
+        val imgs = Tables.documents(s, d)
+          .filter(nB >= 48)
+          .select(col("doc_id"), unhex(bmpHex).as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        FrameFeatures.resizeBmp(imgs).toDF()
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |                  octet_length(encode(text)) // 48 AS h
+             |           FROM documents WHERE octet_length(encode(text)) >= 48),
+             |b AS (SELECT doc_id, h, i, substr(hx, i*2 + 1, 2) AS bh,
+             |             CAST('0x' || substr(hx, i*2 + 1, 2) AS BIGINT) AS v,
+             |             (i // 48) AS r, ((i % 48) // 3) AS x, (i % 3) AS ch
+             |      FROM (SELECT doc_id, hx, h,
+             |              unnest(generate_series(0, h*48 - 1)) AS i FROM d)),
+             |samp AS (SELECT * FROM b WHERE r % 2 = 0 AND x % 2 = 0)
+             |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(8 AS BIGINT) AS out_w, CAST((h+1)//2 AS BIGINT) AS out_h,
+             |  CAST(8*((h+1)//2) AS BIGINT) AS n_px_out,
+             |  CAST(SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+             |  CAST(SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+             |  CAST(SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+             |  md5(string_agg(bh, '' ORDER BY i)) AS px_md5
+             |FROM samp GROUP BY doc_id, h""".stripMargin)
+    ),
+
     // Binary payload + typed metadata extraction: byte length (vs char
     // length), head-bytes hex signature ("magic number" sniffing), and
     // content digest. All codegen'd builtins over the binary column.

@@ -241,6 +241,38 @@ object TextQueries {
              |FROM base LEFT JOIN bs ON base.doc_id = bs.doc_id""".stripMargin)
     ),
 
+    // Unigram-LM surprisal scoring: each doc's mean -ln p(token) under
+    // the corpus's own unigram model — the cheap perplexity proxy LLM
+    // curation uses to rank docs (high surprisal = rare-token-heavy =
+    // likely noise; low = boilerplate). Same relational shape as TF-IDF:
+    // token explode -> term-count partial agg -> term-keyed join ->
+    // per-doc partial agg; the model total is one broadcast scalar.
+    // Parity: ln(double) is bit-identical cross-engine on identical
+    // operands (proven by text_tfidf_topk); per-doc summation goes
+    // through exact DECIMAL so partition order can't move an ulp.
+    "text_surprisal" -> Query(
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFunctions.cleanTokens(lower(col("text")))).as("term"))
+        val tc = t.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val n = tc.agg(sum(col("c")).as("n"))
+        t.join(tc, "term").crossJoin(broadcast(n))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(log(col("n").cast("double") / col("c"))
+                .cast("decimal(18,12)")).cast("double") / count(lit(1)), 4)
+              .as("mean_surprisal"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($lowToksSql) AS term FROM documents),
+             |tc AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+             |n AS (SELECT SUM(c) AS n FROM tc)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  ROUND(CAST(SUM(CAST(ln(CAST(n.n AS DOUBLE) / c) AS DECIMAL(18,12))) AS DOUBLE)
+             |        / COUNT(*), 4) AS mean_surprisal
+             |FROM t JOIN tc USING (term) CROSS JOIN n
+             |GROUP BY doc_id""".stripMargin)
+    ),
+
     // Order-sensitive positional rolling-hash fingerprint.
     "text_fingerprint" -> Query(
       (s, d) =>
