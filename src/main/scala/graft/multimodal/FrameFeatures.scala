@@ -235,6 +235,56 @@ object FrameFeatures {
     }
   }
 
+  case class AHash(doc_id: Long, hash_lo: Long, hash_hi: Long)
+
+  /** Average-hash perceptual fingerprint over a decoded 16x8 24bpp BMP:
+    * 8x8 brightness blocks (2 adjacent pixels each, brightness = B+G+R),
+    * bit i set iff block_i's sum * 64 > the image total (strict, so ties
+    * clear — integer cross-multiplication, no division anywhere). The 64
+    * bits are packed as two POSITIVE 32-bit halves so band extraction
+    * and XOR never touch a sign bit on either engine.
+    */
+  final class AHasher {
+    private val inner = new BmpDecoder
+    def hash(docId: Long, bytes: Array[Byte]): AHash = {
+      val (dataOff, w, rows) = inner.header(docId, bytes)
+      require(w == 16 && rows == 8,
+        s"doc $docId: ahash expects a 16x8 thumbnail, got ${w}x$rows")
+      val sums = new Array[Long](64)
+      var total = 0L
+      var r = 0
+      while (r < 8) {
+        val base = dataOff + r * 48
+        var x = 0
+        while (x < 16) {
+          val p = base + x * 3
+          val s = (bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)
+          sums(r * 8 + x / 2) += s
+          total += s
+          x += 1
+        }
+        r += 1
+      }
+      var lo = 0L; var hi = 0L
+      var i = 0
+      while (i < 64) {
+        if (sums(i) * 64 > total) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      AHash(docId, lo, hi)
+    }
+  }
+
+  def ahashBmp(imgs: Dataset[WavPayload]): Dataset[AHash] = {
+    implicit val enc = Encoders.product[AHash]
+    imgs.mapPartitions { it =>
+      val codec = new AHasher
+      it.map(w => codec.hash(w.doc_id, w.payload))
+    }
+  }
+
   def resizeBmp(imgs: Dataset[WavPayload]): Dataset[BmpResized] = {
     implicit val enc = Encoders.product[BmpResized]
     imgs.mapPartitions { it =>

@@ -169,6 +169,86 @@ object MultimodalQueries {
              |FROM samp GROUP BY doc_id, h""".stripMargin)
     ),
 
+    // Perceptual-hash image near-dup — the image analog of dedup_simhash,
+    // run over DECODED pixels: each doc's first 384 bytes become a real
+    // 16x8 24bpp BMP, the codec computes an 8x8-block average-hash
+    // (bit = block brightness * 64 > image total, integer-exact), and
+    // near-dup pairs come from a 4x16-bit banded Hamming join — an
+    // O(n*bands) equi-join shuffle keyed on band value, never all-pairs,
+    // so the plan scales to billions of images. The hash packs as two
+    // positive 32-bit halves: band extraction and XOR never touch a
+    // sign bit, which keeps shift semantics engine-identical (DuckDB
+    // raises on 1<<63). The oracle recomputes blocks from raw bytes:
+    // byte i belongs to block (i div 48)*8 + (i mod 48) div 6.
+    "mm_ahash_neardup" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val bmpHex = concat(
+          lit("424d"), leHex32(lit(384 + 54)), lit("00000000"),
+          lit("36000000"), lit("28000000"),
+          lit("10000000"), leHex32(lit(8)),
+          lit("0100"), lit("1800"), lit("00000000"),
+          leHex32(lit(384)), lit("130b0000130b0000"),
+          lit("0000000000000000"),
+          lower(hex(bin)).substr(lit(1), lit(768)))
+        val imgs = Tables.documents(s, d)
+          .filter(length(bin) >= 384)
+          .select(col("doc_id"), unhex(bmpHex).as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        val hashes = graft.Caches.scoped(FrameFeatures.ahashBmp(imgs).toDF())
+        val bandStructs = (0 until 4).map { b =>
+          val bkey = b match {
+            case 0 => col("hash_lo").bitwiseAND(65535)
+            case 1 => shiftright(col("hash_lo"), 16).bitwiseAND(65535)
+            case 2 => col("hash_hi").bitwiseAND(65535)
+            case 3 => shiftright(col("hash_hi"), 16).bitwiseAND(65535)
+          }
+          struct(lit(b).as("band_idx"), bkey.as("bkey"))
+        }
+        val bands = hashes
+          .select(col("doc_id"), col("hash_lo"), col("hash_hi"),
+            explode(array(bandStructs: _*)).as("bd"))
+          .select(col("doc_id"), col("hash_lo"), col("hash_hi"),
+            col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey"))
+        val ham = (bit_count(col("la").bitwiseXOR(col("lb"))) +
+          bit_count(col("ha").bitwiseXOR(col("hb")))).cast("long")
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("a.hash_lo").as("la"), col("a.hash_hi").as("ha"),
+            col("b.doc_id").as("db"), col("b.hash_lo").as("lb"), col("b.hash_hi").as("hb"))
+          .distinct()
+          .select(col("da"), col("db"), ham.as("hamming"))
+          .filter(col("hamming") <= 12)
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx
+             |           FROM documents WHERE octet_length(encode(text)) >= 384),
+             |b AS (SELECT doc_id, (i // 48) * 8 + ((i % 48) // 6) AS blk,
+             |             CAST('0x' || substr(hx, i*2 + 1, 2) AS BIGINT) AS v
+             |      FROM (SELECT doc_id, hx, unnest(generate_series(0, 383)) AS i FROM d)),
+             |bs AS (SELECT doc_id, blk, SUM(v) AS s FROM b GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, SUM(s) AS total FROM bs GROUP BY 1),
+             |h AS (SELECT bs.doc_id,
+             |        CAST(SUM(CASE WHEN s*64 > total AND blk < 32
+             |                      THEN (CAST(1 AS BIGINT) << CAST(blk AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+             |        CAST(SUM(CASE WHEN s*64 > total AND blk >= 32
+             |                      THEN (CAST(1 AS BIGINT) << CAST(blk - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+             |      FROM bs JOIN tot ON bs.doc_id = tot.doc_id GROUP BY 1),
+             |bands AS (SELECT doc_id, lo, hi, bb.b AS band_idx,
+             |            CASE bb.b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+             |                      WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bkey
+             |          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
+             |cand AS (SELECT DISTINCT a.doc_id AS da, a.lo AS la, a.hi AS ha,
+             |                         b.doc_id AS db, b.lo AS lb, b.hi AS hb
+             |         FROM bands a JOIN bands b
+             |           ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+             |SELECT da, db,
+             |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 12""".stripMargin)
+    ),
+
     // Binary payload + typed metadata extraction: byte length (vs char
     // length), head-bytes hex signature ("magic number" sniffing), and
     // content digest. All codegen'd builtins over the binary column.

@@ -559,6 +559,121 @@ object Relational {
              |              WHERE l_orderkey = o_orderkey
              |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
              |GROUP BY o_orderpriority""".stripMargin)
+    ),
+
+    // TPC-H Q7 shape: bilateral shipping volume between two nations by
+    // year. The nation-pair disjunction evaluates on broadcast dims:
+    // supplier+its nation fold into the lineitem scan map-side, customer
+    // resolves through the orders join, and the pair filter runs before
+    // the final (pair, year) aggregation — so the only wide shuffles are
+    // the two fact joins (orderkey, custkey), each carrying rows already
+    // cut down by the dim filters.
+    "q7_nation_volume" -> Query(
+      (s, d) => {
+        val n1 = Tables.nation(s, d).select(
+          col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        val n2 = Tables.nation(s, d).select(
+          col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val pair = (col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_2") ||
+          (col("cust_nation") === "NATION_2" && col("supp_nation") === "NATION_1")
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+          .filter(pair)
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(revenue).cast("double").as("volume"))
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |  CAST(SUM(vol) AS DOUBLE) AS volume
+             |FROM (SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+             |        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |        CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6)) AS vol
+             |      FROM lineitem
+             |        JOIN supplier ON l_suppkey = s_suppkey
+             |        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |        JOIN orders ON l_orderkey = o_orderkey
+             |        JOIN customer ON o_custkey = c_custkey
+             |        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |      WHERE (n1.n_name='NATION_1' AND n2.n_name='NATION_2')
+             |         OR (n1.n_name='NATION_2' AND n2.n_name='NATION_1'))
+             |GROUP BY supp_nation, cust_nation, l_year""".stripMargin)
+    ),
+
+    // TPC-H Q10 shape: returned-item revenue ranking — which customers
+    // sent the most revenue back in a quarter. Date filter prunes orders
+    // at the scan, returnflag prunes lineitem, the surviving facts join
+    // on orderkey then custkey, and the top-20 is TakeOrdered over the
+    // per-customer aggregate (never a global sort). Revenue ranks on the
+    // exact DECIMAL; c_custkey breaks ties deterministically.
+    "q10_returned_items" -> Query(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                  col("o_orderdate") < to_timestamp(lit("1996-07-01 00:00:00")))
+        val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        val n = Tables.nation(s, d)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(sum(revenue).as("rev"))
+          .orderBy(col("rev").desc, col("c_custkey"))
+          .limit(20)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"), col("rev").cast("double").as("revenue"))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |  CAST(rev AS DOUBLE) AS revenue
+             |FROM (SELECT c_custkey, c_name, c_acctbal, n_name,
+             |        SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS rev
+             |      FROM lineitem
+             |        JOIN orders ON l_orderkey = o_orderkey
+             |        JOIN customer ON o_custkey = c_custkey
+             |        JOIN nation ON c_nationkey = n_nationkey
+             |      WHERE l_returnflag = 'R'
+             |        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |        AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+             |      GROUP BY 1, 2, 3, 4)
+             |ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin)
+    ),
+
+    // TPC-H Q19 shape: OR-of-ANDs bracket predicate across a fact and a
+    // broadcast dim. Catalyst extracts the common conjuncts from the
+    // disjunction (p_size >= 1, l_quantity >= 1) and pushes them into
+    // the scans, the partkey equi-join broadcasts part, and the residual
+    // disjunction evaluates inside the join's codegen — no fact shuffle
+    // at all before the final small agg.
+    "q19_disjunctive_brackets" -> Query(
+      (s, d) => {
+        val bracket =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .filter(bracket)
+          .groupBy(col("p_brand"))
+          .agg(sum(revenue).cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT p_brand,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_lines
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand='Brand#12' AND p_size BETWEEN 1 AND 5
+             |        AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand='Brand#23' AND p_size BETWEEN 1 AND 10
+             |        AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand='Brand#3' AND p_size BETWEEN 1 AND 15
+             |        AND l_quantity BETWEEN 20 AND 30)
+             |GROUP BY p_brand""".stripMargin)
     )
   )
 }

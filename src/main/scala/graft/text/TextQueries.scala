@@ -273,6 +273,38 @@ object TextQueries {
              |GROUP BY doc_id""".stripMargin)
     ),
 
+    // Token-distribution Shannon entropy + type-token ratio: the
+    // lexical-diversity signals curation pairs with surprisal (low
+    // entropy = repetitive/templated text, TTR near 1 = no reuse).
+    // H = ln(n) - (Σ c·ln c)/n from exact integer token counts — ln on
+    // identical integer-valued doubles is bit-identical cross-engine,
+    // the Σ goes through DECIMAL so partition order can't move an ulp,
+    // and both derived doubles round to 4dp. One explode + one
+    // two-level agg (map-side partial), no join at all.
+    "text_entropy" -> Query(
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFunctions.cleanTokens(lower(col("text")))).as("term"))
+        t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+            sum((col("c").cast("double") * log(col("c").cast("double")))
+              .cast("decimal(18,12)")).as("clnc"))
+          .select(col("doc_id"), col("n"), col("n_types"),
+            round(log(col("n").cast("double")) -
+              col("clnc").cast("double") / col("n"), 4).as("entropy"),
+            round(col("n_types").cast("double") / col("n"), 4).as("ttr"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($lowToksSql) AS term FROM documents),
+             |tc AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY 1, 2)
+             |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types,
+             |  ROUND(ln(CAST(SUM(c) AS DOUBLE)) -
+             |    CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE)
+             |      / SUM(c), 4) AS entropy,
+             |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 4) AS ttr
+             |FROM tc GROUP BY doc_id""".stripMargin)
+    ),
+
     // Order-sensitive positional rolling-hash fingerprint.
     "text_fingerprint" -> Query(
       (s, d) =>
