@@ -427,6 +427,40 @@ object Extended {
              |        CAST(NTILE(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS decile
              |      FROM orders)
              |GROUP BY decile""".stripMargin)
+    ),
+
+    // Schema EVOLUTION round-trip: a long-lived appended table whose
+    // writer gained a column mid-life. Two parquet batches land under
+    // hive-style partition dirs (b=1995 without o_orderpriority, b=1996
+    // with it); the merged read reconciles the schemas (mergeSchema
+    // unions footers — per-FILE schema stays pruned/pushed-down) and
+    // back-fills NULL for the pre-evolution rows, which the query
+    // surfaces via COALESCE. Partition discovery types `b` from the
+    // dir name; both engines emit it as BIGINT.
+    "etl_schema_evolution" -> Query(
+      (s, d) => {
+        val dir = graft.etl.TmpDirs.dir(s"schevo_${new java.io.File(d).getName}")
+        val o = Tables.orders(s, d)
+        graft.etl.Sinks.parquet(
+          o.filter(year(col("o_orderdate")) === 1995)
+            .select(col("o_orderkey"), col("o_totalprice")),
+          s"$dir/b=1995", graft.etl.Sinks.Truncate)
+        graft.etl.Sinks.parquet(
+          o.filter(year(col("o_orderdate")) === 1996)
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")),
+          s"$dir/b=1996", graft.etl.Sinks.Truncate)
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            coalesce(col("o_orderpriority"), lit("(pre-schema)")).as("pri"),
+            col("b").cast("long").as("b"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice, '(pre-schema)' AS pri,
+             |  CAST(1995 AS BIGINT) AS b
+             |FROM orders WHERE year(o_orderdate) = 1995
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice, o_orderpriority AS pri,
+             |  CAST(1996 AS BIGINT) AS b
+             |FROM orders WHERE year(o_orderdate) = 1996""".stripMargin)
     )
   )
 }

@@ -254,22 +254,29 @@ object TextQueries {
       (s, d) => {
         val t = Tables.documents(s, d).select(col("doc_id"),
           explode(TextFunctions.cleanTokens(lower(col("text")))).as("term"))
-        val tc = t.groupBy(col("term")).agg(count(lit(1)).as("c"))
-        val n = tc.agg(sum(col("c")).as("n"))
-        t.join(tc, "term").crossJoin(broadcast(n))
+        val tf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        val tc = t.groupBy(col("term")).agg(count(lit(1)).as("ct"))
+        val n = tc.agg(sum(col("ct")).as("n"))
+        // join per-doc term COUNTS (distinct pairs) against the model,
+        // not the raw token stream — several-fold less join input; the
+        // weighted c·ln(n/ct) products sum through DECIMAL and the
+        // oracle computes the identical shape, so the reshape cannot
+        // move an ulp.
+        tf.join(tc, "term").crossJoin(broadcast(n))
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"),
-            round(sum(log(col("n").cast("double") / col("c"))
-                .cast("decimal(18,12)")).cast("double") / count(lit(1)), 4)
+          .agg(sum(col("c")).as("n_tokens"),
+            round(sum((col("c").cast("double") * log(col("n").cast("double") / col("ct")))
+                .cast("decimal(18,12)")).cast("double") / sum(col("c")), 4)
               .as("mean_surprisal"))
       },
       Some(s"""WITH t AS (SELECT doc_id, unnest($lowToksSql) AS term FROM documents),
-             |tc AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
-             |n AS (SELECT SUM(c) AS n FROM tc)
-             |SELECT doc_id, COUNT(*) AS n_tokens,
-             |  ROUND(CAST(SUM(CAST(ln(CAST(n.n AS DOUBLE) / c) AS DECIMAL(18,12))) AS DOUBLE)
-             |        / COUNT(*), 4) AS mean_surprisal
-             |FROM t JOIN tc USING (term) CROSS JOIN n
+             |tf AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY 1, 2),
+             |tc AS (SELECT term, COUNT(*) AS ct FROM t GROUP BY term),
+             |n AS (SELECT SUM(ct) AS n FROM tc)
+             |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |  ROUND(CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / ct) AS DECIMAL(18,12))) AS DOUBLE)
+             |        / SUM(c), 4) AS mean_surprisal
+             |FROM tf JOIN tc USING (term) CROSS JOIN n
              |GROUP BY doc_id""".stripMargin)
     ),
 

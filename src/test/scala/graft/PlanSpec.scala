@@ -196,4 +196,31 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.explainString(FormattedMode)
     assert(p.contains("PartitionFilters: [isnotnull(source"), p.take(1500))
   }
+
+  test("q19 pushes each table's slice of the OR-of-ANDs into its scan") {
+    val p = plan("q19_disjunctive_brackets")
+    // lineitem scan gets the quantity-range disjunction…
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0),LessThanOrEqual(l_quantity,11.0)"),
+      s"quantity brackets not pushed:\n${p.take(2000)}")
+    // …and the part scan gets the brand/size disjunction + the common
+    // p_size >= 1 conjunct extracted from the brackets
+    assert(p.contains("EqualTo(p_brand,Brand#12),LessThanOrEqual(p_size,5)"),
+      s"brand/size brackets not pushed:\n${p.take(2000)}")
+    assert(p.contains("GreaterThanOrEqual(p_size,1)"),
+      "common conjunct not extracted from the disjunction")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "part must broadcast")
+  }
+
+  test("ahash near-dup joins banded hash keys, never all-pairs") {
+    val p = plan("mm_ahash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be an equi-join:\n${p.take(2000)}")
+  }
+
+  test("q10 ranks returned-item revenue via TakeOrdered, dims broadcast") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+    assert(p.contains("BroadcastHashJoin"), "nation must broadcast")
+  }
 }
