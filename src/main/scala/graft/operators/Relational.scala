@@ -674,6 +674,52 @@ object Relational {
              |   OR (p_brand='Brand#3' AND p_size BETWEEN 1 AND 15
              |        AND l_quantity BETWEEN 20 AND 30)
              |GROUP BY p_brand""".stripMargin)
+    ),
+
+    // TPC-H Q21 shape: the sole-blame supplier — orders (status F) that
+    // involved several suppliers but exactly ONE shipped late, counted
+    // against that supplier. The classic double EXISTS / NOT EXISTS
+    // decorrelates into one per-order aggregate: two conditional
+    // COUNT(DISTINCT) + a conditional MAX recover "multiple suppliers,
+    // single late one, who was it" in a single orderkey shuffle —
+    // instead of Q21's textbook four scans of lineitem. The blame count
+    // is a second (tiny) shuffle on suppkey; supplier is broadcast and
+    // the top-10 is TakeOrdered.
+    "q21_blame_supplier" -> Query(
+      (s, d) => {
+        val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        val late = (col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("int")
+        val per = Tables.lineitem(s, d)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late", late)
+          .groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("late") === 1, col("l_suppkey"))).as("n_late"),
+            max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
+          .filter(col("n_supp") > 1 && col("n_late") === 1)
+        per.groupBy(col("late_supp"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("late_supp") === col("s_suppkey"))
+          .orderBy(col("numwait").desc, col("s_suppkey"))
+          .limit(10)
+          .select(col("s_name"), col("s_suppkey"), col("numwait"))
+      },
+      Some("""WITH l AS (SELECT l_orderkey, l_suppkey,
+             |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |         THEN 1 ELSE 0 END AS late
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F'),
+             |per AS (SELECT l_orderkey,
+             |    COUNT(DISTINCT l_suppkey) AS n_supp,
+             |    COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+             |    MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+             |  FROM l GROUP BY 1)
+             |SELECT s_name, s_suppkey, COUNT(*) AS numwait
+             |FROM per JOIN supplier ON late_supp = s_suppkey
+             |WHERE n_supp > 1 AND n_late = 1
+             |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 10""".stripMargin)
     )
   )
 }

@@ -557,6 +557,55 @@ object Temporal {
              |  COUNT(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent click within a 7-day lookback — the marketing-analytics
+    // staple. Same union + one-shuffle window machinery as asof_join
+    // (clicks sort before same-microsecond purchases, event_id breaks
+    // exact ties), so the whole attribution is ONE exchange on user_id
+    // with two last(ignoreNulls) frames — no self-join, no per-user
+    // arrays. The lookback cut applies after the window, keeping the
+    // frame unconditional (codegen-friendly) while out-of-window
+    // clicks surface as unattributed purchases rather than vanishing.
+    "events_attribution" -> Query(
+      (s, d) => {
+        val lookbackUs = 7L * 86400 * 1000000
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"),
+            (col("event_type") === "purchase").cast("int").as("tag"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("tag"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inWin = col("click_tus").isNotNull &&
+          col("tus") - col("click_tus") <= lookbackUs
+        ev
+          .withColumn("click_tus",
+            last(when(col("tag") === 0, col("tus")), ignoreNulls = true).over(w))
+          .withColumn("click_id",
+            last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("tus").as("purchase_us"),
+            when(inWin, col("click_id")).as("click_id"),
+            when(inWin, col("tus") - col("click_tus")).as("delta_us"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+             |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag
+             |           FROM events WHERE event_type IN ('click', 'purchase')),
+             |w AS (SELECT *,
+             |        last_value(CASE WHEN tag = 0 THEN tus END IGNORE NULLS) OVER win AS click_tus,
+             |        last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS) OVER win AS click_id
+             |      FROM e
+             |      WINDOW win AS (PARTITION BY user_id ORDER BY tus, tag, event_id
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_id AS purchase_id, user_id, tus AS purchase_us,
+             |  CASE WHEN click_tus IS NOT NULL AND tus - click_tus <= 604800000000
+             |       THEN click_id END AS click_id,
+             |  CASE WHEN click_tus IS NOT NULL AND tus - click_tus <= 604800000000
+             |       THEN tus - click_tus END AS delta_us
+             |FROM w WHERE tag = 1""".stripMargin)
     )
   )
 }
