@@ -51,10 +51,12 @@ object FrameFeatures {
     private def ascii(b: Array[Byte], off: Int): String =
       new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-    /** Parse one WAV blob into per-frame stats. Malformed containers
-      * FAIL the task loudly — silent nulls would vanish through joins.
+    /** Chunk-walk the container: (dataOff, nSamples, sampleRate, channels).
+      * Malformed containers FAIL the task loudly — silent nulls would
+      * vanish through joins.
       */
-    def decode(docId: Long, bytes: Array[Byte]): Iterator[WavFrame] = {
+    private[multimodal] def parseHeader(docId: Long,
+                                        bytes: Array[Byte]): (Int, Int, Long, Int) = {
       require(bytes.length >= 44 && ascii(bytes, 0) == "RIFF" && ascii(bytes, 8) == "WAVE",
         s"doc $docId: not a RIFF/WAVE container (${bytes.length} bytes)")
       var pos = 12
@@ -83,7 +85,12 @@ object FrameFeatures {
       }
       require(sampleRate > 0 && dataOff >= 0, s"doc $docId: missing fmt/data chunk")
       require(bits == 16, s"doc $docId: only 16-bit PCM supported, got $bits")
-      val nSamples = dataLen / 2
+      (dataOff, dataLen / 2, sampleRate, channels)
+    }
+
+    /** Parse one WAV blob into per-frame stats. */
+    def decode(docId: Long, bytes: Array[Byte]): Iterator[WavFrame] = {
+      val (dataOff, nSamples, sampleRate, channels) = parseHeader(docId, bytes)
       val nFrames = (nSamples + frameSamples - 1) / frameSamples
       (0 until nFrames).iterator.map { f =>
         val lo = f * frameSamples
@@ -96,9 +103,42 @@ object FrameFeatures {
           if (v > mx) mx = v
           i += 1
         }
-        WavFrame(docId, sampleRate, channels.toLong, bits.toLong,
+        WavFrame(docId, sampleRate, channels.toLong, 16L,
           f.toLong, (hi - lo).toLong, sum, mn.toLong, mx.toLong)
       }
+    }
+
+    /** Doc-level audio features in one sample walk: zero-crossing count
+      * ((s_i >= 0) flips vs the previous sample), exact |amplitude| sum,
+      * and peak |amplitude| — the cheap speech/music/noise triage
+      * features, all integer-exact.
+      */
+    def features(docId: Long, bytes: Array[Byte]): WavAudio = {
+      val (dataOff, nSamples, _, _) = parseHeader(docId, bytes)
+      var i = 0; var zc = 0L; var sumAbs = 0L; var peak = 0L
+      var prevNonNeg = false
+      while (i < nSamples) {
+        val v = s16(bytes, dataOff + 2 * i)
+        val nonNeg = v >= 0
+        if (i > 0 && nonNeg != prevNonNeg) zc += 1
+        prevNonNeg = nonNeg
+        val a = math.abs(v).toLong
+        sumAbs += a
+        if (a > peak) peak = a
+        i += 1
+      }
+      WavAudio(docId, nSamples.toLong, zc, sumAbs, peak)
+    }
+  }
+
+  case class WavAudio(doc_id: Long, n_samples: Long, zero_crossings: Long,
+                      sum_abs: Long, peak: Long)
+
+  def wavFeatures(wavs: Dataset[WavPayload]): Dataset[WavAudio] = {
+    implicit val enc = Encoders.product[WavAudio]
+    wavs.mapPartitions { it =>
+      val codec = new WavDecoder
+      it.map(w => codec.features(w.doc_id, w.payload))
     }
   }
 

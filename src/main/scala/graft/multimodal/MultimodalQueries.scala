@@ -80,6 +80,57 @@ object MultimodalQueries {
              |FROM sg GROUP BY doc_id, rate, frame_id""".stripMargin)
     ),
 
+    // Audio FEATURE EXTRACTION over the real container: the same PCM
+    // WAVs as mm_wav_decode, walked once per doc for zero-crossing
+    // count, exact |amplitude| sum, and peak — the classic
+    // speech/music/noise triage features. Integer-exact end to end;
+    // the oracle recomputes the sign-flip count with a lag window over
+    // byte-parsed samples, so an off-by-one in the walk (first sample,
+    // sign convention, truncated tail byte) diverges immediately.
+    "mm_wav_features" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val nBytes = length(bin)
+        val dataSize = nBytes - nBytes % 2
+        val rate = (lit(8000) + (col("doc_id") % 3) * 4000).cast("int")
+        val wavHex = concat(
+          lit("52494646"), leHex32(dataSize + 36), lit("57415645"),
+          lit("666d7420"), lit("10000000"),
+          lit("0100"), lit("0100"),
+          leHex32(rate), leHex32(rate * 2),
+          lit("0200"), lit("1000"),
+          lit("64617461"), leHex32(dataSize),
+          lower(hex(bin)).substr(lit(1), dataSize * 2))
+        val wavs = Tables.documents(s, d)
+          .filter(nBytes >= 2)
+          .select(col("doc_id"), unhex(wavHex).as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        FrameFeatures.wavFeatures(wavs).toDF()
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |         octet_length(encode(text)) // 2 AS n_samp
+             |  FROM documents
+             |  WHERE octet_length(encode(text)) >= 2),
+             |u AS (SELECT doc_id, hx, unnest(generate_series(0, n_samp - 1)) AS i FROM d),
+             |s AS (SELECT doc_id, i,
+             |        CAST('0x' || substr(hx, i*4 + 3, 2) || substr(hx, i*4 + 1, 2) AS INT) AS v
+             |      FROM u),
+             |sg AS (SELECT doc_id, i,
+             |         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS samp FROM s),
+             |z AS (SELECT doc_id, samp,
+             |        CASE WHEN lag(samp) OVER w IS NOT NULL
+             |              AND (samp >= 0) != (lag(samp) OVER w >= 0)
+             |             THEN 1 ELSE 0 END AS zc
+             |      FROM sg WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+             |SELECT doc_id, COUNT(*) AS n_samples,
+             |  CAST(SUM(zc) AS BIGINT) AS zero_crossings,
+             |  CAST(SUM(abs(samp)) AS BIGINT) AS sum_abs,
+             |  CAST(MAX(abs(samp)) AS BIGINT) AS peak
+             |FROM z GROUP BY doc_id""".stripMargin)
+    ),
+
     // Second real container format, IMAGE side: each document's bytes
     // become the 24bpp pixel array of a genuine BMP (16 px wide =>
     // 48-byte stride, 4-byte aligned by construction), and the

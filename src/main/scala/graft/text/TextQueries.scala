@@ -280,6 +280,55 @@ object TextQueries {
              |GROUP BY doc_id""".stripMargin)
     ),
 
+    // Bigram-LM surprisal: mean -ln p(w2|w1) under the corpus's own
+    // add-one-smoothed bigram model — one modeling step up from
+    // text_surprisal (context-aware repetition scores low, incoherent
+    // word salad scores high even when its unigrams are common).
+    // p(w2|w1) = (bc+1)/(uc+V): every operand is an exact integer
+    // count, so the ln argument is an identical double cross-engine.
+    // Plan: posexplode + one lead window builds the bigram stream, then
+    // three shrinking partial aggs (per-doc bigram counts, corpus
+    // bigram counts, prefix counts) join on their natural keys — the
+    // model tables shuffle once each, the vocab scalar broadcasts.
+    "text_bigram_surprisal" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(TextFunctions.cleanTokens(lower(col("text")))).as(Seq("pos", "t")))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bg = tok
+          .select(col("doc_id"), col("t").as("w1"), lead(col("t"), 1).over(wd).as("w2"))
+          .filter(col("w2").isNotNull)
+        val bgf = bg.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+        val uc = bg.groupBy(col("w1")).agg(count(lit(1)).as("uc"))
+        val v = tok.agg(countDistinct(col("t")).as("v"))
+        val nll = col("c").cast("double") *
+          log((col("uc") + col("v")).cast("double") / (col("bc") + lit(1)).cast("double"))
+        bgf.join(bc, Seq("w1", "w2")).join(uc, Seq("w1")).crossJoin(broadcast(v))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_bigrams"),
+            round(sum(nll.cast("decimal(18,12)")).cast("double") / sum(col("c")), 4)
+              .as("mean_surprisal"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $lowToksSql AS tk FROM documents),
+             |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+             |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+             |             FROM t WHERE len(tk) >= 2)),
+             |bgf AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+             |bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bg GROUP BY 1, 2),
+             |uc AS (SELECT w1, COUNT(*) AS uc FROM bg GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT u.tn) AS v
+             |      FROM (SELECT unnest(tk) AS tn FROM t) u)
+             |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             |  ROUND(CAST(SUM(CAST(CAST(c AS DOUBLE) *
+             |          ln(CAST(uc + v AS DOUBLE) / CAST(bc + 1 AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE)
+             |        / SUM(c), 4) AS mean_surprisal
+             |FROM bgf JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+             |GROUP BY doc_id""".stripMargin)
+    ),
+
     // Token-distribution Shannon entropy + type-token ratio: the
     // lexical-diversity signals curation pairs with surprisal (low
     // entropy = repetitive/templated text, TTR near 1 = no reuse).
