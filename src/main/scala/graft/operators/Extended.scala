@@ -461,6 +461,32 @@ object Extended {
              |SELECT o_orderkey, o_totalprice, o_orderpriority AS pri,
              |  CAST(1996 AS BIGINT) AS b
              |FROM orders WHERE year(o_orderdate) = 1996""".stripMargin)
+    ),
+
+    // Market-basket pair mining (a-priori support counting): part pairs
+    // that co-occur in >= 2 orders. The self-join keys on l_orderkey —
+    // an equi-join whose fan-out is bounded by per-order line count
+    // (~7), so candidate volume is O(orders * lines²/order), never a
+    // corpus cross product; the distinct() guards against duplicate
+    // (order, part) lines double-counting support. pa < pb halves the
+    // pair space and makes the pair canonical.
+    "basket_pairs" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+             |SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+             |FROM li a JOIN li b
+             |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)
     )
   )
 }

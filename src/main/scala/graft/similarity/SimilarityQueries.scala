@@ -165,7 +165,68 @@ object SimilarityQueries {
       |           i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i]) * (CAST(q.qv[i] AS DOUBLE) - c.cv[i]))) AS dist
       |       FROM q CROSS JOIN c1 c)""".stripMargin
 
+  /** Deterministic PQ codebook: 8 subspaces x 4 centroids x 8 dims,
+    * derived from the same hash-coefficient generator as the LSH planes
+    * and scaled to the embedding range. Integer-valued/1000 keeps the
+    * literal exactly representable the same way on both engines.
+    */
+  private val pqCents: Seq[Seq[Seq[Double]]] = (0 until 8).map { m =>
+    (0 until 4).map { j => VectorFunctions.planeCoefs(200 + m * 4 + j, 8).map(_ / 1000.0) }
+  }
+
+  /** DuckDB literal for pqCents(m)(j): the same n/1000 divisions. */
+  private def pqCvSql(m: Int, j: Int): String =
+    VectorFunctions.planeCoefs(200 + m * 4 + j, 8)
+      .map(n => s"CAST(${n.toLong} AS DOUBLE)/1000").mkString("[", ", ", "]")
+
   val entries: Seq[(String, Query)] = Seq(
+
+    // Product quantization (the PQ of IVF-PQ): each 64-dim vector
+    // splits into 8 subvectors of 8 dims, each assigned to the nearest
+    // of 4 literal sub-centroids — a 16-bit code replaces 256 bytes of
+    // floats (the memory layout billion-scale ANN serves from). The
+    // whole encoding is codegen'd literal arithmetic in the scan: no
+    // join, no shuffle, no state. The total reconstruction error folds
+    // the 8 best sub-distances IN SUBSPACE ORDER (the oracle list_sums
+    // a list(ORDER BY m) — plain SUM would be partition-order float
+    // addition) and is emitted as floor(err*1e6 + 0.5), engine-exact.
+    "vec_pq_code" -> Query(
+      (s, d) => {
+        val emb = transform(col("embedding"), x => x.cast("double"))
+        def subDist(m: Int, cv: Seq[Double]): Column =
+          aggregate(
+            zip_with(slice(emb, m * 8 + 1, 8), typedlit(cv), (x, c) => (x - c) * (x - c)),
+            lit(0.0), (acc, x) => acc + x)
+        def best(m: Int): Column =
+          sort_array(array((0 until 4).map { j =>
+            struct(subDist(m, pqCents(m)(j)).as("dist"), lit(j.toLong).as("j"))
+          }: _*)).getItem(0)
+        val withBest = (0 until 8).foldLeft(Tables.embeddings(s, d)) {
+          case (df, m) => df.withColumn(s"b$m", best(m))
+        }
+        val code = (0 until 8).map(m => col(s"b$m.j") * lit(1L << (2 * m)))
+          .reduce(_ + _)
+        val errTotal = (0 until 8).map(m => col(s"b$m.dist")).reduce(_ + _)
+        withBest.select(col("vec_id"), code.as("pq_code"),
+          floor(errTotal * 1e6 + 0.5).cast("long").as("err_q"))
+      },
+      Some(s"""WITH cents(m, j, cv) AS (VALUES
+             |${(for (m <- 0 until 8; j <- 0 until 4)
+                  yield s"  ($m, $j, ${pqCvSql(m, j)})").mkString(",\n")}),
+             |sub AS (SELECT e.vec_id, c.m, c.j,
+             |    list_sum(list_transform(generate_series(1, 8),
+             |      i -> (CAST(e.embedding[c.m*8 + i] AS DOUBLE) - c.cv[i])
+             |         * (CAST(e.embedding[c.m*8 + i] AS DOUBLE) - c.cv[i]))) AS dist
+             |  FROM embeddings e CROSS JOIN cents c),
+             |best AS (SELECT vec_id, m, j, dist FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+             |                                 ORDER BY dist, j) AS rn FROM sub)
+             |  WHERE rn = 1)
+             |SELECT vec_id,
+             |  CAST(SUM(j * (CAST(1 AS BIGINT) << (2*m))) AS BIGINT) AS pq_code,
+             |  CAST(floor(list_sum(list(dist ORDER BY m)) * 1e6 + 0.5) AS BIGINT) AS err_q
+             |FROM best GROUP BY vec_id""".stripMargin)
+    ),
 
     // Symmetric int8 quantization of the embedding column — the 4x
     // storage/bandwidth reduction a 100 TB embedding corpus ships with.
