@@ -165,19 +165,59 @@ object SimilarityQueries {
       |           i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i]) * (CAST(q.qv[i] AS DOUBLE) - c.cv[i]))) AS dist
       |       FROM q CROSS JOIN c1 c)""".stripMargin
 
-  /** Deterministic PQ codebook: 8 subspaces x 4 centroids x 8 dims,
-    * derived from the same hash-coefficient generator as the LSH planes
-    * and scaled to the embedding range. Integer-valued/1000 keeps the
-    * literal exactly representable the same way on both engines.
+  /** PQ geometry: 8 subspaces x 8 dims, 16 sub-centroids each (4-bit
+    * code per subspace, 32-bit code per vector). The codebook is
+    * SEEDED FROM DATA — subvectors of 16 fixed corpus rows — because a
+    * random codebook quantizes weakly-clustered embeddings to ~0.22
+    * recall while data seeds reach ~0.30 (K-means-training it further
+    * is kmeans_train's machinery; sampled seeds keep the oracle a pure
+    * table lookup instead of a training replay).
     */
-  private val pqCents: Seq[Seq[Seq[Double]]] = (0 until 8).map { m =>
-    (0 until 4).map { j => VectorFunctions.planeCoefs(200 + m * 4 + j, 8).map(_ / 1000.0) }
+  private val pqK = 16
+  private val pqSeedIds: Seq[Long] = (0 until pqK).map(j => (j * 31).toLong)
+
+  /** Collect the codebook driver-side (16 rows, like the trained-IVF
+    * centroid collect): cents(m)(j) = dims [m*8, m*8+8) of seed row j.
+    */
+  private def pqCents(s: SparkSession, d: String): Seq[Seq[Seq[Double]]] = {
+    val rows = Tables.embeddings(s, d)
+      .filter(col("vec_id").isin(pqSeedIds: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toMap
+    (0 until 8).map { m =>
+      pqSeedIds.map { sid => rows(sid).slice(m * 8, m * 8 + 8) }
+    }
   }
 
-  /** DuckDB literal for pqCents(m)(j): the same n/1000 divisions. */
-  private def pqCvSql(m: Int, j: Int): String =
-    VectorFunctions.planeCoefs(200 + m * 4 + j, 8)
-      .map(n => s"CAST(${n.toLong} AS DOUBLE)/1000").mkString("[", ", ", "]")
+  /** Squared L2 between subvector m of `embedding` and a literal
+    * sub-centroid — left-to-right fold, bit-identical to list_sum.
+    */
+  private def pqSubDist(m: Int, cv: Seq[Double]): Column =
+    aggregate(
+      zip_with(slice(transform(col("embedding"), x => x.cast("double")), m * 8 + 1, 8),
+        typedlit(cv), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest sub-centroid of subspace m as struct(dist, j) — argmin with
+    * the j tie-break inside codegen.
+    */
+  private def pqBest(cents: Seq[Seq[Seq[Double]]], m: Int): Column =
+    sort_array(array((0 until pqK).map { j =>
+      struct(pqSubDist(m, cents(m)(j)).as("dist"), lit(j.toLong).as("j"))
+    }: _*)).getItem(0)
+
+  /** Oracle twin: rebuild the identical codebook from the table. Ends
+    * in `cents(m, j, cv)`.
+    */
+  private val pqCentsCteSql: String =
+    s"""seeds(j, sid) AS (VALUES
+       |${pqSeedIds.zipWithIndex.map { case (sid, j) => s"  ($j, $sid)" }.mkString(",\n")}),
+       |cents AS (SELECT mm.m AS m, s.j AS j,
+       |    list_transform(generate_series(1, 8),
+       |      i -> CAST(e.embedding[mm.m*8 + i] AS DOUBLE)) AS cv
+       |  FROM seeds s JOIN embeddings e ON e.vec_id = s.sid
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) mm)""".stripMargin
 
   val entries: Seq[(String, Query)] = Seq(
 
@@ -192,27 +232,17 @@ object SimilarityQueries {
     // addition) and is emitted as floor(err*1e6 + 0.5), engine-exact.
     "vec_pq_code" -> Query(
       (s, d) => {
-        val emb = transform(col("embedding"), x => x.cast("double"))
-        def subDist(m: Int, cv: Seq[Double]): Column =
-          aggregate(
-            zip_with(slice(emb, m * 8 + 1, 8), typedlit(cv), (x, c) => (x - c) * (x - c)),
-            lit(0.0), (acc, x) => acc + x)
-        def best(m: Int): Column =
-          sort_array(array((0 until 4).map { j =>
-            struct(subDist(m, pqCents(m)(j)).as("dist"), lit(j.toLong).as("j"))
-          }: _*)).getItem(0)
+        val cents = pqCents(s, d)
         val withBest = (0 until 8).foldLeft(Tables.embeddings(s, d)) {
-          case (df, m) => df.withColumn(s"b$m", best(m))
+          case (df, m) => df.withColumn(s"b$m", pqBest(cents, m))
         }
-        val code = (0 until 8).map(m => col(s"b$m.j") * lit(1L << (2 * m)))
+        val code = (0 until 8).map(m => col(s"b$m.j") * lit(1L << (4 * m)))
           .reduce(_ + _)
         val errTotal = (0 until 8).map(m => col(s"b$m.dist")).reduce(_ + _)
         withBest.select(col("vec_id"), code.as("pq_code"),
           floor(errTotal * 1e6 + 0.5).cast("long").as("err_q"))
       },
-      Some(s"""WITH cents(m, j, cv) AS (VALUES
-             |${(for (m <- 0 until 8; j <- 0 until 4)
-                  yield s"  ($m, $j, ${pqCvSql(m, j)})").mkString(",\n")}),
+      Some(s"""WITH $pqCentsCteSql,
              |sub AS (SELECT e.vec_id, c.m, c.j,
              |    list_sum(list_transform(generate_series(1, 8),
              |      i -> (CAST(e.embedding[c.m*8 + i] AS DOUBLE) - c.cv[i])
@@ -223,9 +253,65 @@ object SimilarityQueries {
              |                                 ORDER BY dist, j) AS rn FROM sub)
              |  WHERE rn = 1)
              |SELECT vec_id,
-             |  CAST(SUM(j * (CAST(1 AS BIGINT) << (2*m))) AS BIGINT) AS pq_code,
+             |  CAST(SUM(j * (CAST(1 AS BIGINT) << (4*m))) AS BIGINT) AS pq_code,
              |  CAST(floor(list_sum(list(dist ORDER BY m)) * 1e6 + 0.5) AS BIGINT) AS err_q
              |FROM best GROUP BY vec_id""".stripMargin)
+    ),
+
+    // PQ ANN with asymmetric distance computation (ADC) — how
+    // billion-scale indexes actually rank: the corpus is its 16-bit PQ
+    // codes (encoded in the scan, never shuffled), each probe
+    // precomputes a 8x4 distance table to the sub-codebooks, and a
+    // candidate's score is eight TABLE LOOKUPS summed in subspace
+    // order — no float dot product against raw vectors anywhere. The
+    // 10-probe table-of-tables broadcasts; top-5 per probe comes from
+    // a rank-pushdown window. Scores stay raw doubles for ranking
+    // (identical lookup values + identical fold order cross-engine)
+    // and ship as floor(x*1e6 + 0.5) integers.
+    "ann_pq_topk" -> Query(
+      (s, d) => {
+        val cents = pqCents(s, d)
+        val coded = (0 until 8).foldLeft(Tables.embeddings(s, d)) {
+          case (df, m) => df.withColumn(s"b$m", pqBest(cents, m))
+        }.select(col("vec_id") +: (0 until 8).map(m => col(s"b$m.j").as(s"c$m")): _*)
+        val probeDf = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid") +:
+            (for (m <- 0 until 8; j <- 0 until pqK)
+              yield pqSubDist(m, cents(m)(j)).as(s"d_${m}_$j")): _*)
+        val adc = (0 until 8).map { m =>
+          (0 until pqK).foldLeft(lit(null).cast("double")) { (acc, j) =>
+            when(col(s"c$m") === j, col(s"d_${m}_$j")).otherwise(acc)
+          }
+        }.reduce(_ + _)
+        val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+        coded.crossJoin(broadcast(probeDf))
+          .withColumn("adc", adc)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id"),
+            floor(col("adc") * 1e6 + 0.5).cast("long").as("adc_q"), col("rn"))
+      },
+      Some(s"""WITH $pqCentsCteSql,
+             |sub AS (SELECT e.vec_id, c.m, c.j,
+             |    list_sum(list_transform(generate_series(1, 8),
+             |      i -> (CAST(e.embedding[c.m*8 + i] AS DOUBLE) - c.cv[i])
+             |         * (CAST(e.embedding[c.m*8 + i] AS DOUBLE) - c.cv[i]))) AS dist
+             |  FROM embeddings e CROSS JOIN cents c),
+             |bc AS (SELECT vec_id, m, j FROM (
+             |    SELECT vec_id, m, j,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+             |    FROM sub) WHERE rn = 1),
+             |dt AS (SELECT vec_id AS qid, m, j, dist FROM sub WHERE vec_id < 10),
+             |adc AS (SELECT dt.qid, bc.vec_id,
+             |    list_sum(list(dt.dist ORDER BY dt.m)) AS adc
+             |  FROM bc JOIN dt ON bc.m = dt.m AND bc.j = dt.j
+             |  GROUP BY 1, 2)
+             |SELECT qid, vec_id,
+             |  CAST(floor(adc * 1e6 + 0.5) AS BIGINT) AS adc_q,
+             |  CAST(rn AS BIGINT) AS rn
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             |                                   ORDER BY adc, vec_id) AS rn FROM adc)
+             |WHERE rn <= 5""".stripMargin)
     ),
 
     // Symmetric int8 quantization of the embedding column — the 4x

@@ -47,6 +47,33 @@ class QualitySpec extends AnyFunSuite {
     assert(r >= 0.5, s"trained-IVF mean recall@5 = $r")
   }
 
+  test("ann_pq_topk recall@5 vs exact L2 clears 0.2") {
+    // PQ ranks by L2 ADC, so the truth set is exact L2 top-5 (NOT the
+    // cosine brute-force query). 16 data-seeded sub-centroids score
+    // 0.28 on this weakly-clustered corpus (random codebooks: 0.22);
+    // the floor catches a degenerate codebook, not SOTA recall — real
+    // deployments train 8-bit codebooks with kmeans_train's machinery.
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sf)
+    val p = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+    val dist = aggregate(
+      zip_with(col("embedding"), col("q"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val truth = e.crossJoin(p).select(col("qid"), col("vec_id"), dist.as("d"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("d"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid").cast("long"), col("vec_id").cast("long")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val got = topkSets("ann_pq_topk")
+    val recalls = truth.map { case (q, t) => got.getOrElse(q, Set.empty).count(t).toDouble / 5 }
+    val r = recalls.sum / recalls.size
+    assert(r >= 0.2, s"PQ-ADC mean recall@5 vs exact L2 = $r")
+  }
+
   test("dedup_embedding LSH blocking recovers most true near-dup pairs") {
     // Truth = ALL pairs with rounded cosine >= 0.3 (brute force is fine at
     // sf0.01: 500 vectors). The registered query only scores pairs that
