@@ -606,6 +606,68 @@ object Temporal {
              |  CASE WHEN click_tus IS NOT NULL AND tus - click_tus <= 604800000000
              |       THEN tus - click_tus END AS delta_us
              |FROM w WHERE tag = 1""".stripMargin)
+    ),
+
+    // Sequence match WITH NEGATION (MATCH_RECOGNIZE's "A then B then C
+    // with no X between"): purchases preceded by a view -> click chain
+    // with NO error between the view and the purchase. The exists-any-
+    // triple semantics reduce to three chained last(ignoreNulls) frames
+    // over ONE per-user sort: a running last-view, the last CLICK's
+    // stored last-view (nested as-of — the inner window's value is
+    // captured at the click row and itself as-of'd from the purchase),
+    // and the running last-error; clean ⟺ that view postdates the
+    // error. Running lasts are monotone, which makes the greedy choice
+    // (latest click, its latest prior view) optimal — so one shuffle
+    // and two window passes replace a 4-way self-join. Sequence order
+    // is (event time µs, event_id), both sides.
+    "events_clean_funnel" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("view", "click", "purchase", "error"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("tus"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withLv = ev.withColumn("lv",
+          last(when(col("event_type") === "view", col("tus")), ignoreNulls = true).over(w))
+        withLv
+          .withColumn("lc",
+            last(when(col("event_type") === "click", col("tus")), ignoreNulls = true).over(w))
+          .withColumn("lc_lv",
+            last(when(col("event_type") === "click", col("lv")), ignoreNulls = true).over(w))
+          .withColumn("le",
+            last(when(col("event_type") === "error", col("tus")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("tus").as("purchase_us"), col("lc").as("click_us"),
+            col("lc_lv").as("view_us"), col("le").as("last_error_us"),
+            (col("lc_lv").isNotNull &&
+              (col("le").isNull || col("lc_lv") > col("le"))).cast("long").as("clean"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+             |           FROM events
+             |           WHERE event_type IN ('view', 'click', 'purchase', 'error')),
+             |w1 AS (SELECT *,
+             |         last_value(CASE WHEN event_type = 'view' THEN tus END IGNORE NULLS)
+             |           OVER win AS lv
+             |       FROM e
+             |       WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id
+             |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |w2 AS (SELECT *,
+             |         last_value(CASE WHEN event_type = 'click' THEN tus END IGNORE NULLS)
+             |           OVER win AS lc,
+             |         last_value(CASE WHEN event_type = 'click' THEN lv END IGNORE NULLS)
+             |           OVER win AS lc_lv,
+             |         last_value(CASE WHEN event_type = 'error' THEN tus END IGNORE NULLS)
+             |           OVER win AS le
+             |       FROM w1
+             |       WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id
+             |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_id AS purchase_id, user_id, tus AS purchase_us,
+             |  lc AS click_us, lc_lv AS view_us, le AS last_error_us,
+             |  CAST(lc_lv IS NOT NULL AND (le IS NULL OR lc_lv > le) AS BIGINT) AS clean
+             |FROM w2 WHERE event_type = 'purchase'""".stripMargin)
     )
   )
 }

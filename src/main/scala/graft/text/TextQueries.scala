@@ -329,6 +329,52 @@ object TextQueries {
              |GROUP BY doc_id""".stripMargin)
     ),
 
+    // Collocation extraction by pointwise mutual information: bigrams
+    // whose parts co-occur far more than independence predicts
+    // (PMI = ln(c12·N / (c1·c2)), all exact integer counts), support
+    // >= 5 to kill the noise floor, global top-10 by (PMI, pair).
+    // Same lead-window bigram stream as the LM queries; prefix/suffix
+    // marginals are two shrinking aggs joined back on their keys, and
+    // the final ranking is TakeOrdered over ~|bigram types| rows.
+    "text_pmi_topk" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(TextFunctions.cleanTokens(lower(col("text")))).as(Seq("pos", "t")))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bg = tok
+          .select(col("doc_id"), col("t").as("w1"), lead(col("t"), 1).over(wd).as("w2"))
+          .filter(col("w2").isNotNull)
+        val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val c2 = bg.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+        val n = bg.agg(count(lit(1)).as("n"))
+        c12.filter(col("c12") >= 5)
+          .join(c1, Seq("w1")).join(c2, Seq("w2")).crossJoin(broadcast(n))
+          .withColumn("pmi",
+            log((col("c12") * col("n")).cast("double") / (col("c1") * col("c2")).cast("double")))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(10)
+          .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+            round(col("pmi"), 6).as("pmi"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $lowToksSql AS tk FROM documents),
+             |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+             |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+             |             FROM t WHERE len(tk) >= 2)),
+             |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+             |c2 AS (SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM bg)
+             |SELECT w1, w2, c12, c1, c2,
+             |  ROUND(ln(CAST(c12 * n AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)), 6) AS pmi
+             |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+             |WHERE c12 >= 5
+             |ORDER BY ln(CAST(c12 * n AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)) DESC, w1, w2
+             |LIMIT 10""".stripMargin)
+    ),
+
     // Token-distribution Shannon entropy + type-token ratio: the
     // lexical-diversity signals curation pairs with surprisal (low
     // entropy = repetitive/templated text, TTR near 1 = no reuse).
