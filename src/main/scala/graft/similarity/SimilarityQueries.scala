@@ -192,20 +192,16 @@ object SimilarityQueries {
 
   /** Squared L2 between subvector m of `embedding` and a literal
     * sub-centroid — left-to-right fold, bit-identical to list_sum.
+    * (Measured: the aggregate/zip_with form beats an explicit 8-term
+    * element_at expansion ~2x here — 128 inlined subdists per row blow
+    * the expression tree past codegen's method-size limit, while the
+    * lambda fold stays compact.)
     */
   private def pqSubDist(m: Int, cv: Seq[Double]): Column =
     aggregate(
       zip_with(slice(transform(col("embedding"), x => x.cast("double")), m * 8 + 1, 8),
         typedlit(cv), (x, c) => (x - c) * (x - c)),
       lit(0.0), (acc, x) => acc + x)
-
-  /** Nearest sub-centroid of subspace m as struct(dist, j) — argmin with
-    * the j tie-break inside codegen.
-    */
-  private def pqBest(cents: Seq[Seq[Seq[Double]]], m: Int): Column =
-    sort_array(array((0 until pqK).map { j =>
-      struct(pqSubDist(m, cents(m)(j)).as("dist"), lit(j.toLong).as("j"))
-    }: _*)).getItem(0)
 
   /** Oracle twin: rebuild the identical codebook from the table. Ends
     * in `cents(m, j, cv)`.
@@ -232,15 +228,11 @@ object SimilarityQueries {
     // addition) and is emitted as floor(err*1e6 + 0.5), engine-exact.
     "vec_pq_code" -> Query(
       (s, d) => {
-        val cents = pqCents(s, d)
-        val withBest = (0 until 8).foldLeft(Tables.embeddings(s, d)) {
-          case (df, m) => df.withColumn(s"b$m", pqBest(cents, m))
-        }
-        val code = (0 until 8).map(m => col(s"b$m.j") * lit(1L << (4 * m)))
-          .reduce(_ + _)
-        val errTotal = (0 until 8).map(m => col(s"b$m.dist")).reduce(_ + _)
-        withBest.select(col("vec_id"), code.as("pq_code"),
-          floor(errTotal * 1e6 + 0.5).cast("long").as("err_q"))
+        val enc = graft.plans.PqExpressions.pqEncode(col("embedding"), pqCents(s, d))
+        Tables.embeddings(s, d)
+          .withColumn("enc", enc)
+          .select(col("vec_id"), col("enc.code").as("pq_code"),
+            floor(col("enc.err") * 1e6 + 0.5).cast("long").as("err_q"))
       },
       Some(s"""WITH $pqCentsCteSql,
              |sub AS (SELECT e.vec_id, c.m, c.j,
@@ -271,9 +263,10 @@ object SimilarityQueries {
     "ann_pq_topk" -> Query(
       (s, d) => {
         val cents = pqCents(s, d)
-        val coded = (0 until 8).foldLeft(Tables.embeddings(s, d)) {
-          case (df, m) => df.withColumn(s"b$m", pqBest(cents, m))
-        }.select(col("vec_id") +: (0 until 8).map(m => col(s"b$m.j").as(s"c$m")): _*)
+        val coded = Tables.embeddings(s, d)
+          .withColumn("enc", graft.plans.PqExpressions.pqEncode(col("embedding"), cents))
+          .select(col("vec_id") +: (0 until 8).map(m =>
+            shiftright(col("enc.code"), 4 * m).bitwiseAND(15).as(s"c$m")): _*)
         val probeDf = Tables.embeddings(s, d).filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid") +:
             (for (m <- 0 until 8; j <- 0 until pqK)

@@ -56,4 +56,46 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(v === 11.0)
   }
+
+  test("PqEncode matches the HOF argmin/err formulation on real embeddings") {
+    // 2 subspaces x 2 centroids x 2 dims toy codebook over the first 4
+    // dims — small enough to cross-check against the explicit HOF form.
+    val cents: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.1, -0.2), Seq(-0.3, 0.4)),
+      Seq(Seq(0.0, 0.25), Seq(0.5, -0.5)))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), slice(col("embedding"), 1, 4).as("embedding"))
+    def subDist(m: Int, cv: Seq[Double]) =
+      aggregate(
+        zip_with(slice(transform(col("embedding"), x => x.cast("double")), m * 2 + 1, 2),
+          typedlit(cv), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, x) => acc + x)
+    def best(m: Int) =
+      sort_array(array((0 until 2).map { j =>
+        struct(subDist(m, cents(m)(j)).as("dist"), lit(j.toLong).as("j"))
+      }: _*)).getItem(0)
+    val hofCode = col("b0.j") * 1L + col("b1.j") * 16L
+    val hofErr = col("b0.dist") + col("b1.dist")
+    val mismatches = e
+      .withColumn("enc", PqExpressions.pqEncode(col("embedding"), cents))
+      .withColumn("b0", best(0)).withColumn("b1", best(1))
+      .filter(!(col("enc.code") <=> hofCode) || !(col("enc.err") <=> hofErr))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("PqEncode null semantics: wrong length and null elements") {
+    val cents: Seq[Seq[Seq[Double]]] =
+      Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
+    val row = spark.range(1).select(
+      PqExpressions.pqEncode(array(lit(1.0), lit(2.0), lit(3.0)), cents).as("badlen"),
+      PqExpressions.pqEncode(array(lit(1.0), lit(null).cast("double")), cents).as("nullelem"),
+      PqExpressions.pqEncode(array(lit(0.9), lit(1.1)), cents).as("ok"))
+      .collect()(0)
+    assert(row.isNullAt(0))
+    assert(row.isNullAt(1))
+    val ok = row.getStruct(2)
+    assert(ok.getLong(0) === 1L) // centroid (1,1) is nearer (0.9,1.1)
+    assert(math.abs(ok.getDouble(1) - (0.01 + 0.01)) < 1e-12)
+  }
 }
