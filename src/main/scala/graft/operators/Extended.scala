@@ -487,6 +487,89 @@ object Extended {
              |FROM li a JOIN li b
              |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
              |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)
+    ),
+
+    // Datetime scalar suite — the calendar function surface an
+    // analytics engine lives on. Engine convention traps are mapped
+    // explicitly: Spark weekday (Monday=0) = DuckDB isodow - 1 (Spark
+    // dayofweek counts from Sunday=1, DuckDB from Sunday=0 — both
+    // avoided); week = ISO week both sides; add_months clamps to
+    // month-end on both. Date-valued outputs ship as formatted strings
+    // so neither engine's date/timestamp pandas dtype leaks into the
+    // compare.
+    "scalar_datetime" -> Query(
+      (s, d) =>
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("mth"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          weekday(col("o_orderdate")).cast("long").as("wd"),
+          weekofyear(col("o_orderdate")).cast("long").as("wk"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("trunc_m"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("ld"),
+          date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd").as("plus2m"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("dd")),
+      Some("""SELECT o_orderkey,
+             |  year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+             |  month(o_orderdate) AS mth, dayofmonth(o_orderdate) AS dom,
+             |  dayofyear(o_orderdate) AS doy,
+             |  isodow(o_orderdate) - 1 AS wd,
+             |  weekofyear(o_orderdate) AS wk,
+             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS trunc_m,
+             |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS ld,
+             |  strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+             |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd
+             |FROM orders""".stripMargin)
+    ),
+
+    // Conditional-aggregate suite: FILTER-style counts/sums, boolean
+    // all/any, and filtered distinct counting — the per-group quality
+    // dashboard shape. All conditions evaluate inside one map-side
+    // partial agg (one shuffle of 3 groups' partials); the filtered sum
+    // goes through DECIMAL per parity policy.
+    "agg_conditional" -> Query(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(when(col("l_quantity") > 25, 1)).as("n_big"),
+            count(when(col("l_discount") === 0.0, 1)).as("n_nodisc"),
+            sum(when(col("l_quantity") > 25,
+              col("l_extendedprice").cast("decimal(18,6)"))).cast("double").as("big_rev"),
+            bool_and(col("l_quantity") > 0).cast("long").as("all_pos"),
+            bool_or(col("l_quantity") > 49).cast("long").as("any_max"),
+            countDistinct(when(col("l_quantity") > 45, col("l_partkey"))).as("hot_parts")),
+      Some("""SELECT l_returnflag,
+             |  COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_big,
+             |  COUNT(CASE WHEN l_discount = 0.0 THEN 1 END) AS n_nodisc,
+             |  CAST(SUM(CASE WHEN l_quantity > 25
+             |           THEN CAST(l_extendedprice AS DECIMAL(18,6)) END) AS DOUBLE) AS big_rev,
+             |  CAST(bool_and(l_quantity > 0) AS BIGINT) AS all_pos,
+             |  CAST(bool_or(l_quantity > 49) AS BIGINT) AS any_max,
+             |  COUNT(DISTINCT CASE WHEN l_quantity > 45 THEN l_partkey END) AS hot_parts
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    ),
+
+    // Ordered string aggregation (LISTAGG/string_agg): per-nation
+    // roster as a deterministic delimited string. collect_list order is
+    // partition-nondeterministic, so the list sorts BEFORE joining —
+    // the same contract as the oracle's WITHIN-GROUP ORDER BY. Payload
+    // stays bounded (names per nation), the classic listagg use.
+    "agg_string_concat" -> Query(
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_members"),
+            array_join(array_sort(collect_list(col("c_name"))), "|").as("roster")),
+      Some("""SELECT n_name, COUNT(*) AS n_members,
+             |  string_agg(c_name, '|' ORDER BY c_name) AS roster
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)
     )
   )
 }
