@@ -570,6 +570,112 @@ object Extended {
              |  string_agg(c_name, '|' ORDER BY c_name) AS roster
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_name""".stripMargin)
+    ),
+
+    // RFM customer scoring (recency / frequency / monetary), the
+    // segmentation backbone of behavioral analytics: one partial agg
+    // per user, the corpus reference day broadcast as a scalar, and
+    // integer CASE thresholds — the monetary compare runs on the exact
+    // DECIMAL sum so no float sits on a band boundary. Day arithmetic
+    // is integer division of epoch µs.
+    "events_rfm" -> Query(
+      (s, d) => {
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            (expr("ts div 1000") / lit(86400000000L)).cast("long").as("day"),
+            col("value"))
+        val per = p.groupBy(col("user_id"))
+          .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
+            sum(col("value").cast("decimal(18,6)")).as("m"))
+        val ref = per.agg(max(col("last_day")).as("ref_day"))
+        val rec = col("ref_day") - col("last_day")
+        val rScore = when(rec <= 30, 3L).when(rec <= 90, 2L).otherwise(1L)
+        val fScore = when(col("f") >= 16, 3L).when(col("f") >= 10, 2L).otherwise(1L)
+        val mScore = when(col("m") >= 800, 3L).when(col("m") >= 400, 2L).otherwise(1L)
+        per.crossJoin(broadcast(ref))
+          .select(col("user_id"), rec.as("recency_days"), col("f"),
+            col("m").cast("double").as("monetary"),
+            (rScore * 100 + fScore * 10 + mScore).as("rfm"))
+      },
+      Some("""WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+             |           FROM events WHERE event_type = 'purchase'),
+             |per AS (SELECT user_id, MAX(day) AS last_day, COUNT(*) AS f,
+             |          SUM(CAST(value AS DECIMAL(18,6))) AS m
+             |        FROM p GROUP BY 1),
+             |ref AS (SELECT MAX(last_day) AS ref_day FROM per)
+             |SELECT user_id, ref_day - last_day AS recency_days, f,
+             |  CAST(m AS DOUBLE) AS monetary,
+             |  CAST((CASE WHEN ref_day - last_day <= 30 THEN 3
+             |             WHEN ref_day - last_day <= 90 THEN 2 ELSE 1 END) * 100
+             |    + (CASE WHEN f >= 16 THEN 3 WHEN f >= 10 THEN 2 ELSE 1 END) * 10
+             |    + (CASE WHEN m >= 800 THEN 3 WHEN m >= 400 THEN 2 ELSE 1 END)
+             |    AS BIGINT) AS rfm
+             |FROM per CROSS JOIN ref""".stripMargin)
+    ),
+
+    // Sentence segmentation + per-doc sentence stats — the curation
+    // signal family operates on sentences, not just tokens. Regex split
+    // on terminal punctuation, trim + drop empties inside the array
+    // (no explode: the whole computation is per-row array ops in the
+    // scan), integer counts and an exact integer char sum behind the
+    // rounded mean.
+    "text_sentences" -> Query(
+      (s, d) => {
+        val sents = filter(
+          transform(split(col("text"), "[.!?]+"), x => trim(x)), x => x =!= "")
+        Tables.documents(s, d)
+          .withColumn("sents", sents)
+          .select(col("doc_id"),
+            size(col("sents")).cast("long").as("n_sentences"),
+            when(size(col("sents")) === 0, lit(null).cast("long"))
+              .otherwise(array_max(transform(col("sents"), x => length(x))).cast("long"))
+              .as("max_len"),
+            when(size(col("sents")) === 0, lit(null).cast("double"))
+              .otherwise(round(
+                aggregate(col("sents"), lit(0L), (acc, x) => acc + length(x)).cast("double")
+                  / size(col("sents")), 4))
+              .as("mean_len"))
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+             |                x -> trim(x)), x -> x <> '') AS sents
+             |  FROM documents)
+             |SELECT doc_id, len(sents) AS n_sentences,
+             |  CASE WHEN len(sents) = 0 THEN NULL
+             |       ELSE list_max(list_transform(sents, x -> CAST(length(x) AS BIGINT)))
+             |  END AS max_len,
+             |  CASE WHEN len(sents) = 0 THEN NULL
+             |       ELSE ROUND(CAST(list_sum(list_transform(sents, x -> length(x))) AS DOUBLE)
+             |                  / len(sents), 4)
+             |  END AS mean_len
+             |FROM s""".stripMargin)
+    ),
+
+    // rank vs dense_rank vs row_number on a ties-heavy ordering: ranks
+    // share the coarse band ordering (so ties actually exercise the
+    // gap/no-gap semantics), row_number adds the key tie-break for
+    // determinism. One partition sort serves all three frames.
+    "window_rank_family" -> Query(
+      (s, d) => {
+        val band = floor(col("o_totalprice") / 10000).cast("long")
+        val wTies = Window.partitionBy(col("o_orderstatus")).orderBy(col("band").desc)
+        val wTotal = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("band").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("band", band)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("band"),
+            rank().over(wTies).cast("long").as("rnk"),
+            dense_rank().over(wTies).cast("long").as("drnk"),
+            row_number().over(wTotal).cast("long").as("rn"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, band,
+             |  CAST(RANK() OVER wt AS BIGINT) AS rnk,
+             |  CAST(DENSE_RANK() OVER wt AS BIGINT) AS drnk,
+             |  CAST(ROW_NUMBER() OVER wn AS BIGINT) AS rn
+             |FROM (SELECT *, CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS band FROM orders)
+             |WINDOW wt AS (PARTITION BY o_orderstatus ORDER BY band DESC),
+             |       wn AS (PARTITION BY o_orderstatus ORDER BY band DESC, o_orderkey)""".stripMargin)
     )
   )
 }
