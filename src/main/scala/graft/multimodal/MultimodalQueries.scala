@@ -24,6 +24,81 @@ object MultimodalQueries {
     concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
   }
 
+  // ---- shared aHash machinery (mm_ahash_neardup + media curation) ----
+
+  /** 16x8 BMP head images (first 384 text bytes) for docs big enough. */
+  private def ahashImgs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import graft.multimodal.FrameFeatures.WavPayload
+    val bin = col("text").cast("binary")
+    val bmpHex = concat(
+      lit("424d"), leHex32(lit(384 + 54)), lit("00000000"),
+      lit("36000000"), lit("28000000"),
+      lit("10000000"), leHex32(lit(8)),
+      lit("0100"), lit("1800"), lit("00000000"),
+      leHex32(lit(384)), lit("130b0000130b0000"),
+      lit("0000000000000000"),
+      lower(hex(bin)).substr(lit(1), lit(768)))
+    Tables.documents(s, d)
+      .filter(length(bin) >= 384)
+      .select(col("doc_id"), unhex(bmpHex).as("payload"))
+      .as[WavPayload](Encoders.product[WavPayload])
+  }
+
+  /** (doc_id, hash_lo, hash_hi, band_idx, bkey) — 4 x 16-bit bands. */
+  private def ahashBands(hashes: org.apache.spark.sql.DataFrame) = {
+    val bandStructs = (0 until 4).map { b =>
+      val bkey = b match {
+        case 0 => col("hash_lo").bitwiseAND(65535)
+        case 1 => shiftright(col("hash_lo"), 16).bitwiseAND(65535)
+        case 2 => col("hash_hi").bitwiseAND(65535)
+        case 3 => shiftright(col("hash_hi"), 16).bitwiseAND(65535)
+      }
+      struct(lit(b).as("band_idx"), bkey.as("bkey"))
+    }
+    hashes
+      .select(col("doc_id"), col("hash_lo"), col("hash_hi"),
+        explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("hash_lo"), col("hash_hi"),
+        col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey"))
+  }
+
+  /** Near-dup pairs (da < db, hamming <= maxHam) from the band join. */
+  private def ahashPairs(bands: org.apache.spark.sql.DataFrame, maxHam: Int) = {
+    val ham = (bit_count(col("la").bitwiseXOR(col("lb"))) +
+      bit_count(col("ha").bitwiseXOR(col("hb")))).cast("long")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("a.hash_lo").as("la"), col("a.hash_hi").as("ha"),
+        col("b.doc_id").as("db"), col("b.hash_lo").as("lb"), col("b.hash_hi").as("hb"))
+      .distinct()
+      .select(col("da"), col("db"), ham.as("hamming"))
+      .filter(col("hamming") <= maxHam)
+  }
+
+  /** Oracle twin of the hash computation — ends in `h(doc_id, lo, hi)`
+    * and `bands(doc_id, lo, hi, band_idx, bkey)`.
+    */
+  private val ahashCteSql =
+    """d AS (SELECT doc_id, lower(hex(encode(text))) AS hx
+      |      FROM documents WHERE octet_length(encode(text)) >= 384),
+      |b AS (SELECT doc_id, (i // 48) * 8 + ((i % 48) // 6) AS blk,
+      |             CAST('0x' || substr(hx, i*2 + 1, 2) AS BIGINT) AS v
+      |      FROM (SELECT doc_id, hx, unnest(generate_series(0, 383)) AS i FROM d)),
+      |bs AS (SELECT doc_id, blk, SUM(v) AS s FROM b GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, SUM(s) AS total FROM bs GROUP BY 1),
+      |h AS (SELECT bs.doc_id,
+      |        CAST(SUM(CASE WHEN s*64 > total AND blk < 32
+      |                      THEN (CAST(1 AS BIGINT) << CAST(blk AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+      |        CAST(SUM(CASE WHEN s*64 > total AND blk >= 32
+      |                      THEN (CAST(1 AS BIGINT) << CAST(blk - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+      |      FROM bs JOIN tot ON bs.doc_id = tot.doc_id GROUP BY 1),
+      |bands AS (SELECT doc_id, lo, hi, bb.b AS band_idx,
+      |            CASE bb.b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+      |                      WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bkey
+      |          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb)""".stripMargin
+
   val entries: Seq[(String, Query)] = Seq(
 
     // REAL container decode: each document's UTF-8 bytes become the PCM
@@ -233,64 +308,11 @@ object MultimodalQueries {
     // byte i belongs to block (i div 48)*8 + (i mod 48) div 6.
     "mm_ahash_neardup" -> Query(
       (s, d) => {
-        import graft.multimodal.FrameFeatures.WavPayload
-        val bin = col("text").cast("binary")
-        val bmpHex = concat(
-          lit("424d"), leHex32(lit(384 + 54)), lit("00000000"),
-          lit("36000000"), lit("28000000"),
-          lit("10000000"), leHex32(lit(8)),
-          lit("0100"), lit("1800"), lit("00000000"),
-          leHex32(lit(384)), lit("130b0000130b0000"),
-          lit("0000000000000000"),
-          lower(hex(bin)).substr(lit(1), lit(768)))
-        val imgs = Tables.documents(s, d)
-          .filter(length(bin) >= 384)
-          .select(col("doc_id"), unhex(bmpHex).as("payload"))
-          .as[WavPayload](Encoders.product[WavPayload])
-        val hashes = graft.Caches.scoped(FrameFeatures.ahashBmp(imgs).toDF())
-        val bandStructs = (0 until 4).map { b =>
-          val bkey = b match {
-            case 0 => col("hash_lo").bitwiseAND(65535)
-            case 1 => shiftright(col("hash_lo"), 16).bitwiseAND(65535)
-            case 2 => col("hash_hi").bitwiseAND(65535)
-            case 3 => shiftright(col("hash_hi"), 16).bitwiseAND(65535)
-          }
-          struct(lit(b).as("band_idx"), bkey.as("bkey"))
-        }
-        val bands = hashes
-          .select(col("doc_id"), col("hash_lo"), col("hash_hi"),
-            explode(array(bandStructs: _*)).as("bd"))
-          .select(col("doc_id"), col("hash_lo"), col("hash_hi"),
-            col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey"))
-        val ham = (bit_count(col("la").bitwiseXOR(col("lb"))) +
-          bit_count(col("ha").bitwiseXOR(col("hb")))).cast("long")
-        bands.as("a")
-          .join(bands.as("b"),
-            col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("a.hash_lo").as("la"), col("a.hash_hi").as("ha"),
-            col("b.doc_id").as("db"), col("b.hash_lo").as("lb"), col("b.hash_hi").as("hb"))
-          .distinct()
-          .select(col("da"), col("db"), ham.as("hamming"))
-          .filter(col("hamming") <= 12)
+        val hashes = graft.Caches.scoped(
+          FrameFeatures.ahashBmp(ahashImgs(s, d)).toDF())
+        ahashPairs(ahashBands(hashes), maxHam = 12)
       },
-      Some("""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx
-             |           FROM documents WHERE octet_length(encode(text)) >= 384),
-             |b AS (SELECT doc_id, (i // 48) * 8 + ((i % 48) // 6) AS blk,
-             |             CAST('0x' || substr(hx, i*2 + 1, 2) AS BIGINT) AS v
-             |      FROM (SELECT doc_id, hx, unnest(generate_series(0, 383)) AS i FROM d)),
-             |bs AS (SELECT doc_id, blk, SUM(v) AS s FROM b GROUP BY 1, 2),
-             |tot AS (SELECT doc_id, SUM(s) AS total FROM bs GROUP BY 1),
-             |h AS (SELECT bs.doc_id,
-             |        CAST(SUM(CASE WHEN s*64 > total AND blk < 32
-             |                      THEN (CAST(1 AS BIGINT) << CAST(blk AS INT)) ELSE 0 END) AS BIGINT) AS lo,
-             |        CAST(SUM(CASE WHEN s*64 > total AND blk >= 32
-             |                      THEN (CAST(1 AS BIGINT) << CAST(blk - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
-             |      FROM bs JOIN tot ON bs.doc_id = tot.doc_id GROUP BY 1),
-             |bands AS (SELECT doc_id, lo, hi, bb.b AS band_idx,
-             |            CASE bb.b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
-             |                      WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bkey
-             |          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
+      Some(s"""WITH $ahashCteSql,
              |cand AS (SELECT DISTINCT a.doc_id AS da, a.lo AS la, a.hi AS ha,
              |                         b.doc_id AS db, b.lo AS lb, b.hi AS hb
              |         FROM bands a JOIN bands b
@@ -298,6 +320,55 @@ object MultimodalQueries {
              |SELECT da, db,
              |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
              |FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 12""".stripMargin)
+    ),
+
+    // END-TO-END media curation — the multimodal twin of
+    // pipeline_corpus_curation: decode the image head of every
+    // qualifying doc, fingerprint it, then verdict with precedence
+    // dup_image (band-collides at Hamming <= 12 with a lower-id doc) >
+    // flat_image (aHash bit count at the extremes — the blank/banner
+    // case) > dim_image (integer cross-multiplied brightness band) >
+    // kept. The only wide op is the band equi-join; brightness and bit
+    // stats ride the same decoded pass, and the loser set comes back as
+    // a left join flag, never a collect.
+    "pipeline_media_curation" -> Query(
+      (s, d) => {
+        val imgs = ahashImgs(s, d)
+        val hashes = graft.Caches.scoped(
+          FrameFeatures.ahashBmp(imgs).toDF())
+        val stats = FrameFeatures.decodeBmp(imgs).toDF()
+          .select(col("doc_id"),
+            (col("sum_b") + col("sum_g") + col("sum_r")).as("total"))
+        val losers = ahashPairs(ahashBands(hashes), maxHam = 12)
+          .select(col("db").as("doc_id")).distinct()
+          .withColumn("is_dup", lit(1))
+        val nbits = (bit_count(col("hash_lo")) + bit_count(col("hash_hi"))).cast("long")
+        hashes.join(stats, Seq("doc_id"))
+          .join(losers, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), nbits.as("nbits"), col("total"),
+            when(col("is_dup") === 1, "dup_image")
+              .when(nbits >= 44 || nbits <= 20, "flat_image")
+              .when(col("total") * 1000 < lit(93500L) * 384, "dim_image")
+              .otherwise("kept").as("verdict"))
+      },
+      Some(s"""WITH $ahashCteSql,
+             |cand AS (SELECT DISTINCT a.doc_id AS da, a.lo AS la, a.hi AS ha,
+             |                         b.doc_id AS db, b.lo AS lb, b.hi AS hb
+             |         FROM bands a JOIN bands b
+             |           ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+             |losers AS (SELECT DISTINCT db AS doc_id FROM cand
+             |           WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 12),
+             |st AS (SELECT h.doc_id,
+             |         CAST(bit_count(h.lo) + bit_count(h.hi) AS BIGINT) AS nbits,
+             |         t.total,
+             |         h.doc_id IN (SELECT doc_id FROM losers) AS is_dup
+             |       FROM h JOIN tot t ON h.doc_id = t.doc_id)
+             |SELECT doc_id, nbits, CAST(total AS BIGINT) AS total,
+             |  CASE WHEN is_dup THEN 'dup_image'
+             |       WHEN nbits >= 44 OR nbits <= 20 THEN 'flat_image'
+             |       WHEN total * 1000 < 93500 * 384 THEN 'dim_image'
+             |       ELSE 'kept' END AS verdict
+             |FROM st""".stripMargin)
     ),
 
     // Binary payload + typed metadata extraction: byte length (vs char
