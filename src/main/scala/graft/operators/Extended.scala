@@ -652,6 +652,27 @@ object Extended {
              |FROM s""".stripMargin)
     ),
 
+    // HLL sketch MERGE — the property that makes approx-distinct work
+    // at warehouse scale: per-group sketches are REAGGREGATABLE, so a
+    // rollup over precomputed sketches (hll_union_agg) replaces a
+    // second full scan of the raw data. Engine-specific sketch bytes =
+    // no DuckDB oracle (rows-only check); QualitySpec bounds both the
+    // per-group and the merged estimates against exact distincts.
+    "agg_hll_union" -> Query(
+      (s, d) => {
+        val sk = graft.Caches.scoped(Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(hll_sketch_agg(col("o_custkey")).as("sk")))
+        val per = sk.select(col("o_orderpriority").as("scope"),
+          hll_sketch_estimate(col("sk")).as("est_custkeys"))
+        val all = sk.agg(hll_union_agg(col("sk")).as("u"))
+          .select(lit("(all)").as("scope"),
+            hll_sketch_estimate(col("u")).as("est_custkeys"))
+        per.unionAll(all)
+      },
+      None
+    ),
+
     // rank vs dense_rank vs row_number on a ties-heavy ordering: ranks
     // share the coarse band ordering (so ties actually exercise the
     // gap/no-gap semantics), row_number adds the key tie-break for

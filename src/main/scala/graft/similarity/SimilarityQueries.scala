@@ -457,6 +457,36 @@ object SimilarityQueries {
              |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
     ),
 
+    // METADATA-FILTERED vector search — the retrieval pattern RAG and
+    // dedup-by-domain actually run ("nearest neighbors WITHIN label
+    // x"): the predicate applies BEFORE scoring, so the scan prunes
+    // first and the cross join touches only the filtered slice — a
+    // post-filter would instead score everything and then starve top-k
+    // below k. Each probe searches its OWN label's slice (the
+    // partition-routing shape); ranks follow the probe's label stripe.
+    "ann_filtered_topk" -> Query(
+      (s, d) => {
+        val probes = corpus(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("qv"), col("nrm").as("qnrm"))
+        val scored = corpus(s, d)
+          .join(broadcast(probes), col("label") === col("qlabel"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("label"),
+            pairCos(col("qv"), col("qnrm")).as("cos"))
+        topK(scored, 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+             |           FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT q.qid, e.vec_id, e.label, $cosSql AS cos
+             |      FROM q JOIN embeddings e ON e.label = q.qlabel
+             |      WHERE e.vec_id <> q.qid),
+             |r AS (SELECT qid, vec_id, label, cos,
+             |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |      FROM c)
+             |SELECT qid, vec_id, label, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
+    ),
+
     // Multi-table random-hyperplane LSH ANN: hash the corpus once into
     // L=5 tables of 3 planes each (literal coefficient arrays — zero
     // per-row hashing), candidates = union of same-(table,bucket)

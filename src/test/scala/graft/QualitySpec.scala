@@ -74,6 +74,26 @@ class QualitySpec extends AnyFunSuite {
     assert(r >= 0.2, s"PQ-ADC mean recall@5 vs exact L2 = $r")
   }
 
+  test("agg_hll_union per-group and MERGED estimates land within 5% of exact") {
+    val got = SparkEntry.queries("agg_hll_union")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactPer = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = Tables.orders(spark, sf)
+      .agg(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    exactPer.foreach { case (k, exact) =>
+      val est = got(k)
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"per-group $k: est $est vs exact $exact")
+    }
+    // the MERGED sketch must estimate the global distinct — i.e. union
+    // deduplicates across groups rather than summing their estimates
+    assert(math.abs(got("(all)") - exactAll).toDouble / exactAll <= 0.05,
+      s"merged: est ${got("(all)")} vs exact $exactAll")
+  }
+
   test("dedup_embedding LSH blocking recovers most true near-dup pairs") {
     // Truth = ALL pairs with rounded cosine >= 0.3 (brute force is fine at
     // sf0.01: 500 vectors). The registered query only scores pairs that
