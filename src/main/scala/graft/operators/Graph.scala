@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.functions._
+
+/** Iterative link analysis (PageRank) — the graph family beyond
+  * connected components.
+  *
+  * The graph is the part CO-PURCHASE graph (nodes = parts, undirected
+  * edges = pairs bought together in >= 2 orders — basket_pairs'
+  * candidate machinery), and the ranks answer "which products anchor
+  * the catalog". Two damped power iterations with ALL arithmetic in
+  * scaled integers — rank quantum 1e-12 of total mass — so every
+  * engine computes bit-identical ranks: contribution = r div deg,
+  * damping = (85·Σ) div 100, teleport = (15·(Q div n)) div 100. The
+  * driver holds only two scalars (n, and the constants derived from
+  * it, kmeans-style); each iteration is one edges⋈ranks equi-join +
+  * one partial agg on the destination key — the Pregel message-passing
+  * shape in vanilla DataFrame ops.
+  */
+object Graph {
+
+  private val Q = 1000000000000L // total rank mass (integer quantum)
+
+  val entries: Seq[(String, Query)] = Seq(
+
+    "graph_pagerank" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+        val edges = graft.Caches.scoped(
+          pairs.select(col("pa").as("u"), col("pb").as("v"))
+            .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v"))))
+        val deg = graft.Caches.scoped(
+          edges.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+        val n = deg.count()
+        val r0 = Q / n
+        val base = (15L * r0) / 100L
+        var ranks = deg.select(col("u").as("node"), col("deg"), lit(r0).as("r"))
+        (1 to 2).foreach { _ =>
+          val contrib = ranks.select(col("node").as("u"), expr("r div deg").as("c"))
+          val inSum = edges.join(contrib, Seq("u"))
+            .groupBy(col("v")).agg(sum(col("c")).as("sum_c"))
+          ranks = deg.select(col("u").as("node"), col("deg"))
+            .join(inSum, col("node") === col("v"), "left_outer")
+            .select(col("node"), col("deg"),
+              (lit(base) +
+                expr("coalesce(sum_c, 0L) * 85 div 100")).as("r"))
+        }
+        ranks.select(col("node").as("part"), col("deg"), col("r").as("rank_q"))
+      },
+      Some(s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |          FROM li a JOIN li b
+             |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |edges AS (SELECT pa AS u, pb AS v FROM pairs
+             |          UNION ALL SELECT pb, pa FROM pairs),
+             |deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY 1),
+             |nn AS (SELECT COUNT(*) AS n FROM deg),
+             |k AS (SELECT n, $Q // n AS r0, (15 * ($Q // n)) // 100 AS base FROM nn),
+             |r1 AS (SELECT d.u AS node, d.deg,
+             |         k.base + COALESCE(CAST(s.sum_c AS BIGINT), 0) * 85 // 100 AS r
+             |       FROM deg d CROSS JOIN k
+             |       LEFT JOIN (SELECT e.v, SUM(k2.r0 // d2.deg) AS sum_c
+             |                  FROM edges e
+             |                  JOIN deg d2 ON e.u = d2.u CROSS JOIN k k2
+             |                  GROUP BY e.v) s ON d.u = s.v),
+             |r2 AS (SELECT d.u AS node, d.deg,
+             |         k.base + COALESCE(CAST(s.sum_c AS BIGINT), 0) * 85 // 100 AS r
+             |       FROM deg d CROSS JOIN k
+             |       LEFT JOIN (SELECT e.v, SUM(r1.r // d2.deg) AS sum_c
+             |                  FROM edges e
+             |                  JOIN deg d2 ON e.u = d2.u
+             |                  JOIN r1 ON r1.node = e.u
+             |                  GROUP BY e.v) s ON d.u = s.v)
+             |SELECT node AS part, deg, r AS rank_q FROM r2""".stripMargin)
+    )
+  )
+}
