@@ -720,6 +720,126 @@ object Relational {
              |FROM per JOIN supplier ON late_supp = s_suppkey
              |WHERE n_supp > 1 AND n_late = 1
              |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 10""".stripMargin)
+    ),
+
+    // TPC-H Q6 shape: the canonical forecast-revenue scan — pure
+    // filter + aggregate, zero joins. Every predicate pushes into the
+    // parquet scan; the shuffle carries exactly ONE partial row per
+    // partition. The simplest query in the suite and the purest
+    // pushdown/codegen benchmark.
+    "q6_forecast_revenue" -> Query(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                  col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+                  col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,6)"))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_lines")),
+      Some("""SELECT
+             |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_lines
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
+    ),
+
+    // TPC-H Q14 shape: promo revenue share — a conditional-over-total
+    // ratio from ONE pass (two decimal sums in the same agg, no second
+    // scan). part broadcasts into the month-pruned lineitem scan.
+    "q14_promo_revenue" -> Query(
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01 00:00:00")) &&
+                  col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        l.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0).cast("decimal(18,6)")))
+              .as("promo"),
+            sum(revenue).as("total"))
+          .select(round(col("promo").cast("double") * 100.0 / col("total").cast("double"), 6)
+            .as("promo_pct"),
+            col("promo").cast("double").as("promo_rev"),
+            col("total").cast("double").as("total_rev"))
+      },
+      Some("""SELECT
+             |  ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+             |        THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))
+             |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) * 100.0 /
+             |    CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6)
+             |    AS promo_pct,
+             |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+             |        THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))
+             |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_rev,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+    ),
+
+    // TPC-H Q15 shape: top supplier(s) by quarterly revenue — the
+    // revenue "view" materializes once, its max broadcasts back as a
+    // scalar, and the equality filter runs on the EXACT DECIMAL (a
+    // double max would non-deterministically drop true ties).
+    "q15_top_supplier" -> Query(
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                  col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(revenue).as("total_rev"))
+        val m = rev.agg(max(col("total_rev")).as("mx"))
+        rev.crossJoin(broadcast(m))
+          .filter(col("total_rev") === col("mx"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast("double").as("total_rev"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey, SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS total_rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY 1),
+             |m AS (SELECT MAX(total_rev) AS mx FROM rev)
+             |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+             |FROM rev CROSS JOIN m
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_rev = mx""".stripMargin)
+    ),
+
+    // TPC-H Q17 shape: small-quantity-order revenue for one brand —
+    // the correlated avg-quantity subquery decorrelates to a per-part
+    // aggregate joined back, and the 20%-of-average threshold becomes
+    // DECIMAL cross-multiplication (qty·5n < Σqty), so no float sits on
+    // the keep/drop boundary. part is broadcast; the per-part agg is
+    // the only extra shuffle.
+    "q17_small_qty_revenue" -> Query(
+      (s, d) => {
+        val perPart = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("apk"))
+          .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sq"),
+            count(lit(1)).as("n"))
+        val p = Tables.part(s, d).filter(col("p_brand") === "Brand#13")
+        Tables.lineitem(s, d)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(perPart, col("l_partkey") === col("apk"))
+          .filter(col("l_quantity").cast("decimal(18,6)") * (col("n") * 5) < col("sq"))
+          .agg((sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0)
+            .as("avg_yearly"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""WITH a AS (SELECT l_partkey AS apk,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq, COUNT(*) AS n
+             |  FROM lineitem GROUP BY 1)
+             |SELECT
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+             |  COUNT(*) AS n_lines
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#13'
+             |JOIN a ON l_partkey = apk
+             |WHERE CAST(l_quantity AS DECIMAL(18,6)) * (n * 5) < sq""".stripMargin)
     )
   )
 }
