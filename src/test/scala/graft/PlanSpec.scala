@@ -223,4 +223,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
     assert(p.contains("BroadcastHashJoin"), "nation must broadcast")
   }
+
+  test("q6 pushes every predicate into the scan and never joins") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      p.contains("LessThan(l_quantity,24.0)"),
+      s"predicates not pushed:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "Q6 has no join")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "agg must be partial")
+  }
+
+  test("pagerank message passing is equi-join + partial agg, never all-pairs") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"message passing must stay an equi-join:\n${p.take(2000)}")
+  }
+
+  test("media curation never degenerates to a cartesian candidate join") {
+    val p = plan("pipeline_media_curation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join must stay an equi-join:\n${p.take(2000)}")
+  }
 }
