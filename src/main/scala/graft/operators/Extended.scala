@@ -673,6 +673,49 @@ object Extended {
       None
     ),
 
+    // Deletion propagation (right-to-be-forgotten): a forget-list
+    // anti-joins every table that carries the subject key, and the
+    // audit trail reports per-table before/after/dropped counts — the
+    // compliance op a production corpus must run on schedule. The
+    // forget list broadcasts (it is always small relative to the
+    // corpus); each table pays one scan and a broadcast anti-join, and
+    // the audit is a union of per-table aggregates.
+    "etl_forget_users" -> Query(
+      (s, d) => {
+        val forget = Tables.events(s, d)
+          .select(col("user_id")).distinct()
+          .filter(col("user_id") % 97 === 0)
+        val ev = Tables.events(s, d)
+        val evKept = ev.join(broadcast(forget), Seq("user_id"), "left_anti")
+        val ord = Tables.orders(s, d)
+        val ordKept = ord.join(broadcast(forget),
+          ord("o_custkey") === forget("user_id"), "left_anti")
+        def audit(name: String, before: org.apache.spark.sql.DataFrame,
+                  after: org.apache.spark.sql.DataFrame) =
+          before.agg(count(lit(1)).as("rows_before"))
+            .crossJoin(after.agg(count(lit(1)).as("rows_after")))
+            .select(lit(name).as("table_name"), col("rows_before"), col("rows_after"),
+              (col("rows_before") - col("rows_after")).as("rows_dropped"))
+        audit("events", ev, evKept).unionAll(audit("orders", ord, ordKept))
+      },
+      Some("""WITH forget AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
+             |SELECT 'events' AS table_name,
+             |  (SELECT COUNT(*) FROM events) AS rows_before,
+             |  (SELECT COUNT(*) FROM events
+             |   WHERE user_id NOT IN (SELECT user_id FROM forget)) AS rows_after,
+             |  (SELECT COUNT(*) FROM events) -
+             |  (SELECT COUNT(*) FROM events
+             |   WHERE user_id NOT IN (SELECT user_id FROM forget)) AS rows_dropped
+             |UNION ALL
+             |SELECT 'orders',
+             |  (SELECT COUNT(*) FROM orders),
+             |  (SELECT COUNT(*) FROM orders
+             |   WHERE o_custkey NOT IN (SELECT user_id FROM forget)),
+             |  (SELECT COUNT(*) FROM orders) -
+             |  (SELECT COUNT(*) FROM orders
+             |   WHERE o_custkey NOT IN (SELECT user_id FROM forget))""".stripMargin)
+    ),
+
     // rank vs dense_rank vs row_number on a ties-heavy ordering: ranks
     // share the coarse band ordering (so ties actually exercise the
     // gap/no-gap semantics), row_number adds the key tie-break for
