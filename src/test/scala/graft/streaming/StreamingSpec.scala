@@ -92,6 +92,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("AttributionStream.foldUser credits the latest in-lookback click") {
+    import AttributionStream._
+    val lb = 1000L
+    // out-of-order arrival: the later click sorts first by ts and wins
+    val evs = Seq(
+      Ev(1, 900, 30, "purchase"), Ev(1, 100, 10, "click"), Ev(1, 500, 20, "click"),
+      Ev(1, 5000, 40, "purchase")) // stale: last click 4500us ago > lookback
+    val (out, st) = foldUser(1, evs, None, lb)
+    assert(out === Seq(
+      Attribution(1, 30, 900, Some(20), Some(400)),
+      Attribution(1, 40, 5000, None, None)))
+    assert(st === Some(LastClick(20, 500)))
+  }
+
+  test("AttributionStream carries click state across micro-batches") {
+    import AttributionStream._
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = AttributionStream(in.toDS(), lookbackUs = 1000000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("attr_stream").start()
+    try {
+      in.addData(Ev(7, 100, 1, "click"))
+      q.processAllAvailable()
+      in.addData(Ev(7, 500000, 2, "purchase"),       // credits click 1 from batch 1
+                 Ev(8, 600000, 3, "purchase"))       // no click ever -> unattributed
+      q.processAllAvailable()
+      val rows = spark.table("attr_stream")
+        .select("purchase_id", "click_id", "delta_us").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sorted.toSeq
+      assert(rows === Seq((2L, 1L), (3L, -1L)))
+    } finally q.stop()
+  }
+
   test("WindowedAgg file-source run survives a checkpointed restart without loss or duplication") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._
