@@ -840,6 +840,41 @@ object Relational {
              |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#13'
              |JOIN a ON l_partkey = apk
              |WHERE CAST(l_quantity AS DECIMAL(18,6)) * (n * 5) < sq""".stripMargin)
+    ),
+
+    // TPC-H Q22 shape: dormant high-value customers — above-average
+    // balance but NO recent orders (nothing in the data's final year).
+    // The scalar average broadcasts (an exact decimal sum / count,
+    // compared as an identical double on both engines), the NOT EXISTS
+    // is a left-anti join against the date-pruned orders scan, and the
+    // final rollup groups by nation. Three shuffles total: the avg
+    // partial, the anti join, the small group-by.
+    "q22_dormant_customers" -> Query(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val avgBal = c.filter(col("c_acctbal") > 0.0)
+          .agg((sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / count(lit(1))).as("avg_bal"))
+        val recent = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-09-01 00:00:00")))
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_custs"),
+            sum(col("c_acctbal").cast("decimal(18,6)")).cast("double").as("total_bal"))
+      },
+      Some("""WITH a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             |                  / COUNT(*) AS avg_bal
+             |           FROM customer WHERE c_acctbal > 0.0)
+             |SELECT c_nationkey, COUNT(*) AS n_custs,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+             |FROM customer CROSS JOIN a
+             |WHERE c_acctbal > avg_bal
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '2000-09-01 00:00:00')
+             |GROUP BY c_nationkey""".stripMargin)
     )
   )
 }
