@@ -668,6 +668,61 @@ object Temporal {
              |  lc AS click_us, lc_lv AS view_us, le AS last_error_us,
              |  CAST(lc_lv IS NOT NULL AND (le IS NULL OR lc_lv > le) AS BIGINT) AS clean
              |FROM w2 WHERE event_type = 'purchase'""".stripMargin)
+    ),
+
+    // Peak concurrency — "how many sessions were open at once, and
+    // when did the peak first happen": the capacity-planning op. The
+    // session build (gaps-and-islands, sessionize's machinery) stays
+    // fully distributed; the final sweep — +1/-1 endpoint deltas in
+    // time order, running sum, argmax — runs over 2 rows PER SESSION,
+    // four orders of magnitude smaller than the event stream, so its
+    // single-partition window is a post-aggregate reduction, not a
+    // data-scale sort. End-before-start ordering at the same
+    // microsecond (delta -1 < +1) makes back-to-back sessions
+    // non-overlapping; (user_id) breaks the remaining ties.
+    "events_max_concurrency" -> Query(
+      (s, d) => {
+        val gapUs = 21600000000L
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sessions = Tables.events(s, d)
+          .withColumn("tus", expr("ts div 1000"))
+          .withColumn("new_sess",
+            when(col("tus") - lag(col("tus"), 1).over(w) > gapUs ||
+                 lag(col("tus"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
+        val points = sessions
+          .select(col("user_id"), col("start_us").as("tus"), lit(1L).as("delta"))
+          .unionAll(sessions
+            .select(col("user_id"), col("end_us").as("tus"), lit(-1L).as("delta")))
+        val sweep = Window.orderBy(col("tus"), col("delta"), col("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val swept = graft.Caches.scoped(
+          points.withColumn("conc", sum(col("delta")).over(sweep)))
+        val peak = swept.agg(max(col("conc")).as("peak"))
+        swept.crossJoin(broadcast(peak))
+          .filter(col("conc") === col("peak"))
+          .groupBy(col("peak"))
+          .agg(min(col("tus")).as("first_peak_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+             |g AS (SELECT *, CASE WHEN tus - LAG(tus) OVER w > 21600000000
+             |                       OR LAG(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+             |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM g),
+             |sess AS (SELECT user_id, sess_id, MIN(tus) AS start_us, MAX(tus) AS end_us
+             |         FROM s GROUP BY 1, 2),
+             |pts AS (SELECT user_id, start_us AS tus, CAST(1 AS BIGINT) AS delta FROM sess
+             |        UNION ALL
+             |        SELECT user_id, end_us, CAST(-1 AS BIGINT) FROM sess),
+             |sw AS (SELECT *, SUM(delta) OVER (ORDER BY tus, delta, user_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM pts)
+             |SELECT CAST(MAX(conc) AS BIGINT) AS peak,
+             |  MIN(CASE WHEN conc = (SELECT MAX(conc) FROM sw) THEN tus END) AS first_peak_us
+             |FROM sw""".stripMargin)
     )
   )
 }
