@@ -438,6 +438,123 @@ object SimilarityQueries {
              |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
     ),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup inside k-means
+    // clusters — assign every embedding to its trained-quantizer cell
+    // (literal-centroid argmin in the SCAN, zero assignment shuffle),
+    // then drop any vector whose cluster holds a higher-priority
+    // (lower vec_id) vector with cosine >= 0.40 on the 4dp-rounded
+    // score. The pair join keys on cid, so work is O(Σ cellᵢ²) with the
+    // CELL as the bounded unit — at 100 TB the quantizer's k grows with
+    // the corpus (k ≈ √n keeps cells ~constant), which is precisely why
+    // SemDeDup blocks on k-means cells instead of labels or nothing.
+    // Output is a verdict per vector (kept clusters included), so the
+    // downstream writer is one anti-join away from the deduped corpus.
+    "pipeline_semdedup" -> Query(
+      (s, d) => {
+        val cents = trainedCentroids(s, d)
+        val asg = corpus(s, d).withColumn("qv", quantCol)
+          .withColumn("cid", centroidRanks(cents).getItem(0).getField("cid"))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+        val a = asg.select(col("cid"), col("vec_id").as("va"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = asg.select(col("cid"), col("vec_id").as("vb"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val dropped = a.join(b, Seq("cid"))
+          .filter(col("va") < col("vb"))
+          .select(col("vb").as("vec_id"),
+            round(VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+              .as("cos"))
+          .filter(col("cos") >= 0.4)
+          .select(col("vec_id")).distinct()
+        asg.join(dropped.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cid"),
+            coalesce(col("dropped"), lit(0L)).as("dropped"))
+      },
+      Some(s"""WITH $kmeansCteSql,
+             |a1 AS (SELECT vec_id, cid FROM (
+             |         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+             |         FROM d1) WHERE rn = 1),
+             |emb AS (SELECT a1.vec_id, a1.cid, e.embedding
+             |        FROM a1 JOIN embeddings e USING (vec_id)),
+             |pd AS (SELECT DISTINCT y.vec_id
+             |       FROM emb x JOIN emb y ON x.cid = y.cid AND x.vec_id < y.vec_id
+             |       WHERE ROUND(
+             |         list_sum(list_transform(generate_series(1, 64),
+             |           i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) /
+             |         (sqrt(list_sum(list_transform(generate_series(1, 64),
+             |           i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))) *
+             |          sqrt(list_sum(list_transform(generate_series(1, 64),
+             |           i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))), 4) >= 0.4)
+             |SELECT a1.vec_id, a1.cid, CAST(pd.vec_id IS NOT NULL AS BIGINT) AS dropped
+             |FROM a1 LEFT JOIN pd ON a1.vec_id = pd.vec_id""".stripMargin)
+    ),
+
+    // TWO-STAGE retrieval (shortlist + rerank) — how production vector
+    // search actually answers: the cheap PQ/ADC pass ranks the WHOLE
+    // corpus from 16-bit codes (8 table lookups per candidate, codes
+    // never leave the scan) and keeps a 32-candidate shortlist; the
+    // exact cosine pass then re-scores only those 32 per probe. The
+    // expensive float arithmetic touches 32·|probes| rows instead of
+    // n·|probes| — the 100 TB shape where full-precision vectors are
+    // only ever fetched for a shortlist. Self-matches are excluded
+    // before the shortlist rank so all 32 slots carry real candidates.
+    "ann_reranked" -> Query(
+      (s, d) => {
+        val cents = pqCents(s, d)
+        val coded = Tables.embeddings(s, d)
+          .withColumn("enc", graft.plans.PqExpressions.pqEncode(col("embedding"), cents))
+          .select(col("vec_id") +: (0 until 8).map(m =>
+            shiftright(col("enc.code"), 4 * m).bitwiseAND(15).as(s"c$m")): _*)
+        val probeDf = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid") +:
+            (for (m <- 0 until 8; j <- 0 until pqK)
+              yield pqSubDist(m, cents(m)(j)).as(s"d_${m}_$j")): _*)
+        val adc = (0 until 8).map { m =>
+          (0 until pqK).foldLeft(lit(null).cast("double")) { (acc, j) =>
+            when(col(s"c$m") === j, col(s"d_${m}_$j")).otherwise(acc)
+          }
+        }.reduce(_ + _)
+        val wS = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+        val shortlist = coded.crossJoin(broadcast(probeDf))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("adc", adc)
+          .withColumn("srn", row_number().over(wS))
+          .filter(col("srn") <= 32)
+          .select(col("qid"), col("vec_id"))
+        val scored = shortlist.join(corpus(s, d), Seq("vec_id"))
+          .join(broadcast(queriesDf(s, d)), Seq("qid"))
+          .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos"))
+        topK(scored, 5)
+      },
+      Some(s"""WITH $pqCentsCteSql,
+             |sub AS (SELECT e.vec_id, c.m, c.j,
+             |    list_sum(list_transform(generate_series(1, 8),
+             |      i -> (CAST(e.embedding[c.m*8 + i] AS DOUBLE) - c.cv[i])
+             |         * (CAST(e.embedding[c.m*8 + i] AS DOUBLE) - c.cv[i]))) AS dist
+             |  FROM embeddings e CROSS JOIN cents c),
+             |bc AS (SELECT vec_id, m, j FROM (
+             |    SELECT vec_id, m, j,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+             |    FROM sub) WHERE rn = 1),
+             |dt AS (SELECT vec_id AS qid, m, j, dist FROM sub WHERE vec_id < 10),
+             |adc AS (SELECT dt.qid, bc.vec_id,
+             |    list_sum(list(dt.dist ORDER BY dt.m)) AS adc
+             |  FROM bc JOIN dt ON bc.m = dt.m AND bc.j = dt.j AND bc.vec_id <> dt.qid
+             |  GROUP BY 1, 2),
+             |sl AS (SELECT qid, vec_id FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS srn
+             |    FROM adc) WHERE srn <= 32),
+             |c AS (SELECT sl.qid, sl.vec_id, $cosSql AS cos
+             |      FROM sl
+             |      JOIN embeddings e ON e.vec_id = sl.vec_id
+             |      JOIN (SELECT vec_id AS qid2, embedding AS qv FROM embeddings) q
+             |        ON q.qid2 = sl.qid),
+             |r AS (SELECT qid, vec_id, cos,
+             |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |      FROM c)
+             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
+    ),
+
     // Exact cosine top-5 per query vector (the baseline ANN answers are
     // judged against).
     "ann_bruteforce_topk" -> Query(

@@ -407,6 +407,157 @@ object TextQueries {
              |FROM tc GROUP BY doc_id""".stripMargin)
     ),
 
+    // Benchmark DECONTAMINATION: flag training docs sharing any 8-gram
+    // with a held-out eval set (doc_id % 20 == 0) — the published
+    // n-gram-collision test (GPT-3 appx C uses 13-grams; 8 fits the
+    // synthetic doc lengths) every serious pretraining corpus runs
+    // before training. Shingles are assembled relationally (posexplode
+    // + 7 lead frames over ONE doc_id sort — the codegen'd shape shared
+    // with dedup shingling), the eval index is distinct 60-bit shingle
+    // hashes, and the flagging join is a hash equi-join: O(n_shingles)
+    // shuffle rows, never doc x doc. At 100 TB the eval index is tiny
+    // by construction (benchmarks, not corpus) — it BROADCASTS, so the
+    // corpus side never shuffles at all; zero-hit docs come back via
+    // the left join so the output is a verdict per training doc.
+    "text_decontaminate" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(TextFunctions.cleanTokens(lower(col("text")))).as(Seq("pos", "t")))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val leads = (1 until 8).map(i => lead(col("t"), i).over(wd))
+        val sh = tok
+          .select(col("doc_id"),
+            concat_ws(" ", (col("t") +: leads): _*).as("s"), leads.last.as("t7"))
+          .filter(col("t7").isNotNull)
+          .select(col("doc_id"), graft.functions.Hashing.md5Long60(col("s")).as("h"))
+        val ev = sh.filter(col("doc_id") % 20 === 0).select(col("h")).distinct()
+        val hits = sh.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), col("h")).distinct()
+          .join(broadcast(ev), "h")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        Tables.documents(s, d).filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) > 0).cast("long").as("contaminated"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |            list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tk
+             |          FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS s
+             |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+             |             FROM t WHERE len(tk) >= 8)),
+             |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+             |hits AS (SELECT sh.doc_id, COUNT(*) AS n_hits
+             |         FROM sh JOIN ev USING (s) WHERE sh.doc_id % 20 <> 0 GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+             |  CAST(COALESCE(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+             |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin)
+    ),
+
+    // Context-window SEQUENCE PACKING: greedy first-fit of docs (in
+    // doc_id order) into 256-token training sequences per source shard
+    // — the step that turns a curated corpus into fixed-budget training
+    // rows without splitting documents. The fold is inherently
+    // sequential PER SHARD, so the shard is the parallelism unit: one
+    // shuffle groups each source's (doc_id, ntok) structs, and the
+    // greedy scan runs as a codegen'd aggregate fold over the sorted
+    // array (per-shard payload is bounded by the writer's shard sizing
+    // — the same contract as agg_string_concat). A doc longer than the
+    // budget gets its own pack. The oracle replays the identical greedy
+    // recurrence as a per-source recursive CTE.
+    "text_pack_greedy" -> Query(
+      (s, d) => {
+        val budget = 256
+        val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+          size(cleanToks).cast("long").as("ntok"))
+        val outTy = "array<struct<doc_id:bigint,ntok:bigint,pack_id:bigint,off:bigint>>"
+        val packed = aggregate(
+          col("ds"),
+          struct(
+            expr(s"CAST(array() AS $outTy)").as("out"),
+            lit(0L).as("cur"), lit(0L).as("acc")),
+          (st, x) => {
+            val break = st.getField("acc") > 0 &&
+              st.getField("acc") + x.getField("ntok") > budget
+            val pid = when(break, st.getField("cur") + 1).otherwise(st.getField("cur"))
+            val off = when(break, lit(0L)).otherwise(st.getField("acc"))
+            struct(
+              concat(st.getField("out"), array(struct(
+                x.getField("doc_id").as("doc_id"), x.getField("ntok").as("ntok"),
+                pid.as("pack_id"), off.as("off")))).as("out"),
+              pid.as("cur"),
+              (off + x.getField("ntok")).as("acc"))
+          },
+          st => st.getField("out"))
+        docs.groupBy(col("source"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("ntok")))).as("ds"))
+          .select(col("source"), explode(packed).as("p"))
+          .select(col("source"), col("p.doc_id").as("doc_id"), col("p.ntok").as("ntok"),
+            col("p.pack_id").as("pack_id"), col("p.off").as("off"))
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS ntok,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, doc_id, ntok, rn,
+             |    CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS off, ntok AS acc
+             |  FROM t WHERE rn = 1
+             |  UNION ALL
+             |  SELECT t.source, t.doc_id, t.ntok, t.rn,
+             |    CASE WHEN r.acc > 0 AND r.acc + t.ntok > 256 THEN r.pack_id + 1 ELSE r.pack_id END,
+             |    CASE WHEN r.acc > 0 AND r.acc + t.ntok > 256 THEN CAST(0 AS BIGINT) ELSE r.acc END,
+             |    CASE WHEN r.acc > 0 AND r.acc + t.ntok > 256 THEN t.ntok ELSE r.acc + t.ntok END
+             |  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+             |SELECT source, doc_id, ntok, pack_id, off FROM r""".stripMargin)
+    ),
+
+    // Per-language CALIBRATED quality gate: keep docs at or above their
+    // own language's median quality — absolute thresholds are miscalibrated
+    // across languages (stopword lists, punctuation norms differ), so
+    // production curation gates per-domain/per-language quantiles. Two
+    // passes: a per-lang exact median (one partial agg over few groups)
+    // broadcasts back onto the scoring scan — no window over the corpus,
+    // no sort. The keep decision compares 6dp-ROUNDED score vs threshold
+    // on both sides, so an engine ulp in the interpolated median can
+    // never flip a verdict.
+    "text_quality_calibrated" -> Query(
+      (s, d) => {
+        val q = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        val thr = q.groupBy(col("lang"))
+          .agg(percentile(col("q"), lit(0.5)).as("thr"))
+        q.join(broadcast(thr), "lang")
+          .select(col("doc_id"), col("lang"),
+            round(col("q"), 6).as("quality"), round(col("thr"), 6).as("thr"),
+            (round(col("q"), 6) >= round(col("thr"), 6)).cast("long").as("keep"))
+      },
+      Some(s"""WITH c AS (
+             |  SELECT doc_id, lang, text,
+             |    CASE WHEN length(text) > 0
+             |      THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)
+             |      ELSE 0.0 END AS pr,
+             |    CASE WHEN len($lowToksSql) > 0
+             |      THEN CAST(${hitsSql("en")} AS DOUBLE) / len($lowToksSql)
+             |      ELSE 0.0 END AS sr
+             |  FROM documents),
+             |q AS (SELECT doc_id, lang,
+             |        LEAST(length(text)/500.0, 1.0) * 0.4
+             |          + GREATEST(1.0 - pr * 5, 0.0) * 0.4
+             |          + LEAST(sr * 5, 1.0) * 0.2 AS q
+             |      FROM c),
+             |thr AS (SELECT lang, quantile_cont(q, 0.5) AS thr FROM q GROUP BY lang)
+             |SELECT q.doc_id, q.lang, ROUND(q.q, 6) AS quality, ROUND(thr.thr, 6) AS thr,
+             |  CAST(ROUND(q.q, 6) >= ROUND(thr.thr, 6) AS BIGINT) AS keep
+             |FROM q JOIN thr USING (lang)""".stripMargin)
+    ),
+
     // Order-sensitive positional rolling-hash fingerprint.
     "text_fingerprint" -> Query(
       (s, d) =>
