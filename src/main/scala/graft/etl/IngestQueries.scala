@@ -50,6 +50,87 @@ object IngestQueries {
       Some("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars FROM documents")
     ),
 
+    // Snapshot RECONCILIATION diff: the added/removed/changed audit
+    // between two table versions — what a warehouse runs after every
+    // backfill or CDC replay to prove the delta is the intended one.
+    // Both snapshots derive deterministically from orders (old drops
+    // keys ≡3 mod 89; new drops ≡5 mod 89 and bumps totalprice on keys
+    // ≡7 mod 83), rows compare by md5 over a canonical field encoding
+    // (doubles via DECIMAL(18,2) strings — engine-identical), and the
+    // diff is ONE full-outer hash join on the key: O(n) shuffle, no
+    // sort, unchanged rows dropped before the emit so the output is
+    // the audit, not the table.
+    "etl_snapshot_diff" -> Query(
+      (s, d) => {
+        def rowHash(price: org.apache.spark.sql.Column) =
+          md5(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), price.cast("decimal(18,2)").cast("string"),
+            col("o_orderdate"), col("o_orderpriority")))
+        val o = Tables.orders(s, d)
+        val old = o.filter(col("o_orderkey") % 89 =!= 3)
+          .select(col("o_orderkey"), rowHash(col("o_totalprice")).as("h_old"))
+        val neu = o.filter(col("o_orderkey") % 89 =!= 5)
+          .select(col("o_orderkey"),
+            rowHash(when(col("o_orderkey") % 83 === 7, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice"))).as("h_new"))
+        old.join(neu, Seq("o_orderkey"), "full_outer")
+          .withColumn("verdict",
+            when(col("h_old").isNull, "added")
+              .when(col("h_new").isNull, "removed")
+              .when(col("h_old") =!= col("h_new"), "changed")
+              .otherwise("unchanged"))
+          .filter(col("verdict") =!= "unchanged")
+          .select(col("o_orderkey"), col("verdict"), col("h_old"), col("h_new"))
+      },
+      Some("""WITH old AS (
+             |  SELECT o_orderkey, md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+             |    o_orderdate, o_orderpriority)) AS h_old
+             |  FROM orders WHERE o_orderkey % 89 <> 3),
+             |neu AS (
+             |  SELECT o_orderkey, md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+             |    CAST(CAST(CASE WHEN o_orderkey % 83 = 7 THEN o_totalprice + 1.0
+             |              ELSE o_totalprice END AS DECIMAL(18,2)) AS VARCHAR),
+             |    o_orderdate, o_orderpriority)) AS h_new
+             |  FROM orders WHERE o_orderkey % 89 <> 5),
+             |j AS (SELECT COALESCE(old.o_orderkey, neu.o_orderkey) AS o_orderkey,
+             |        h_old, h_new,
+             |        CASE WHEN h_old IS NULL THEN 'added'
+             |             WHEN h_new IS NULL THEN 'removed'
+             |             WHEN h_old <> h_new THEN 'changed'
+             |             ELSE 'unchanged' END AS verdict
+             |      FROM old FULL OUTER JOIN neu ON old.o_orderkey = neu.o_orderkey)
+             |SELECT o_orderkey, verdict, h_old, h_new FROM j
+             |WHERE verdict <> 'unchanged'""".stripMargin)
+    ),
+
+    // Content-integrity MANIFEST: per-source row counts, id spans, and
+    // two order-independent content digests (sum + xor of row hashes)
+    // — the fixity record a data platform publishes with every dataset
+    // drop so a consumer can prove a copy is complete and uncorrupted
+    // without re-reading the source. One map-side partial agg over the
+    // scan; every digest is commutative, so the manifest is identical
+    // under any partitioning or row order.
+    "etl_checksum_manifest" -> Query(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            Hashing.md5Long32(col("text")).as("h32"),
+            Hashing.md5Long60(col("text")).as("h60"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+            sum(col("n_chars")).as("n_chars_total"),
+            sum(col("h32")).as("content_sum"),
+            expr("bit_xor(h60)").as("content_xor")),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+             |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+             |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT) AS content_sum,
+             |  BIT_XOR(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS content_xor
+             |FROM documents GROUP BY source""".stripMargin)
+    ),
+
     // Deterministic stratified corpus subsampling: hash-threshold
     // sampling (keep iff md5(doc_id) mod rate == 0) with a per-stratum
     // rate — hot sources downsampled 1:10, the rest 1:5. Unlike seeded

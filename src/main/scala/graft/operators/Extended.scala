@@ -463,6 +463,45 @@ object Extended {
              |FROM orders WHERE year(o_orderdate) = 1996""".stripMargin)
     ),
 
+    // WEIGHTED moments — the survey-analytics / importance-sampling
+    // aggregate family (mean and variance where each row carries a
+    // weight, here revenue weighted by quantity). One map-side partial
+    // agg: the three weighted sums go through exact DECIMAL (Parity
+    // policy) so partition order cannot move an ulp, and the derived
+    // doubles round to 4dp on both sides. Weighted variance =
+    // Σwx²/Σw − (Σwx/Σw)² — algebraic, so the whole thing stays one
+    // combine-able pass at any scale.
+    "agg_weighted_stats" -> Query(
+      (s, d) => {
+        import graft.Parity.{dsum, dsumWide}
+        val w = col("l_quantity").cast("double")
+        val x = col("l_extendedprice").cast("double")
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            dsum(w).as("sw"),
+            dsumWide(w * x).as("swx"),
+            dsumWide(w * x * x).as("swxx"))
+          .select(col("l_returnflag"), col("sw"),
+            round(col("swx") / col("sw"), 4).as("wmean"),
+            round(col("swxx") / col("sw")
+              - (col("swx") / col("sw")) * (col("swx") / col("sw")), 4).as("wvar"),
+            round(sqrt(col("swxx") / col("sw")
+              - (col("swx") / col("sw")) * (col("swx") / col("sw"))), 4).as("wstddev"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sw,
+             |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(26,4))) AS DOUBLE) AS swx,
+             |    CAST(SUM(CAST(l_quantity*l_extendedprice*l_extendedprice AS DECIMAL(26,4))) AS DOUBLE) AS swxx
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, sw,
+             |  ROUND(swx/sw, 4) AS wmean,
+             |  ROUND(swxx/sw - (swx/sw)*(swx/sw), 4) AS wvar,
+             |  ROUND(sqrt(swxx/sw - (swx/sw)*(swx/sw)), 4) AS wstddev
+             |FROM m""".stripMargin)
+    ),
+
     // Market-basket pair mining (a-priori support counting): part pairs
     // that co-occur in >= 2 orders. The self-join keys on l_orderkey —
     // an equi-join whose fan-out is bounded by per-order line count

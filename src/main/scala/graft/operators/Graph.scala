@@ -82,6 +82,45 @@ object Graph {
              |                  JOIN r1 ON r1.node = e.u
              |                  GROUP BY e.v) s ON d.u = s.v)
              |SELECT node AS part, deg, r AS rank_q FROM r2""".stripMargin)
+    ),
+
+    // TRIANGLE enumeration over the co-purchase graph — the clustering
+    // signal (closed wedges) community detection and graph-quality
+    // audits start from. Edges are canonically oriented (pa < pb), so
+    // each triangle a<b<c is found exactly once: one equi-join builds
+    // the wedges (ab ⋈ bc on the shared middle vertex) and one
+    // left-semi equi-join closes them against the edge set — never a
+    // cross product, O(Σ deg²) wedge rows total. At 100 TB scale the
+    // refinement is orienting by (degree, id) instead of raw id, which
+    // bounds per-vertex wedge fan-out by the max out-degree of the
+    // orientation — same plan shape, one extra degree join.
+    "graph_triangles" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = graft.Caches.scoped(
+          li.as("x")
+            .join(li.as("y"),
+              col("x.l_orderkey") === col("y.l_orderkey") &&
+                col("x.l_partkey") < col("y.l_partkey"))
+            .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+            .agg(count(lit(1)).as("sup"))
+            .filter(col("sup") >= 2)
+            .select(col("pa"), col("pb")))
+        val wedges = edges.select(col("pa").as("a"), col("pb").as("b"))
+          .join(edges.select(col("pa").as("b"), col("pb").as("c")), Seq("b"))
+        wedges.join(edges.select(col("pa").as("a"), col("pb").as("c")),
+            Seq("a", "c"), "left_semi")
+          .select(col("a"), col("b"), col("c"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |      FROM li a JOIN li b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+             |SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+             |FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+             |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.pa = e1.pa AND e3.pb = e2.pb)""".stripMargin)
     )
   )
 }

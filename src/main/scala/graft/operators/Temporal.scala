@@ -406,6 +406,98 @@ object Temporal {
              |  ON e.user_id = o.o_custkey AND e.probe_date >= o.o_date""".stripMargin)
     ),
 
+    // As-of join with a STALENESS TOLERANCE: same nearest-past
+    // machinery, but a match older than 30 days is rejected (nulled)
+    // — the sensor/price-feed contract where a quote that stale is as
+    // good as no quote. The tolerance is applied AFTER the one-shuffle
+    // union+window resolves the nearest-past candidate, so the plan is
+    // identical to asof_join plus one codegen'd CASE; day arithmetic is
+    // integer datediff on both sides.
+    "asof_join_tolerance" -> Query(
+      (s, d) => {
+        val o = dedupedOrders(s, d).select(
+          col("o_custkey").as("k"), col("o_date").as("t"),
+          lit(0).as("ord"), lit(null).cast("long").as("event_id"),
+          col("o_date").as("o_date"), col("o_orderkey"), col("o_totalprice"))
+        val e = eventProbes(s, d).select(
+          col("user_id").as("k"), col("probe_date").as("t"),
+          lit(1).as("ord"), col("event_id"),
+          lit(null).cast("date").as("o_date"),
+          lit(null).cast("long").as("o_orderkey"),
+          lit(null).cast("double").as("o_totalprice"))
+        val w = Window.partitionBy(col("k"))
+          .orderBy(col("t"), col("ord"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // cand_* must materialize BEFORE the ord filter — a window
+        // expression referenced after it would recompute over the
+        // events-only frame and never see an order row
+        val fresh = col("cand_stale") <= 30
+        o.unionAll(e)
+          .withColumn("cand_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+          .withColumn("cand_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+          .withColumn("cand_stale",
+            datediff(col("t"), last(col("o_date"), ignoreNulls = true).over(w)).cast("long"))
+          .filter(col("ord") === 1)
+          .select(col("event_id"), col("k").as("user_id"),
+            date_format(col("t"), "yyyy-MM-dd").as("probe_date"),
+            when(fresh, col("cand_orderkey")).as("asof_orderkey"),
+            when(fresh, col("cand_totalprice")).as("asof_totalprice"),
+            when(fresh, col("cand_stale")).as("staleness_days"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date, o_orderkey, o_totalprice
+             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+             |                                     ORDER BY o_orderkey DESC) AS rn FROM orders)
+             |  WHERE rn = 1),
+             |e AS (
+             |  SELECT event_id, user_id,
+             |    DATE '1995-01-01' + CAST(event_id % 2400 AS INTEGER) AS probe_date
+             |  FROM events)
+             |SELECT e.event_id, e.user_id, strftime(e.probe_date, '%Y-%m-%d') AS probe_date,
+             |  CASE WHEN e.probe_date - o.o_date <= 30 THEN o.o_orderkey END AS asof_orderkey,
+             |  CASE WHEN e.probe_date - o.o_date <= 30 THEN o.o_totalprice END AS asof_totalprice,
+             |  CASE WHEN e.probe_date - o.o_date <= 30
+             |       THEN CAST(e.probe_date - o.o_date AS BIGINT) END AS staleness_days
+             |FROM e ASOF LEFT JOIN o
+             |  ON e.user_id = o.o_custkey AND e.probe_date >= o.o_date""".stripMargin)
+    ),
+
+    // Running DISTINCT-user curve (cumulative audience): the naive
+    // cumulative COUNT(DISTINCT) needs per-row set state and dies at
+    // scale; the first-occurrence trick makes it two partial aggs —
+    // each user's min(day) marks where they increment the curve, and
+    // the cumulative sum runs over the tiny per-day series (the only
+    // window is post-aggregate, <=O(days) rows). Daily activity rides
+    // along from the same day-grain agg.
+    "events_running_distinct" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          expr("(ts div 1000) div 86400000000").as("di"), col("user_id"))
+        val daily = ev.groupBy(col("di"))
+          .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("dau"))
+        val firsts = ev.groupBy(col("user_id")).agg(min(col("di")).as("di"))
+          .groupBy(col("di")).agg(count(lit(1)).as("n_new"))
+        val w = Window.orderBy(col("di"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(firsts, Seq("di"), "left")
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+          .withColumn("cum_users", sum(col("n_new")).over(w))
+          .select(col("di").as("day"), col("n_events"), col("dau"),
+            col("n_new"), col("cum_users"))
+      },
+      Some("""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS di, user_id FROM events),
+             |daily AS (SELECT di, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS dau
+             |          FROM ev GROUP BY di),
+             |firsts AS (SELECT di, COUNT(*) AS n_new
+             |           FROM (SELECT user_id, MIN(di) AS di FROM ev GROUP BY user_id)
+             |           GROUP BY di)
+             |SELECT daily.di AS day, n_events, dau,
+             |  COALESCE(n_new, 0) AS n_new,
+             |  CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY daily.di
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+             |FROM daily LEFT JOIN firsts ON daily.di = firsts.di""".stripMargin)
+    ),
+
     // Forward (nearest-future) as-of join: each event picks the EARLIEST
     // order of the same customer with order date >= probe date — the
     // "next action after the event" shape. Same union + one-shuffle

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-7 pipeline operators — properties
+  * the DuckDB hash gate can't express (it proves Spark == oracle; these
+  * prove both compute the thing the operator CLAIMS).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("text_pack_greedy: packs respect the budget and docs stay contiguous") {
+    val rows = SparkEntry.queries("text_pack_greedy")(spark, sf)
+      .select(col("source"), col("doc_id").cast("long"), col("ntok").cast("long"),
+        col("pack_id").cast("long"), col("off").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val bySource = rows.groupBy(_._1)
+    bySource.foreach { case (src, ds) =>
+      val sorted = ds.sortBy(_._2)
+      // doc_id order never decreases the pack id, and offsets restart at 0
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, p1, _), (_, _, t2, p2, o2)) =>
+          assert(p2 == p1 || p2 == p1 + 1, s"$src: pack ids must step by 0/1")
+          if (p2 == p1 + 1) assert(o2 == 0, s"$src: new pack must start at offset 0")
+          assert(t2 > 0)
+        case _ => ()
+      }
+      // no multi-doc pack exceeds the budget; single-doc packs may
+      // (a doc longer than the budget gets its own pack)
+      sorted.groupBy(_._4).foreach { case (p, docs) =>
+        val tot = docs.map(_._3).sum
+        if (docs.length > 1) assert(tot <= 256, s"$src pack $p holds $tot tokens")
+      }
+    }
+    // every doc appears exactly once
+    assert(rows.map(_._2).distinct.length == rows.length)
+  }
+
+  test("text_decontaminate: verdicts cover exactly the non-eval docs") {
+    val out = SparkEntry.queries("text_decontaminate")(spark, sf)
+      .select(col("doc_id").cast("long"), col("contaminated").cast("long")).collect()
+    assert(out.forall(_.getLong(0) % 20 != 0), "eval docs must not be scored")
+    val nDocs = Tables.documents(spark, sf).filter(col("doc_id") % 20 =!= 0).count()
+    assert(out.length.toLong == nDocs)
+    val nBad = out.count(_.getLong(1) == 1L)
+    assert(nBad > 0, "sf0.01 is known to contain eval-overlapping docs")
+  }
+
+  test("pipeline_semdedup: cluster minima survive and some duplicates drop") {
+    val v = SparkEntry.queries("pipeline_semdedup")(spark, sf)
+      .select(col("vec_id").cast("long"), col("cid").cast("long"),
+        col("dropped").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(v.length == Tables.embeddings(spark, sf).count())
+    // the lowest vec_id of every cluster can never have a smaller peer
+    v.groupBy(_._2).foreach { case (cid, vs) =>
+      val m = vs.minBy(_._1)
+      assert(m._3 == 0L, s"cluster $cid min ${m._1} was dropped")
+    }
+    val nDropped = v.count(_._3 == 1L)
+    assert(nDropped > 0 && nDropped < v.length / 2,
+      s"dropped $nDropped of ${v.length} — expected a small nonzero fraction")
+  }
+
+  test("graph_triangles: emitted triangles are canonical and their edges exist") {
+    val tri = SparkEntry.queries("graph_triangles")(spark, sf)
+      .select(col("a").cast("long"), col("b").cast("long"), col("c").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri.nonEmpty)
+    assert(tri.forall { case (a, b, c) => a < b && b < c })
+    assert(tri.distinct.length == tri.length, "each triangle found exactly once")
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+      .select(col("pa").cast("long"), col("pb").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    tri.foreach { case (a, b, c) =>
+      assert(edges((a, b)) && edges((b, c)) && edges((a, c)),
+        s"triangle ($a,$b,$c) missing an edge")
+    }
+  }
+
+  test("asof_join_tolerance: staleness is bounded and fields null together") {
+    val rows = SparkEntry.queries("asof_join_tolerance")(spark, sf)
+      .select(col("asof_orderkey"), col("staleness_days")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), "match fields must null together")
+      if (!r.isNullAt(1)) {
+        val st = r.getLong(1)
+        assert(st >= 0 && st <= 30, s"staleness $st outside tolerance")
+      }
+    }
+    assert(rows.exists(!_.isNullAt(0)), "some probes should match within 30d")
+    assert(rows.exists(_.isNullAt(0)), "some probes should be rejected as stale")
+  }
+
+  test("events_running_distinct: curve is monotone and ends at the user count") {
+    val rows = SparkEntry.queries("events_running_distinct")(spark, sf)
+      .orderBy(col("day"))
+      .select(col("cum_users").cast("long"), col("dau").cast("long"),
+        col("n_new").cast("long"))
+      .collect()
+    val cums = rows.map(_.getLong(0))
+    assert(cums.zip(cums.tail).forall { case (x, y) => y >= x })
+    val total = Tables.events(spark, sf).select(countDistinct(col("user_id")))
+      .head().getLong(0)
+    assert(cums.last == total)
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach(r => assert(r.getLong(1) >= r.getLong(2), "dau >= newly seen"))
+  }
+
+  test("etl_snapshot_diff: every verdict class appears and unchanged is silent") {
+    val v = SparkEntry.queries("etl_snapshot_diff")(spark, sf)
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v.keySet == Set("added", "removed", "changed"))
+    val orders = Tables.orders(spark, sf)
+    val added = orders.filter(col("o_orderkey") % 89 === 3).count()
+    val removed = orders.filter(col("o_orderkey") % 89 === 5).count()
+    assert(v("added") == added)
+    assert(v("removed") == removed)
+    assert(v("changed") > 0)
+  }
+
+  test("etl_checksum_manifest: manifest partitions the corpus exactly") {
+    val m = SparkEntry.queries("etl_checksum_manifest")(spark, sf)
+      .select(col("n_docs").cast("long")).collect().map(_.getLong(0))
+    assert(m.sum == Tables.documents(spark, sf).count())
+  }
+
+  test("agg_weighted_stats: variance is nonnegative and consistent") {
+    SparkEntry.queries("agg_weighted_stats")(spark, sf)
+      .select(col("wvar").cast("double"), col("wstddev").cast("double"))
+      .collect().foreach { r =>
+        assert(r.getDouble(0) >= 0.0)
+        assert(math.abs(math.sqrt(r.getDouble(0)) - r.getDouble(1)) < 1e-2)
+      }
+  }
+
+  test("text_quality_calibrated: roughly half of each language clears its median") {
+    val rows = SparkEntry.queries("text_quality_calibrated")(spark, sf)
+      .select(col("lang"), col("keep").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.groupBy(_._1).foreach { case (lang, vs) =>
+      val frac = vs.count(_._2 == 1L).toDouble / vs.length
+      assert(frac >= 0.4 && frac <= 0.7, s"$lang keeps $frac — not a median gate")
+    }
+  }
+}

@@ -47,6 +47,14 @@ class QualitySpec extends AnyFunSuite {
     assert(r >= 0.5, s"trained-IVF mean recall@5 = $r")
   }
 
+  test("ann_reranked recall@5 beats the PQ-only ranking") {
+    // the whole point of the rerank stage: exact cosine over the
+    // 32-candidate ADC shortlist must recover (strictly more of) the
+    // true cosine top-5 than any PQ-distance ordering can
+    val r = meanRecallAt5("ann_reranked")
+    assert(r >= 0.3, s"reranked mean recall@5 = $r")
+  }
+
   test("ann_pq_topk recall@5 vs exact L2 clears 0.2") {
     // PQ ranks by L2 ADC, so the truth set is exact L2 top-5 (NOT the
     // cosine brute-force query). 16 data-seeded sub-centroids score
