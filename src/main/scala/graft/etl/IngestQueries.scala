@@ -131,6 +131,39 @@ object IngestQueries {
              |FROM documents GROUP BY source""".stripMargin)
     ),
 
+    // DOMAIN-MIXTURE REBALANCING: compute per-language sampling rates
+    // that flatten a skewed corpus toward a uniform language mix (the
+    // multilingual-pretraining rebalance; same machinery rebalances any
+    // domain/source axis), then apply them with deterministic
+    // hash-threshold sampling. Rates are INTEGER basis points
+    // (min(10000, total·10000 div (nlang·cnt))) so no float ratio ever
+    // crosses the oracle boundary, and the keep decision hashes only
+    // the doc_id — reproducible under any partitioning, stable across
+    // corpus refreshes. Two tiny aggs broadcast onto one scan.
+    "etl_language_mix" -> Query(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("nlang"))
+        val rates = counts.crossJoin(broadcast(tot))
+          .select(col("lang"),
+            least(lit(10000L), expr("(total * 10000) div (nlang * cnt)")).as("rate_bp"))
+        docs.join(broadcast(rates), "lang")
+          .select(col("doc_id"), col("lang"), col("rate_bp"),
+            (Hashing.md5Long32(concat(lit("mix_"), col("doc_id").cast("string"))) % 10000
+              < col("rate_bp")).cast("long").as("keep"))
+      },
+      Some("""WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+             |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS nlang FROM counts),
+             |rates AS (SELECT lang,
+             |            LEAST(10000, (total * 10000) // (nlang * cnt)) AS rate_bp
+             |          FROM counts CROSS JOIN tot)
+             |SELECT d.doc_id, d.lang, r.rate_bp,
+             |  CAST(CAST('0x' || substr(md5('mix_' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+             |       < r.rate_bp AS BIGINT) AS keep
+             |FROM documents d JOIN rates r USING (lang)""".stripMargin)
+    ),
+
     // Deterministic stratified corpus subsampling: hash-threshold
     // sampling (keep iff md5(doc_id) mod rate == 0) with a per-stratum
     // rate — hot sources downsampled 1:10, the rest 1:5. Unlike seeded

@@ -129,6 +129,44 @@ object FrameFeatures {
       }
       WavAudio(docId, nSamples.toLong, zc, sumAbs, peak)
     }
+
+    /** Decimate-by-2 resample (every other sample) in one walk over the
+      * parsed container — the cheapest rate conversion (production
+      * resamplers put a polyphase low-pass in front; the WALK is the
+      * shape). Emits exact stats of the OUTPUT stream plus a
+      * position-weighted digest (Σ sampⱼ·((j mod 31)+1)) so a decoder
+      * that reorders, drops, or off-by-ones the stride diverges even
+      * when the order-independent sums happen to agree.
+      */
+    def resample2(docId: Long, bytes: Array[Byte]): WavResampled = {
+      val (dataOff, nSamples, sampleRate, _) = parseHeader(docId, bytes)
+      val nOut = (nSamples + 1) / 2
+      var j = 0; var sum = 0L; var dig = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      while (j < nOut) {
+        val v = s16(bytes, dataOff + 4 * j).toLong
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        dig += v * ((j % 31) + 1)
+        j += 1
+      }
+      if (nOut == 0) { mn = 0; mx = 0 }
+      WavResampled(docId, sampleRate / 2, nSamples.toLong, nOut.toLong,
+        sum, mn, mx, dig)
+    }
+  }
+
+  case class WavResampled(doc_id: Long, sample_rate_out: Long, n_in: Long,
+                          n_out: Long, sum_out: Long, min_out: Long,
+                          max_out: Long, posw_digest: Long)
+
+  def resampleWav(wavs: Dataset[WavPayload]): Dataset[WavResampled] = {
+    implicit val enc = Encoders.product[WavResampled]
+    wavs.mapPartitions { it =>
+      val codec = new WavDecoder
+      it.map(w => codec.resample2(w.doc_id, w.payload))
+    }
   }
 
   case class WavAudio(doc_id: Long, n_samples: Long, zero_crossings: Long,

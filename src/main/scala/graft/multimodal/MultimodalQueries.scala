@@ -206,6 +206,57 @@ object MultimodalQueries {
              |FROM z GROUP BY doc_id""".stripMargin)
     ),
 
+    // Audio RATE CONVERSION over the real container: decimate-by-2
+    // resampling (every other sample) of the same PCM WAVs, one walk
+    // per doc in the sanctioned mapPartitions codec. The oracle
+    // recomputes the output stream by hex arithmetic at input stride 2
+    // — the position-weighted digest (Σ samp·((j mod 31)+1)) pins the
+    // output ORDER, not just its order-independent sums, so a stride
+    // or reassembly bug diverges even when totals agree. Integer-exact;
+    // plans as one scan with zero shuffle like the other codecs.
+    "mm_audio_resample" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val nBytes = length(bin)
+        val dataSize = nBytes - nBytes % 2
+        val rate = (lit(8000) + (col("doc_id") % 3) * 4000).cast("int")
+        val wavHex = concat(
+          lit("52494646"), leHex32(dataSize + 36), lit("57415645"),
+          lit("666d7420"), lit("10000000"),
+          lit("0100"), lit("0100"),
+          leHex32(rate), leHex32(rate * 2),
+          lit("0200"), lit("1000"),
+          lit("64617461"), leHex32(dataSize),
+          lower(hex(bin)).substr(lit(1), dataSize * 2))
+        val wavs = Tables.documents(s, d)
+          .filter(nBytes >= 2)
+          .select(col("doc_id"), unhex(wavHex).as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        FrameFeatures.resampleWav(wavs).toDF()
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |         octet_length(encode(text)) // 2 AS n_in,
+             |         8000 + (doc_id % 3) * 4000 AS rate
+             |  FROM documents
+             |  WHERE octet_length(encode(text)) >= 2),
+             |u AS (SELECT doc_id, rate, n_in, hx,
+             |        unnest(generate_series(0, (n_in + 1) // 2 - 1)) AS j FROM d),
+             |s AS (SELECT doc_id, rate, n_in, j,
+             |        CAST('0x' || substr(hx, j*8 + 3, 2) || substr(hx, j*8 + 1, 2) AS INT) AS v
+             |      FROM u),
+             |sg AS (SELECT doc_id, rate, n_in, j,
+             |         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS samp FROM s)
+             |SELECT doc_id, CAST(rate // 2 AS BIGINT) AS sample_rate_out,
+             |  CAST(n_in AS BIGINT) AS n_in, COUNT(*) AS n_out,
+             |  CAST(SUM(samp) AS BIGINT) AS sum_out,
+             |  CAST(MIN(samp) AS BIGINT) AS min_out,
+             |  CAST(MAX(samp) AS BIGINT) AS max_out,
+             |  CAST(SUM(samp * ((j % 31) + 1)) AS BIGINT) AS posw_digest
+             |FROM sg GROUP BY doc_id, rate, n_in""".stripMargin)
+    ),
+
     // Second real container format, IMAGE side: each document's bytes
     // become the 24bpp pixel array of a genuine BMP (16 px wide =>
     // 48-byte stride, 4-byte aligned by construction), and the

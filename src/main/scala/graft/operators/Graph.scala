@@ -121,6 +121,63 @@ object Graph {
              |SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
              |FROM e e1 JOIN e e2 ON e2.pa = e1.pb
              |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.pa = e1.pa AND e3.pb = e2.pb)""".stripMargin)
+    ),
+
+    // LINK PREDICTION scoring: common-neighbor count and neighbor-set
+    // Jaccard for every existing edge — the similarity features
+    // recommendation and graph-cleanup pipelines rank candidate links
+    // by. Wedges come from ONE equi-join of the symmetric adjacency
+    // list on the shared center (O(Σ deg²) rows, never a cross
+    // product), collapse to per-pair counts in a map-side partial agg,
+    // and join back onto the edge list with broadcast-size degree
+    // tables riding along. The Jaccard ships in integer basis points
+    // ((10000·cn) div (deg_a + deg_b − cn)) so no float ever crosses
+    // the oracle boundary.
+    "graph_link_predict" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = graft.Caches.scoped(
+          li.as("x")
+            .join(li.as("y"),
+              col("x.l_orderkey") === col("y.l_orderkey") &&
+                col("x.l_partkey") < col("y.l_partkey"))
+            .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+            .agg(count(lit(1)).as("sup"))
+            .filter(col("sup") >= 2)
+            .select(col("pa"), col("pb")))
+        val sym = edges.select(col("pa").as("u"), col("pb").as("v"))
+          .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+        val cn = sym.select(col("u").as("c"), col("v").as("a"))
+          .join(sym.select(col("u").as("c"), col("v").as("b")), Seq("c"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+        val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        edges
+          .join(cn, col("pa") === col("a") && col("pb") === col("b"), "left_outer")
+          .select(col("pa"), col("pb"), coalesce(col("cn"), lit(0L)).as("cn"))
+          .join(deg.select(col("u").as("pa"), col("deg").as("deg_a")), Seq("pa"))
+          .join(deg.select(col("u").as("pb"), col("deg").as("deg_b")), Seq("pb"))
+          .select(col("pa"), col("pb"), col("cn"), col("deg_a"), col("deg_b"),
+            expr("(cn * 10000) div (deg_a + deg_b - cn)").as("jacc_bp"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |      FROM li a JOIN li b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+             |cn AS (SELECT s1.v AS a, s2.v AS b, COUNT(*) AS cn
+             |       FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+             |       GROUP BY 1, 2),
+             |deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1)
+             |SELECT e.pa, e.pb, COALESCE(cn.cn, 0) AS cn,
+             |  da.deg AS deg_a, db.deg AS deg_b,
+             |  (COALESCE(cn.cn, 0) * 10000) // (da.deg + db.deg - COALESCE(cn.cn, 0)) AS jacc_bp
+             |FROM e
+             |LEFT JOIN cn ON cn.a = e.pa AND cn.b = e.pb
+             |JOIN deg da ON da.u = e.pa
+             |JOIN deg db ON db.u = e.pb""".stripMargin)
     )
   )
 }

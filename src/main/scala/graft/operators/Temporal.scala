@@ -498,6 +498,47 @@ object Temporal {
              |FROM daily LEFT JOIN firsts ON daily.di = firsts.di""".stripMargin)
     ),
 
+    // EWMA smoothing of the daily event-count series — the trend line
+    // monitoring dashboards draw. Dyadic weights (2^-k over an 8-day
+    // lookback) make every term EXACT in binary floating point
+    // (count · 2^-k only shifts the exponent), and both engines fold
+    // the same explicit lag chain left-to-right, so even the unrounded
+    // smoothed values are bit-identical. Missing leading days shrink
+    // the denominator (the standard adjusted-EWMA warm-up) rather than
+    // biasing toward zero. One (event_type, day) partial agg, then the
+    // lag window over the tiny per-type daily series.
+    "window_ewma" -> Query(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("di"))
+          .groupBy(col("event_type"), col("di")).agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+        val terms = (0 to 7).map { k =>
+          val lg = if (k == 0) col("x") else lag(col("x"), k).over(w)
+          (coalesce(lg, lit(0L)).cast("double") * lit(math.pow(0.5, k)),
+            when(lg.isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0)))
+        }
+        val num = terms.map(_._1).reduce(_ + _)
+        val den = terms.map(_._2).reduce(_ + _)
+        daily.select(col("event_type"), col("di").as("day"), col("x"),
+          round(num / den, 6).as("ewma"))
+      },
+      Some(s"""WITH daily AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS di, COUNT(*) AS x
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, di AS day, x,
+             |  ROUND((${(0 to 7).map(k =>
+                  if (k == 0) "CAST(x AS DOUBLE) * 1.0"
+                  else s"CAST(COALESCE(lag(x, $k) OVER w, 0) AS DOUBLE) * ${math.pow(0.5, k)}")
+                  .mkString(" + ")})
+             |    / (${(0 to 7).map(k =>
+                  if (k == 0) "1.0"
+                  else s"CASE WHEN lag(x, $k) OVER w IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0.0 END")
+                  .mkString(" + ")}), 6) AS ewma
+             |FROM daily
+             |WINDOW w AS (PARTITION BY event_type ORDER BY di)""".stripMargin)
+    ),
+
     // Forward (nearest-future) as-of join: each event picks the EARLIEST
     // order of the same customer with order date >= probe date — the
     // "next action after the event" shape. Same union + one-shuffle

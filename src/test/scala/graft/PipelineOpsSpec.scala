@@ -136,6 +136,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m.sum == Tables.documents(spark, sf).count())
   }
 
+  test("graph_link_predict: jaccard bounded and wedge counts tie to triangles") {
+    val rows = SparkEntry.queries("graph_link_predict")(spark, sf)
+      .select(col("cn").cast("long"), col("deg_a").cast("long"),
+        col("deg_b").cast("long"), col("jacc_bp").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (cn, da, db, j) =>
+      assert(cn <= math.min(da, db), "common neighbors bounded by degree")
+      assert(j >= 0 && j <= 10000)
+    }
+    // each triangle contributes its closing edge pair to cn on all 3 edges
+    val nTri = SparkEntry.queries("graph_triangles")(spark, sf).count()
+    assert(rows.map(_._1).sum == 3 * nTri,
+      "sum of per-edge common neighbors must be 3x the triangle count")
+  }
+
+  test("mm_audio_resample: output length is exactly half (rounded up)") {
+    val rows = SparkEntry.queries("mm_audio_resample")(spark, sf)
+      .select(col("n_in").cast("long"), col("n_out").cast("long")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == (r.getLong(0) + 1) / 2))
+  }
+
+  test("window_ewma: smoothed value stays inside the window's range") {
+    val rows = SparkEntry.queries("window_ewma")(spark, sf)
+      .orderBy(col("event_type"), col("day"))
+      .select(col("event_type"), col("x").cast("long"), col("ewma").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      // first day of each series has nothing to smooth against
+      assert(math.abs(vs.head._3 - vs.head._2) < 1e-9)
+      vs.sliding(8).foreach { wnd =>
+        val e = wnd.last._3
+        assert(e >= wnd.map(_._2).min - 1e-9 && e <= wnd.map(_._2).max + 1e-9)
+      }
+    }
+  }
+
+  test("etl_language_mix: rates flatten the language skew deterministically") {
+    val rows = SparkEntry.queries("etl_language_mix")(spark, sf)
+      .select(col("lang"), col("rate_bp").cast("long"), col("keep").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byLang = rows.groupBy(_._1)
+    val counts = byLang.view.mapValues(_.length).toMap
+    val majority = counts.maxBy(_._2)._1
+    assert(byLang(majority).head._2 < 10000, "over-represented language downsamples")
+    counts.filter(_._2 < counts.values.sum / counts.size).keys.foreach { l =>
+      assert(byLang(l).head._2 == 10000, s"under-represented $l keeps everything")
+    }
+    // hash-threshold sampling lands near its rate (binomial, loose bound)
+    byLang.foreach { case (l, vs) =>
+      val kept = vs.count(_._3 == 1L).toDouble / vs.length
+      val rate = vs.head._2 / 10000.0
+      assert(math.abs(kept - rate) < 0.15, s"$l kept $kept at rate $rate")
+    }
+  }
+
   test("agg_weighted_stats: variance is nonnegative and consistent") {
     SparkEntry.queries("agg_weighted_stats")(spark, sf)
       .select(col("wvar").cast("double"), col("wstddev").cast("double"))
