@@ -65,6 +65,43 @@ class PlanSpec extends AnyFunSuite {
       "sample scan must not read unprojected document columns")
   }
 
+  test("decontamination broadcasts the eval index — the corpus side never shuffles for the flag join") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval shingle index must broadcast")
+  }
+
+  test("semdedup assignment is in the scan and the pair join is a cid equi-join") {
+    val p = plan("pipeline_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay a cid-keyed equi-join, never all-pairs")
+  }
+
+  test("triangle and link-prediction joins never degenerate to nested loops") {
+    Seq("graph_triangles", "graph_link_predict").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q wedge/closure joins must be equi-joins")
+    }
+  }
+
+  test("greedy packing shuffles once — on the shard key") {
+    val t = tree("text_pack_greedy")
+    assert(t.count(_.contains("Exchange hashpartitioning")) == 1,
+      "one groupBy(source) exchange is the whole shuffle budget")
+  }
+
+  test("language mix rebalance broadcasts its rate table") {
+    val p = plan("etl_language_mix")
+    assert(p.contains("BroadcastHashJoin"), "per-lang rates must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("audio resample plans as one scan with no shuffle") {
+    val t = tree("mm_audio_resample")
+    assert(!t.exists(_.contains("Exchange")),
+      "codec walk must stay in the scan stage")
+  }
+
   test("ivf centroid assignment combines map-side — no exchange between cross-join and argmax") {
     // The partial max_by must sit DIRECTLY on the broadcast cross join:
     // each vector's C centroid scores collapse to one row before any
