@@ -498,6 +498,37 @@ object Temporal {
              |FROM daily LEFT JOIN firsts ON daily.di = firsts.di""".stripMargin)
     ),
 
+    // USER-PATH mining: the top-10 most-traveled 3-step event paths
+    // (view>click>purchase and friends) — the Sankey/flow summary
+    // product analytics reads first. Paths assemble from two lead()
+    // frames over ONE per-user time sort (the events_transitions shape
+    // extended a step), counts collapse in a map-side partial agg, and
+    // the global top-10 is a TakeOrdered heap, never a full sort.
+    // event_id breaks same-microsecond ordering ties deterministically.
+    "events_paths_top" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(10)
+      },
+      Some("""WITH p AS (
+             |  SELECT concat_ws('>', event_type,
+             |    lead(event_type, 1) OVER w, lead(event_type, 2) OVER w) AS path,
+             |    lead(event_type, 2) OVER w AS t3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT path, COUNT(*) AS n FROM p WHERE t3 IS NOT NULL
+             |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin)
+    ),
+
     // EWMA smoothing of the daily event-count series — the trend line
     // monitoring dashboards draw. Dyadic weights (2^-k over an 8-day
     // lookback) make every term EXACT in binary floating point
