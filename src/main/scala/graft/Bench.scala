@@ -44,6 +44,11 @@ object Bench {
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
       Caches.releaseAll()
       spark.catalog.clearCache()
+      // stderr progress line per query (stdout stays the one JSON line)
+      res match {
+        case Right((t1, t2)) => System.err.println(f"[bench] $name%-28s $t1%8.2f $t2%8.2f")
+        case Left(m)         => System.err.println(s"[bench] $name ERROR $m")
+      }
       name -> res
     }
 

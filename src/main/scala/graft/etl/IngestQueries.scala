@@ -131,6 +131,90 @@ object IngestQueries {
              |FROM documents GROUP BY source""".stripMargin)
     ),
 
+    // DATA-QUALITY RULE ENGINE: a declarative rule set evaluated in one
+    // pass per table — referential integrity (orphan lineitems), range
+    // gates, cross-table temporal consistency (ship date before order
+    // date — which FIRES on this data), field self-consistency, and
+    // time-bound checks. Emits the audit every warehouse publishes with
+    // a load: (rule, table, n_checked, n_violations, pass). Each rule
+    // is a conditional aggregate over its table's scan (the referential
+    // and temporal rules ride one orderkey equi-join); zero driver-side
+    // evaluation, so the same rule set audits 100 TB unchanged.
+    "etl_dq_rules" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val docs = Tables.documents(s, d)
+        val ev = Tables.events(s, d)
+        // both lineitem rules ride ONE scan + ONE orderkey join: the agg
+        // computes every rule's violation sum, then explodes to rows
+        val liRules = li.select(col("l_orderkey"), col("l_shipdate"))
+          .join(o.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"), "left_outer")
+          .agg(
+            count(lit(1)).as("n_checked"),
+            sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orphans"),
+            sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+              .as("shipbad"))
+          .select(explode(array(
+            struct(lit("r1_li_orphans").as("rule"), lit("lineitem").as("tbl"),
+              col("n_checked"), col("orphans").as("n_violations")),
+            struct(lit("r2_ship_before_order").as("rule"), lit("lineitem").as("tbl"),
+              col("n_checked"), col("shipbad").as("n_violations")))).as("r"))
+          .select(col("r.rule").as("rule"), col("r.tbl").as("tbl"),
+            col("r.n_checked").as("n_checked"), col("r.n_violations").as("n_violations"))
+        val r3 = o.agg(
+          count(lit(1)).as("n_checked"),
+          sum(when(col("o_totalprice") <= 0 || col("o_totalprice").isNull, 1L)
+            .otherwise(0L)).as("n_violations"))
+          .select(lit("r3_price_positive").as("rule"), lit("orders").as("tbl"),
+            col("n_checked"), col("n_violations"))
+        val r4 = docs.agg(
+          count(lit(1)).as("n_checked"),
+          sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+            .as("n_violations"))
+          .select(lit("r4_nchars_consistent").as("rule"), lit("documents").as("tbl"),
+            col("n_checked"), col("n_violations"))
+        val r5 = ev.agg(
+          count(lit(1)).as("n_checked"),
+          sum(when(expr("(ts div 1000)") < lit(1704067200000000L) ||
+              expr("(ts div 1000)") >= lit(1706745600000000L), 1L)
+            .otherwise(0L)).as("n_violations"))
+          .select(lit("r5_ts_in_window").as("rule"), lit("events").as("tbl"),
+            col("n_checked"), col("n_violations"))
+        liRules.unionAll(r3).unionAll(r4).unionAll(r5)
+          .withColumn("pass", (col("n_violations") === 0).cast("long"))
+      },
+      Some("""SELECT * FROM (
+             |SELECT 'r1_li_orphans' AS rule, 'lineitem' AS tbl,
+             |  COUNT(*) AS n_checked,
+             |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+             |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS BIGINT) AS pass
+             |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |UNION ALL
+             |SELECT 'r2_ship_before_order', 'lineitem', COUNT(*),
+             |  CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) = 0 AS BIGINT)
+             |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |UNION ALL
+             |SELECT 'r3_price_positive', 'orders', COUNT(*),
+             |  CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL THEN 1 ELSE 0 END) = 0 AS BIGINT)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'r4_nchars_consistent', 'documents', COUNT(*),
+             |  CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) = 0 AS BIGINT)
+             |FROM documents
+             |UNION ALL
+             |SELECT 'r5_ts_in_window', 'events', COUNT(*),
+             |  CAST(SUM(CASE WHEN epoch_us(ts) < 1704067200000000 OR epoch_us(ts) >= 1706745600000000
+             |                THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(SUM(CASE WHEN epoch_us(ts) < 1704067200000000 OR epoch_us(ts) >= 1706745600000000
+             |                THEN 1 ELSE 0 END) = 0 AS BIGINT)
+             |FROM events)""".stripMargin)
+    ),
+
     // DOMAIN-MIXTURE REBALANCING: compute per-language sampling rates
     // that flatten a skewed corpus toward a uniform language mix (the
     // multilingual-pretraining rebalance; same machinery rebalances any

@@ -201,6 +201,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("etl_dq_rules: audit covers every rule, counts full tables, pass ties to violations") {
+    val rows = SparkEntry.queries("etl_dq_rules")(spark, sf)
+      .select(col("rule"), col("tbl"), col("n_checked").cast("long"),
+        col("n_violations").cast("long"), col("pass").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).sorted.toSeq == Seq("r1_li_orphans", "r2_ship_before_order",
+      "r3_price_positive", "r4_nchars_consistent", "r5_ts_in_window"))
+    // n_checked is the FULL table cardinality — a rule that silently
+    // filters its input is lying about coverage
+    val expect = Map(
+      "lineitem" -> Tables.lineitem(spark, sf).count(),
+      "orders" -> Tables.orders(spark, sf).count(),
+      "documents" -> Tables.documents(spark, sf).count(),
+      "events" -> Tables.events(spark, sf).count())
+    rows.foreach { case (r, t, n, v, p) =>
+      assert(n == expect(t), s"$r checked $n of ${expect(t)} $t rows")
+      assert(p == (if (v == 0) 1L else 0L), s"$r: pass must mirror violations")
+    }
+    // the synthetic data draws ship/order dates independently, so the
+    // temporal-consistency rule MUST fire — proves violations are counted
+    val r2 = rows.find(_._1 == "r2_ship_before_order").get
+    assert(r2._4 > 0 && r2._5 == 0, "temporal rule must fire on this data")
+  }
+
   test("text_quality_calibrated: roughly half of each language clears its median") {
     val rows = SparkEntry.queries("text_quality_calibrated")(spark, sf)
       .select(col("lang"), col("keep").cast("long")).collect()
