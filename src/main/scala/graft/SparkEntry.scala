@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Relational.entries ++
       operators.Temporal.entries ++
       operators.Extended.entries ++
+      operators.Analytics.entries ++
       operators.TpchMore.entries ++
       operators.Graph.entries ++
       dedup.DedupQueries.entries ++

@@ -1,0 +1,307 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse analytics beyond the reference surface: robust statistics
+  * (rolling median, MAD outliers, higher moments), Pareto/ABC
+  * classification, Zipf power-law fitting, and conversion-latency
+  * distributions. All oracle-checked with the house parity rules —
+  * integer/decimal arithmetic wherever the engines could disagree,
+  * `round(…, k)` only on terminal derived doubles.
+  */
+object Analytics {
+
+  /** Daily event counts keyed on the integer µs day index — the shared
+    * first stage of the robust-stats queries (one map-side partial agg).
+    */
+  private def dailyCounts(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("di"))
+      .groupBy(col("event_type"), col("di")).agg(count(lit(1)).as("x"))
+
+  private val dailySql =
+    """SELECT event_type, epoch_us(ts) // 86400000000 AS di, COUNT(*) AS x
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val entries: Seq[(String, Query)] = Seq(
+
+    // ABC / PARETO classification: rank parts by revenue, cumulate the
+    // share, cut at 80/95%. The global cumulative sum is the distributed
+    // range-sort pattern (window_ntile_decile's): range-repartition on the
+    // sort key, per-partition running sums stay partition-local, and only
+    // the <=32 per-partition TOTALS pass through a single-partition window
+    // — no data ever funnels to one task, so the same plan cumulates 100 TB.
+    // Money stays integer (1e-4 units; the e4 scale keeps cum*10000 inside
+    // BIGINT up to ~sf100 — widen to DECIMAL(38) beyond that).
+    "abc_pareto" -> Query(
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("part"))
+          .agg((sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")) * 10000).cast("long").as("rev_e4"))
+        val sorted = graft.Caches.scoped(rev
+          .repartitionByRange(32, col("rev_e4").desc, col("part"))
+          .sortWithinPartitions(col("rev_e4").desc, col("part"))
+          .withColumn("pid", shiftright(monotonically_increasing_id(), 33)))
+        val wloc = Window.partitionBy(col("pid"))
+          .orderBy(col("rev_e4").desc, col("part"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val psz = sorted.groupBy(col("pid")).agg(sum(col("rev_e4")).as("pn"))
+        val offs = psz.withColumn("off",
+            coalesce(sum(col("pn")).over(Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("pid"), col("off"))
+        val totalDf = psz.agg(sum(col("pn")).as("total"))
+        sorted
+          .withColumn("lcum", sum(col("rev_e4")).over(wloc))
+          .join(broadcast(offs), Seq("pid"))
+          .crossJoin(broadcast(totalDf))
+          .withColumn("cum", col("off") + col("lcum"))
+          .select(col("part"), col("rev_e4"),
+            expr("cum * 10000 div total").as("cum_bp"),
+            when(col("cum") * 100 <= col("total") * 80, "A")
+              .when(col("cum") * 100 <= col("total") * 95, "B")
+              .otherwise("C").as("abc"))
+      },
+      Some("""WITH r AS (
+             |  SELECT l_partkey AS part,
+             |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+             |         * 10000 AS BIGINT) AS rev_e4
+             |  FROM lineitem GROUP BY 1),
+             |c AS (SELECT part, rev_e4,
+             |        SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, part
+             |                          ROWS UNBOUNDED PRECEDING) AS cum,
+             |        SUM(rev_e4) OVER () AS total
+             |      FROM r)
+             |SELECT part, rev_e4, CAST(cum * 10000 // total AS BIGINT) AS cum_bp,
+             |  CASE WHEN cum * 100 <= total * 80 THEN 'A'
+             |       WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS abc
+             |FROM c""".stripMargin)
+    ),
+
+    // Rolling EXACT median (7-day, per event type) — the robust trend
+    // line dashboards overlay on spiky counts. The window collects only
+    // the 7-row frame (collect_list over ROWS BETWEEN 6 PRECEDING), sorts
+    // the 7 values in-row, and picks the middle — integer in, integer
+    // out, no interpolation for engines to disagree on. Partitioned by
+    // event_type, so the WindowExec distributes; frame size is constant,
+    // so memory per row is O(7) regardless of data scale.
+    "window_rolling_median" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+          .rowsBetween(-6, 0)
+        dailyCounts(s, d)
+          .withColumn("frame", collect_list(col("x")).over(w))
+          .filter(size(col("frame")) === 7)
+          .select(col("event_type"), col("di").as("day"), col("x"),
+            element_at(array_sort(col("frame")), 4).as("med7"))
+      },
+      Some(s"""WITH daily AS ($dailySql),
+             |f AS (SELECT event_type, di, x,
+             |        list(x) OVER (PARTITION BY event_type ORDER BY di
+             |                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS frame
+             |      FROM daily)
+             |SELECT event_type, di AS day, x,
+             |  CAST(list_sort(frame)[4] AS BIGINT) AS med7
+             |FROM f WHERE len(frame) = 7""".stripMargin)
+    ),
+
+    // MAD outlier detection — the robust sibling of events_anomaly_zscore
+    // (one wild day can't drag a median the way it drags a mean). Two
+    // grouped exact percentiles + one broadcast-able join back onto the
+    // daily counts; medians of integer counts are exact halves, so every
+    // double here is exactly representable and the 5·MAD comparison is
+    // deterministic without rounding.
+    "events_anomaly_mad" -> Query(
+      (s, d) => {
+        val daily = graft.Caches.scoped(dailyCounts(s, d))
+        val med = daily.groupBy(col("event_type"))
+          .agg(expr("percentile(x, 0.5)").as("med"))
+        val dev = daily.join(broadcast(med), Seq("event_type"))
+          .withColumn("adev", abs(col("x") - col("med")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .select(col("event_type"), col("di").as("day"), col("x"),
+            col("med"), col("mad"),
+            (col("adev") > col("mad") * 5).cast("long").as("is_outlier"))
+      },
+      Some(s"""WITH daily AS ($dailySql),
+             |med AS (SELECT event_type, quantile_cont(x, 0.5) AS med
+             |        FROM daily GROUP BY 1),
+             |dev AS (SELECT d.event_type, d.di, d.x, m.med, abs(d.x - m.med) AS adev
+             |        FROM daily d JOIN med m USING (event_type)),
+             |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+             |        FROM dev GROUP BY 1)
+             |SELECT d.event_type, d.di AS day, d.x, d.med, m.mad,
+             |  CAST(d.adev > m.mad * 5 AS BIGINT) AS is_outlier
+             |FROM dev d JOIN mad m USING (event_type)""".stripMargin)
+    ),
+
+    // Higher-moment distribution profile: skewness + excess kurtosis per
+    // group from raw power sums. l_quantity is integer-valued, so x^2..x^4
+    // are exact doubles and the DECIMAL power sums are order-independent;
+    // the moment formulas run on identical operand bits in both engines
+    // and only the terminal skew/kurt round. One map-side partial agg.
+    "agg_skew_kurtosis" -> Query(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(26,6)")).cast("double").as("s1"),
+            sum((col("l_quantity") * col("l_quantity")).cast("decimal(26,6)"))
+              .cast("double").as("s2"),
+            sum((col("l_quantity") * col("l_quantity") * col("l_quantity"))
+              .cast("decimal(26,6)")).cast("double").as("s3"),
+            sum((col("l_quantity") * col("l_quantity") * col("l_quantity")
+              * col("l_quantity")).cast("decimal(26,6)")).cast("double").as("s4"))
+          .withColumn("mean", col("s1") / col("n"))
+          .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
+          .withColumn("m3", col("s3") / col("n")
+            - lit(3.0) * col("mean") * (col("s2") / col("n"))
+            + lit(2.0) * col("mean") * col("mean") * col("mean"))
+          .withColumn("m4", col("s4") / col("n")
+            - lit(4.0) * col("mean") * (col("s3") / col("n"))
+            + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n"))
+            - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+          .select(col("l_returnflag"), col("n"),
+            round(col("mean"), 6).as("mean"),
+            round(col("m2"), 6).as("m2"),
+            round(col("m3") / pow(col("m2"), 1.5), 6).as("skewness"),
+            round(col("m4") / (col("m2") * col("m2")) - 3.0, 6).as("kurtosis")),
+      Some("""WITH s AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(26,6))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(26,6))) AS DOUBLE) AS s2,
+             |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(26,6))) AS DOUBLE) AS s3,
+             |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+             |                  AS DECIMAL(26,6))) AS DOUBLE) AS s4
+             |  FROM lineitem GROUP BY 1),
+             |m AS (SELECT l_returnflag, n, s1 / n AS mean,
+             |        s2 / n - (s1 / n) * (s1 / n) AS m2,
+             |        s3 / n - 3.0 * (s1 / n) * (s2 / n)
+             |          + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             |        s4 / n - 4.0 * (s1 / n) * (s3 / n)
+             |          + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+             |          - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+             |      FROM s)
+             |SELECT l_returnflag, n, ROUND(mean, 6) AS mean, ROUND(m2, 6) AS m2,
+             |  ROUND(m3 / pow(m2, 1.5), 6) AS skewness,
+             |  ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+             |FROM m""".stripMargin)
+    ),
+
+    // Zipf power-law fit: least-squares slope of ln(freq) on ln(rank)
+    // over each language's top-100 terms — the corpus-health diagnostic
+    // (natural text sits near -1; templated/spammy text goes shallow).
+    // Per-term ln products are cast to DECIMAL before summing (the
+    // text_surprisal trick) so the regression sums are order-independent;
+    // only the final slope/intercept divide in double and round.
+    "text_zipf_slope" -> Query(
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(graft.functions.TextFunctions.cleanTokens(col("text"))).as("t"))
+          .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("n"))
+        val wr = Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("t"))
+        counts.withColumn("rn", row_number().over(wr))
+          .filter(col("rn") <= 100)
+          .withColumn("x", log(col("rn").cast("double")))
+          .withColumn("y", log(col("n").cast("double")))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_terms"),
+            sum(col("x").cast("decimal(18,12)")).cast("double").as("sx"),
+            sum(col("y").cast("decimal(18,12)")).cast("double").as("sy"),
+            sum((col("x") * col("y")).cast("decimal(18,12)")).cast("double").as("sxy"),
+            sum((col("x") * col("x")).cast("decimal(18,12)")).cast("double").as("sxx"))
+          .select(col("lang"), col("n_terms"),
+            round((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+              / (col("n_terms") * col("sxx") - col("sx") * col("sx")), 4)
+              .as("zipf_slope"),
+            round((col("sy") - (col("n_terms") * col("sxy") - col("sx") * col("sy"))
+              / (col("n_terms") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+              / col("n_terms"), 4).as("intercept"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT lang,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |                       x -> x <> '')) AS t
+             |  FROM documents),
+             |c AS (SELECT lang, t, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+             |r AS (SELECT lang, n,
+             |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, t) AS rn
+             |      FROM c QUALIFY rn <= 100),
+             |p AS (SELECT lang, ln(CAST(rn AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+             |      FROM r),
+             |a AS (SELECT lang, COUNT(*) AS n_terms,
+             |        CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE) AS sx,
+             |        CAST(SUM(CAST(y AS DECIMAL(18,12))) AS DOUBLE) AS sy,
+             |        CAST(SUM(CAST(x * y AS DECIMAL(18,12))) AS DOUBLE) AS sxy,
+             |        CAST(SUM(CAST(x * x AS DECIMAL(18,12))) AS DOUBLE) AS sxx
+             |      FROM p GROUP BY 1)
+             |SELECT lang, n_terms,
+             |  ROUND((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 4)
+             |    AS zipf_slope,
+             |  ROUND((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx)
+             |        / n_terms, 4) AS intercept
+             |FROM a""".stripMargin)
+    ),
+
+    // Conversion-latency distribution: first 'view' -> first LATER
+    // 'purchase' per user, bucketed on integer µs thresholds (minute /
+    // hour / day / week), with never-converters kept as a censored
+    // bucket — the funnel-latency histogram growth teams watch. Two
+    // grouped aggs + one join, all keyed on user_id; the conditional
+    // min(when(p > v)) keeps censoring in the same pass as the join.
+    "events_time_to_convert" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            expr("(ts div 1000)").as("us"))
+        val firstView = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("v"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("p"))
+        firstView.join(purchases, Seq("user_id"), "left_outer")
+          .groupBy(col("user_id"))
+          .agg(min(when(col("p") > col("v"), col("p"))).as("fp"),
+            first(col("v")).as("v"))
+          .withColumn("delta_us", col("fp") - col("v"))
+          .withColumn("bucket",
+            when(col("delta_us").isNull, "never")
+              .when(col("delta_us") < 60000000L, "lt_1m")
+              .when(col("delta_us") < 3600000000L, "lt_1h")
+              .when(col("delta_us") < 86400000000L, "lt_1d")
+              .when(col("delta_us") < 604800000000L, "lt_7d")
+              .otherwise("ge_7d"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_users"),
+            min(col("delta_us")).as("min_us"),
+            max(col("delta_us")).as("max_us"))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS v
+             |           FROM events WHERE event_type = 'view' GROUP BY 1),
+             |p AS (SELECT user_id, epoch_us(ts) AS p
+             |      FROM events WHERE event_type = 'purchase'),
+             |u AS (SELECT v.user_id,
+             |        MIN(CASE WHEN p.p > v.v THEN p.p END) - v.v AS delta_us
+             |      FROM v LEFT JOIN p ON v.user_id = p.user_id
+             |      GROUP BY v.user_id, v.v),
+             |b AS (SELECT CASE WHEN delta_us IS NULL THEN 'never'
+             |               WHEN delta_us < 60000000 THEN 'lt_1m'
+             |               WHEN delta_us < 3600000000 THEN 'lt_1h'
+             |               WHEN delta_us < 86400000000 THEN 'lt_1d'
+             |               WHEN delta_us < 604800000000 THEN 'lt_7d'
+             |               ELSE 'ge_7d' END AS bucket, delta_us
+             |      FROM u)
+             |SELECT bucket, COUNT(*) AS n_users,
+             |  MIN(delta_us) AS min_us, MAX(delta_us) AS max_us
+             |FROM b GROUP BY bucket""".stripMargin)
+    )
+  )
+}

@@ -178,6 +178,57 @@ object Graph {
              |LEFT JOIN cn ON cn.a = e.pa AND cn.b = e.pb
              |JOIN deg da ON da.u = e.pa
              |JOIN deg db ON db.u = e.pb""".stripMargin)
+    ),
+
+    // Bounded-hop BFS: minimum hop distance from a seed set (every ~97th
+    // part) over the co-purchase graph, k=3 — the blast-radius /
+    // recommendation-neighborhood query. Frontier-style iteration: each
+    // hop is ONE equi-join frontier⋈edges, a distinct, and an anti-join
+    // against the visited set, so per-level work is bounded by |V| and
+    // never re-expands settled nodes — the property that keeps level-sync
+    // BFS alive on a billion-edge graph (the naive "union all paths" plan
+    // multiplies by avg-degree per hop). Oracle: recursive CTE with
+    // set-semantics UNION, which bounds the DuckDB side the same way.
+    "graph_bfs_khop" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = li.as("x")
+          .join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+        val edges = graft.Caches.scoped(
+          pairs.select(col("pa").as("u"), col("pb").as("v"))
+            .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v"))))
+        var visited = graft.Caches.scoped(
+          edges.select(col("u").as("node")).distinct()
+            .filter(col("node") % 97 === 0)
+            .withColumn("dist", lit(0L)))
+        var frontier = visited
+        (1 to 3).foreach { i =>
+          frontier = graft.Caches.scoped(
+            frontier.join(edges, col("node") === col("u"))
+              .select(col("v").as("node")).distinct()
+              .join(visited, Seq("node"), "left_anti")
+              .withColumn("dist", lit(i.toLong)))
+          visited = graft.Caches.scoped(visited.unionAll(frontier))
+        }
+        visited
+      },
+      Some("""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |          FROM li a JOIN li b
+             |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |e AS (SELECT pa AS u, pb AS v FROM pairs
+             |      UNION ALL SELECT pb, pa FROM pairs),
+             |r AS (SELECT DISTINCT u AS node, 0 AS d FROM e WHERE u % 97 = 0
+             |      UNION
+             |      SELECT e.v, r.d + 1 FROM r JOIN e ON e.u = r.node WHERE r.d < 3)
+             |SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM r GROUP BY node""".stripMargin)
     )
   )
 }

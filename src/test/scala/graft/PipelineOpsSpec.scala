@@ -201,6 +201,105 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("abc_pareto: classes partition the catalog and cumulate to exactly 100%") {
+    val rows = SparkEntry.queries("abc_pareto")(spark, sf)
+      .select(col("part").cast("long"), col("rev_e4").cast("long"),
+        col("cum_bp").cast("long"), col("abc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val nParts = Tables.lineitem(spark, sf).select(col("l_partkey")).distinct().count()
+    assert(rows.length == nParts, "every selling part is classified exactly once")
+    assert(rows.map(_._4).toSet == Set("A", "B", "C"))
+    assert(rows.maxBy(_._3)._3 == 10000, "last item cumulates to exactly 100%")
+    // ranking by revenue desc must give monotone cum_bp
+    val byRank = rows.sortBy(r => (-r._2, r._1)).map(_._3)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => b >= a })
+    // the A class is the head of the ranking (never interleaved)
+    val classes = rows.sortBy(r => (-r._2, r._1)).map(_._4)
+    assert(classes.mkString.matches("A+B+C+"))
+  }
+
+  test("graph_bfs_khop: dist-0 is the seed set and every level is edge-adjacent to the previous") {
+    val dist = SparkEntry.queries("graph_bfs_khop")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.values.forall(d => d >= 0 && d <= 3))
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+      .select(col("pa").cast("long"), col("pb").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    assert(dist.filter(_._2 == 0L).keySet == nodes.filter(_ % 97 == 0))
+    dist.filter(_._2 > 0).foreach { case (n, d) =>
+      assert(adj(n).exists(m => dist.get(m).contains(d - 1)),
+        s"node $n at dist $d needs a neighbor at dist ${d - 1}")
+    }
+    // min-dist property: no node has a neighbor two levels closer
+    dist.foreach { case (n, d) =>
+      assert(adj(n).forall(m => dist.getOrElse(m, 4L) >= d - 1))
+    }
+  }
+
+  test("agg_skew_kurtosis: moment formulas agree with Spark's built-in estimators") {
+    val got = SparkEntry.queries("agg_skew_kurtosis")(spark, sf)
+      .select(col("l_returnflag"), col("skewness").cast("double"),
+        col("kurtosis").cast("double"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ref = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(skewness(col("l_quantity")).as("sk"), kurtosis(col("l_quantity")).as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ref.foreach { case (k, (sk, ku)) =>
+      assert(math.abs(got(k)._1 - sk) < 1e-3, s"$k skewness")
+      assert(math.abs(got(k)._2 - ku) < 1e-3, s"$k kurtosis")
+    }
+  }
+
+  test("text_zipf_slope: every language fits a falling power law") {
+    val rows = SparkEntry.queries("text_zipf_slope")(spark, sf)
+      .select(col("lang"), col("n_terms").cast("long"), col("zipf_slope").cast("double"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 10, s"${r.getString(0)} needs enough terms to fit")
+      assert(r.getDouble(2) < 0, s"${r.getString(0)} slope must be negative")
+    }
+  }
+
+  test("events_time_to_convert: buckets partition the viewing users") {
+    val rows = SparkEntry.queries("events_time_to_convert")(spark, sf)
+      .select(col("bucket"), col("n_users").cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val nViewers = Tables.events(spark, sf).filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._2).sum == nViewers, "every viewer lands in exactly one bucket")
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
+  test("events_anomaly_mad + window_rolling_median: robust stats stay in range") {
+    val mad = SparkEntry.queries("events_anomaly_mad")(spark, sf)
+      .select(col("mad").cast("double"), col("med").cast("double"),
+        col("x").cast("long"), col("is_outlier").cast("long")).collect()
+    mad.foreach { r =>
+      assert(r.getDouble(0) >= 0)
+      assert(r.getLong(3) == (if (math.abs(r.getLong(2) - r.getDouble(1)) >
+        5 * r.getDouble(0)) 1L else 0L))
+    }
+    val med = SparkEntry.queries("window_rolling_median")(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(min(col("med7")).as("lo"), max(col("med7")).as("hi"),
+        min(col("x")).as("xlo"), max(col("x")).as("xhi"))
+      .collect()
+    med.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(3), "median can't fall below the floor")
+      assert(r.getLong(2) <= r.getLong(4), "median can't exceed the ceiling")
+    }
+  }
+
   test("etl_dq_rules: audit covers every rule, counts full tables, pass ties to violations") {
     val rows = SparkEntry.queries("etl_dq_rules")(spark, sf)
       .select(col("rule"), col("tbl"), col("n_checked").cast("long"),
