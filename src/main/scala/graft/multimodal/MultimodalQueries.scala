@@ -101,6 +101,40 @@ object MultimodalQueries {
 
   val entries: Seq[(String, Query)] = Seq(
 
+    // REAL PNG round trip: each document's head bytes become an 8-bit
+    // grayscale image, PngCodec.encode builds a genuine PNG (zlib IDAT
+    // via Deflater, per-row filters cycling through all five types,
+    // CRC-32 chunks), and PngDecoder reverses it: chunk walk + CRC
+    // verification, Inflater, filter reconstruction. Decoded pixels must
+    // equal the original bytes, so the oracle checks the WHOLE deflate/
+    // filter round trip from raw byte arithmetic — the px_md5 pins
+    // values and order. A filter, stride, or inflate bug diverges here.
+    "mm_png_decode" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val imgs = Tables.documents(s, d)
+          .filter(length(bin) >= 16)
+          .select(col("doc_id"),
+            expr("substring(cast(text as binary), 1, " +
+              "16 * (length(cast(text as binary)) div 16))").as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        PngCodec.roundtrip(imgs, 16).toDF()
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |                  octet_length(encode(text)) // 16 AS h
+             |           FROM documents WHERE octet_length(encode(text)) >= 16),
+             |b AS (SELECT doc_id, h, i, substr(hx, i*2 + 1, 2) AS bh,
+             |             CAST('0x' || substr(hx, i*2 + 1, 2) AS BIGINT) AS v
+             |      FROM (SELECT doc_id, hx, h,
+             |              unnest(generate_series(0, h*16 - 1)) AS i FROM d))
+             |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(16*h AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS sum_px,
+             |  CAST(MIN(v) AS BIGINT) AS min_px, CAST(MAX(v) AS BIGINT) AS max_px,
+             |  md5(string_agg(bh, '' ORDER BY i)) AS px_md5
+             |FROM b GROUP BY doc_id, h""".stripMargin)
+    ),
+
     // REAL container decode: each document's UTF-8 bytes become the PCM
     // payload of a genuine RIFF/WAVE file (44-byte header built field by
     // field in the scan — the blob would open in any audio tool), then

@@ -118,4 +118,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dist === local)
     assert(dist.map(_.sample_rate).distinct.sorted === Seq(8000L, 12000L, 16000L))
   }
+
+  test("PngCodec round-trips pixels exactly through deflate + all five filters") {
+    // 16x10 image: 10 rows cycle through filters 0..4 twice
+    val px = Array.tabulate(160)(i => ((i * 37 + 11) % 256).toByte)
+    val png = PngCodec.encode(px, 16)
+    // genuine PNG signature on the wire
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+    val stats = new PngCodec.PngDecoder().decode(42L, png)
+    assert(stats.doc_id === 42L)
+    assert(stats.width === 16L && stats.height === 10L && stats.n_px === 160L)
+    assert(stats.sum_px === px.map(b => (b & 0xff).toLong).sum)
+    assert(stats.min_px === px.map(b => b & 0xff).min.toLong)
+    assert(stats.max_px === px.map(b => b & 0xff).max.toLong)
+    val hexpx = px.map(b => f"${b & 0xff}%02x").mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(hexpx.getBytes("US-ASCII")).map(b => f"${b & 0xff}%02x").mkString
+    assert(stats.px_md5 === md)
+  }
+
+  test("PngCodec rejects a tampered chunk via CRC-32") {
+    val png = PngCodec.encode(Array.tabulate(64)(_.toByte), 16)
+    // flip one bit inside the IDAT payload (after sig + IHDR chunk = 8+25)
+    val bad = png.clone()
+    bad(8 + 25 + 12) = (bad(8 + 25 + 12) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] {
+      new PngCodec.PngDecoder().decode(1L, bad)
+    }
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("PngCodec decodes a zero-height-safe single-row image (filter 0 only)") {
+    val px = Array[Byte](0, 127, -128, -1, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    val stats = new PngCodec.PngDecoder().decode(2L, PngCodec.encode(px, 16))
+    assert(stats.height === 1L && stats.sum_px === px.map(b => (b & 0xff).toLong).sum)
+  }
 }
