@@ -23,6 +23,7 @@ object SparkEntry {
       dedup.DedupQueries.entries ++
       similarity.SimilarityQueries.entries ++
       text.TextQueries.entries ++
+      text.RetrievalQueries.entries ++
       multimodal.MultimodalQueries.entries
 
   /** Flagship: the reference's project -> GroupByKey -> per-key sum+count

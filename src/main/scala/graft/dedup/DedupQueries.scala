@@ -568,6 +568,39 @@ object DedupQueries {
              |FROM bd n JOIN bd c ON n.band_idx = c.band_idx AND n.bkey = c.bkey
              |WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
              |GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // CHARACTER-level near-dup: bounded Levenshtein on the doc's head,
+    // candidates blocked on (length bucket, first char) — the fuzzy
+    // family token-set methods miss (single-char typos, OCR noise).
+    // Blocking is the scale story: an all-pairs edit-distance join is
+    // O(n²·L²) and dead at any size; (len div 20, first char) blocks
+    // bound candidates to near-identical profiles, the same move as
+    // the LSH bands. Both engines implement unit-cost Levenshtein, so
+    // the distance (and the <= 15 verdict) is integer-exact.
+    "dedup_edit_distance" -> Query(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          (col("n_chars") / 20).cast("long").as("lb"),
+          substring(col("text"), 1, 1).as("c1"),
+          substring(col("text"), 1, 60).as("head"))
+        docs.as("a").join(docs.as("b"),
+            col("a.lb") === col("b.lb") && col("a.c1") === col("b.c1") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            levenshtein(col("a.head"), col("b.head")).cast("long").as("lev"))
+          .filter(col("lev") <= 25)
+          .withColumn("is_dup", (col("lev") <= 15).cast("long"))
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars // 20 AS lb,
+             |             substr(text, 1, 1) AS c1, substr(text, 1, 60) AS head
+             |           FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev,
+             |  CAST(levenshtein(a.head, b.head) <= 15 AS BIGINT) AS is_dup
+             |FROM d a JOIN d b
+             |  ON a.lb = b.lb AND a.c1 = b.c1 AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.head, b.head) <= 25""".stripMargin)
     )
   )
 }

@@ -252,6 +252,62 @@ object Analytics {
              |FROM a""".stripMargin)
     ),
 
+    // EXACT global median without a global sort — the two-pass
+    // histogram-bisect every engine uses when "exact percentile of 100 TB"
+    // actually has to run: pass 1 folds a tiny bucket histogram ($10k
+    // buckets over integer cents, one partial agg), the driver-side-sized
+    // cumulative locates which bucket(s) hold the middle ranks, pass 2
+    // sorts ONLY those buckets' rows (row_number partitioned by bucket +
+    // broadcast cumulative offset = global rank). The full dataset is
+    // never sorted and never moves to one partition. Integer cents end to
+    // end; the terminal dollars value is one identical double division.
+    "agg_exact_median_2pass" -> Query(
+      (s, d) => {
+        val c = graft.Caches.scoped(Tables.orders(s, d).select(
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents")))
+        val hist = c.groupBy(expr("cents div 1000000").as("bkt"))
+          .agg(count(lit(1)).as("n"))
+        val cum = hist
+          .withColumn("cumhi", sum(col("n")).over(Window.orderBy(col("bkt"))))
+          .withColumn("cumlo", col("cumhi") - col("n"))
+        val ks = hist.agg(sum(col("n")).as("ntot"))
+          .withColumn("k1", expr("(ntot + 1) div 2"))
+          .withColumn("k2", expr("(ntot + 2) div 2"))
+        val targets = cum.crossJoin(broadcast(ks))
+          .filter((col("k1") > col("cumlo") && col("k1") <= col("cumhi")) ||
+            (col("k2") > col("cumlo") && col("k2") <= col("cumhi")))
+          .select(col("bkt"), col("cumlo"))
+        c.join(broadcast(targets), expr("cents div 1000000") === col("bkt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("bkt")).orderBy(col("cents"))))
+          .withColumn("pos", col("cumlo") + col("rn"))
+          .crossJoin(broadcast(ks))
+          .filter(col("pos") === col("k1") || col("pos") === col("k2"))
+          .groupBy(col("ntot").as("n"))
+          .agg(sum(col("cents") *
+            when(col("k1") === col("k2"), 2L).otherwise(1L))
+            .cast("long").as("median_x2_cents"))
+          .withColumn("median_usd",
+            col("median_x2_cents").cast("double") / 200.0)
+      },
+      Some("""WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |             AS cents FROM orders),
+             |r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS pos,
+             |        COUNT(*) OVER () AS ntot
+             |      FROM c),
+             |m AS (SELECT ntot AS n,
+             |        CAST(SUM(cents * CASE WHEN (ntot + 1) // 2 = (ntot + 2) // 2
+             |                              THEN 2 ELSE 1 END) AS BIGINT)
+             |          AS median_x2_cents
+             |      FROM r
+             |      WHERE pos IN ((ntot + 1) // 2, (ntot + 2) // 2)
+             |      GROUP BY ntot)
+             |SELECT n, median_x2_cents,
+             |  CAST(median_x2_cents AS DOUBLE) / 200.0 AS median_usd
+             |FROM m""".stripMargin)
+    ),
+
     // Conversion-latency distribution: first 'view' -> first LATER
     // 'purchase' per user, bucketed on integer µs thresholds (minute /
     // hour / day / week), with never-converters kept as a censored

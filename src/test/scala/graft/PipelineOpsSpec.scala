@@ -201,6 +201,80 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("text_bm25_topk: every hit contains a query term and scores rank correctly") {
+    val rows = SparkEntry.queries("text_bm25_topk")(spark, sf)
+      .select(col("doc_id").cast("long"), col("n_terms").cast("long"),
+        col("score").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 20)
+    rows.foreach { case (_, nt, s2) =>
+      assert(nt >= 1 && nt <= 3)
+      assert(s2 > 0, "BM25 of a matched doc is positive")
+    }
+    // a doc matching all 3 query terms should outrank a same-length doc
+    // matching 1 (more IDF mass) — check the top hit has >= 2 terms
+    assert(rows.maxBy(_._3)._2 >= 2)
+  }
+
+  test("ann_hybrid_rrf: fusion favors docs ranked by both sides") {
+    val rows = SparkEntry.queries("ann_hybrid_rrf")(spark, sf)
+      .select(col("doc_id").cast("long"), col("rl").cast("long"),
+        col("rv").cast("long"), col("rrf").cast("double"))
+      .collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val rl = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rv = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(rl.nonEmpty || rv.nonEmpty, "fused doc must appear in a ranking")
+      val expect = rl.map(x => 1.0 / (x + 60)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (x + 60)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-12)
+    }
+    // a doc present in BOTH shortlists beats one present in just one at
+    // similar rank — the top fused doc must be a both-sides doc
+    val top = rows.maxBy(_.getDouble(3))
+    assert(!top.isNullAt(1) && !top.isNullAt(2))
+  }
+
+  test("dedup_edit_distance: distance is symmetric-bounded and self-consistent") {
+    val rows = SparkEntry.queries("dedup_edit_distance")(spark, sf)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("lev").cast("long"), col("is_dup").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, lev, dup) =>
+      assert(a < b, "pairs are canonical")
+      assert(lev >= 0 && lev <= 25)
+      assert(dup == (if (lev <= 15) 1L else 0L))
+    }
+  }
+
+  test("agg_exact_median_2pass: two-pass median equals the single-sort median") {
+    val row = SparkEntry.queries("agg_exact_median_2pass")(spark, sf).head()
+    val n = row.getLong(0)
+    val x2 = row.getLong(1)
+    val cents = Tables.orders(spark, sf)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    assert(n == cents.length)
+    val k1 = (n + 1) / 2; val k2 = (n + 2) / 2
+    assert(x2 == cents(k1.toInt - 1) + cents(k2.toInt - 1))
+  }
+
+  test("text_readability: flesch reproduces its formula and stays finite") {
+    val rows = SparkEntry.queries("text_readability")(spark, sf)
+      .select(col("n_words").cast("long"), col("n_sents").cast("long"),
+        col("n_syll").cast("long"), col("flesch").cast("double"))
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (w, sn, sy, f) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(w > 0 && sn >= 1 && sy >= w, "syllables clamped to >=1 per word")
+      val expect = 206.835 - 1.015 * (w.toDouble / sn) - 84.6 * (sy.toDouble / w)
+      assert(math.abs(f - expect) < 1e-3)
+    }
+  }
+
   test("abc_pareto: classes partition the catalog and cumulate to exactly 100%") {
     val rows = SparkEntry.queries("abc_pareto")(spark, sf)
       .select(col("part").cast("long"), col("rev_e4").cast("long"),
