@@ -34,7 +34,12 @@ object Bench {
     // between runs and queries releases the self-join indexes the dedup
     // family persists, so no run reads another run's cache and no cache
     // outlives its query.
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: name prefixes — time only the matching queries
+    // (local profiling; the driver passes no args and times everything)
+    val only = Option(args).filter(_.nonEmpty).map(_.toSeq)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val res =
         try {
           val t1 = run(fn); Caches.releaseAll(); spark.catalog.clearCache()

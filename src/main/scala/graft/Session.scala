@@ -24,6 +24,28 @@ object Session {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4's ICU case mappings route every lower()/upper() through
+      // CollationAwareUTF8String, whose STATIC INIT builds a titlecase
+      // table by calling UCharacter.toTitleCase on all 1,114,112 code
+      // points (a fresh BreakIterator per call) — a per-JVM tax on the
+      // first case-mapped row: ~4s with a healthy JIT, observed minutes
+      // when the compiler is busy/starved (exactly the state of a busy
+      // executor mid-job). JVM simple case mapping (the Spark 3.x
+      // behavior) is byte-identical on this corpus and matches DuckDB's
+      // lower(); flip back deliberately if Turkish-dotted-I /
+      // final-sigma semantics matter more than the init tax.
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      // HotSpot refuses to JIT methods over 8000 bytecodes
+      // (-XX:DontCompileHugeMethods), but Spark's default
+      // hugeMethodLimit (65535) happily EMITS them — the stage then
+      // runs interpreted-bytecode forever. Measured here on the k=100
+      // literal-centroid assignment expression (pipeline_semdedup /
+      // ann_ivf_trained at sf0.1): whole suite healthy with the limit
+      // at 8000 (semdedup 4.9s); the huge emitted method left the same
+      // stage orders of magnitude slower. With the limit at 8000 Spark
+      // falls back to volcano eval for exactly the stages the JIT
+      // would abandon. Ships with the library onto any cluster.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       // managed-table data (catalog sinks, the bucketed dedup index)
       // lands in per-JVM scratch, not whatever cwd the caller ran from
       .config("spark.sql.warehouse.dir", etl.TmpDirs.dir("warehouse"))

@@ -76,6 +76,27 @@ object Sinks {
     (before, dataFiles(path).length)
   }
 
+  /** Partition-scoped backfill: overwrite ONLY the partitions present in
+    * `df`, leaving every other partition untouched — the idempotent
+    * reprocess-one-day write a scheduled batch pipeline needs (re-running
+    * yesterday's load must not truncate the table, and append would
+    * double-count). Uses dynamic partition-overwrite, scoped to this one
+    * write so the session default stays untouched.
+    */
+  def backfillPartitions(df: DataFrame, path: String,
+                         partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "backfill needs a partition layout")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   def csv(df: DataFrame, path: String, disposition: Disposition = Truncate): Unit =
     df.write.mode(disposition.mode).option("header", "true").csv(path)
 

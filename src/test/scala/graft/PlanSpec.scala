@@ -283,4 +283,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"band join must stay an equi-join:\n${p.take(2000)}")
   }
+
+  test("bm25 top-k plans as TakeOrdered, stats ride broadcast joins") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must never globally sort")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "df/corpus stats must broadcast, not shuffle the scoring side")
+  }
+
+  test("abc_pareto's data-sized window is partitioned; only totals see one partition") {
+    val p = plan("abc_pareto")
+    // the cumulative over parts must be partitioned by pid (distributed);
+    // the only unpartitioned window may touch the <=32 per-partition totals
+    assert(p.contains("windowspecdefinition(pid"),
+      "per-part cumulative must run inside range partitions")
+  }
+
+  test("two-pass median sorts only inside target buckets, never globally") {
+    val t = tree("agg_exact_median_2pass")
+    // every Sort in the plan is either window-local (bkt-partitioned) or
+    // over the tiny histogram — a global Sort of cents would show as a
+    // Sort above the scan with a range Exchange under it
+    assert(!t.exists(l => l.contains("Exchange rangepartitioning(cents")),
+      "no range-sort of the full column")
+  }
+
+  test("hybrid RRF ranks shortlists: both sides reach the fusion via TakeOrdered") {
+    val p = plan("ann_hybrid_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "both rankings must shortlist before the global rank window")
+  }
 }

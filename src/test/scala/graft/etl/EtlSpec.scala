@@ -188,4 +188,24 @@ class EtlSpec extends AnyFunSuite {
       .run(spark)
     assert(counts("clean") === 3 && counts("quarantine") === 2)
   }
+
+  test("Sinks.backfillPartitions rewrites only the touched partition") {
+    import spark.implicits._
+    val out = TmpDirs.dir("backfill")
+    Sinks.parquet(Seq((1, "d1", 10), (2, "d2", 20), (3, "d3", 30)).toDF("id", "day", "v"),
+      out, partitionBy = Seq("day"))
+    // reprocess day d2: one replacement row; other days must survive
+    Sinks.backfillPartitions(Seq((9, "d2", 99)).toDF("id", "day", "v"),
+      out, Seq("day"))
+    val got = spark.read.parquet(out).select("id", "day", "v")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === Set((1, "d1", 10), (9, "d2", 99), (3, "d3", 30)))
+    // idempotent: running the same backfill again changes nothing
+    Sinks.backfillPartitions(Seq((9, "d2", 99)).toDF("id", "day", "v"),
+      out, Seq("day"))
+    assert(spark.read.parquet(out).count() === 3)
+    // session default untouched
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
+  }
 }
