@@ -252,6 +252,71 @@ object Analytics {
              |FROM a""".stripMargin)
     ),
 
+    // Correlation / covariance per group — the relationship stats a
+    // warehouse publishes next to means. Computed from the same exact-
+    // DECIMAL power-sum machinery as agg_skew_kurtosis (one partial
+    // agg; identical formula shape cross-engine; round only terminal
+    // values). quantity x extendedprice is deliberately near-null
+    // correlation, discount x extendedprice mildly structured.
+    "agg_corr" -> Query(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(26,6)")).cast("double").as("sx"),
+            sum(col("l_extendedprice").cast("decimal(26,6)")).cast("double").as("sy"),
+            sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(26,6)"))
+              .cast("double").as("sxy"),
+            sum((col("l_quantity") * col("l_quantity")).cast("decimal(26,6)"))
+              .cast("double").as("sxx"),
+            sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(38,6)"))
+              .cast("double").as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            round((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))), 4)
+              .as("covar_pop"),
+            round((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n")))
+              / (sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+                * sqrt(col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")))), 6)
+              .as("corr")),
+      Some("""WITH s AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(26,6))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(26,6))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(26,6))) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(26,6))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n,
+             |  ROUND((sxy / n - (sx / n) * (sy / n)), 4) AS covar_pop,
+             |  ROUND((sxy / n - (sx / n) * (sy / n))
+             |        / (sqrt(sxx / n - (sx / n) * (sx / n))
+             |           * sqrt(syy / n - (sy / n) * (sy / n))), 6) AS corr
+             |FROM s""".stripMargin)
+    ),
+
+    // K-ANONYMITY audit — the compliance gate a dataset passes before
+    // leaving the warehouse: group by the quasi-identifier tuple
+    // (nation, market segment), flag every group smaller than k=5, and
+    // report how many customers sit in re-identifiable groups. One
+    // map-side partial agg over the quasi-identifier; the audit output
+    // is O(|QI combinations|) regardless of data size.
+    "etl_k_anonymity" -> Query(
+      (s, d) =>
+        Tables.customer(s, d)
+          .groupBy(col("c_nationkey").as("nationkey"),
+            col("c_mktsegment").as("mktsegment"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("k_anonymous", (col("n") >= 5).cast("long"))
+          .withColumn("n_at_risk",
+            when(col("n") < 5, col("n")).otherwise(0L)),
+      Some("""SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+             |  COUNT(*) AS n,
+             |  CAST(COUNT(*) >= 5 AS BIGINT) AS k_anonymous,
+             |  CASE WHEN COUNT(*) < 5 THEN COUNT(*) ELSE 0 END AS n_at_risk
+             |FROM customer GROUP BY 1, 2""".stripMargin)
+    ),
+
     // EXACT global median without a global sort — the two-pass
     // histogram-bisect every engine uses when "exact percentile of 100 TB"
     // actually has to run: pass 1 folds a tiny bucket histogram ($10k

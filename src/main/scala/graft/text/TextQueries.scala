@@ -13,6 +13,11 @@ object TextQueries {
 
   private def cleanToks: Column = TextFunctions.cleanTokens(col("text"))
 
+  /** Row types for the deflate-ratio mapPartitions pass. */
+  final case class Doc(doc_id: Long, text: String)
+  final case class DeflateRatio(doc_id: Long, n_raw: Long, n_deflated: Long,
+                                ratio_bp: Long)
+
   /** DuckDB mirror of cleanTokens over lower(text). */
   private val lowToksSql =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
@@ -556,6 +561,38 @@ object TextQueries {
              |SELECT q.doc_id, q.lang, ROUND(q.q, 6) AS quality, ROUND(thr.thr, 6) AS thr,
              |  CAST(ROUND(q.q, 6) >= ROUND(thr.thr, 6) AS BIGINT) AS keep
              |FROM q JOIN thr USING (lang)""".stripMargin)
+    ),
+
+    // COMPRESSION-RATIO quality signal — the cheap redundancy detector
+    // real curation stacks (C4/Gopher lineage) run beside token stats:
+    // highly-repetitive or machine-generated text deflates far below
+    // natural prose. One mapPartitions pass with a per-partition
+    // Deflater (level 6, fixed => deterministic bytes), no shuffle.
+    // DuckDB has no deflate, so this is a declared rows-only query; the
+    // spec pins determinism, the ratio range, and that duplicated text
+    // compresses strictly better than unique text.
+    "text_compression_ratio" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .as[Doc](Encoders.product[Doc])
+          .mapPartitions { it =>
+            val buf = new Array[Byte](1 << 16)
+            it.map { doc =>
+              val raw = doc.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val defl = new java.util.zip.Deflater(6)
+              defl.setInput(raw); defl.finish()
+              var n = 0L
+              while (!defl.finished()) n += defl.deflate(buf)
+              defl.end()
+              DeflateRatio(doc.doc_id, raw.length.toLong, n,
+                if (raw.length == 0) 10000L else n * 10000L / raw.length)
+            }
+          }(Encoders.product[DeflateRatio])
+          .toDF()
+      },
+      None
     ),
 
     // Order-sensitive positional rolling-hash fingerprint.

@@ -201,6 +201,56 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("agg_corr: power-sum correlation agrees with Spark's built-in corr") {
+    val got = SparkEntry.queries("agg_corr")(spark, sf)
+      .select(col("l_returnflag"), col("corr").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ref.foreach { case (k, c) =>
+      assert(math.abs(got(k) - c) < 1e-4, s"$k corr: ${got(k)} vs $c")
+    }
+  }
+
+  test("etl_k_anonymity: flags partition the audit and at-risk counts are consistent") {
+    val rows = SparkEntry.queries("etl_k_anonymity")(spark, sf)
+      .select(col("n").cast("long"), col("k_anonymous").cast("long"),
+        col("n_at_risk").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).sum == Tables.customer(spark, sf).count())
+    rows.foreach { case (n, ka, risk) =>
+      assert(ka == (if (n >= 5) 1L else 0L))
+      assert(risk == (if (n < 5) n else 0L))
+    }
+  }
+
+  test("text_compression_ratio: deterministic, bounded, and dup text compresses better") {
+    val a = SparkEntry.queries("text_compression_ratio")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val b = SparkEntry.queries("text_compression_ratio")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(a.sameElements(b), "fixed-level deflate must be run-deterministic")
+    a.foreach { case (_, raw, defl, bp) =>
+      assert(raw > 0 && defl > 0)
+      assert(bp == defl * 10000 / raw)
+      assert(bp < 15000, "deflate never triples text size")
+    }
+    // a doc made of one repeated sentence must compress far better than
+    // the corpus median (the signal the quality gate relies on)
+    import spark.implicits._
+    val probe = Seq((1L, "the same sentence again. " * 40),
+      (2L, a.indices.map(i => s"w${i * 7919}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tmp = graft.etl.TmpDirs.dir("deflate_probe")
+    probe.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pr = SparkEntry.queries("text_compression_ratio")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(pr(1L) < pr(2L) / 3, s"repetition must deflate hard: $pr")
+  }
+
   test("text_bm25_topk: every hit contains a query term and scores rank correctly") {
     val rows = SparkEntry.queries("text_bm25_topk")(spark, sf)
       .select(col("doc_id").cast("long"), col("n_terms").cast("long"),
