@@ -373,6 +373,47 @@ object Analytics {
              |FROM m""".stripMargin)
     ),
 
+    // SPATIAL distance join via grid blocking — the 2-D analog of the
+    // LSH band join: bucket points into r-sized grid cells, replicate
+    // the RIGHT side into its 3x3 cell neighborhood (a within-r pair
+    // can differ by at most one cell per axis, so every true pair is
+    // found exactly once and no pair is found twice), then one cell
+    // equi-join + the exact distance filter. Candidates are O(n·k) for
+    // local density k — the plan a geo/embedding-space radius query
+    // runs at any scale; the naive all-pairs O(n²) never appears.
+    "join_spatial_grid" -> Query(
+      (s, d) => {
+        val r = 0.04
+        val p = Tables.embeddings(s, d).select(col("vec_id"),
+          col("embedding").getItem(0).cast("double").as("x"),
+          col("embedding").getItem(1).cast("double").as("y"))
+          .withColumn("cx", floor(col("x") / r).cast("long"))
+          .withColumn("cy", floor(col("y") / r).cast("long"))
+        val a = p.select(col("vec_id").as("va"), col("x").as("xa"),
+          col("y").as("ya"), col("cx"), col("cy"))
+        val b = p.select(col("vec_id").as("vb"), col("x").as("xb"),
+            col("y").as("yb"), col("cx").as("bcx"), col("cy").as("bcy"))
+          .withColumn("dxy", explode(typedlit(
+            for { dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L) } yield (dx, dy))))
+          .select(col("vb"), col("xb"), col("yb"),
+            (col("bcx") + col("dxy._1")).as("cx"),
+            (col("bcy") + col("dxy._2")).as("cy"))
+        val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb"))
+        a.join(b, Seq("cx", "cy"))
+          .filter(col("va") < col("vb") && d2 <= r * r)
+          .select(col("va"), col("vb"), round(d2, 8).as("dist2"))
+      },
+      Some("""WITH p AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             |                  CAST(embedding[2] AS DOUBLE) AS y
+             |           FROM embeddings)
+             |SELECT a.vec_id AS va, b.vec_id AS vb,
+             |  ROUND((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), 8) AS dist2
+             |FROM p a JOIN p b ON a.vec_id < b.vec_id
+             |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             |      <= 0.04 * 0.04""".stripMargin)
+    ),
+
     // Conversion-latency distribution: first 'view' -> first LATER
     // 'purchase' per user, bucketed on integer µs thresholds (minute /
     // hour / day / week), with never-converters kept as a censored

@@ -201,6 +201,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("join_spatial_grid: grid blocking finds exactly the brute-force pair set") {
+    val got = SparkEntry.queries("join_spatial_grid")(spark, sf)
+      .select(col("va").cast("long"), col("vb").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.distinct.length == got.length, "3x3 replication must not duplicate pairs")
+    val pts = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").getItem(0).cast("double"),
+        col("embedding").getItem(1).cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val brute = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+      if ia < ib && (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 0.04 * 0.04
+    } yield (ia, ib)).toSet
+    assert(got.toSet == brute, s"grid ${got.length} vs brute ${brute.size}")
+  }
+
   test("agg_corr: power-sum correlation agrees with Spark's built-in corr") {
     val got = SparkEntry.queries("agg_corr")(spark, sf)
       .select(col("l_returnflag"), col("corr").cast("double"))
