@@ -373,6 +373,213 @@ object Analytics {
              |FROM m""".stripMargin)
     ),
 
+    // DAU/MAU stickiness — the product-analytics ratio every growth
+    // dashboard leads with. Two distinct-user aggs (day and 30-day
+    // month) + one broadcast-able join back onto the daily row;
+    // integer basis points, no floats anywhere.
+    "events_stickiness" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("di"))
+          .withColumn("mi", expr("di div 30"))
+        val dau = ev.groupBy(col("di"), col("mi"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        val mau = ev.groupBy(col("mi"))
+          .agg(countDistinct(col("user_id")).as("mau"))
+        dau.join(broadcast(mau), Seq("mi"))
+          .select(col("di").as("day"), col("dau"), col("mau"),
+            expr("dau * 10000 div mau").as("stickiness_bp"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS di,
+             |             (epoch_us(ts) // 86400000000) // 30 AS mi
+             |           FROM events),
+             |dau AS (SELECT di, mi, COUNT(DISTINCT user_id) AS dau FROM e GROUP BY 1, 2),
+             |mau AS (SELECT mi, COUNT(DISTINCT user_id) AS mau FROM e GROUP BY 1)
+             |SELECT dau.di AS day, dau.dau, mau.mau,
+             |  dau.dau * 10000 // mau.mau AS stickiness_bp
+             |FROM dau JOIN mau USING (mi)""".stripMargin)
+    ),
+
+    // GINI concentration coefficient of per-part revenue — the
+    // inequality summary published next to the Pareto cut. Needs the
+    // rank-weighted sum Σ i·xᵢ over the ASCENDING revenue order: same
+    // distributed range-sort machinery as abc_pareto (local ranks +
+    // broadcast per-partition offsets), so no data-sized single
+    // partition; every term is integer cents and only the final ratio
+    // divides in double.
+    "agg_gini" -> Query(
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("part"))
+          .agg((sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")) * 10000).cast("long").as("x"))
+        val sorted = graft.Caches.scoped(rev
+          .repartitionByRange(32, col("x"), col("part"))
+          .sortWithinPartitions(col("x"), col("part"))
+          .withColumn("mid", monotonically_increasing_id())
+          .withColumn("pid", shiftright(col("mid"), 33))
+          .withColumn("lrank", col("mid").bitwiseAND(lit((1L << 33) - 1))))
+        val psz = sorted.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+        val offs = psz.withColumn("off",
+            coalesce(sum(col("pn")).over(Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("pid"), col("off"))
+        sorted.join(broadcast(offs), Seq("pid"))
+          .select(col("x"), (col("off") + col("lrank") + 1L).as("i"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum((col("i").cast("decimal(38,0)") * col("x"))).as("six"))
+          .select(col("n"),
+            round((lit(2.0) * col("six").cast("double"))
+              / (col("n") * col("sx").cast("double"))
+              - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+      },
+      Some("""WITH r AS (
+             |  SELECT l_partkey AS part,
+             |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+             |         * 10000 AS BIGINT) AS x
+             |  FROM lineitem GROUP BY 1),
+             |rk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, part) AS i FROM r),
+             |a AS (SELECT COUNT(*) AS n,
+             |        SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             |        SUM(CAST(i AS DECIMAL(38,0)) * x) AS six
+             |      FROM rk)
+             |SELECT n, ROUND((2.0 * CAST(six AS DOUBLE)) / (n * CAST(sx AS DOUBLE))
+             |             - (n + 1.0) / n, 6) AS gini
+             |FROM a""".stripMargin)
+    ),
+
+    // SKYLINE (Pareto frontier): parts no other part beats on BOTH
+    // price (lower) and size (bigger) — the multi-criteria shortlist
+    // query. One ascending price order; a point survives iff its size
+    // exceeds the running max of everything cheaper. The running max
+    // distributes exactly like abc_pareto's running sum: local prefix
+    // max within range partitions + broadcast prefix-max of the <=32
+    // per-partition maxima — no data-sized single partition.
+    "q_skyline" -> Query(
+      (s, d) => {
+        val p = Tables.part(s, d).select(col("p_partkey"),
+          col("p_retailprice"), col("p_size").cast("long").as("sz"))
+        val sorted = graft.Caches.scoped(p
+          .repartitionByRange(32, col("p_retailprice"), col("p_partkey"))
+          .sortWithinPartitions(col("p_retailprice"), col("p_partkey"))
+          .withColumn("pid", shiftright(monotonically_increasing_id(), 33)))
+        val wloc = Window.partitionBy(col("pid"))
+          .orderBy(col("p_retailprice"), col("p_partkey"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pmax = sorted.groupBy(col("pid")).agg(max(col("sz")).as("pm"))
+        val offs = pmax.withColumn("om",
+            max(col("pm")).over(Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .select(col("pid"), col("om"))
+        sorted
+          .withColumn("lm", max(col("sz")).over(wloc))
+          .join(broadcast(offs), Seq("pid"))
+          .withColumn("mx", greatest(coalesce(col("lm"), lit(Long.MinValue)),
+            coalesce(col("om"), lit(Long.MinValue))))
+          .filter(col("mx") === Long.MinValue || col("sz") > col("mx"))
+          .select(col("p_partkey"), col("p_retailprice"), col("sz").as("p_size"))
+      },
+      Some("""WITH r AS (SELECT p_partkey, p_retailprice,
+             |             CAST(p_size AS BIGINT) AS p_size,
+             |             MAX(CAST(p_size AS BIGINT)) OVER (
+             |               ORDER BY p_retailprice, p_partkey
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+             |           FROM part)
+             |SELECT p_partkey, p_retailprice, p_size
+             |FROM r WHERE mx IS NULL OR p_size > mx""".stripMargin)
+    ),
+
+    // Seasonal-naive forecast BACKTEST — the baseline every demand
+    // forecaster must beat, evaluated in one pass: forecast(t)=x(t-7)
+    // vs the drift-naive x(t-1), scored by MAE per series. Daily counts
+    // are integers, lags ride one partitioned window sort, and only the
+    // terminal MAE divides in double.
+    "events_forecast_naive" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+        dailyCounts(s, d)
+          .withColumn("f7", lag(col("x"), 7).over(w))
+          .withColumn("f1", lag(col("x"), 1).over(w))
+          .filter(col("f7").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(abs(col("x") - col("f7"))).as("sae7"),
+            sum(abs(col("x") - col("f1"))).as("sae1"))
+          .select(col("event_type"), col("n_days"),
+            round(col("sae7").cast("double") / col("n_days"), 4).as("mae_seasonal7"),
+            round(col("sae1").cast("double") / col("n_days"), 4).as("mae_naive1"))
+      },
+      Some(s"""WITH daily AS ($dailySql),
+             |l AS (SELECT event_type, di, x,
+             |        lag(x, 7) OVER (PARTITION BY event_type ORDER BY di) AS f7,
+             |        lag(x, 1) OVER (PARTITION BY event_type ORDER BY di) AS f1
+             |      FROM daily)
+             |SELECT event_type, COUNT(*) AS n_days,
+             |  ROUND(CAST(SUM(abs(x - f7)) AS DOUBLE) / COUNT(*), 4) AS mae_seasonal7,
+             |  ROUND(CAST(SUM(abs(x - f1)) AS DOUBLE) / COUNT(*), 4) AS mae_naive1
+             |FROM l WHERE f7 IS NOT NULL GROUP BY event_type""".stripMargin)
+    ),
+
+    // EXACT distinct via bitmap OR — the roaring-bitmap pattern for
+    // dense integer id domains: pack ids into long words (63 ids per
+    // word per group), OR the words map-side, popcount at the end. Two partial aggs, no count-distinct Expand, and the word
+    // table re-aggregates across groups for free (bitmap union = OR) —
+    // the property HLL gives approximately, exact here.
+    "agg_bitmap_distinct" -> Query(
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"), col("user_id"))
+          // 63 ids per word keeps the shift <= 62 — bit 63 would be the
+          // sign bit, which DuckDB's checked BIGINT shift rejects
+          .groupBy(col("event_type"), expr("user_id div 63").as("word"))
+          .agg(expr("bit_or(shiftleft(1L, cast(user_id % 63 as int)))").as("bits"))
+          .groupBy(col("event_type"))
+          .agg(sum(expr("bit_count(bits)")).cast("long").as("n_users"),
+            count(lit(1)).as("n_words")),
+      Some("""WITH w AS (SELECT event_type, user_id // 63 AS word,
+             |             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS bits
+             |           FROM events GROUP BY 1, 2)
+             |SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users,
+             |  COUNT(*) AS n_words
+             |FROM w GROUP BY event_type""".stripMargin)
+    ),
+
+    // Bot/burst detection — the traffic-hygiene gate run before any
+    // behavioral analytics: per-user event volume, the hottest hour,
+    // and the minimum inter-event gap (one partitioned window sort),
+    // flagged against integer thresholds. All integer µs arithmetic.
+    "events_bot_burst" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          expr("(ts div 1000)").as("us"))
+        val hourly = ev.groupBy(col("user_id"),
+            expr("us div 3600000000").as("hr"))
+          .agg(count(lit(1)).as("nh"))
+          .groupBy(col("user_id")).agg(max(col("nh")).as("max_per_hour"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val gaps = ev.withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), min(col("gap")).as("min_gap_us"))
+        gaps.join(hourly, Seq("user_id"))
+          .withColumn("is_bot",
+            (col("max_per_hour") >= 3 || col("min_gap_us") < 60000000L).cast("long"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+             |h AS (SELECT user_id, MAX(nh) AS max_per_hour FROM (
+             |        SELECT user_id, us // 3600000000 AS hr, COUNT(*) AS nh
+             |        FROM e GROUP BY 1, 2) GROUP BY user_id),
+             |g AS (SELECT user_id, COUNT(*) AS n_events,
+             |        MIN(us - lus) AS min_gap_us
+             |      FROM (SELECT user_id, us,
+             |              lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS lus
+             |            FROM e)
+             |      GROUP BY user_id)
+             |SELECT g.user_id, g.n_events, g.min_gap_us, h.max_per_hour,
+             |  CAST(h.max_per_hour >= 3 OR g.min_gap_us < 60000000 AS BIGINT) AS is_bot
+             |FROM g JOIN h USING (user_id)""".stripMargin)
+    ),
+
     // SPATIAL distance join via grid blocking — the 2-D analog of the
     // LSH band join: bucket points into r-sized grid cells, replicate
     // the RIGHT side into its 3x3 cell neighborhood (a within-r pair

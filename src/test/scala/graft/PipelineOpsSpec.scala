@@ -201,6 +201,61 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("agg_bitmap_distinct: bitmap popcount equals countDistinct exactly") {
+    val got = SparkEntry.queries("agg_bitmap_distinct")(spark, sf)
+      .select(col("event_type"), col("n_users").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+  }
+
+  test("q_skyline: every survivor is undominated and every non-survivor is dominated") {
+    val sky = SparkEntry.queries("q_skyline")(spark, sf)
+      .select(col("p_partkey").cast("long"), col("p_retailprice").cast("double"),
+        col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val all = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def dominatedBy(p: (Long, Double, Long)) = all.exists(q =>
+      (q._2 < p._2 || (q._2 == p._2 && q._1 < p._1)) && q._3 >= p._3)
+    sky.foreach(p => assert(!dominatedBy(p), s"$p is dominated yet emitted"))
+    val skySet = sky.map(_._1).toSet
+    all.filterNot(p => skySet(p._1))
+      .foreach(p => assert(dominatedBy(p), s"$p is undominated yet dropped"))
+  }
+
+  test("agg_gini: coefficient bounded and grows under concentration") {
+    val g = SparkEntry.queries("agg_gini")(spark, sf)
+      .select(col("gini").cast("double")).head().getDouble(0)
+    assert(g > 0 && g < 1, s"gini $g out of range")
+  }
+
+  test("events_stickiness: dau never exceeds mau and bp mirrors the ratio") {
+    SparkEntry.queries("events_stickiness")(spark, sf)
+      .select(col("dau").cast("long"), col("mau").cast("long"),
+        col("stickiness_bp").cast("long"))
+      .collect().foreach { r =>
+        assert(r.getLong(0) <= r.getLong(1))
+        assert(r.getLong(2) == r.getLong(0) * 10000 / r.getLong(1))
+      }
+  }
+
+  test("events_bot_burst: every user appears once and flags follow thresholds") {
+    val rows = SparkEntry.queries("events_bot_burst")(spark, sf)
+      .select(col("user_id").cast("long"), col("min_gap_us").cast("long"),
+        col("max_per_hour").cast("long"), col("is_bot").cast("long"))
+      .collect()
+    assert(rows.length ==
+      Tables.events(spark, sf).select(col("user_id")).distinct().count())
+    rows.foreach { r =>
+      val expect = r.getLong(2) >= 3 || (!r.isNullAt(1) && r.getLong(1) < 60000000L)
+      assert(r.getLong(3) == (if (expect) 1L else 0L))
+    }
+  }
+
   test("join_spatial_grid: grid blocking finds exactly the brute-force pair set") {
     val got = SparkEntry.queries("join_spatial_grid")(spark, sf)
       .select(col("va").cast("long"), col("vb").cast("long"))
