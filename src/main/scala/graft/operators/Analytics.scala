@@ -373,6 +373,57 @@ object Analytics {
              |FROM m""".stripMargin)
     ),
 
+    // A/B experiment readout — deterministic hash-split assignment
+    // (md5 of user_id, the same trick as etl_stratified_sample, so
+    // assignment is reproducible and balanced without coordination),
+    // then per-arm mean purchase value and Welch's z from exact-DECIMAL
+    // sums in ONE grouped agg + one tiny self-join. The z statistic is
+    // derived from identical double operands cross-engine; only it is
+    // rounded. The same plan reads a 100 TB event log: assignment is a
+    // scan-local expression, the readout is one partial agg.
+    "events_ab_lift" -> Query(
+      (s, d) => {
+        val arm = (expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)")
+          % 2 === 0)
+        val stats = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(when(arm, "A").otherwise("B").as("arm"), col("value"))
+          .groupBy(col("arm"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sx"),
+            sum((col("value") * col("value")).cast("decimal(26,6)")).cast("double")
+              .as("sxx"))
+          .withColumn("mean", col("sx") / col("n"))
+          .withColumn("var", (col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1))
+        val a = stats.filter(col("arm") === "A")
+          .select(col("n").as("n_a"), col("mean").as("mean_a"), col("var").as("var_a"))
+        val b = stats.filter(col("arm") === "B")
+          .select(col("n").as("n_b"), col("mean").as("mean_b"), col("var").as("var_b"))
+        a.crossJoin(b).select(
+          col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round((col("mean_b") - col("mean_a"))
+            / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
+            .as("welch_z"))
+      },
+      Some("""WITH p AS (SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+             |                            AS BIGINT) % 2 = 0
+             |                  THEN 'A' ELSE 'B' END AS arm, "value" AS v
+             |           FROM events WHERE event_type = 'purchase'),
+             |s AS (SELECT arm, COUNT(*) AS n,
+             |        CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             |        CAST(SUM(CAST(v * v AS DECIMAL(26,6))) AS DOUBLE) AS sxx
+             |      FROM p GROUP BY arm),
+             |m AS (SELECT arm, n, sx / n AS mean,
+             |        (sxx - sx * sx / n) / (n - 1) AS var FROM s)
+             |SELECT a.n AS n_a, b.n AS n_b,
+             |  ROUND(a.mean, 6) AS mean_a, ROUND(b.mean, 6) AS mean_b,
+             |  ROUND((b.mean - a.mean) / sqrt(a.var / a.n + b.var / b.n), 6) AS welch_z
+             |FROM m a CROSS JOIN m b WHERE a.arm = 'A' AND b.arm = 'B'""".stripMargin)
+    ),
+
     // DAU/MAU stickiness — the product-analytics ratio every growth
     // dashboard leads with. Two distinct-user aggs (day and 30-day
     // month) + one broadcast-able join back onto the daily row;

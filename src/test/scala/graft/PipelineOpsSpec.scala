@@ -201,6 +201,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("events_ab_lift: arms partition purchases, assignment is deterministic, z near 0 under the null") {
+    val r = SparkEntry.queries("events_ab_lift")(spark, sf).head()
+    val nA = r.getLong(0); val nB = r.getLong(1)
+    val total = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(nA + nB == total, "every purchase lands in exactly one arm")
+    assert(nA > 0 && nB > 0)
+    // hash-splitting the SAME traffic is an A/A test: no true lift, so
+    // |z| should sit well inside normal range
+    assert(math.abs(r.getDouble(4)) < 4, s"A/A z=${r.getDouble(4)}")
+    // deterministic: rerun gives the identical readout
+    assert(SparkEntry.queries("events_ab_lift")(spark, sf).head() == r)
+  }
+
   test("agg_bitmap_distinct: bitmap popcount equals countDistinct exactly") {
     val got = SparkEntry.queries("agg_bitmap_distinct")(spark, sf)
       .select(col("event_type"), col("n_users").cast("long"))
