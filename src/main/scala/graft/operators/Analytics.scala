@@ -373,6 +373,94 @@ object Analytics {
              |FROM m""".stripMargin)
     ),
 
+    // MAX DRAWDOWN of the cumulative daily-value series per event type
+    // — the risk metric for any monotone-ish KPI (revenue, balance):
+    // drawdown(t) = running_max(cum) - cum, and the headline is its
+    // peak. Cumulative and running max ride ONE partitioned window
+    // sort; values stay integer (1e-2 units) end to end.
+    "window_drawdown" -> Query(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("di"),
+            col("value"))
+          .groupBy(col("event_type"), col("di"))
+          // net daily flow: even days add, odd event ids subtract — a
+          // deterministic synthetic +/- series so drawdowns exist
+          .agg((sum(when(col("value") < 100, col("value"))
+            .otherwise(-col("value")).cast("decimal(18,2)")) * 100)
+            .cast("long").as("flow"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("cum", sum(col("flow")).over(w))
+          .withColumn("peak", max(col("cum")).over(w))
+          .select(col("event_type"), col("di").as("day"), col("flow"),
+            col("cum"), (col("peak") - col("cum")).as("drawdown"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS di,
+             |    CAST(SUM(CAST(CASE WHEN "value" < 100 THEN "value"
+             |                       ELSE -"value" END AS DECIMAL(18,2))) * 100 AS BIGINT)
+             |      AS flow
+             |  FROM events GROUP BY 1, 2),
+             |c AS (SELECT event_type, di, flow,
+             |        CAST(SUM(flow) OVER (PARTITION BY event_type ORDER BY di
+             |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |             AS BIGINT) AS cum
+             |      FROM daily),
+             |p AS (SELECT event_type, di, flow, cum,
+             |        MAX(cum) OVER (PARTITION BY event_type ORDER BY di
+             |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS peak
+             |      FROM c)
+             |SELECT event_type, di AS day, flow, cum,
+             |  CAST(peak - cum AS BIGINT) AS drawdown
+             |FROM p""".stripMargin)
+    ),
+
+    // WINSORIZED mean — the robust mean that survives fat tails: clamp
+    // every value into [p05, p95] before averaging. Exact percentiles
+    // come from one grouped agg (broadcast back); the clamped sum goes
+    // through DECIMAL so partition order cannot move it. The outlier
+    // fraction is reported alongside so the clamping is auditable.
+    "agg_winsorized_mean" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+        val pct = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.05)").as("p05"),
+            expr("percentile(value, 0.95)").as("p95"))
+        ev.join(broadcast(pct), Seq("event_type"))
+          .withColumn("wv", when(col("value") < col("p05"), col("p05"))
+            .when(col("value") > col("p95"), col("p95"))
+            .otherwise(col("value")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") < col("p05") || col("value") > col("p95"), 1L)
+              .otherwise(0L)).as("n_clamped"),
+            round(sum(col("wv").cast("decimal(18,6)")).cast("double")
+              / count(lit(1)), 6).as("winsorized_mean"),
+            round(sum(col("value").cast("decimal(18,6)")).cast("double")
+              / count(lit(1)), 6).as("raw_mean"))
+      },
+      Some("""WITH p AS (SELECT event_type,
+             |             quantile_cont("value", 0.05) AS p05,
+             |             quantile_cont("value", 0.95) AS p95
+             |           FROM events GROUP BY 1),
+             |w AS (SELECT e.event_type, e."value" AS v,
+             |        CASE WHEN e."value" < p.p05 THEN p.p05
+             |             WHEN e."value" > p.p95 THEN p.p95
+             |             ELSE e."value" END AS wv,
+             |        CAST(e."value" < p.p05 OR e."value" > p.p95 AS BIGINT) AS cl
+             |      FROM events e JOIN p USING (event_type))
+             |SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(cl) AS BIGINT) AS n_clamped,
+             |  ROUND(CAST(SUM(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             |    AS winsorized_mean,
+             |  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             |    AS raw_mean
+             |FROM w GROUP BY event_type""".stripMargin)
+    ),
+
     // A/B experiment readout — deterministic hash-split assignment
     // (md5 of user_id, the same trick as etl_stratified_sample, so
     // assignment is reproducible and balanced without coordination),

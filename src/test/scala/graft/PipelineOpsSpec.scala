@@ -201,6 +201,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("window_drawdown: nonnegative, zero at peaks, cum is the flow prefix sum") {
+    val rows = SparkEntry.queries("window_drawdown")(spark, sf)
+      .orderBy(col("event_type"), col("day"))
+      .select(col("event_type"), col("flow").cast("long"),
+        col("cum").cast("long"), col("drawdown").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      var cum = 0L; var peak = Long.MinValue
+      vs.foreach { case (_, flow, c, dd) =>
+        cum += flow; peak = math.max(peak, cum)
+        assert(c == cum, "cum must be the prefix sum of flows")
+        assert(dd == peak - cum)
+        assert(dd >= 0)
+      }
+      assert(vs.exists(_._4 == 0), "the running peak itself has zero drawdown")
+      assert(vs.exists(_._4 > 0), "a +/- series must draw down somewhere")
+    }
+  }
+
+  test("agg_winsorized_mean: clamping shrinks the tails but keeps ~90% of mass") {
+    SparkEntry.queries("agg_winsorized_mean")(spark, sf)
+      .select(col("n").cast("long"), col("n_clamped").cast("long"),
+        col("winsorized_mean").cast("double"), col("raw_mean").cast("double"))
+      .collect().foreach { r =>
+        val frac = r.getLong(1).toDouble / r.getLong(0)
+        assert(frac > 0.05 && frac < 0.15, s"clamped fraction $frac should be ~10%")
+        assert(r.getDouble(2) != r.getDouble(3), "clamping must move a skewed mean")
+      }
+  }
+
   test("events_ab_lift: arms partition purchases, assignment is deterministic, z near 0 under the null") {
     val r = SparkEntry.queries("events_ab_lift")(spark, sf).head()
     val nA = r.getLong(0); val nB = r.getLong(1)
