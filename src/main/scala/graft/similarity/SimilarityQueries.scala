@@ -89,30 +89,39 @@ object SimilarityQueries {
   private def quantizedVecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), quantCol.as("qv"))
 
-  /** Squared L2 distance from the row's `qv` to a literal centroid —
-    * left-to-right fold, bit-identical to the oracle's list_sum.
+  /** FIXED model size: k never scales with the corpus. Bigger corpora
+    * want a bigger constant (k≈4096 at 10^9 vectors) but it stays a
+    * CONFIG choice — the driver-side model (k*64 doubles, ~64 KB here)
+    * and the plan payload are bounded regardless of data volume, which
+    * is what makes the literal-centroid assignment below scale-safe.
     */
-  private def sqDistTo(cv: Seq[Double]): Column =
-    aggregate(
-      zip_with(transform(col("qv"), x => x.cast("double")), typedlit(cv),
-        (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, x) => acc + x)
+  private val kmeansK = 128
+
+  /** IVF probe width over the trained quantizer. nprobe scales with k
+    * (probe a roughly constant FRACTION of cells for a target recall),
+    * never with the corpus: the probe side stays |queries|*nprobe rows.
+    */
+  private val ivfNprobe = 16
 
   /** All centroids ranked by (dist, cid) for the row's `qv`: a sorted
     * array of k structs, computed entirely inside codegen — element 0
     * is the k-means assignment, the first nprobe are the IVF probe
-    * cells. No join, no shuffle: centroids are literals.
-    *
-    * Scale bound: literal arrays keep plan size O(k*d), fine to k in
-    * the low thousands (k=sqrt(n) for IVF at 10^7 vectors). Beyond
-    * that, ship the centroid table as a BROADCAST and rank via the
-    * max_by aggregate (the ann_ivf_topk shape) — same zero-shuffle
-    * property, k*d moves through the broadcast instead of the plan.
+    * cells. No join, no shuffle: the whole centroid model ships as ONE
+    * array literal, so the expression TREE is O(1) (a single transform
+    * lambda over the constant) and only the literal's payload is
+    * O(k*d) — constant, because k is fixed. Beyond k≈4k, flip this to
+    * a broadcast centroid table + max_by aggregate (the ann_ivf_topk
+    * shape) — same corpus-side zero-shuffle property, k*d moves through
+    * a torrent broadcast instead of the serialized plan.
     */
   private def centroidRanks(cents: Seq[(Long, Seq[Double])]): Column =
-    sort_array(array(cents.map { case (cid, cv) =>
-      struct(sqDistTo(cv).as("dist"), lit(cid).as("cid"))
-    }: _*))
+    sort_array(transform(typedlit(cents), c =>
+      struct(
+        aggregate(
+          zip_with(transform(col("qv"), x => x.cast("double")), c.getField("_2"),
+            (x, cc) => (x - cc) * (x - cc)),
+          lit(0.0), (acc, x) => acc + x).as("dist"),
+        c.getField("_1").as("cid"))))
 
   /** Exact per-(cid, dim) member sums of the assigned quantized vectors
     * — one map-side-combinable shuffle of k*64 combined rows.
@@ -143,9 +152,15 @@ object SimilarityQueries {
     computed
   }
 
+  /** Seed sample: deterministic bottom-k by md5(vec_id) — a fixed-size
+    * uniform draw whose cost is one TakeOrdered over the corpus. Unlike
+    * the modulus seeding it replaces, the seed COUNT is k regardless of
+    * corpus size, so the collect is constant (k rows) at any scale.
+    */
   private def trainCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
     val q = quantizedVecs(s, d)
-    val c0 = q.filter(col("vec_id") % 50 === 0).collect().map { r =>
+    val c0 = q.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(kmeansK).collect().map { r =>
       r.getLong(0) -> r.getSeq[Long](1).map(_.toDouble).toSeq
     }.toSeq.sortBy(_._1)
     memberSums(q.withColumn("cid", centroidRanks(c0).getItem(0).getField("cid")))
@@ -161,11 +176,11 @@ object SimilarityQueries {
     * centroids both kmeans queries replay.
     */
   private val kmeansCteSql =
-    """q AS (SELECT vec_id, list_transform(embedding,
+    s"""q AS (SELECT vec_id, list_transform(embedding,
       |        x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
       |      FROM embeddings),
       |c0 AS (SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
-      |       FROM q WHERE vec_id % 50 = 0),
+      |       FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kmeansK),
       |d0 AS (SELECT q.vec_id, q.qv, c.cid,
       |         list_sum(list_transform(generate_series(1,64),
       |           i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i]) * (CAST(q.qv[i] AS DOUBLE) - c.cv[i]))) AS dist
@@ -401,7 +416,9 @@ object SimilarityQueries {
     // assignment shuffle at all: the corpus's only exchange is the
     // candidate equi-join on cid (broadcast probes), then exact-cosine
     // top-k within candidates. This is the full production IVF shape:
-    // train (kmeans_train) -> assign at ingest -> probe nprobe=3 cells.
+    // train (kmeans_train) -> assign at ingest -> probe nprobe cells
+    // (nprobe=16 of k=128: a constant ~12% cell fraction; both knobs
+    // are config constants that never scale with the corpus).
     "ann_ivf_trained" -> Query(
       (s, d) => {
         val cents = trainedCentroids(s, d)
@@ -412,7 +429,7 @@ object SimilarityQueries {
         val probes = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv2"),
             col("nrm").as("qnrm"),
-            explode(slice(col("ranks"), 1, 3)).as("pr"))
+            explode(slice(col("ranks"), 1, ivfNprobe)).as("pr"))
           .select(col("qid"), col("qv2"), col("qnrm"), col("pr.cid").as("cid"))
         val scored = assigned.join(broadcast(probes), Seq("cid"))
           .filter(col("vec_id") =!= col("qid"))
@@ -426,7 +443,7 @@ object SimilarityQueries {
              |          FROM d1) WHERE rn = 1),
              |pr AS (SELECT vec_id AS qid, cid FROM (
              |         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
-             |         FROM d1 WHERE vec_id < 10) WHERE rn <= 3),
+             |         FROM d1 WHERE vec_id < 10) WHERE rn <= $ivfNprobe),
              |c AS (SELECT pr.qid, a.vec_id, $cosSql AS cos
              |      FROM asg a JOIN pr ON a.cid = pr.cid AND a.vec_id <> pr.qid
              |      JOIN embeddings e ON e.vec_id = a.vec_id
@@ -444,9 +461,10 @@ object SimilarityQueries {
     // then drop any vector whose cluster holds a higher-priority
     // (lower vec_id) vector with cosine >= 0.40 on the 4dp-rounded
     // score. The pair join keys on cid, so work is O(Σ cellᵢ²) with the
-    // CELL as the bounded unit — at 100 TB the quantizer's k grows with
-    // the corpus (k ≈ √n keeps cells ~constant), which is precisely why
-    // SemDeDup blocks on k-means cells instead of labels or nothing.
+    // CELL as the bounded unit — at 100 TB raise the kmeansK constant
+    // (k≈√n keeps cells ~constant; the model stays a fixed-size config
+    // choice either way), which is precisely why SemDeDup blocks on
+    // k-means cells instead of labels or nothing.
     // Output is a verdict per vector (kept clusters included), so the
     // downstream writer is one anti-join away from the deduped corpus.
     "pipeline_semdedup" -> Query(

@@ -42,9 +42,21 @@ class QualitySpec extends AnyFunSuite {
 
   test("ann_ivf_trained recall@5 vs brute force clears 0.5") {
     // trained quantizer should not be WORSE than the seed-sampled one
-    // (measured 0.62 vs untrained 0.60 at sf0.01)
+    // (measured 0.72 at k=128/nprobe=16 vs untrained ann_ivf_topk 0.60
+    // at sf0.01)
     val r = meanRecallAt5("ann_ivf_trained")
     assert(r >= 0.5, s"trained-IVF mean recall@5 = $r")
+  }
+
+  test("trained quantizer model is fixed-k: cell count never tracks the corpus") {
+    // the round-7 scale flaw: k = n/50 grew the driver-side model and
+    // the literal-centroid plan with the corpus. Pin that the trained
+    // model is bounded by the kmeansK config constant regardless of
+    // input size (128 cells at sf0.01's 500 vectors AND sf0.1's 2000).
+    val k = SparkEntry.queries("kmeans_train")(spark, sf)
+      .select(col("cid")).distinct().count()
+    assert(k <= 128, s"trained model has $k cells — must stay <= kmeansK")
+    assert(k >= 64, s"trained model collapsed to $k cells")
   }
 
   test("ann_reranked recall@5 beats the PQ-only ranking") {
