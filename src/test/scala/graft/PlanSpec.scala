@@ -136,6 +136,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly the batch-side exchange on bk, found $bkExchanges")
   }
 
+  test("grouped percentiles never buffer group values — two-pass bisect, no percentile agg") {
+    // Spark's exact `percentile` holds EVERY group value in its
+    // aggregation buffer (executor OOM on a hot group at 100 TB). Pin
+    // that agg_percentiles plans as the histogram-bisect: no percentile
+    // or collect_list aggregate anywhere, no global (unpartitioned)
+    // window, and every window rides a group-partitioned exchange.
+    val t = tree("agg_percentiles")
+    assert(!t.exists(l => l.contains("percentile") || l.contains("collect_list")),
+      "value-buffering aggregate crept back into the plan")
+    assert(!t.exists(_.contains("Exchange SinglePartition")),
+      "bisect must never move data to one partition")
+  }
+
   test("kmeans assignment is shuffle-free and the update agg is partial") {
     // Centroids ship as literals, so assignment must contain NO join
     // and NO exchange below the (cid, dim) aggregate; the update's only
