@@ -837,13 +837,14 @@ object Temporal {
     // Peak concurrency — "how many sessions were open at once, and
     // when did the peak first happen": the capacity-planning op. The
     // session build (gaps-and-islands, sessionize's machinery) stays
-    // fully distributed; the final sweep — +1/-1 endpoint deltas in
-    // time order, running sum, argmax — runs over 2 rows PER SESSION,
-    // four orders of magnitude smaller than the event stream, so its
-    // single-partition window is a post-aggregate reduction, not a
-    // data-scale sort. End-before-start ordering at the same
-    // microsecond (delta -1 < +1) makes back-to-back sessions
-    // non-overlapping; (user_id) breaks the remaining ties.
+    // fully distributed, and so does the final sweep: the +1/-1
+    // endpoint stream (2 rows per session — it SCALES with the event
+    // log) range-partitions on the sweep order and cumulates per
+    // partition, with only the per-partition delta totals crossing a
+    // single-partition window to become broadcast offsets.
+    // End-before-start ordering at the same microsecond (delta -1 <
+    // +1) makes back-to-back sessions non-overlapping; (user_id)
+    // breaks the remaining ties.
     "events_max_concurrency" -> Query(
       (s, d) => {
         val gapUs = 21600000000L
@@ -861,10 +862,28 @@ object Temporal {
           .select(col("user_id"), col("start_us").as("tus"), lit(1L).as("delta"))
           .unionAll(sessions
             .select(col("user_id"), col("end_us").as("tus"), lit(-1L).as("delta")))
-        val sweep = Window.orderBy(col("tus"), col("delta"), col("user_id"))
+        // Distributed sweep (abc_pareto's range-sort machinery): range-
+        // repartition the endpoints on the sweep order, per-partition
+        // running sums stay partition-local, and only the <=32 partition
+        // TOTALS cross a single-partition window to become broadcast
+        // offsets — endpoints scale with the event log (2/session), so
+        // none of them may ever funnel through one task.
+        val sorted = graft.Caches.scoped(points
+          .repartitionByRange(32, col("tus"), col("delta"), col("user_id"))
+          .sortWithinPartitions(col("tus"), col("delta"), col("user_id"))
+          .withColumn("pid", shiftright(monotonically_increasing_id(), 33)))
+        val wloc = Window.partitionBy(col("pid"))
+          .orderBy(col("tus"), col("delta"), col("user_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val swept = graft.Caches.scoped(
-          points.withColumn("conc", sum(col("delta")).over(sweep)))
+        val offs = sorted.groupBy(col("pid")).agg(sum(col("delta")).as("pn"))
+          .withColumn("off",
+            coalesce(sum(col("pn")).over(Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("pid"), col("off"))
+        val swept = graft.Caches.scoped(sorted
+          .withColumn("lconc", sum(col("delta")).over(wloc))
+          .join(broadcast(offs), Seq("pid"))
+          .withColumn("conc", col("off") + col("lconc")))
         val peak = swept.agg(max(col("conc")).as("peak"))
         swept.crossJoin(broadcast(peak))
           .filter(col("conc") === col("peak"))

@@ -136,6 +136,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly the batch-side exchange on bk, found $bkExchanges")
   }
 
+  test("max-concurrency sweep is range-partitioned — endpoints never funnel to one task") {
+    // The endpoint stream scales with the event log (2 rows/session).
+    // Pin the abc_pareto shape: a RangePartitioning exchange feeds the
+    // data-sized window; the only SinglePartition consumers are the
+    // <=32-row per-partition totals and scalar peak aggregates.
+    val t = tree("events_max_concurrency")
+    assert(t.exists(_.contains("Exchange rangepartitioning")),
+      "sweep must range-repartition on the sweep order")
+    // no Window may sit directly on a SinglePartition exchange over the
+    // endpoint stream: every single-partition exchange in this plan must
+    // carry an aggregate (totals/peak), which the tree prints as
+    // Exchange SinglePartition feeding from a HashAggregate
+    val winIdx = t.zipWithIndex.collect { case (l, i) if l.trim.startsWith("Window") => i }
+    winIdx.foreach { i =>
+      val below = t.drop(i + 1).take(3).mkString(" ")
+      assert(!below.contains("Exchange SinglePartition") || below.contains("HashAggregate"),
+        s"window at line $i rides a single-partition exchange over raw endpoints")
+    }
+  }
+
   test("grouped percentiles never buffer group values — two-pass bisect, no percentile agg") {
     // Spark's exact `percentile` holds EVERY group value in its
     // aggregation buffer (executor OOM on a hot group at 100 TB). Pin
