@@ -571,36 +571,65 @@ object DedupQueries {
     ),
 
     // CHARACTER-level near-dup: bounded Levenshtein on the doc's head,
-    // candidates blocked on (length bucket, first char) — the fuzzy
-    // family token-set methods miss (single-char typos, OCR noise).
-    // Blocking is the scale story: an all-pairs edit-distance join is
-    // O(n²·L²) and dead at any size; (len div 20, first char) blocks
-    // bound candidates to near-identical profiles, the same move as
-    // the LSH bands. Both engines implement unit-cost Levenshtein, so
-    // the distance (and the <= 15 verdict) is integer-exact.
+    // candidates blocked on (length bucket, first char, MinHash band) —
+    // the fuzzy family token-set methods miss (single-char typos, OCR
+    // noise). Blocking is the scale story: an all-pairs edit-distance
+    // join is O(n²·L²) and dead at any size, and (len div 20, first
+    // char) ALONE leaves a hot block (common first letter) O(block²) at
+    // 100x — so the key gains 4 MinHash bands over the head's char
+    // 4-grams (band j = min md5 of "bj|"+gram; a true near-dup shares
+    // most 4-grams, so some band's min-gram collides with probability
+    // 1-(1-s)^4 while unrelated heads almost never do). Candidates
+    // dedup before the Levenshtein pass. ~4x57 md5s per doc is scan-
+    // stage codegen arithmetic — the price of bounded blocks. Both
+    // engines implement unit-cost Levenshtein and md5, so the banded
+    // key, the distance, and the <= 15 verdict are all engine-exact.
     "dedup_edit_distance" -> Query(
       (s, d) => {
+        val nBands = 4
         val docs = Tables.documents(s, d).select(col("doc_id"),
           (col("n_chars") / 20).cast("long").as("lb"),
           substring(col("text"), 1, 1).as("c1"),
           substring(col("text"), 1, 60).as("head"))
-        docs.as("a").join(docs.as("b"),
+        val bandStructs = array((0 until nBands).map { j =>
+          struct(lit(j).as("j"),
+            array_min(transform(
+              sequence(lit(1), greatest(length(col("head")) - 3, lit(1))),
+              i => md5(concat(lit(s"b$j|"), col("head").substr(i, lit(4)))))).as("bkey"))
+        }: _*)
+        val idx = docs
+          .select(col("doc_id"), col("lb"), col("c1"), col("head"),
+            explode(bandStructs).as("bd"))
+          .select(col("doc_id"), col("lb"), col("c1"), col("head"),
+            col("bd.j").as("j"), col("bd.bkey").as("bkey"))
+        idx.as("a").join(idx.as("b"),
             col("a.lb") === col("b.lb") && col("a.c1") === col("b.c1") &&
+              col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            levenshtein(col("a.head"), col("b.head")).cast("long").as("lev"))
+            col("a.head").as("ha"), col("b.head").as("hb"))
+          .distinct()
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("ha"), col("hb")).cast("long").as("lev"))
           .filter(col("lev") <= 25)
           .withColumn("is_dup", (col("lev") <= 15).cast("long"))
       },
       Some("""WITH d AS (SELECT doc_id, n_chars // 20 AS lb,
              |             substr(text, 1, 1) AS c1, substr(text, 1, 60) AS head
-             |           FROM documents)
-             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev,
-             |  CAST(levenshtein(a.head, b.head) <= 15 AS BIGINT) AS is_dup
-             |FROM d a JOIN d b
-             |  ON a.lb = b.lb AND a.c1 = b.c1 AND a.doc_id < b.doc_id
-             |WHERE levenshtein(a.head, b.head) <= 25""".stripMargin)
+             |           FROM documents),
+             |bd AS (SELECT doc_id, lb, c1, head, j,
+             |         list_min(list_transform(
+             |           generate_series(1, greatest(length(head) - 3, 1)),
+             |           i -> md5('b' || j || '|' || substr(head, i, 4)))) AS bkey
+             |       FROM d CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+             |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |        a.head AS ha, b.head AS hb
+             |      FROM bd a JOIN bd b
+             |        ON a.lb = b.lb AND a.c1 = b.c1 AND a.j = b.j
+             |       AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, CAST(levenshtein(ha, hb) AS BIGINT) AS lev,
+             |  CAST(levenshtein(ha, hb) <= 15 AS BIGINT) AS is_dup
+             |FROM p WHERE levenshtein(ha, hb) <= 25""".stripMargin)
     )
   )
 }

@@ -140,6 +140,34 @@ class QualitySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"embedding pair recall = $recall (${got.size}/${truth.size})")
   }
 
+  test("edit-distance banded blocking keeps the exhaustive-block dup pairs") {
+    // Round 7 flagged the bare (length-bucket, first-char) blocking as
+    // O(block²) in hot blocks; the fix adds 4 MinHash bands over the
+    // head's char 4-grams to the key. Truth = the OLD exhaustive
+    // blocking's verdicts (every (lb, c1) pair at lev <= 15); the
+    // banded query must recover nearly all of them (measured 1.0 at
+    // sf0.01 AND sf0.1 — planted near-dups share most 4-grams, so some
+    // band's min-gram collides).
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      (col("n_chars") / 20).cast("long").as("lb"),
+      substring(col("text"), 1, 1).as("c1"),
+      substring(col("text"), 1, 60).as("head"))
+    val truth = docs.as("a").join(docs.as("b"),
+        col("a.lb") === col("b.lb") && col("a.c1") === col("b.c1") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(levenshtein(col("a.head"), col("b.head")) <= 15)
+      .select(col("a.doc_id").cast("long"), col("b.doc_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("dedup_edit_distance")(spark, sf)
+      .filter(col("is_dup") === 1)
+      .select(col("id_a").cast("long"), col("id_b").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(got.subsetOf(truth), "banded pairs must be a subset of exhaustive-block pairs")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.9, s"edit-distance pair recall = $recall (${got.size}/${truth.size})")
+  }
+
   test("approx_count_distinct lands within 5% of exact per group") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
     // agg_distinct counts parts/supps; recompute the exact twin of each
