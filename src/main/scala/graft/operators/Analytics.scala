@@ -384,8 +384,8 @@ object Analytics {
           .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("di"),
             col("value"))
           .groupBy(col("event_type"), col("di"))
-          // net daily flow: even days add, odd event ids subtract — a
-          // deterministic synthetic +/- series so drawdowns exist
+          // net daily flow: values under 100 add, the rest subtract —
+          // a deterministic synthetic +/- series so drawdowns exist
           .agg((sum(when(col("value") < 100, col("value"))
             .otherwise(-col("value")).cast("decimal(18,2)")) * 100)
             .cast("long").as("flow"))
@@ -630,8 +630,11 @@ object Analytics {
     ),
 
     // Seasonal-naive forecast BACKTEST — the baseline every demand
-    // forecaster must beat, evaluated in one pass: forecast(t)=x(t-7)
-    // vs the drift-naive x(t-1), scored by MAE per series. Daily counts
+    // forecaster must beat, evaluated in one pass: forecast = the 7th
+    // prior OBSERVED day of the series (row-offset lag; on a series
+    // with calendar gaps that is not literally t-7 days — gap_fill
+    // first for strict calendar seasonality) vs the drift-naive
+    // previous observation, scored by MAE per series. Daily counts
     // are integers, lags ride one partitioned window sort, and only the
     // terminal MAE divides in double.
     "events_forecast_naive" -> Query(

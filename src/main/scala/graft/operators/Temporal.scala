@@ -530,8 +530,11 @@ object Temporal {
     ),
 
     // EWMA smoothing of the daily event-count series — the trend line
-    // monitoring dashboards draw. Dyadic weights (2^-k over an 8-day
-    // lookback) make every term EXACT in binary floating point
+    // monitoring dashboards draw. Dyadic weights (2^-k over the last 8
+    // OBSERVED days of the type's series — row-offset lags, so a
+    // calendar gap makes the window span non-adjacent dates; run
+    // timeseries_gap_fill first for strict calendar-day lookback)
+    // make every term EXACT in binary floating point
     // (count · 2^-k only shifts the exponent), and both engines fold
     // the same explicit lag chain left-to-right, so even the unrounded
     // smoothed values are bit-identical. Missing leading days shrink
