@@ -529,6 +529,45 @@ object IngestQueries {
              |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              |  ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 4) AS avg_quality
              |FROM clean GROUP BY source""".stripMargin)
+    ),
+
+    // Small-file compaction PLANNER — the defrag pass every long-lived
+    // 100 TB table needs: streaming ingest leaves millions of KB-sized
+    // files whose per-file open/seek overhead dominates scan time.
+    // Documents stand in for data files (n_chars = file bytes); within
+    // each source, files are packed id-ordered into ~256 KiB output
+    // bins by bucketing the exclusive running sum of sizes — greedy
+    // sequential packing, the same contract as a writer's
+    // maxRecordsPerFile roll. One shuffle on source; a bin overshoots
+    // the target by at most one file, and the id-ordered pack keeps
+    // any id-range file-pruning property the table had. The output IS
+    // the compaction manifest: (bin, file span, byte total) per
+    // rewrite task. Hot-source caveat: one source's plan is sequential
+    // (a per-source window) — at extreme skew, split the source by id
+    // range first, exactly like the salted-agg pattern.
+    "etl_compaction_plan" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("cum_before", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+          .withColumn("bin", expr("cum_before div 262144"))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("n_chars")).as("bin_bytes"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+      },
+      Some("""WITH f AS (SELECT source, doc_id, n_chars,
+             |    COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |  FROM documents)
+             |SELECT source, CAST(cum_before // 262144 AS BIGINT) AS bin,
+             |  COUNT(*) AS n_files, CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM f GROUP BY 1, 2""".stripMargin)
     )
   )
 }

@@ -48,6 +48,23 @@ object SimilarityQueries {
       |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
       |, 4)""".stripMargin
 
+  /** 63-bit sign signature for binary-quantization ANN: bit (i-1) set
+    * iff dim i of the embedding is positive. 63 bits (not 64) keeps
+    * every per-bit term `1L << (i-1)` positive in a signed 64-bit int,
+    * so the oracle's list_sum never overflows BIGINT. The 64 static
+    * WHEN terms fold into one codegen'd OR chain — no loop, no UDF.
+    */
+  private def binarySig(v: Column): Column =
+    (1 to 63).map(i =>
+      when(element_at(v, i) > lit(0f), lit(1L << (i - 1))).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** Matryoshka head width: the first-pass cosine reads only this
+    * prefix of the embedding (nested-representation models order
+    * information by dim, so the head is a usable coarse scorer).
+    */
+  private val mrlDims = 16
+
   /** Multi-table LSH geometry: `lshTables` independent hash tables of
     * `lshPlanes` hyperplanes each (table t uses the disjoint plane family
     * starting at t*lshPlanes). Banding trades precision for recall the
@@ -722,6 +739,115 @@ object SimilarityQueries {
              |          FROM sc WHERE vec_id < 10) WHERE crn <= 3),
              |c AS (SELECT q.qid, e.vec_id, $cosSql AS cos
              |      FROM asg e JOIN q ON e.cid = q.cid AND e.vec_id <> q.qid),
+             |r AS (SELECT qid, vec_id, cos,
+             |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |      FROM c)
+             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
+    ),
+
+    // Binary (sign-bit) quantization ANN — the 32x-compression scale
+    // path: each vector collapses to a 63-bit signature (one BIGINT; 63
+    // not 64 keeps every partial term positive in a signed long on BOTH
+    // engines), Hamming distance is xor+popcount, and the full-corpus
+    // shortlist scan touches 8 BYTES per vector instead of 256. At
+    // 100 TB of float32 embeddings the signature table is ~3 TB — the
+    // difference between an ANN index that fits hot storage and one
+    // that doesn't. Exact cosine reranks only 32 candidates per probe.
+    // Deterministic end to end; recall floor asserted in QualitySpec.
+    "ann_binary_hamming" -> Query(
+      (s, d) => {
+        val sg = Tables.embeddings(s, d)
+          .select(col("vec_id"), binarySig(col("embedding")).as("sig"))
+        val qs = sg.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("sig").as("qsig"))
+        val ham = sg.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("long").as("ham"))
+        val shortlist = ham.withColumn("hrn",
+            row_number().over(Window.partitionBy(col("qid"))
+              .orderBy(col("ham"), col("vec_id"))))
+          .filter(col("hrn") <= 32)
+          .select(col("qid"), col("vec_id"), col("ham"))
+        val scored = shortlist.join(corpus(s, d), Seq("vec_id"))
+          .join(broadcast(queriesDf(s, d)), Seq("qid"))
+          .select(col("qid"), col("vec_id"), col("ham"),
+            pairCos(col("qv"), col("qnrm")).as("cos"))
+        topK(scored, 5)
+      },
+      Some(s"""WITH sg AS (SELECT vec_id,
+             |      CAST(list_sum(list_transform(generate_series(1, 63),
+             |        i -> CASE WHEN e.embedding[i] > 0
+             |               THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END))
+             |        AS BIGINT) AS sig
+             |    FROM embeddings e),
+             |qs AS (SELECT vec_id AS qid, sig AS qsig FROM sg WHERE vec_id < 10),
+             |h AS (SELECT qs.qid, sg.vec_id,
+             |        CAST(bit_count(xor(sg.sig, qs.qsig)) AS BIGINT) AS ham
+             |      FROM sg CROSS JOIN qs WHERE sg.vec_id <> qs.qid),
+             |sl AS (SELECT qid, vec_id, ham FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS hrn
+             |    FROM h) WHERE hrn <= 32),
+             |c AS (SELECT sl.qid, sl.vec_id, sl.ham, $cosSql AS cos
+             |      FROM sl
+             |      JOIN embeddings e ON e.vec_id = sl.vec_id
+             |      JOIN (SELECT vec_id AS qid2, embedding AS qv FROM embeddings) q
+             |        ON q.qid2 = sl.qid),
+             |r AS (SELECT qid, vec_id, ham, cos,
+             |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |      FROM c)
+             |SELECT qid, vec_id, ham, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
+    ),
+
+    // Matryoshka two-stage retrieval: the first pass scores cosine on
+    // only the HEAD 16 of 64 dims (nested-prefix embeddings are trained
+    // so head-dim similarity approximates full similarity), then the
+    // full-dim exact cosine reranks a 32-candidate shortlist. The scan
+    // cost of the cheap pass is 1/4 the flops and 1/4 the bytes of the
+    // full-dim scan — and on a real deployment the head slice is a
+    // separate (cache-resident) column. Head scores order candidates
+    // only (never emitted), so no rounding is applied on either side.
+    // Recall floor asserted in QualitySpec.
+    "vec_matryoshka_rerank" -> Query(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), slice(col("embedding"), 1, mrlDims).as("hv"))
+          .withColumn("hnrm", sqrt(VectorFunctions.dot(col("hv"), col("hv"))))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("hv").as("qhv"), col("hnrm").as("qhnrm"))
+        val head = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            (VectorFunctions.dot(col("hv"), col("qhv"))
+              / (col("hnrm") * col("qhnrm"))).as("hcos"))
+        val shortlist = head.withColumn("hrn",
+            row_number().over(Window.partitionBy(col("qid"))
+              .orderBy(col("hcos").desc, col("vec_id"))))
+          .filter(col("hrn") <= 32)
+          .select(col("qid"), col("vec_id"))
+        val scored = shortlist.join(corpus(s, d), Seq("vec_id"))
+          .join(broadcast(queriesDf(s, d)), Seq("qid"))
+          .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos"))
+        topK(scored, 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+             |h AS (SELECT q.qid, e.vec_id,
+             |        (list_sum(list_transform(generate_series(1, $mrlDims),
+             |           i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+             |         (sqrt(list_sum(list_transform(generate_series(1, $mrlDims),
+             |           i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+             |          sqrt(list_sum(list_transform(generate_series(1, $mrlDims),
+             |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))))
+             |          AS hcos
+             |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+             |sl AS (SELECT qid, vec_id FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hcos DESC, vec_id) AS hrn
+             |    FROM h) WHERE hrn <= 32),
+             |c AS (SELECT sl.qid, sl.vec_id, $cosSql AS cos
+             |      FROM sl
+             |      JOIN embeddings e ON e.vec_id = sl.vec_id
+             |      JOIN (SELECT vec_id AS qid2, embedding AS qv FROM embeddings) q
+             |        ON q.qid2 = sl.qid),
              |r AS (SELECT qid, vec_id, cos,
              |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
              |      FROM c)

@@ -606,6 +606,41 @@ object TextQueries {
              |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
              |    (x, i) -> CAST('0x' || substr(md5(concat(i, '_', x)), 1, 8) AS BIGINT))), 0) AS BIGINT) AS fp
              |FROM documents""".stripMargin)
+    ),
+
+    // RAG chunking: every document becomes 400-char windows starting
+    // every 300 chars (100-char overlap so no retrieval-relevant span
+    // straddles a cut unseen). Entirely ROW-LOCAL — chunk starts come
+    // from a codegen'd sequence + posexplode, the digest from one md5
+    // per chunk — so the plan is a single scan with ZERO shuffle
+    // (PlanSpec-pinned): at 100 TB chunking is scan-rate bound, the
+    // shape you need when the chunker runs in the same pass as the
+    // embedder. Offsets + digests (not chunk text) are the output:
+    // that's the chunk MANIFEST downstream stages join on, 40 bytes
+    // per chunk instead of 400.
+    "text_chunk_sliding" -> Query(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+          .filter(col("n") >= 1)
+          .select(col("doc_id"), col("text"), col("n"),
+            posexplode(sequence(lit(0), col("n") - 1, lit(300))).as(Seq("ci", "st")))
+          .select(col("doc_id"),
+            col("ci").cast("long").as("chunk_idx"),
+            col("st").cast("long").as("chunk_start"),
+            least(lit(400), col("n") - col("st")).cast("long").as("chunk_len"),
+            md5(col("text").substr(col("st") + 1, lit(400))).as("chunk_md5")),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+             |           FROM documents WHERE length(text) >= 1),
+             |s AS (SELECT doc_id, text, n,
+             |        unnest(generate_series(0, n - 1, 300)) AS st
+             |      FROM d)
+             |SELECT doc_id,
+             |  CAST(st // 300 AS BIGINT) AS chunk_idx,
+             |  CAST(st AS BIGINT) AS chunk_start,
+             |  CAST(LEAST(400, n - st) AS BIGINT) AS chunk_len,
+             |  md5(substr(text, CAST(st + 1 AS INTEGER), 400)) AS chunk_md5
+             |FROM s""".stripMargin)
     )
   )
 }

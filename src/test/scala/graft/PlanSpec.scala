@@ -102,6 +102,24 @@ class PlanSpec extends AnyFunSuite {
       "codec walk must stay in the scan stage")
   }
 
+  test("RAG chunking plans as one scan with no shuffle") {
+    // chunk manifest = sequence + posexplode + substr + md5, all
+    // row-local: at 100 TB the chunker must run at scan rate
+    val t = tree("text_chunk_sliding")
+    assert(!t.exists(_.contains("Exchange")),
+      "chunking must stay in the scan stage")
+  }
+
+  test("binary-Hamming ANN scans signatures, never a sorted join") {
+    // corpus side is one scan producing an 8-byte signature per row;
+    // the probe set rides a broadcast — no shuffle before the
+    // per-probe shortlist window
+    val p = plan("ann_binary_hamming")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "probe signatures must broadcast onto the corpus scan")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("ivf centroid assignment combines map-side — no exchange between cross-join and argmax") {
     // The partial max_by must sit DIRECTLY on the broadcast cross join:
     // each vector's C centroid scores collapse to one row before any

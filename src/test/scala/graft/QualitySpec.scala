@@ -59,6 +59,22 @@ class QualitySpec extends AnyFunSuite {
     assert(k >= 64, s"trained model collapsed to $k cells")
   }
 
+  test("ann_binary_hamming recall@5 vs brute force clears 0.4") {
+    // 63 sign bits keep ~0.5+ of the true top-5 on the weakly-clustered
+    // test embeddings; the floor catches a broken signature/popcount,
+    // not SOTA recall
+    val r = meanRecallAt5("ann_binary_hamming")
+    assert(r >= 0.4, s"binary-Hamming mean recall@5 = $r")
+  }
+
+  test("vec_matryoshka_rerank recall@5 vs brute force clears 0.5") {
+    // the head-16 slice of these synthetic embeddings is an unusually
+    // good coarse scorer; a degraded slice/rerank wiring would crater
+    // well below this floor
+    val r = meanRecallAt5("vec_matryoshka_rerank")
+    assert(r >= 0.5, s"matryoshka mean recall@5 = $r")
+  }
+
   test("ann_reranked recall@5 beats the PQ-only ranking") {
     // the whole point of the rerank stage: exact cosine over the
     // 32-candidate ADC shortlist must recover (strictly more of) the
