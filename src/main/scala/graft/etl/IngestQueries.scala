@@ -1,6 +1,6 @@
 package graft.etl
 
-import graft.{Query, Tables}
+import graft.{Parity, Query, Tables}
 import graft.functions.{Hashing, TextFunctions}
 import org.apache.spark.sql.functions._
 
@@ -568,6 +568,141 @@ object IngestQueries {
              |  COUNT(*) AS n_files, CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
              |FROM f GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // Data-mixture planner — the sampling schedule every multi-source
+    // training corpus needs: given observed per-source sizes and a
+    // target mixture weight, emit each source's sampling ratio and
+    // epoch count (how many passes over the source fill its share of
+    // a one-corpus-sized token budget). Ratios > 1 mean upsampling
+    // (repeat the source), < 1 mean downsampling — feed the ratio to
+    // etl_stratified_sample's hash-threshold keeper. Two tiny
+    // aggregates; the 1-row corpus total rides a broadcast, so the
+    // plan is O(sources) regardless of corpus size.
+    "etl_mixture_plan" -> Query(
+      (s, d) => {
+        val per = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        val tot = per.agg(sum(col("sum_chars")).as("total_chars"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("target_w",
+            when(col("source") === "src0", lit(0.15))
+              .when(col("source") === "src1", lit(0.10))
+              .otherwise(lit(0.75 / 18)))
+          .select(col("source"), col("n_docs"), col("sum_chars"),
+            round(col("sum_chars").cast("double") / col("total_chars").cast("double"), 4)
+              .as("obs_share"),
+            round(col("target_w"), 4).as("target_share"),
+            round(col("target_w") * col("total_chars").cast("double")
+              / col("sum_chars").cast("double"), 4).as("sample_ratio"),
+            ceil(col("target_w") * col("total_chars").cast("double")
+              / col("sum_chars").cast("double")).cast("long").as("epochs"))
+      },
+      Some("""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(sum_chars) AS BIGINT) AS total_chars FROM per),
+             |wt AS (SELECT *, CASE WHEN source = 'src0' THEN CAST(0.15 AS DOUBLE)
+             |                      WHEN source = 'src1' THEN CAST(0.10 AS DOUBLE)
+             |                      ELSE CAST(0.75 AS DOUBLE) / 18 END AS w
+             |       FROM per CROSS JOIN tot)
+             |SELECT source, n_docs, sum_chars,
+             |  ROUND(CAST(sum_chars AS DOUBLE) / CAST(total_chars AS DOUBLE), 4) AS obs_share,
+             |  ROUND(w, 4) AS target_share,
+             |  ROUND(w * CAST(total_chars AS DOUBLE) / CAST(sum_chars AS DOUBLE), 4) AS sample_ratio,
+             |  CAST(CEIL(w * CAST(total_chars AS DOUBLE) / CAST(sum_chars AS DOUBLE)) AS BIGINT) AS epochs
+             |FROM wt""".stripMargin)
+    ),
+
+    // Deterministic stratified train/val/test split manifest: each doc
+    // lands in a split by hash bucket (md5 of the doc id, mod 100 —
+    // 90/5/5), so membership is a pure function of the id: stable
+    // under re-partitioning, re-runs, and corpus growth (new docs
+    // never move old ones between splits — the property that keeps a
+    // held-out set HELD OUT across refreshes of a 100 TB corpus).
+    // Row-local split assignment, one shuffle for the audit rollup.
+    "etl_train_val_split" -> Query(
+      (s, d) => {
+        val h = Hashing.md5Long60(concat(lit("split_"), col("doc_id").cast("string"))) % 100
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(h < 90, "train").when(h < 95, "val").otherwise("test"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""WITH t AS (SELECT source, n_chars,
+             |    CAST('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS h
+             |  FROM documents)
+             |SELECT source,
+             |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM t GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // Zone-map manifest — file-level min/max statistics, the data-
+    // skipping layer under every lakehouse format: lineitem laid out
+    // date-clustered (a "file" = a 32-day shipdate bin), and the zone
+    // map records each file's row count and min/max of the clustered
+    // and secondary columns. `skip` pre-evaluates a Q6-style
+    // three-month predicate against the zone: a planner consults THIS
+    // manifest (KB) instead of opening files (TB) — at 100 TB it is
+    // the difference between a scan and a lookup. Integer epoch-day
+    // binning; one map-side-combinable shuffle on the bin key.
+    "etl_zone_map" -> Query(
+      (s, d) => {
+        val day = datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+        Tables.lineitem(s, d)
+          .withColumn("zone", (day.cast("long") / 32).cast("long"))
+          .groupBy(col("zone"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(Parity.dateStr(col("l_shipdate"))).as("min_ship"),
+            max(Parity.dateStr(col("l_shipdate"))).as("max_ship"),
+            min(col("l_orderkey")).as("min_okey"),
+            max(col("l_orderkey")).as("max_okey"))
+          .withColumn("skip",
+            when(col("max_ship") < "1995-06-01" || col("min_ship") >= "1995-09-01", 1L)
+              .otherwise(0L))
+      },
+      Some("""WITH z AS (SELECT
+             |    CAST((CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 32 AS BIGINT) AS zone,
+             |    strftime(l_shipdate, '%Y-%m-%d') AS ship, l_orderkey
+             |  FROM lineitem)
+             |SELECT zone, COUNT(*) AS n_rows,
+             |  MIN(ship) AS min_ship, MAX(ship) AS max_ship,
+             |  MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
+             |  CASE WHEN MAX(ship) < '1995-06-01' OR MIN(ship) >= '1995-09-01'
+             |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS skip
+             |FROM z GROUP BY 1""".stripMargin)
+    ),
+
+    // Join-key skew probe — the diagnostic you run BEFORE a 100 TB
+    // join: per-key frequency of the join column, top-10 heaviest keys
+    // with their share of all rows and an integer-exact hot flag
+    // (share > 1%). Hot keys get salted (join_skew_salted) or the dim
+    // side broadcast; everything else shuffles normally. The heavy-key
+    // scan is one map-side-combinable agg + a TakeOrderedAndProject
+    // top-k (plan-pinned) — no global sort, no collect.
+    "etl_skew_probe" -> Query(
+      (s, d) => {
+        val per = Tables.events(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        val tot = Tables.events(s, d).agg(count(lit(1)).as("total"))
+        per.crossJoin(broadcast(tot))
+          .select(col("user_id"), col("n_events"),
+            round(col("n_events").cast("double") / col("total").cast("double"), 6)
+              .as("share"),
+            when(col("n_events") * 100 > col("total"), 1L).otherwise(0L).as("hot"))
+          .orderBy(col("n_events").desc, col("user_id"))
+          .limit(10)
+      },
+      Some("""WITH per AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS total FROM events)
+             |SELECT user_id, n_events,
+             |  ROUND(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+             |  CASE WHEN n_events * 100 > total THEN CAST(1 AS BIGINT)
+             |       ELSE CAST(0 AS BIGINT) END AS hot
+             |FROM per CROSS JOIN tot
+             |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin)
     )
   )
 }

@@ -852,6 +852,52 @@ object SimilarityQueries {
              |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
              |      FROM c)
              |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
+    ),
+
+    // Embedding-health audit — the QA pass before any ANN index build:
+    // per label, vector count, mean/std of the L2 norm, and the mean
+    // count of near-zero dims (|x| < 0.01). A collapsed embedding run
+    // (all-zero vectors, exploded norms, dead dimensions) shows up
+    // here before it poisons retrieval. Norm math is row-local; the
+    // rollup is one map-side-combinable shuffle on the label. Sums go
+    // through DECIMAL(18,12) so the cross-engine stats are exact.
+    "vec_norm_stats" -> Query(
+      (s, d) => {
+        val nrm = VectorFunctions.norm(col("embedding"))
+        val nz = size(filter(col("embedding"),
+          x => abs(x.cast("double")) < lit(0.01))).cast("long")
+        val g = Tables.embeddings(s, d)
+          .select(col("label"), nrm.as("nrm"), nz.as("nz"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("nrm").cast("decimal(18,12)")).cast("double").as("s1"),
+            sum((col("nrm") * col("nrm")).cast("decimal(18,12)")).cast("double").as("s2"),
+            sum(col("nz")).as("snz"))
+        g.select(col("label"), col("n_vecs"),
+          round(col("s1") / col("n_vecs"), 4).as("avg_norm"),
+          round(sqrt(greatest(
+            col("s2") / col("n_vecs")
+              - (col("s1") / col("n_vecs")) * (col("s1") / col("n_vecs")),
+            lit(0.0))), 4).as("std_norm"),
+          round(col("snz").cast("double") / col("n_vecs"), 4).as("avg_nearzero_dims"))
+      },
+      Some("""WITH v AS (SELECT label,
+             |    sqrt(list_sum(list_transform(generate_series(1, 64),
+             |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS nrm,
+             |    CAST(len(list_filter(e.embedding,
+             |      x -> abs(CAST(x AS DOUBLE)) < CAST(0.01 AS DOUBLE))) AS BIGINT) AS nz
+             |  FROM embeddings e),
+             |g AS (SELECT label, COUNT(*) AS n_vecs,
+             |    CAST(SUM(CAST(nrm AS DECIMAL(18,12))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(nrm * nrm AS DECIMAL(18,12))) AS DOUBLE) AS s2,
+             |    CAST(SUM(nz) AS BIGINT) AS snz
+             |  FROM v GROUP BY 1)
+             |SELECT label, n_vecs,
+             |  ROUND(s1 / n_vecs, 4) AS avg_norm,
+             |  ROUND(sqrt(GREATEST(s2 / n_vecs - (s1 / n_vecs) * (s1 / n_vecs),
+             |    CAST(0 AS DOUBLE))), 4) AS std_norm,
+             |  ROUND(CAST(snz AS DOUBLE) / n_vecs, 4) AS avg_nearzero_dims
+             |FROM g""".stripMargin)
     )
   )
 }

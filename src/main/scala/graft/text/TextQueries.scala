@@ -641,6 +641,34 @@ object TextQueries {
              |  CAST(LEAST(400, n - st) AS BIGINT) AS chunk_len,
              |  md5(substr(text, CAST(st + 1 AS INTEGER), 400)) AS chunk_md5
              |FROM s""".stripMargin)
+    ),
+
+    // Sequence-length profile — the packing/truncation planner's input:
+    // per (source, power-of-two length bucket) doc counts and token
+    // totals. The bucket is the BIT LENGTH of the token count
+    // (length of the binary representation = floor(log2 n)+1) —
+    // pure integer, so both engines bucket identically with no
+    // floating log2 edge cases. This histogram is what you consult
+    // before choosing a context length: what fraction of docs truncate
+    // at 2^k, how many pad. Tokenization is row-local; one map-side-
+    // combinable shuffle on (source, bucket).
+    "text_seqlen_profile" -> Query(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("source"), size(cleanToks).cast("long").as("n_tok"))
+          .withColumn("len_bucket", length(bin(col("n_tok"))).cast("long"))
+          .groupBy(col("source"), col("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("sum_tokens"),
+            min(col("n_tok")).as("min_tokens"),
+            max(col("n_tok")).as("max_tokens")),
+      Some("""WITH t AS (SELECT source,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+             |  FROM documents)
+             |SELECT source, CAST(length(bin(n_tok)) AS BIGINT) AS len_bucket,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+             |  MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens
+             |FROM t GROUP BY 1, 2""".stripMargin)
     )
   )
 }

@@ -102,6 +102,31 @@ class PlanSpec extends AnyFunSuite {
       "codec walk must stay in the scan stage")
   }
 
+  test("skew probe tops-k without a global sort; total rides a broadcast") {
+    // the diagnostic you run BEFORE a 100 TB join must itself be cheap:
+    // heavy-key top-10 via TakeOrderedAndProject, the 1-row total via
+    // broadcast — never a full sort or a shuffled scalar join
+    val p = plan("etl_skew_probe")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+    assert(p.contains("BroadcastNestedLoopJoin"), "1-row total must broadcast")
+  }
+
+  test("mixture plan joins the corpus total by broadcast") {
+    val p = plan("etl_mixture_plan")
+    assert(p.contains("BroadcastNestedLoopJoin"), "1-row total must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("seqlen profile is one map-side-combinable shuffle") {
+    // tokenize + bit-length bucket are row-local; only the (source,
+    // bucket) rollup may exchange — partial aggregation must sit below it
+    val t = tree("text_seqlen_profile")
+    assert(t.count(_.contains("Exchange")) == 1,
+      "exactly one shuffle for the rollup")
+    assert(t.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      "rollup must combine map-side")
+  }
+
   test("RAG chunking plans as one scan with no shuffle") {
     // chunk manifest = sequence + posexplode + substr + md5, all
     // row-local: at 100 TB the chunker must run at scan rate
