@@ -120,25 +120,21 @@ object SimilarityQueries {
     */
   private val ivfNprobe = 16
 
-  /** All centroids ranked by (dist, cid) for the row's `qv`: a sorted
-    * array of k structs, computed entirely inside codegen — element 0
-    * is the k-means assignment, the first nprobe are the IVF probe
-    * cells. No join, no shuffle: the whole centroid model ships as ONE
-    * array literal, so the expression TREE is O(1) (a single transform
-    * lambda over the constant) and only the literal's payload is
-    * O(k*d) — constant, because k is fixed. Beyond k≈4k, flip this to
-    * a broadcast centroid table + max_by aggregate (the ann_ivf_topk
-    * shape) — same corpus-side zero-shuffle property, k*d moves through
-    * a torrent broadcast instead of the serialized plan.
+  /** The row's `take` nearest centroids by (dist, cid): element 0 is
+    * the k-means assignment, the first nprobe are the IVF probe cells.
+    * No join, no shuffle — and since round 8 a NATIVE codegen'd
+    * expression (plans/PqExpressions.CentroidRanks): the HOF
+    * formulation it replaces (sort_array over transform of the
+    * centroid literal) never entered whole-stage codegen, costing 128
+    * interpreted lambda frames per row — 3x the whole quantizer
+    * family's bench time. The model still ships as one O(k*d) constant
+    * reference (k fixed by config). Beyond k≈4k, flip this to a
+    * broadcast centroid table + max_by aggregate (the ann_ivf_topk
+    * shape) — same corpus-side zero-shuffle property, k*d moves
+    * through a torrent broadcast instead of the serialized plan.
     */
-  private def centroidRanks(cents: Seq[(Long, Seq[Double])]): Column =
-    sort_array(transform(typedlit(cents), c =>
-      struct(
-        aggregate(
-          zip_with(transform(col("qv"), x => x.cast("double")), c.getField("_2"),
-            (x, cc) => (x - cc) * (x - cc)),
-          lit(0.0), (acc, x) => acc + x).as("dist"),
-        c.getField("_1").as("cid"))))
+  private def centroidRanks(cents: Seq[(Long, Seq[Double])], take: Int): Column =
+    graft.plans.PqExpressions.centroidRanks(col("qv"), cents, take)
 
   /** Exact per-(cid, dim) member sums of the assigned quantized vectors
     * — one map-side-combinable shuffle of k*64 combined rows.
@@ -180,7 +176,7 @@ object SimilarityQueries {
       .limit(kmeansK).collect().map { r =>
       r.getLong(0) -> r.getSeq[Long](1).map(_.toDouble).toSeq
     }.toSeq.sortBy(_._1)
-    memberSums(q.withColumn("cid", centroidRanks(c0).getItem(0).getField("cid")))
+    memberSums(q.withColumn("cid", centroidRanks(c0, 1).getItem(0)))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .groupBy(_._1).toSeq.sortBy(_._1)
@@ -414,7 +410,7 @@ object SimilarityQueries {
       (s, d) => {
         val q = quantizedVecs(s, d)
         memberSums(q.withColumn("cid",
-            centroidRanks(trainedCentroids(s, d)).getItem(0).getField("cid")))
+            centroidRanks(trainedCentroids(s, d), 1).getItem(0)))
           .select(col("cid"), col("dim"), col("c_sum"), col("n_members"))
       },
       Some(s"""WITH $kmeansCteSql,
@@ -440,14 +436,12 @@ object SimilarityQueries {
       (s, d) => {
         val cents = trainedCentroids(s, d)
         val e = corpus(s, d).withColumn("qv", quantCol)
-          .withColumn("ranks", centroidRanks(cents))
         val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
-          col("ranks").getItem(0).getField("cid").as("cid"))
+          centroidRanks(cents, 1).getItem(0).as("cid"))
         val probes = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv2"),
             col("nrm").as("qnrm"),
-            explode(slice(col("ranks"), 1, ivfNprobe)).as("pr"))
-          .select(col("qid"), col("qv2"), col("qnrm"), col("pr.cid").as("cid"))
+            explode(centroidRanks(cents, ivfNprobe)).as("cid"))
         val scored = assigned.join(broadcast(probes), Seq("cid"))
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
@@ -488,7 +482,7 @@ object SimilarityQueries {
       (s, d) => {
         val cents = trainedCentroids(s, d)
         val asg = corpus(s, d).withColumn("qv", quantCol)
-          .withColumn("cid", centroidRanks(cents).getItem(0).getField("cid"))
+          .withColumn("cid", centroidRanks(cents, 1).getItem(0))
           .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
         val a = asg.select(col("cid"), col("vec_id").as("va"),
           col("embedding").as("ea"), col("nrm").as("na"))

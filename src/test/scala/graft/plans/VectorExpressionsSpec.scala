@@ -84,6 +84,44 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("CentroidRanks matches the HOF sort_array ranking bit-for-bit") {
+    // 4 centroids over the first 4 dims, including a DUPLICATED
+    // centroid (cids 7 and 3, same vector) so the (dist, cid)
+    // tie-break is actually exercised: 3 must always rank before 7.
+    val cents: Seq[(Long, Seq[Double])] = Seq(
+      (3L, Seq(0.1, -0.2, 0.0, 0.3)),
+      (5L, Seq(-0.4, 0.2, 0.1, -0.1)),
+      (7L, Seq(0.1, -0.2, 0.0, 0.3)),
+      (9L, Seq(0.0, 0.0, 0.0, 0.0)))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), slice(col("embedding"), 1, 4).as("qv"))
+    val hof = sort_array(transform(typedlit(cents), c =>
+      struct(
+        aggregate(
+          zip_with(transform(col("qv"), x => x.cast("double")), c.getField("_2"),
+            (x, cc) => (x - cc) * (x - cc)),
+          lit(0.0), (acc, x) => acc + x).as("dist"),
+        c.getField("_1").as("cid"))))
+    val mismatches = e
+      .withColumn("native", PqExpressions.centroidRanks(col("qv"), cents, 3))
+      .withColumn("hofCids", slice(transform(hof, s => s.getField("cid")), 1, 3))
+      .filter(!(col("native") <=> col("hofCids")))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("CentroidRanks null semantics: wrong length and null elements") {
+    val cents: Seq[(Long, Seq[Double])] = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 1.0)))
+    val row = spark.range(1).select(
+      PqExpressions.centroidRanks(array(lit(1.0)), cents, 1).as("badlen"),
+      PqExpressions.centroidRanks(array(lit(1.0), lit(null).cast("double")), cents, 1).as("nullelem"),
+      PqExpressions.centroidRanks(array(lit(0.9), lit(1.1)), cents, 2).as("ok"))
+      .collect()(0)
+    assert(row.isNullAt(0))
+    assert(row.isNullAt(1))
+    assert(row.getSeq[Long](2) === Seq(2L, 1L)) // (1,1) nearer (0.9,1.1) than (0,0)
+  }
+
   test("PqEncode null semantics: wrong length and null elements") {
     val cents: Seq[Seq[Seq[Double]]] =
       Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
