@@ -779,6 +779,41 @@ object Extended {
              |FROM (SELECT *, CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS band FROM orders)
              |WINDOW wt AS (PARTITION BY o_orderstatus ORDER BY band DESC),
              |       wn AS (PARTITION BY o_orderstatus ORDER BY band DESC, o_orderkey)""".stripMargin)
+    ),
+
+    // Runtime bloom-filter prefilter on a shuffle join — Spark's
+    // sideways information passing: the optimizer builds a bloom
+    // filter from the SELECTIVE build side (urgent orders) and injects
+    // a might_contain prefilter into the fact scan, so most lineitem
+    // rows die at the scan instead of crossing the exchange. At 100 TB
+    // this is THE lever for selective fact-dim shuffle joins — the
+    // shuffle shrinks by the build side's selectivity (~1/5 here)
+    // before any join work. The knobs (application-side threshold 0,
+    // broadcast off) are set on an isolated child session so the demo
+    // can't perturb any other query's plan; results are exact — the
+    // bloom only passes false positives onward to the real join
+    // (plan-pinned: might_contain + SortMergeJoin).
+    "join_bloom_prefilter" -> Query(
+      (s, d) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val sel = Tables.orders(s2, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        Tables.lineitem(s2, d)
+          .join(sel, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_price"))
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n_lines,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY 1""".stripMargin)
     )
   )
 }

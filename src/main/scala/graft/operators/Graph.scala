@@ -229,6 +229,63 @@ object Graph {
              |      UNION
              |      SELECT e.v, r.d + 1 FROM r JOIN e ON e.u = r.node WHERE r.d < 3)
              |SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM r GROUP BY node""".stripMargin)
+    ),
+
+    // Label propagation (2 synchronous LPA rounds) over the co-purchase
+    // graph — community detection one rung cheaper than modularity
+    // methods: every node starts as its own community and repeatedly
+    // adopts the MODE of its neighbors' labels (ties -> smallest
+    // label, so each round is deterministic). Per round the plan is
+    // one edges⋈labels equi-join + two partial aggs — the same Pregel
+    // message-passing shape as pagerank, O(|E|) messages, never
+    // all-pairs; rounds are a config constant. The deterministic
+    // min-of-(count desc, label) vote is a struct min, so the
+    // per-node choice combines map-side.
+    "graph_label_prop" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+        val edges = graft.Caches.scoped(
+          pairs.select(col("pa").as("u"), col("pb").as("v"))
+            .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v"))))
+        var labels = edges.select(col("u").as("node")).distinct()
+          .select(col("node"), col("node").as("lbl"))
+        (1 to 2).foreach { _ =>
+          labels = edges
+            .join(labels.select(col("node").as("v"), col("lbl")), Seq("v"))
+            .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+            .groupBy(col("u"))
+            .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("best"))
+            .select(col("u").as("node"), col("best.l").as("lbl"))
+        }
+        labels
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |          FROM li a JOIN li b
+             |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |edges AS (SELECT pa AS u, pb AS v FROM pairs
+             |          UNION ALL SELECT pb, pa FROM pairs),
+             |l0 AS (SELECT DISTINCT u AS node FROM edges),
+             |l1 AS (SELECT u AS node, lbl FROM (
+             |    SELECT e.u, l.node AS lbl, COUNT(*) AS cnt,
+             |      ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY COUNT(*) DESC, l.node) AS rn
+             |    FROM edges e JOIN l0 l ON e.v = l.node
+             |    GROUP BY e.u, l.node) WHERE rn = 1),
+             |l2 AS (SELECT u AS node, lbl FROM (
+             |    SELECT e.u, l.lbl, COUNT(*) AS cnt,
+             |      ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY COUNT(*) DESC, l.lbl) AS rn
+             |    FROM edges e JOIN l1 l ON e.v = l.node
+             |    GROUP BY e.u, l.lbl) WHERE rn = 1)
+             |SELECT node, lbl FROM l2""".stripMargin)
     )
   )
 }

@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.{Query, Tables}
-import graft.functions.TextFunctions
+import graft.functions.{Hashing, TextFunctions}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -669,6 +669,47 @@ object TextQueries {
              |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
              |  MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens
              |FROM t GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // Duplicate n-gram coverage — the cross-document repetition signal
+    // web-scale curation pipelines gate on (what fraction of this
+    // doc's 5-gram instances also appear in ANOTHER doc?): boilerplate,
+    // mirrored pages, and template spam score high while unique prose
+    // scores low. Shingling is row-local codegen; the only data-sized
+    // exchanges are the equi-join/agg on the 60-bit shingle hash —
+    // O(n·shingles), never pairwise over docs, so the plan is the same
+    // at 100 TB (where this signal is usually fed by the
+    // dedup_minhash_lsh band tables it shares hashing with).
+    "text_dup_ngram_coverage" -> Query(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), cleanToks.as("t"))
+          .filter(size(col("t")) >= 5)
+        val inst = base.select(col("doc_id"),
+          explode(TextFunctions.shingles(col("t"), 5)).as("g"))
+          .select(col("doc_id"), Hashing.md5Long60(col("g")).as("sh"))
+        val dfreq = inst.groupBy(col("sh"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        inst.join(dfreq, Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+          .withColumn("dup_coverage",
+            round(col("n_dup").cast("double") / col("n_shingles").cast("double"), 4))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+             |  FROM documents),
+             |b AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 5),
+             |i0 AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS i FROM b),
+             |inst AS (SELECT doc_id,
+             |    CAST('0x' || substr(md5(array_to_string(list_slice(tk, i, i + 4), ' ')), 1, 15) AS BIGINT) AS sh
+             |  FROM i0),
+             |dfq AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM inst GROUP BY 1)
+             |SELECT i.doc_id, COUNT(*) AS n_shingles,
+             |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             |  ROUND(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_coverage
+             |FROM inst i JOIN dfq USING (sh) GROUP BY 1""".stripMargin)
     )
   )
 }

@@ -127,6 +127,30 @@ class PlanSpec extends AnyFunSuite {
       "rollup must combine map-side")
   }
 
+  test("bloom prefilter injects might_contain into the fact side of the shuffle join") {
+    // sideways information passing: the selective orders side must
+    // build a runtime bloom filter that prunes lineitem AT THE SCAN,
+    // before the exchange — and the join must actually be a shuffle
+    // join (a broadcast would make the demo vacuous)
+    val p = plan("join_bloom_prefilter")
+    assert(p.contains("might_contain"), "runtime bloom filter must inject")
+    assert(p.contains("SortMergeJoin"), "must exercise the shuffle-join path")
+  }
+
+  test("dup-ngram coverage joins on the shingle hash, never doc pairs") {
+    val p = plan("text_dup_ngram_coverage")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      "coverage must come from shingle-hash equi-joins")
+  }
+
+  test("label propagation is equi-join + partial agg per round, never all-pairs") {
+    val t = tree("graph_label_prop")
+    assert(!t.exists(l => l.contains("CartesianProduct") ||
+      l.contains("BroadcastNestedLoopJoin")))
+    assert(t.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      "vote counts must combine map-side")
+  }
+
   test("RAG chunking plans as one scan with no shuffle") {
     // chunk manifest = sequence + posexplode + substr + md5, all
     // row-local: at 100 TB the chunker must run at scan rate
