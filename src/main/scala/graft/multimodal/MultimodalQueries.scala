@@ -504,6 +504,54 @@ object MultimodalQueries {
              |        unnest(generate_series(0,
              |          GREATEST(CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1, 0), 4)) AS f
              |      FROM documents)""".stripMargin)
+    ),
+
+    // Scene-cut detection over the synthetic frame stream: each doc's
+    // payload is a video of 64-byte frames, each frame reduces to an
+    // exact integer intensity (byte sum), and a cut is a consecutive-
+    // frame delta above threshold — the keyframe selector a video
+    // curation pipeline runs before sampling frames for captioning.
+    // Frame sums are row-local (explode + in-frame fold); the only
+    // non-local step is the per-video lag, a window keyed on the
+    // (high-cardinality) video id — partition-friendly at any scale.
+    // Integer arithmetic end to end, so both engines agree exactly.
+    "mm_scene_cuts" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), lower(hex(col("text").cast("binary"))).as("hx"),
+            length(col("text").cast("binary")).as("n_bytes"))
+          .filter(col("n_bytes") >= 128)
+          .withColumn("frame_id", explode(sequence(lit(0), expr("n_bytes div 64") - 1)))
+          .withColumn("fhx", expr("substring(hx, frame_id*128 + 1, 128)"))
+          .withColumn("fsum", expr(
+            """aggregate(transform(sequence(0, 63),
+              |  i -> cast(conv(substring(fhx, i*2 + 1, 2), 16, 10) as bigint)),
+              |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin))
+          .withColumn("prev_sum", lag(col("fsum"), 1).over(w))
+          .filter(col("prev_sum").isNotNull)
+          .withColumn("delta", abs(col("fsum") - col("prev_sum")))
+          .filter(col("delta") > 300)
+          .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
+            col("prev_sum"), col("fsum"), col("delta"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |    octet_length(encode(text)) AS n_bytes
+             |  FROM documents WHERE octet_length(encode(text)) >= 128),
+             |f AS (SELECT doc_id, hx,
+             |    unnest(generate_series(0, CAST(n_bytes // 64 AS INT) - 1)) AS frame_id
+             |  FROM d),
+             |fs AS (SELECT doc_id, frame_id,
+             |    CAST(list_sum(list_transform(generate_series(0, 63),
+             |      i -> CAST('0x' || substr(hx, frame_id*128 + i*2 + 1, 2) AS BIGINT))) AS BIGINT) AS fsum
+             |  FROM f),
+             |l AS (SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id, fsum,
+             |    lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame_id) AS prev_sum
+             |  FROM fs)
+             |SELECT doc_id, frame_id, prev_sum, fsum,
+             |  CAST(abs(fsum - prev_sum) AS BIGINT) AS delta
+             |FROM l WHERE prev_sum IS NOT NULL AND abs(fsum - prev_sum) > 300""".stripMargin)
     )
   )
 }

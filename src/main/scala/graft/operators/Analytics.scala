@@ -813,6 +813,44 @@ object Analytics {
              |SELECT bucket, COUNT(*) AS n_users,
              |  MIN(delta_us) AS min_us, MAX(delta_us) AS max_us
              |FROM b GROUP BY bucket""".stripMargin)
+    ),
+
+    // Seasonal decomposition (day-of-week baseline + residual): daily
+    // value totals per event type, a per-(type, weekday) seasonal mean
+    // — the 7-row-per-type model a weekly-cycle metric needs — and the
+    // residual that anomaly alerts threshold on. Two map-side-
+    // combinable aggs; the seasonal model is O(types*7) and rides a
+    // broadcast back onto the daily series, so the decomposition adds
+    // ZERO data-sized shuffles beyond the daily rollup. All means from
+    // exact decimal sums (identical operands -> identical residuals
+    // cross-engine).
+    "events_seasonal_decompose" -> Query(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("di"),
+            col("value"))
+          .groupBy(col("event_type"), col("di"))
+          .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+          .withColumn("dow", ((col("di") + 4) % 7).cast("long"))
+        val seas = daily.groupBy(col("event_type"), col("dow"))
+          .agg((sum(col("v").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+            .as("m"))
+        daily.join(broadcast(seas), Seq("event_type", "dow"))
+          .select(col("event_type"), col("di"), col("dow"),
+            round(col("v"), 4).as("v"),
+            round(col("m"), 4).as("seasonal"),
+            round(col("v") - col("m"), 4).as("residual"))
+      },
+      Some("""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS di,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1, 2),
+             |d2 AS (SELECT *, CAST((di + 4) % 7 AS BIGINT) AS dow FROM daily),
+             |seas AS (SELECT event_type, dow,
+             |    CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+             |  FROM d2 GROUP BY 1, 2)
+             |SELECT d2.event_type, d2.di, d2.dow, ROUND(v, 4) AS v,
+             |  ROUND(m, 4) AS seasonal, ROUND(v - m, 4) AS residual
+             |FROM d2 JOIN seas ON d2.event_type = seas.event_type AND d2.dow = seas.dow""".stripMargin)
     )
   )
 }

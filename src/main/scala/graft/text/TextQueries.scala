@@ -710,6 +710,34 @@ object TextQueries {
              |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
              |  ROUND(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_coverage
              |FROM inst i JOIN dfq USING (sh) GROUP BY 1""".stripMargin)
+    ),
+
+    // Hashing-trick vectorization: every doc becomes a dense 16-dim
+    // bag-of-words count vector (dim = 32-bit token hash mod 16) —
+    // the classic feature-hashing embedding for cheap classifiers and
+    // clustering when a learned encoder is overkill. ENTIRELY
+    // row-local (hash + bucket-count fold per row, emitted as csv for
+    // cross-engine compare), so the plan is one scan with ZERO
+    // shuffle (plan-pinned) — at 100 TB vectorization runs at scan
+    // rate alongside the other per-doc signals.
+    "text_hash_vectorize" -> Query(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(cleanToks).cast("long").as("n_tokens"),
+            transform(cleanToks, t => Hashing.md5Long32(t) % 16).as("th"))
+          .select(col("doc_id"), col("n_tokens"),
+            concat_ws(",", transform(sequence(lit(0), lit(15)),
+              i => size(filter(col("th"), h => h === i)).cast("string"))).as("vec_csv")),
+      Some("""WITH t AS (SELECT doc_id,
+             |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tok,
+             |    list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+             |      x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 16) AS th
+             |  FROM documents)
+             |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+             |  array_to_string(list_transform(generate_series(0, 15),
+             |    i -> CAST(len(list_filter(th, h -> h = i)) AS VARCHAR)), ',') AS vec_csv
+             |FROM t""".stripMargin)
     )
   )
 }

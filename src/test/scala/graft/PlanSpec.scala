@@ -151,6 +151,14 @@ class PlanSpec extends AnyFunSuite {
       "vote counts must combine map-side")
   }
 
+  test("hashing-trick vectorization is one scan with no shuffle") {
+    // hash + bucket-count fold are row-local: vectorization must run
+    // at scan rate, never exchange
+    val t = tree("text_hash_vectorize")
+    assert(!t.exists(_.contains("Exchange")),
+      "vectorization must stay in the scan stage")
+  }
+
   test("RAG chunking plans as one scan with no shuffle") {
     // chunk manifest = sequence + posexplode + substr + md5, all
     // row-local: at 100 TB the chunker must run at scan rate
