@@ -703,6 +703,37 @@ object IngestQueries {
              |       ELSE CAST(0 AS BIGINT) END AS hot
              |FROM per CROSS JOIN tot
              |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin)
+    ),
+
+    // Feed-freshness audit — the staleness monitor over a multi-feed
+    // ingest (each event type stands in for an upstream feed): per
+    // feed, row count, latest event time, lag behind the freshest
+    // feed, and an integer-exact stale flag (> 12 h behind). All
+    // map-side-combinable MAX/COUNT aggs; the 1-row global watermark
+    // rides a broadcast. Epoch-µs integer arithmetic end to end
+    // (events.parquet stores ns; both engines compare µs exactly).
+    "etl_freshness_audit" -> Query(
+      (s, d) => {
+        val per = Tables.events(s, d)
+          .select(col("event_type"), expr("ts div 1000").as("us"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), max(col("us")).as("max_ts_us"))
+        val gmax = per.agg(max(col("max_ts_us")).as("watermark_us"))
+        per.crossJoin(broadcast(gmax))
+          .select(col("event_type"), col("n_events"), col("max_ts_us"),
+            (col("watermark_us") - col("max_ts_us")).as("lag_us"),
+            when(col("watermark_us") - col("max_ts_us") > 43200000000L, 1L)
+              .otherwise(0L).as("stale"))
+      },
+      Some("""WITH per AS (SELECT event_type, COUNT(*) AS n_events,
+             |    MAX(epoch_us(ts)) AS max_ts_us
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT MAX(max_ts_us) AS watermark_us FROM per)
+             |SELECT event_type, n_events, max_ts_us,
+             |  watermark_us - max_ts_us AS lag_us,
+             |  CASE WHEN watermark_us - max_ts_us > 43200000000
+             |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS stale
+             |FROM per CROSS JOIN g""".stripMargin)
     )
   )
 }

@@ -286,6 +286,57 @@ object Graph {
              |    FROM edges e JOIN l1 l ON e.v = l.node
              |    GROUP BY e.u, l.lbl) WHERE rn = 1)
              |SELECT node, lbl FROM l2""".stripMargin)
+    ),
+
+    // k-CORE decomposition (k=2, three synchronous peel rounds): drop
+    // nodes with degree < k, recompute degrees on the surviving
+    // subgraph, repeat — the standard dense-substructure filter that
+    // strips the long tail of barely-connected nodes before community
+    // or embedding work. Each round is two semi-joins (edge survives
+    // iff BOTH endpoints survive) + one map-side-combinable degree
+    // agg — O(|E|) per round, never all-pairs; round count is a
+    // config constant (a fixpoint loop at 100 TB runs the same plan
+    // per round under AQE).
+    "graph_kcore" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+        val edges = graft.Caches.scoped(
+          pairs.select(col("pa").as("u"), col("pb").as("v"))
+            .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v"))))
+        var surv = edges.groupBy(col("u"))
+          .agg(count(lit(1)).as("dg")).filter(col("dg") >= 2)
+        (1 to 2).foreach { _ =>
+          surv = edges
+            .join(surv.select(col("u")), Seq("u"), "left_semi")
+            .join(surv.select(col("u").as("v")), Seq("v"), "left_semi")
+            .groupBy(col("u"))
+            .agg(count(lit(1)).as("dg")).filter(col("dg") >= 2)
+        }
+        surv.select(col("u").as("node"), col("dg").as("core_deg"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |          FROM li a JOIN li b
+             |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |edges AS (SELECT pa AS u, pb AS v FROM pairs
+             |          UNION ALL SELECT pb, pa FROM pairs),
+             |a1 AS (SELECT u, COUNT(*) AS dg FROM edges GROUP BY 1 HAVING COUNT(*) >= 2),
+             |a2 AS (SELECT e.u, COUNT(*) AS dg FROM edges e
+             |       WHERE e.u IN (SELECT u FROM a1) AND e.v IN (SELECT u FROM a1)
+             |       GROUP BY 1 HAVING COUNT(*) >= 2),
+             |a3 AS (SELECT e.u, COUNT(*) AS dg FROM edges e
+             |       WHERE e.u IN (SELECT u FROM a2) AND e.v IN (SELECT u FROM a2)
+             |       GROUP BY 1 HAVING COUNT(*) >= 2)
+             |SELECT u AS node, dg AS core_deg FROM a3""".stripMargin)
     )
   )
 }

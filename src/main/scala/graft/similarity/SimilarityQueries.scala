@@ -892,6 +892,68 @@ object SimilarityQueries {
              |    CAST(0 AS DOUBLE))), 4) AS std_norm,
              |  ROUND(CAST(snz AS DOUBLE) / n_vecs, 4) AS avg_nearzero_dims
              |FROM g""".stripMargin)
+    ),
+
+    // Top principal direction by POWER ITERATION — distributed linear
+    // algebra in vanilla DataFrame ops: two matvec rounds X'(Xv) from
+    // the exact seed v0 = 1/8 (1/sqrt(64), exact in binary). Each
+    // round is one row-local dot against a literal direction + one
+    // map-side-combinable (dim, x_j*s) rollup to 64 rows; sums go
+    // through DECIMAL(26,12) so both engines normalize identical
+    // vectors. The driver holds only the 64-double direction between
+    // rounds (a model artifact, like the k-means centroids) — data
+    // never moves, so the plan is identical at any corpus size. The
+    // output is the loading vector + Rayleigh eigenvalue estimate:
+    // the "principal drift direction" an embedding-health monitor
+    // tracks across corpus refreshes.
+    "vec_pca_power" -> Query(
+      (s, d) => {
+        val dims = 64
+        def matvec(v: Seq[Double]): (Seq[Double], Double) = {
+          val e = Tables.embeddings(s, d)
+          val w = e.select(
+              posexplode(col("embedding")).as(Seq("pos", "xj")),
+              VectorFunctions.dot(col("embedding"), typedlit(v)).as("sc"))
+            .groupBy(col("pos"))
+            .agg(sum((col("xj").cast("double") * col("sc")).cast("decimal(26,12)"))
+              .cast("double").as("w"))
+            .collect().map(r => r.getInt(0) -> r.getDouble(1))
+            .sortBy(_._1).map(_._2).toSeq
+          val nrm = math.sqrt(w.map(x => BigDecimal(x * x).setScale(12,
+            BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+          (w.map(_ / nrm), nrm)
+        }
+        val v0 = Seq.fill(dims)(0.125)
+        val (v1, _) = matvec(v0)
+        val (v2, lam) = matvec(v1)
+        val out = v2.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        s.createDataFrame(out).toDF("dim", "loading")
+          .select(col("dim"), round(col("loading"), 6).as("loading"),
+            round(lit(lam), 4).as("eigenvalue"))
+      },
+      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings),
+             |ii AS (SELECT unnest(generate_series(1, 64)) AS i),
+             |s1 AS (SELECT vec_id, embedding,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> CAST(embedding[i] AS DOUBLE) * CAST(0.125 AS DOUBLE))) AS sc
+             |  FROM q),
+             |w1 AS (SELECT i AS dim,
+             |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * sc AS DECIMAL(26,12))) AS DOUBLE) AS w
+             |  FROM s1 CROSS JOIN ii GROUP BY 1),
+             |n1 AS (SELECT sqrt(CAST(SUM(CAST(w*w AS DECIMAL(26,12))) AS DOUBLE)) AS nrm FROM w1),
+             |v1l AS (SELECT list(w / nrm ORDER BY dim) AS vl FROM w1 CROSS JOIN n1),
+             |s2 AS (SELECT q.vec_id, q.embedding,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> CAST(q.embedding[i] AS DOUBLE) * vl[i])) AS sc
+             |  FROM q CROSS JOIN v1l),
+             |w2 AS (SELECT i AS dim,
+             |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * sc AS DECIMAL(26,12))) AS DOUBLE) AS w
+             |  FROM s2 CROSS JOIN ii GROUP BY 1),
+             |n2 AS (SELECT sqrt(CAST(SUM(CAST(w*w AS DECIMAL(26,12))) AS DOUBLE)) AS nrm FROM w2)
+             |SELECT CAST(dim - 1 AS BIGINT) AS dim,
+             |  ROUND(w / n2.nrm, 6) AS loading,
+             |  ROUND(n2.nrm, 4) AS eigenvalue
+             |FROM w2 CROSS JOIN n2""".stripMargin)
     )
   )
 }
