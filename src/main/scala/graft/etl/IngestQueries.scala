@@ -734,6 +734,49 @@ object IngestQueries {
              |  CASE WHEN watermark_us - max_ts_us > 43200000000
              |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS stale
              |FROM per CROSS JOIN g""".stripMargin)
+    ),
+
+    // Z-ORDER clustering manifest — multi-dimensional data skipping:
+    // interleave the low 16 bits of (orderkey, partkey) into a Morton
+    // key, bin rows by Morton range ("files" of a Z-order-clustered
+    // rewrite), and record each bin's min/max of BOTH columns plus
+    // pre-evaluated skip flags for one predicate per dimension.
+    // Z-order keeps BOTH ranges bounded per bin, so either predicate
+    // prunes — the property a single-column sort gives only its own
+    // column. The Morton key is 32 static shift/mask terms folded by
+    // codegen (no HOF, no UDF); one map-side-combinable shuffle on
+    // the bin key.
+    "etl_zorder_cluster" -> Query(
+      (s, d) => {
+        val z = (0 until 16).map { i =>
+          shiftleft(shiftright(col("l_orderkey"), i).bitwiseAND(1), 2 * i) +
+            shiftleft(shiftright(col("l_partkey"), i).bitwiseAND(1), 2 * i + 1)
+        }.reduce(_ + _)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), z.as("zkey"))
+          .withColumn("zbin", expr("zkey div 4194304"))
+          .groupBy(col("zbin"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+            min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"))
+          .withColumn("skip_ok_pred",
+            when(col("max_ok") < 1000 || col("min_ok") >= 2000, 1L).otherwise(0L))
+          .withColumn("skip_pk_pred",
+            when(col("max_pk") < 500 || col("min_pk") >= 600, 1L).otherwise(0L))
+      },
+      Some("""WITH z AS (SELECT l_orderkey, l_partkey,
+             |    CAST(list_sum(list_transform(generate_series(0, 15),
+             |      i -> (((l_orderkey >> i) & 1) << (2*i)) +
+             |           (((l_partkey  >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zkey
+             |  FROM lineitem)
+             |SELECT CAST(zkey // 4194304 AS BIGINT) AS zbin, COUNT(*) AS n_rows,
+             |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+             |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+             |  CASE WHEN MAX(l_orderkey) < 1000 OR MIN(l_orderkey) >= 2000
+             |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS skip_ok_pred,
+             |  CASE WHEN MAX(l_partkey) < 500 OR MIN(l_partkey) >= 600
+             |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS skip_pk_pred
+             |FROM z GROUP BY 1""".stripMargin)
     )
   )
 }

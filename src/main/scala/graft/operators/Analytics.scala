@@ -851,6 +851,50 @@ object Analytics {
              |SELECT d2.event_type, d2.di, d2.dow, ROUND(v, 4) AS v,
              |  ROUND(m, 4) AS seasonal, ROUND(v - m, 4) AS residual
              |FROM d2 JOIN seas ON d2.event_type = seas.event_type AND d2.dow = seas.dow""".stripMargin)
+    ),
+
+    // Sample-ratio-mismatch (SRM) check — the experiment-health gate
+    // run BEFORE reading any A/B metric: units (distinct users) hash
+    // into 4 equal-intent arms, and a chi-square against the 25%
+    // expectation catches broken assignment/logging. The verdict flag
+    // is INTEGER-exact (S = Σ(4·obs - n)² against a scaled critical
+    // value, no float threshold edge); chi2 itself is emitted rounded
+    // for reporting. One distinct + one 4-row agg; the 1-row summary
+    // broadcasts back onto the arm rows.
+    "events_ab_srm" -> Query(
+      (s, d) => {
+        val arm = expr(
+          "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)") % 4
+        val per = Tables.events(s, d)
+          .select(col("user_id")).distinct()
+          .select(concat(lit("arm"), arm.cast("string")).as("arm"))
+          .groupBy(col("arm")).agg(count(lit(1)).as("n_units"))
+        val withN = per.crossJoin(broadcast(per.agg(sum(col("n_units")).as("n"))))
+        val tot = withN.agg(max(col("n")).as("n"),
+          sum((col("n_units") * 4 - col("n")) * (col("n_units") * 4 - col("n")))
+            .as("s4"))
+        per.crossJoin(broadcast(tot))
+          .select(col("arm"), col("n_units"),
+            round(col("n").cast("double") / 4, 4).as("expected"),
+            round(col("s4").cast("double") / (lit(4) * col("n")), 6).as("chi2"),
+            when(col("s4") * 1000 > lit(45380L) * col("n"), 1L).otherwise(0L)
+              .as("srm_flag"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |p AS (SELECT 'arm' || CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+             |                 AS BIGINT) % 4 AS VARCHAR) AS arm
+             |      FROM u),
+             |per AS (SELECT arm, COUNT(*) AS n_units FROM p GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n_units) AS BIGINT) AS n,
+             |    CAST(SUM((n_units * 4 - (SELECT SUM(n_units) FROM per)) *
+             |             (n_units * 4 - (SELECT SUM(n_units) FROM per))) AS BIGINT) AS s4
+             |  FROM per)
+             |SELECT arm, n_units,
+             |  ROUND(CAST(n AS DOUBLE) / 4, 4) AS expected,
+             |  ROUND(CAST(s4 AS DOUBLE) / (4 * n), 6) AS chi2,
+             |  CASE WHEN s4 * 1000 > 45380 * n THEN CAST(1 AS BIGINT)
+             |       ELSE CAST(0 AS BIGINT) END AS srm_flag
+             |FROM per CROSS JOIN tot""".stripMargin)
     )
   )
 }

@@ -738,6 +738,36 @@ object TextQueries {
              |  array_to_string(list_transform(generate_series(0, 15),
              |    i -> CAST(len(list_filter(th, h -> h = i)) AS VARCHAR)), ',') AS vec_csv
              |FROM t""".stripMargin)
+    ),
+
+    // Vocabulary growth (Heaps/Herdan law) per source: token instances
+    // N, distinct vocabulary V, type-token ratio, and the Herdan
+    // exponent ln V / ln N — the corpus statistic that tells you
+    // whether a source keeps contributing NEW vocabulary as it grows
+    // (natural text: beta ~0.5-0.7) or is template spam re-emitting
+    // the same tokens (beta -> 0). One explode + one shuffle on
+    // (source, token) for the exact distinct; pairs with
+    // text_zipf_slope in the corpus-statistics family.
+    "text_vocab_growth" -> Query(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("source"), explode(cleanToks).as("tok"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("tok")).as("vocab"))
+          .select(col("source"), col("n_tokens"), col("vocab"),
+            round(col("vocab").cast("double") / col("n_tokens").cast("double"), 6)
+              .as("ttr"),
+            round(log(col("vocab").cast("double"))
+              / log(col("n_tokens").cast("double")), 6).as("herdan_beta")),
+      Some("""WITH t AS (SELECT source,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+             |  FROM documents)
+             |SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS vocab,
+             |  ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS ttr,
+             |  ROUND(ln(CAST(COUNT(DISTINCT tok) AS DOUBLE))
+             |    / ln(CAST(COUNT(*) AS DOUBLE)), 6) AS herdan_beta
+             |FROM t GROUP BY 1""".stripMargin)
     )
   )
 }
