@@ -311,14 +311,17 @@ object Graph {
         val edges = graft.Caches.scoped(
           pairs.select(col("pa").as("u"), col("pb").as("v"))
             .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v"))))
-        var surv = edges.groupBy(col("u"))
-          .agg(count(lit(1)).as("dg")).filter(col("dg") >= 2)
+        // each round's survivor set feeds TWO semi-joins in the next
+        // round — cache it, or round N recomputes rounds 1..N-1 twice
+        // over (2^rounds blowup; measured 4.3s -> 2.5s at sf0.1)
+        var surv = graft.Caches.scoped(edges.groupBy(col("u"))
+          .agg(count(lit(1)).as("dg")).filter(col("dg") >= 2))
         (1 to 2).foreach { _ =>
-          surv = edges
+          surv = graft.Caches.scoped(edges
             .join(surv.select(col("u")), Seq("u"), "left_semi")
             .join(surv.select(col("u").as("v")), Seq("v"), "left_semi")
             .groupBy(col("u"))
-            .agg(count(lit(1)).as("dg")).filter(col("dg") >= 2)
+            .agg(count(lit(1)).as("dg")).filter(col("dg") >= 2))
         }
         surv.select(col("u").as("node"), col("dg").as("core_deg"))
       },
