@@ -639,6 +639,81 @@ object IngestQueries {
              |FROM t GROUP BY 1, 2""".stripMargin)
     ),
 
+    // Bloom-filter manifest — the EQUALITY twin of etl_zone_map's
+    // range pruning: zone maps skip files by min/max, but a point
+    // lookup on an unclustered key (o_custkey here) matches every
+    // zone's range; a per-file bloom filter (4096 bits, 3 md5-derived
+    // hashes per key) answers "might this file contain key k" with no
+    // false negatives. The manifest is the DISTINCT (file, set-bit)
+    // table — bounded by files x m regardless of data volume — and a
+    // probe costs a 3-row broadcast join against it, never a data
+    // read. Emits, per probe key, how many of the 16 synthetic file
+    // partitions the bloom admits vs truly contain it; the gap is the
+    // false-positive overhead a planner pays (and the zero-false-
+    // negative invariant the row-level guarantee rests on, asserted in
+    // QualitySpec). All integer arithmetic on md5 bits both engines
+    // compute identically.
+    "etl_bloom_manifest" -> Query(
+      (s, d) => {
+        val m = 4096
+        def bloomBit(k: org.apache.spark.sql.Column,
+                     h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          conv(substring(md5(concat(k.cast("string"), lit(":"), h.cast("string"))),
+            1, 15), 16, 10).cast("long") % m
+        val hs = array(lit(1), lit(2), lit(3))
+        val files = Tables.orders(s, d)
+          .select((col("o_orderkey") % 16).as("pid"), col("o_custkey"))
+        val bits = files
+          .select(col("pid"), col("o_custkey"), explode(hs).as("h"))
+          .select(col("pid"), bloomBit(col("o_custkey"), col("h")).as("bit"))
+          .distinct()
+        val probes = Tables.customer(s, d).filter(col("c_custkey") <= 40)
+          .select(col("c_custkey").as("probe_key"))
+        val pbits = probes
+          .select(col("probe_key"), explode(hs).as("h"))
+          .select(col("probe_key"), col("h"), bloomBit(col("probe_key"), col("h")).as("bit"))
+        val bloomHits = bits.join(broadcast(pbits), Seq("bit"))
+          .groupBy(col("probe_key"), col("pid"))
+          .agg(countDistinct(col("h")).as("nh"))
+          .filter(col("nh") === 3)
+          .groupBy(col("probe_key")).agg(count(lit(1)).as("n_parts_bloom"))
+        val trueHits = files
+          .join(broadcast(probes.withColumnRenamed("probe_key", "o_custkey")),
+            Seq("o_custkey"), "left_semi")
+          .select(col("o_custkey").as("probe_key"), col("pid")).distinct()
+          .groupBy(col("probe_key")).agg(count(lit(1)).as("n_parts_true"))
+        probes.join(bloomHits, Seq("probe_key"), "left")
+          .join(trueHits, Seq("probe_key"), "left")
+          .select(col("probe_key"),
+            coalesce(col("n_parts_bloom"), lit(0L)).as("n_parts_bloom"),
+            coalesce(col("n_parts_true"), lit(0L)).as("n_parts_true"),
+            (coalesce(col("n_parts_bloom"), lit(0L))
+              - coalesce(col("n_parts_true"), lit(0L))).as("n_false_pos"))
+      },
+      Some("""WITH b0 AS (SELECT o_orderkey % 16 AS pid, o_custkey AS k FROM orders),
+             |hs AS (SELECT unnest(generate_series(1, 3)) AS h),
+             |bits AS (SELECT DISTINCT pid,
+             |    CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(h AS VARCHAR)), 1, 15)
+             |         AS BIGINT) % 4096 AS bit
+             |  FROM b0 CROSS JOIN hs),
+             |probes AS (SELECT c_custkey AS probe_key FROM customer WHERE c_custkey <= 40),
+             |pb AS (SELECT probe_key, h,
+             |    CAST('0x' || substr(md5(CAST(probe_key AS VARCHAR) || ':' || CAST(h AS VARCHAR)), 1, 15)
+             |         AS BIGINT) % 4096 AS bit
+             |  FROM probes CROSS JOIN hs),
+             |bh AS (SELECT probe_key, pid FROM pb JOIN bits USING (bit)
+             |       GROUP BY probe_key, pid HAVING COUNT(DISTINCT h) = 3),
+             |bhc AS (SELECT probe_key, COUNT(*) AS n FROM bh GROUP BY 1),
+             |th AS (SELECT k AS probe_key, COUNT(DISTINCT pid) AS n FROM b0
+             |       WHERE k IN (SELECT probe_key FROM probes) GROUP BY 1)
+             |SELECT p.probe_key,
+             |  CAST(COALESCE(bhc.n, 0) AS BIGINT) AS n_parts_bloom,
+             |  CAST(COALESCE(th.n, 0) AS BIGINT) AS n_parts_true,
+             |  CAST(COALESCE(bhc.n, 0) - COALESCE(th.n, 0) AS BIGINT) AS n_false_pos
+             |FROM probes p LEFT JOIN bhc ON p.probe_key = bhc.probe_key
+             |LEFT JOIN th ON p.probe_key = th.probe_key""".stripMargin)
+    ),
+
     // Zone-map manifest — file-level min/max statistics, the data-
     // skipping layer under every lakehouse format: lineitem laid out
     // date-clustered (a "file" = a 32-day shipdate bin), and the zone

@@ -895,6 +895,144 @@ object Analytics {
              |  CASE WHEN s4 * 1000 > 45380 * n THEN CAST(1 AS BIGINT)
              |       ELSE CAST(0 AS BIGINT) END AS srm_flag
              |FROM per CROSS JOIN tot""".stripMargin)
+    ),
+
+    // CUSUM change-point detection over the per-type daily series (Page
+    // 1954). The textbook recurrence S_t = max(0, S_{t-1} + y_t) is
+    // sequential, which SQL windows can't express — but it equals
+    // c_t - min(0, min_{j<=t} c_j) where c is the plain cumulative sum,
+    // so the whole detector is two windowed aggregates. Arithmetic is
+    // INTEGER-exact end to end: the mean-zero residual y_t = n·x_t - Σx
+    // is scaled by the day count n instead of dividing by it, and the
+    // alarm rule (accumulated positive drift exceeds 10% of the period
+    // total) compares drift·10 > n·Σx in BIGINT, no float threshold
+    // edge. Per-type totals are a broadcast-able |types|-row table; the
+    // windows partition by event_type, and the series length is bounded
+    // by (types x days), not the event count — the same plan sweeps a
+    // 100 TB log because the heavy groupBy is dailyCounts' map-side-
+    // combinable agg.
+    "events_cusum" -> Query(
+      (s, d) => {
+        val t = dailyCounts(s, d).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dailyCounts(s, d).join(broadcast(t), Seq("event_type"))
+          .withColumn("c", sum(col("n") * col("x") - col("sx")).over(w))
+          .withColumn("drift", col("c") - least(lit(0L), min(col("c")).over(w)))
+          .select(col("event_type"), col("di"), col("x"), col("drift"),
+            when(col("drift") * 10 > col("n") * col("sx"), 1L).otherwise(0L)
+              .as("alarm"))
+      },
+      Some(s"""WITH d AS ($dailySql),
+             |t AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx
+             |      FROM d GROUP BY 1),
+             |c AS (SELECT d.event_type, d.di, d.x, t.n, t.sx,
+             |        CAST(SUM(t.n * d.x - t.sx) OVER (PARTITION BY d.event_type ORDER BY d.di
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+             |      FROM d JOIN t USING (event_type)),
+             |s AS (SELECT event_type, di, x, n, sx,
+             |        c - LEAST(CAST(0 AS BIGINT), CAST(MIN(c) OVER (PARTITION BY event_type ORDER BY di
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS drift
+             |      FROM c)
+             |SELECT event_type, di, x, drift,
+             |  CASE WHEN drift * 10 > n * sx THEN CAST(1 AS BIGINT)
+             |       ELSE CAST(0 AS BIGINT) END AS alarm
+             |FROM s""".stripMargin)
+    ),
+
+    // CUPED variance-reduced A/B readout (Deng et al. 2013): adjust the
+    // experiment metric with the pre-period covariate, Y' = Y - θ(X-X̄),
+    // θ = cov(X,Y)/var(X) pooled across arms. Per-user X (pre-period
+    // purchase value) and Y (post-period) are EXACT decimal sums; every
+    // cross-user moment (ΣX, ΣY, ΣX², ΣY², ΣXY) stays decimal until the
+    // 1-row summary, so θ, the adjusted means (via linearity:
+    // mean(Y')_arm = mean(Y)_arm - θ(mean(X)_arm - X̄)), and the
+    // variance-reduction ratio ρ² = cov²/(varX·varY) are identical IEEE
+    // scalars cross-engine. The period split is the integer midpoint of
+    // the observed µs range (broadcast 1-row agg). One shuffle on
+    // user_id; the arm/global summaries are broadcast material.
+    "events_ab_cuped" -> Query(
+      (s, d) => {
+        val p = graft.Caches.scoped(Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("ts div 1000").as("tus"), col("value")))
+        val mid = p.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
+        val u = graft.Caches.scoped(p.crossJoin(broadcast(mid))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("tus") < col("mid"), col("value")).otherwise(lit(0d))
+              .cast("decimal(18,6)")).as("xv"),
+            sum(when(col("tus") >= col("mid"), col("value")).otherwise(lit(0d))
+              .cast("decimal(18,6)")).as("yv"))
+          .withColumn("arm",
+            when(expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)")
+              % 2 === 0, "A").otherwise("B")))
+        val g = u.agg(count(lit(1)).as("nn"),
+          sum(col("xv")).cast("double").as("sx"),
+          sum(col("yv")).cast("double").as("sy"),
+          sum((col("xv") * col("xv")).cast("decimal(38,12)")).cast("double").as("sxx"),
+          sum((col("yv") * col("yv")).cast("decimal(38,12)")).cast("double").as("syy"),
+          sum((col("xv") * col("yv")).cast("decimal(38,12)")).cast("double").as("sxy"))
+        val arms = u.groupBy(col("arm")).agg(count(lit(1)).as("n"),
+          sum(col("xv")).cast("double").as("ax"),
+          sum(col("yv")).cast("double").as("ay"))
+        val a = arms.filter(col("arm") === "A")
+          .select(col("n").as("n_a"), col("ax").as("ax_a"), col("ay").as("ay_a"))
+        val b = arms.filter(col("arm") === "B")
+          .select(col("n").as("n_b"), col("ax").as("ax_b"), col("ay").as("ay_b"))
+        val theta = (col("sxy") - col("sx") * col("sy") / col("nn")) /
+          (col("sxx") - col("sx") * col("sx") / col("nn"))
+        val cupedA = col("ay_a") / col("n_a") -
+          theta * (col("ax_a") / col("n_a") - col("sx") / col("nn"))
+        val cupedB = col("ay_b") / col("n_b") -
+          theta * (col("ax_b") / col("n_b") - col("sx") / col("nn"))
+        val rho2 = (col("sxy") - col("sx") * col("sy") / col("nn")) *
+          (col("sxy") - col("sx") * col("sy") / col("nn")) /
+          ((col("sxx") - col("sx") * col("sx") / col("nn")) *
+           (col("syy") - col("sy") * col("sy") / col("nn")))
+        a.crossJoin(b).crossJoin(broadcast(g)).select(
+          col("n_a"), col("n_b"),
+          round(col("ay_a") / col("n_a"), 6).as("mean_a"),
+          round(col("ay_b") / col("n_b"), 6).as("mean_b"),
+          round(col("ay_b") / col("n_b") - col("ay_a") / col("n_a"), 6).as("lift"),
+          round(cupedB - cupedA, 6).as("lift_cuped"),
+          round(theta, 6).as("theta"),
+          round(rho2 * 100, 4).as("var_reduction_pct"))
+      },
+      Some("""WITH p AS (SELECT user_id, epoch_us(ts) AS tus, "value" AS v
+             |           FROM events WHERE event_type = 'purchase'),
+             |mid AS (SELECT (MIN(tus) + MAX(tus)) // 2 AS mid FROM p),
+             |u AS (SELECT user_id,
+             |        SUM(CAST(CASE WHEN tus < mid THEN v ELSE 0 END AS DECIMAL(18,6))) AS xv,
+             |        SUM(CAST(CASE WHEN tus >= mid THEN v ELSE 0 END AS DECIMAL(18,6))) AS yv,
+             |        CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+             |                  AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+             |      FROM p CROSS JOIN mid GROUP BY user_id),
+             |g AS (SELECT COUNT(*) AS nn,
+             |        CAST(SUM(xv) AS DOUBLE) AS sx, CAST(SUM(yv) AS DOUBLE) AS sy,
+             |        CAST(SUM(CAST(xv * xv AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             |        CAST(SUM(CAST(yv * yv AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+             |        CAST(SUM(CAST(xv * yv AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+             |      FROM u),
+             |arms AS (SELECT arm, COUNT(*) AS n,
+             |        CAST(SUM(xv) AS DOUBLE) AS ax, CAST(SUM(yv) AS DOUBLE) AS ay
+             |      FROM u GROUP BY arm),
+             |j AS (SELECT a.n AS n_a, a.ax AS ax_a, a.ay AS ay_a,
+             |             b.n AS n_b, b.ax AS ax_b, b.ay AS ay_b, g.*
+             |      FROM arms a CROSS JOIN arms b CROSS JOIN g
+             |      WHERE a.arm = 'A' AND b.arm = 'B')
+             |SELECT n_a, n_b,
+             |  ROUND(ay_a / n_a, 6) AS mean_a,
+             |  ROUND(ay_b / n_b, 6) AS mean_b,
+             |  ROUND(ay_b / n_b - ay_a / n_a, 6) AS lift,
+             |  ROUND((ay_b / n_b - ((sxy - sx * sy / nn) / (sxx - sx * sx / nn)) * (ax_b / n_b - sx / nn))
+             |      - (ay_a / n_a - ((sxy - sx * sy / nn) / (sxx - sx * sx / nn)) * (ax_a / n_a - sx / nn)), 6)
+             |    AS lift_cuped,
+             |  ROUND((sxy - sx * sy / nn) / (sxx - sx * sx / nn), 6) AS theta,
+             |  ROUND((sxy - sx * sy / nn) * (sxy - sx * sy / nn)
+             |      / ((sxx - sx * sx / nn) * (syy - sy * sy / nn)) * 100, 4) AS var_reduction_pct
+             |FROM j""".stripMargin)
     )
   )
 }

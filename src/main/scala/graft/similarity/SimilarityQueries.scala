@@ -352,6 +352,84 @@ object SimilarityQueries {
              |WHERE rn <= 5""".stripMargin)
     ),
 
+    // IVF-PQ — the composition billion-scale ANN actually serves
+    // (Jégou et al. 2011; the FAISS default): the trained coarse
+    // quantizer (kmeans_train's k=128 centroids) partitions the corpus
+    // into cells, each corpus vector is stored ONLY as its 32-bit PQ
+    // code + cell id (both computed in the scan by codegen'd
+    // expressions, zero shuffle), and a probe scores candidates in its
+    // nprobe nearest cells by ADC table lookups — raw corpus floats are
+    // never touched at query time. The cell equi-join against the
+    // broadcast probe table is the only data movement, and its
+    // candidate count is corpus·(nprobe/k) regardless of scale: at
+    // 100 TB both models stay fixed-size config choices (k and the 8x16
+    // codebook), the inverted lists shard by cid, and the per-probe
+    // work is bounded. This is ann_pq_topk's scorer behind
+    // ann_ivf_trained's candidate generation, sharing both trained
+    // models and both oracle CTE chains.
+    "ann_ivf_pq" -> Query(
+      (s, d) => {
+        val cents = trainedCentroids(s, d)
+        val pq = pqCents(s, d)
+        val coded = Tables.embeddings(s, d).withColumn("qv", quantCol)
+          .withColumn("enc", graft.plans.PqExpressions.pqEncode(col("embedding"), pq))
+          .select(col("vec_id") +: centroidRanks(cents, 1).getItem(0).as("cid") +:
+            (0 until 8).map(m =>
+              shiftright(col("enc.code"), 4 * m).bitwiseAND(15).as(s"c$m")): _*)
+        val probes = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+          .withColumn("qv", quantCol)
+          .select(col("vec_id").as("qid") +: col("qv") +:
+            (for (m <- 0 until 8; j <- 0 until pqK)
+              yield pqSubDist(m, pq(m)(j)).as(s"d_${m}_$j")): _*)
+          .select(col("qid") +: explode(centroidRanks(cents, ivfNprobe)).as("cid") +:
+            (for (m <- 0 until 8; j <- 0 until pqK) yield col(s"d_${m}_$j")): _*)
+        val adc = (0 until 8).map { m =>
+          (0 until pqK).foldLeft(lit(null).cast("double")) { (acc, j) =>
+            when(col(s"c$m") === j, col(s"d_${m}_$j")).otherwise(acc)
+          }
+        }.reduce(_ + _)
+        val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+        coded.join(broadcast(probes), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("adc", adc)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id"),
+            floor(col("adc") * 1e6 + 0.5).cast("long").as("adc_q"), col("rn"))
+      },
+      Some(s"""WITH $kmeansCteSql,
+             |$pqCentsCteSql,
+             |asg AS (SELECT vec_id, cid FROM (
+             |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+             |          FROM d1) WHERE rn = 1),
+             |pr AS (SELECT vec_id AS qid, cid FROM (
+             |         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+             |         FROM d1 WHERE vec_id < 10) WHERE rn <= $ivfNprobe),
+             |sub AS (SELECT e.vec_id, c.m, c.j,
+             |    list_sum(list_transform(generate_series(1, 8),
+             |      i -> (CAST(e.embedding[c.m*8 + i] AS DOUBLE) - c.cv[i])
+             |         * (CAST(e.embedding[c.m*8 + i] AS DOUBLE) - c.cv[i]))) AS dist
+             |  FROM embeddings e CROSS JOIN cents c),
+             |bc AS (SELECT vec_id, m, j FROM (
+             |    SELECT vec_id, m, j,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+             |    FROM sub) WHERE rn = 1),
+             |dt AS (SELECT vec_id AS qid, m, j, dist FROM sub WHERE vec_id < 10),
+             |adc AS (SELECT dt.qid, bc.vec_id,
+             |    list_sum(list(dt.dist ORDER BY dt.m)) AS adc
+             |  FROM bc JOIN dt ON bc.m = dt.m AND bc.j = dt.j
+             |  JOIN asg ON asg.vec_id = bc.vec_id
+             |  JOIN pr ON pr.cid = asg.cid AND pr.qid = dt.qid
+             |  WHERE bc.vec_id <> dt.qid
+             |  GROUP BY 1, 2)
+             |SELECT qid, vec_id,
+             |  CAST(floor(adc * 1e6 + 0.5) AS BIGINT) AS adc_q,
+             |  CAST(rn AS BIGINT) AS rn
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             |                                   ORDER BY adc, vec_id) AS rn FROM adc)
+             |WHERE rn <= 5""".stripMargin)
+    ),
+
     // Symmetric int8 quantization of the embedding column — the 4x
     // storage/bandwidth reduction a 100 TB embedding corpus ships with.
     // Per-vector scale = max|x|; q_i = floor(x_i * 127 / scale + 0.5)

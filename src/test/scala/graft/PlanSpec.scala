@@ -421,4 +421,23 @@ class PlanSpec extends AnyFunSuite {
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
       "both rankings must shortlist before the global rank window")
   }
+
+  test("ann_ivf_pq: corpus codes join broadcast probes, never a sort-merge") {
+    val p = plan("ann_ivf_pq")
+    // the corpus side is cid + 8 code nibbles computed in the scan; the
+    // only data movement is the cell equi-join against the broadcast
+    // probe/ADC table — a SortMergeJoin here would shuffle the corpus
+    assert(p.contains("BroadcastHashJoin"), "probe table must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the cell join")
+  }
+
+  test("events_cusum broadcasts the per-type totals onto the daily series") {
+    val p = plan("events_cusum")
+    assert(p.contains("BroadcastHashJoin"), "|types|-row totals must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("bloom manifest probes broadcast against the bit table") {
+    assert(plan("etl_bloom_manifest").contains("BroadcastHashJoin"))
+  }
 }

@@ -246,6 +246,47 @@ class QualitySpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("ann_ivf_pq recall@5 vs exact L2 clears 0.15") {
+    // IVF-PQ compounds two approximations: nprobe/128 cell coverage on
+    // top of the 16-entry PQ codebook, so its floor sits below
+    // ann_pq_topk's 0.2. Truth excludes self (the query does too).
+    val e = Tables.embeddings(spark, sf)
+    val p = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+    val dist = aggregate(
+      zip_with(col("embedding"), col("q"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val truth = e.crossJoin(p).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), dist.as("d"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("d"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid").cast("long"), col("vec_id").cast("long")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val got = topkSets("ann_ivf_pq")
+    val recalls = truth.map { case (q, t) => got.getOrElse(q, Set.empty).count(t).toDouble / 5 }
+    val r = recalls.sum / recalls.size
+    assert(r >= 0.15, s"IVF-PQ mean recall@5 vs exact L2 = $r")
+  }
+
+  test("bloom manifest admits every partition that truly holds the key") {
+    // the bloom guarantee: false positives allowed, false negatives
+    // never — a probe must see at least every truly-containing file
+    val bad = SparkEntry.queries("etl_bloom_manifest")(spark, sf)
+      .filter(col("n_parts_bloom") < col("n_parts_true"))
+      .count()
+    assert(bad === 0L, "bloom manifest produced a false negative")
+  }
+
+  test("CUPED readout is internally consistent") {
+    val r = SparkEntry.queries("events_ab_cuped")(spark, sf).collect().head
+    val pct = r.getAs[Double]("var_reduction_pct")
+    assert(pct >= 0.0 && pct <= 100.0, s"rho^2 out of range: $pct")
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+  }
+
   test("approx_percentile lands within 2% of the exact percentile per group") {
     val approx = SparkEntry.queries("agg_approx_percentiles")(spark, sf)
     val exact = SparkEntry.queries("agg_percentiles")(spark, sf)
