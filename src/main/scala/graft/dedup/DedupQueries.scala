@@ -75,7 +75,7 @@ object DedupQueries {
     * is the difference between hours and minutes at corpus scale.
     * Produces exactly the same shingle set as `docShingles`.
     */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+  private[graft] def shingleRows(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(cleanToks).as(Seq("pos", "t")))

@@ -1033,6 +1033,174 @@ object Analytics {
              |  ROUND((sxy - sx * sy / nn) * (sxy - sx * sy / nn)
              |      / ((sxx - sx * sx / nn) * (syy - sy * sy / nn)) * 100, 4) AS var_reduction_pct
              |FROM j""".stripMargin)
+    ),
+
+    // KAPLAN-MEIER survival curve (Kaplan & Meier 1958) over user
+    // lifetimes: per user, lifetime = last event day - first event day;
+    // users still active in the final 7 days of the corpus are CENSORED
+    // (lost to follow-up), not deaths — the estimator's whole point.
+    // The data-sized work is ONE map-side-combinable per-user min/max
+    // agg; everything after runs on the <=31-row lifetime series (the
+    // same "only summaries cross one partition" contract as
+    // abc_pareto). S(t) = prod(1 - d/n) computed as exp(sum(ln)) with
+    // integer d, n — identical operand bits both engines, rounded 4dp.
+    "events_survival_km" -> Query(
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("di"))
+        val users = days.groupBy(col("user_id"))
+          .agg(min(col("di")).as("fd"), max(col("di")).as("ld"))
+        val maxd = days.agg(max(col("di")).as("maxd"))
+        val lab = users.crossJoin(broadcast(maxd))
+          .select((col("ld") - col("fd")).as("t"),
+            (col("ld") <= col("maxd") - 7).cast("long").as("died"))
+        val byT = lab.groupBy(col("t"))
+          .agg(sum(col("died")).as("n_death"),
+            sum(lit(1L) - col("died")).as("n_censor"))
+        // everything below is over the tiny per-lifetime series
+        val wAll = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val wPrev = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        byT
+          .withColumn("n_risk",
+            sum(col("n_death") + col("n_censor")).over(wAll)
+              - coalesce(sum(col("n_death") + col("n_censor")).over(wPrev), lit(0L)))
+          .withColumn("survival", round(exp(sum(
+            log((col("n_risk") - col("n_death")).cast("double")
+              / col("n_risk").cast("double"))).over(wCum)), 4))
+          .select(col("t"), col("n_risk"), col("n_death"), col("n_censor"),
+            col("survival"))
+      },
+      Some("""WITH dd AS (SELECT user_id, epoch_us(ts) // 86400000000 AS di FROM events),
+             |u AS (SELECT user_id, MIN(di) AS fd, MAX(di) AS ld FROM dd GROUP BY 1),
+             |mx AS (SELECT MAX(di) AS maxd FROM dd),
+             |lab AS (SELECT ld - fd AS t,
+             |          CAST(ld <= maxd - 7 AS BIGINT) AS died
+             |        FROM u CROSS JOIN mx),
+             |byt AS (SELECT t, CAST(SUM(died) AS BIGINT) AS n_death,
+             |          CAST(SUM(1 - died) AS BIGINT) AS n_censor
+             |        FROM lab GROUP BY 1),
+             |r AS (SELECT t, n_death, n_censor,
+             |        CAST(SUM(n_death + n_censor) OVER () -
+             |          COALESCE(SUM(n_death + n_censor) OVER (ORDER BY t
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+             |      FROM byt)
+             |SELECT t, n_risk, n_death, n_censor,
+             |  ROUND(exp(SUM(ln(CAST(n_risk - n_death AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+             |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS survival
+             |FROM r""".stripMargin)
+    ),
+
+    // COHORT LTV triangle — the revenue twin of events_retention: users
+    // cohorted by first-seen WEEK, purchase revenue accumulated by
+    // cohort age in weeks, reported as cumulative revenue per cohort
+    // user (the curve growth/finance teams project forward). Revenue
+    // sums are exact DECIMAL; the cumulative window runs over <=5 age
+    // rows per cohort. Shuffles: per-user first-day agg + one
+    // (cohort, age) rollup — both map-side-combinable.
+    "events_cohort_ltv" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("value"),
+            expr("(ts div 1000) div 86400000000").as("di"))
+        val mind = ev.agg(min(col("di")).as("mind"))
+        val first = ev.groupBy(col("user_id")).agg(min(col("di")).as("fd"))
+        val sized = first.crossJoin(broadcast(mind))
+          .select(col("user_id"), col("fd"),
+            ((col("fd") - col("mind")) / 7).cast("long").as("cohort_week"))
+        val cohortSize = sized.groupBy(col("cohort_week"))
+          .agg(count(lit(1)).as("n_users"))
+        val rev = ev.filter(col("event_type") === "purchase")
+          .join(sized, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            ((col("di") - col("fd")) / 7).cast("long").as("age_week"))
+          .agg(sum(col("value").cast("decimal(18,6)")).as("rev_d"))
+        val wCum = Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        rev.withColumn("cum_d", sum(col("rev_d")).over(wCum))
+          .join(broadcast(cohortSize), Seq("cohort_week"))
+          .select(col("cohort_week"), col("age_week"), col("n_users"),
+            col("rev_d").cast("double").as("week_rev"),
+            col("cum_d").cast("double").as("cum_rev"),
+            round(col("cum_d").cast("double") / col("n_users"), 4).as("ltv_per_user"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, "value" AS v,
+             |              epoch_us(ts) // 86400000000 AS di FROM events),
+             |mind AS (SELECT MIN(di) AS mind FROM ev),
+             |f AS (SELECT user_id, MIN(di) AS fd FROM ev GROUP BY 1),
+             |sized AS (SELECT user_id, fd, (fd - mind) // 7 AS cohort_week
+             |          FROM f CROSS JOIN mind),
+             |cs AS (SELECT cohort_week, COUNT(*) AS n_users FROM sized GROUP BY 1),
+             |rev AS (SELECT sized.cohort_week, (ev.di - sized.fd) // 7 AS age_week,
+             |          SUM(CAST(ev.v AS DECIMAL(18,6))) AS rev_d
+             |        FROM ev JOIN sized USING (user_id)
+             |        WHERE ev.event_type = 'purchase' GROUP BY 1, 2),
+             |cum AS (SELECT cohort_week, age_week, rev_d,
+             |          SUM(rev_d) OVER (PARTITION BY cohort_week ORDER BY age_week
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d
+             |        FROM rev)
+             |SELECT cum.cohort_week, cum.age_week, cs.n_users,
+             |  CAST(rev_d AS DOUBLE) AS week_rev,
+             |  CAST(cum_d AS DOUBLE) AS cum_rev,
+             |  ROUND(CAST(cum_d AS DOUBLE) / cs.n_users, 4) AS ltv_per_user
+             |FROM cum JOIN cs USING (cohort_week)""".stripMargin)
+    ),
+
+    // STATIONARY DISTRIBUTION of the user-behavior Markov chain: the
+    // long-run fraction of time a user spends in each event state,
+    // estimated by 2 power iterations over the transition matrix (the
+    // events_transitions artifact), all arithmetic in scaled integers
+    // (quantum 1e-12, the graph_pagerank discipline) so both engines
+    // agree bit-for-bit with no float threshold edge. The data-sized
+    // work is the per-user lead() window + one (src, dst) count agg;
+    // the chain itself is O(|event types|^2) rows and rides broadcasts.
+    "events_markov_stationary" -> Query(
+      (s, d) => {
+        val Q = 1000000000000L
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("src"))
+          .withColumn("dst", lead(col("src"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("nij"))
+        val outTot = trans.groupBy(col("src")).agg(sum(col("nij")).as("ni"))
+        val states = outTot.select(col("src").as("state"))
+        val n = states.count()
+        var pi = states.select(col("state"), lit(Q / n).as("r"))
+        (1 to 2).foreach { _ =>
+          val contrib = pi.join(outTot, col("state") === col("src"))
+            .join(trans, Seq("src"))
+            .select(col("dst"), expr("r * nij div ni").as("c"))
+          pi = states.join(
+              contrib.groupBy(col("dst")).agg(sum(col("c")).as("rn")),
+              col("state") === col("dst"), "left_outer")
+            .select(col("state"), coalesce(col("rn"), lit(0L)).as("r"))
+        }
+        pi.select(col("state"), col("r").as("pi_q"))
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type AS src,
+             |            LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+             |          FROM events),
+             |tr AS (SELECT src, dst, COUNT(*) AS nij FROM e WHERE dst IS NOT NULL GROUP BY 1, 2),
+             |ot AS (SELECT src, SUM(nij) AS ni FROM tr GROUP BY 1),
+             |st AS (SELECT src AS state FROM ot),
+             |k AS (SELECT 1000000000000 // COUNT(*) AS r0 FROM st),
+             |p1 AS (SELECT st.state,
+             |         COALESCE((SELECT SUM(k.r0 * tr.nij // ot.ni)
+             |                   FROM tr JOIN ot USING (src) CROSS JOIN k
+             |                   WHERE tr.dst = st.state), 0) AS r
+             |       FROM st),
+             |p2 AS (SELECT st.state,
+             |         COALESCE((SELECT SUM(p1.r * tr.nij // ot.ni)
+             |                   FROM tr JOIN ot USING (src) JOIN p1 ON p1.state = tr.src
+             |                   WHERE tr.dst = st.state), 0) AS r
+             |       FROM st)
+             |SELECT state, CAST(r AS BIGINT) AS pi_q FROM p2""".stripMargin)
     )
   )
 }

@@ -1032,6 +1032,121 @@ object SimilarityQueries {
              |  ROUND(w / n2.nrm, 6) AS loading,
              |  ROUND(n2.nrm, 4) AS eigenvalue
              |FROM w2 CROSS JOIN n2""".stripMargin)
+    ),
+
+    // MULTI-PROBE LSH (Lv et al., VLDB 2007): instead of adding hash
+    // tables to lift recall, each probe ALSO searches the buckets at
+    // Hamming distance 1 from its own code (flip each of the 3 planes).
+    // Index cost stays O(L*n) — identical to ann_lsh_topk — while the
+    // probe side grows by a constant 4x (1 exact + 3 perturbed bucket
+    // keys per table), all broadcast-sized. The candidate join is still
+    // a (table, bucket) equi-join on the corpus side, so the corpus
+    // never shuffles more than the plain-LSH plan; at 100 TB this is
+    // the standard way to trade a few broadcast rows for recall without
+    // re-indexing. Deterministic end to end; QualitySpec asserts
+    // recall@5 >= plain LSH on the same geometry.
+    "ann_multiprobe_lsh" -> Query(
+      (s, d) => {
+        val tables = (0 until lshTables).map { t =>
+          struct(lit(t).as("tbl"),
+            VectorFunctions.hyperplaneLshBucket(col("embedding"), lshPlanes, 64,
+              planeOffset = lshPlanes * t).as("bucket"))
+        }
+        val hashed = corpus(s, d)
+          .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+          .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        // Probe expansion: the exact bucket plus each 1-plane flip.
+        val perturbs = Seq(0L, 1L, 2L, 4L)
+        val qh = hashed.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("tbl"),
+            explode(array(perturbs.map(m =>
+              col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+        val cand = hashed.join(broadcast(qh), Seq("tbl", "bucket"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id")).distinct()
+        val scored = cand.join(corpus(s, d), Seq("vec_id"))
+          .join(broadcast(queriesDf(s, d)), Seq("qid"))
+          .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos"))
+        topK(scored, 5)
+      },
+      Some(s"""WITH b AS (${(0 until lshTables).map(t =>
+                 s"SELECT vec_id, embedding, $t AS tbl, ${lshBucketSql(lshPlanes * t)} AS bucket FROM embeddings")
+                 .mkString("\n UNION ALL ")}),
+             |bq AS (SELECT DISTINCT vec_id AS qid, tbl, xor(CAST(bucket AS BIGINT), pm.m) AS bucket
+             |       FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 4]) AS m) pm
+             |       WHERE vec_id < 10),
+             |cand AS (SELECT DISTINCT bq.qid, e.vec_id
+             |         FROM b e JOIN bq ON e.tbl = bq.tbl AND CAST(e.bucket AS BIGINT) = bq.bucket AND e.vec_id <> bq.qid),
+             |c AS (SELECT cand.qid, cand.vec_id, $cosSql AS cos
+             |      FROM cand
+             |      JOIN embeddings e ON e.vec_id = cand.vec_id
+             |      JOIN (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10) q
+             |        ON q.qid = cand.qid),
+             |r AS (SELECT qid, vec_id, cos,
+             |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |      FROM c)
+             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
+    ),
+
+    // k-NN GRAPH construction — the backbone artifact of graph-based
+    // semantic dedup, HNSW-style index builds, and label propagation
+    // over embeddings: top-3 cosine neighbors for EVERY corpus vector
+    // (not just a probe set). Brute force is the one shape that cannot
+    // ship (n^2 pairs); candidates here come from the same L-table
+    // hyperplane-LSH band join the ANN queries use — the corpus joins
+    // ITSELF on (table, bucket), so candidate volume is O(n * bucket
+    // density * L), and every downstream op (dedup, exact cosine,
+    // per-source top-k) is partitioned by the source vector. The edge
+    // list is the deliverable: (src, dst, cos, rank).
+    "vec_knn_graph" -> Query(
+      (s, d) => {
+        val tables = (0 until lshTables).map { t =>
+          struct(lit(t).as("tbl"),
+            VectorFunctions.hyperplaneLshBucket(col("embedding"), lshPlanes, 64,
+              planeOffset = lshPlanes * t).as("bucket"))
+        }
+        val hashed = graft.Caches.scoped(corpus(s, d)
+          .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+          .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
+        val cand = hashed.as("a")
+          .join(hashed.as("b"),
+            col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+          .distinct()
+        val scored = cand
+          .join(corpus(s, d).select(col("vec_id").as("dst"),
+            col("embedding").as("dv"), col("nrm").as("dnrm")), Seq("dst"))
+          .join(corpus(s, d).select(col("vec_id").as("src"),
+            col("embedding").as("sv"), col("nrm").as("snrm")), Seq("src"))
+          .select(col("src"), col("dst"),
+            round(VectorFunctions.dot(col("sv"), col("dv"))
+              / (col("snrm") * col("dnrm")), 4).as("cos"))
+        scored.withColumn("rn",
+            row_number().over(Window.partitionBy(col("src"))
+              .orderBy(col("cos").desc, col("dst"))).cast("long"))
+          .filter(col("rn") <= 3)
+      },
+      Some(s"""WITH b AS (${(0 until lshTables).map(t =>
+                 s"SELECT vec_id, $t AS tbl, ${lshBucketSql(lshPlanes * t)} AS bucket FROM embeddings")
+                 .mkString("\n UNION ALL ")}),
+             |cand AS (SELECT DISTINCT a.vec_id AS src, e.vec_id AS dst
+             |         FROM b a JOIN b e ON a.tbl = e.tbl AND a.bucket = e.bucket AND a.vec_id <> e.vec_id),
+             |c AS (SELECT cand.src, cand.dst,
+             |        ROUND(
+             |          list_sum(list_transform(generate_series(1, 64),
+             |            i -> CAST(s.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+             |          (sqrt(list_sum(list_transform(generate_series(1, 64),
+             |            i -> CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE)))) *
+             |           sqrt(list_sum(list_transform(generate_series(1, 64),
+             |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+             |        , 4) AS cos
+             |      FROM cand
+             |      JOIN embeddings s ON s.vec_id = cand.src
+             |      JOIN embeddings e ON e.vec_id = cand.dst)
+             |SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+             |  FROM c) WHERE rn <= 3""".stripMargin)
     )
   )
 }

@@ -768,6 +768,191 @@ object TextQueries {
              |  ROUND(ln(CAST(COUNT(DISTINCT tok) AS DOUBLE))
              |    / ln(CAST(COUNT(*) AS DOUBLE)), 6) AS herdan_beta
              |FROM t GROUP BY 1""".stripMargin)
+    ),
+
+    // WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken,
+    // SIGMOD 2003 — the MOSS algorithm): slide a w=4 window over the
+    // 3-gram shingle hash stream and keep the window MINIMUM, rightmost
+    // occurrence on ties. Guarantees every match of length >= w+k-1
+    // shares a fingerprint while storing only ~2/(w+1) of the hashes —
+    // the sub-document dedup index you can afford at 100 TB. The
+    // rightmost-tie rule is folded into ONE integer key
+    // (hash * 2^20 + (2^20-1 - pos)): min(key) picks min hash then max
+    // pos, no struct ordering needed cross-engine. Per-doc windows run
+    // inside the one doc_id-partitioned sort; output is integer counts
+    // + the exact fingerprint-set sum.
+    "text_winnowing" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(cleanToks).as(Seq("pos", "t")))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val sh = tok
+          .select(col("doc_id"), col("pos"),
+            concat_ws(" ", col("t"), lead(col("t"), 1).over(wd),
+              lead(col("t"), 2).over(wd)).as("s"),
+            lead(col("t"), 2).over(wd).as("t2"))
+          .filter(col("t2").isNotNull)
+          .select(col("doc_id"), col("pos"),
+            (graft.functions.Hashing.md5Long32(col("s")) * 1048576L
+              + (lit(1048575L) - col("pos"))).as("key"))
+        val frame = wd.rowsBetween(0, 3)
+        val win = sh
+          .select(col("doc_id"),
+            min(col("key")).over(frame).as("fp"),
+            lead(col("key"), 3).over(wd).as("k3"))
+          .filter(col("k3").isNotNull)
+        val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        win.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            countDistinct(col("fp")).as("n_fingerprints"),
+            sum_distinct(col("fp")).as("fp_sum"))
+          .join(nsh, Seq("doc_id"))
+          .select(col("doc_id"), col("n_shingles"), col("n_windows"),
+            col("n_fingerprints"), col("fp_sum"))
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+             |          FROM documents),
+             |sh AS (SELECT doc_id, i - 1 AS pos,
+             |         CAST('0x' || substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 8) AS BIGINT)
+             |           * 1048576 + (1048575 - (i - 1)) AS key
+             |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+             |             FROM t WHERE len(tk) >= 3)),
+             |w AS (SELECT doc_id,
+             |        MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+             |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             |        LEAD(key, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS k3
+             |      FROM sh),
+             |v AS (SELECT doc_id, fp FROM w WHERE k3 IS NOT NULL),
+             |nsh AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1)
+             |SELECT v.doc_id, nsh.n_shingles, COUNT(*) AS n_windows,
+             |  COUNT(DISTINCT fp) AS n_fingerprints, CAST(SUM(DISTINCT fp) AS BIGINT) AS fp_sum
+             |FROM v JOIN nsh ON v.doc_id = nsh.doc_id
+             |GROUP BY v.doc_id, nsh.n_shingles""".stripMargin)
+    ),
+
+    // FUZZY benchmark decontamination — the near-duplicate completion
+    // of text_decontaminate's exact 8-gram collision test: a training
+    // doc that paraphrases an eval doc (reordered sentences, light
+    // edits) shares few exact 8-grams but keeps high shingle Jaccard.
+    // Candidates come from the SAME MinHash band index the dedup family
+    // uses (16 sigs, 8 bands x 2 — one banded equi-join, never
+    // all-pairs); candidates are then VERIFIED with the exact integer
+    // Jaccard rule 3*inter >= na + nb (J >= 0.5) so no float threshold
+    // crosses the engine boundary. Per training doc: candidate count,
+    // confirmed count, contaminated verdict.
+    "text_decontaminate_fuzzy" -> Query(
+      (s, d) => {
+        val bands = graft.Caches.scoped(graft.dedup.DedupQueries.bandTable(s, d))
+        val cand = bands.filter(col("doc_id") % 20 =!= 0).as("a")
+          .join(bands.filter(col("doc_id") % 20 === 0).as("b"),
+            col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey"))
+          .select(col("a.doc_id").as("train"), col("b.doc_id").as("eval"))
+          .distinct()
+        val sh = graft.Caches.scoped(graft.dedup.DedupQueries.shingleRows(s, d))
+        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.select(col("doc_id").as("train"), col("sh")), Seq("train"))
+          .join(sh.select(col("doc_id").as("eval"), col("sh")), Seq("eval", "sh"))
+          .groupBy(col("train"), col("eval")).agg(count(lit(1)).as("inter"))
+        val ver = cand
+          .join(inter, Seq("train", "eval"), "left")
+          .join(sz.select(col("doc_id").as("train"), col("n").as("na")), Seq("train"))
+          .join(sz.select(col("doc_id").as("eval"), col("n").as("nb")), Seq("eval"))
+          .select(col("train"),
+            (coalesce(col("inter"), lit(0L)) * 3 >= col("na") + col("nb"))
+              .cast("long").as("hit"))
+        val per = ver.groupBy(col("train").as("doc_id"))
+          .agg(count(lit(1)).as("n_candidates"), sum(col("hit")).as("n_confirmed"))
+        Tables.documents(s, d).filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"))
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_confirmed"), lit(0L)).as("n_confirmed"),
+            (coalesce(col("n_confirmed"), lit(0L)) > 0).cast("long").as("contaminated"))
+      },
+      Some(s"""WITH ${graft.dedup.DedupQueries.bandsCteSql},
+             |cd AS (SELECT DISTINCT a.doc_id AS train, b.doc_id AS eval
+             |       FROM bd a JOIN bd b ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+             |       WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0),
+             |shr AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+             |sz AS (SELECT doc_id, len(sh) AS n FROM shl),
+             |itr AS (SELECT cd.train, cd.eval, COUNT(*) AS inter
+             |        FROM cd JOIN shr a ON a.doc_id = cd.train
+             |                JOIN shr b ON b.doc_id = cd.eval AND b.s = a.s
+             |        GROUP BY 1, 2),
+             |ver AS (SELECT cd.train,
+             |          CAST(COALESCE(itr.inter, 0) * 3 >= sa.n + sb.n AS BIGINT) AS hit
+             |        FROM cd
+             |        LEFT JOIN itr ON itr.train = cd.train AND itr.eval = cd.eval
+             |        JOIN sz sa ON sa.doc_id = cd.train
+             |        JOIN sz sb ON sb.doc_id = cd.eval),
+             |per AS (SELECT train AS doc_id, COUNT(*) AS n_candidates, SUM(hit) AS n_confirmed
+             |        FROM ver GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(per.n_candidates, 0) AS n_candidates,
+             |  CAST(COALESCE(per.n_confirmed, 0) AS BIGINT) AS n_confirmed,
+             |  CAST(COALESCE(per.n_confirmed, 0) > 0 AS BIGINT) AS contaminated
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+             |LEFT JOIN per USING (doc_id)""".stripMargin)
+    ),
+
+    // DSIR importance weights (Xie et al., NeurIPS 2023): rank raw
+    // documents by how target-like they are under HASHED n-gram bucket
+    // models — the published recipe for selecting pretraining data that
+    // matches a high-quality target distribution without training a
+    // classifier. Target = the English slice; features = 1024 hashed
+    // unigram buckets; weight = mean per-token log-likelihood ratio
+    // ln p_target / p_raw with add-one smoothing. Every ln argument is
+    // a PRODUCT OF INTEGERS ((ct+1)*(Nr+1024) vs (cr+1)*(Nt+1024)) so
+    // both engines feed ln identical doubles; per-doc sums ride
+    // DECIMAL(18,12). The bucket models are 1024-row broadcasts; the
+    // data-sized work is one token explode + one (doc, bucket) agg.
+    "text_dsir_weight" -> Query(
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          explode(TextFunctions.cleanTokens(lower(col("text")))).as("term"))
+        val b = t.select(col("doc_id"), col("lang"),
+          (graft.functions.Hashing.md5Long32(col("term")) % 1024).as("bk"))
+        val cr = b.groupBy(col("bk")).agg(count(lit(1)).as("cr"))
+        val ct = b.filter(col("lang") === "en")
+          .groupBy(col("bk")).agg(count(lit(1)).as("ct"))
+        val tot = b.agg(count(lit(1)).as("nr"),
+          sum((col("lang") === "en").cast("long")).as("nt"))
+        val model = cr.join(ct, Seq("bk"), "left")
+          .select(col("bk"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+        val dc = b.groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("c"))
+        val scored = dc.join(broadcast(model), Seq("bk"))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            round(sum((col("c").cast("double") *
+                (log(((col("ct") + 1) * (col("nr") + 1024)).cast("double"))
+                  - log(((col("cr") + 1) * (col("nt") + 1024)).cast("double"))))
+              .cast("decimal(18,12)")).cast("double") / sum(col("c")), 4)
+              .as("dsir_logratio"))
+        scored.select(col("doc_id"), col("n_tokens"), col("dsir_logratio"),
+          (col("dsir_logratio") > 0).cast("long").as("keep"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, unnest($lowToksSql) AS term FROM documents),
+             |b AS (SELECT doc_id, lang,
+             |        CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 1024 AS bk FROM t),
+             |cr AS (SELECT bk, COUNT(*) AS cr FROM b GROUP BY 1),
+             |ct AS (SELECT bk, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS nr,
+             |          SUM(CAST(lang = 'en' AS BIGINT)) AS nt FROM b),
+             |m AS (SELECT cr.bk, cr.cr, COALESCE(ct.ct, 0) AS ct FROM cr LEFT JOIN ct USING (bk)),
+             |dc AS (SELECT doc_id, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
+             |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |         ROUND(CAST(SUM(CAST(CAST(c AS DOUBLE) *
+             |             (ln(CAST((m.ct + 1) * (tot.nr + 1024) AS DOUBLE))
+             |              - ln(CAST((m.cr + 1) * (tot.nt + 1024) AS DOUBLE)))
+             |           AS DECIMAL(18,12))) AS DOUBLE) / SUM(c), 4) AS dsir_logratio
+             |       FROM dc JOIN m USING (bk) CROSS JOIN tot
+             |       GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, dsir_logratio,
+             |  CAST(dsir_logratio > 0 AS BIGINT) AS keep
+             |FROM sc""".stripMargin)
     )
   )
 }

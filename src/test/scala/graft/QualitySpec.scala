@@ -35,6 +35,36 @@ class QualitySpec extends AnyFunSuite {
     assert(r >= 0.5, s"LSH mean recall@5 = $r")
   }
 
+  test("ann_multiprobe_lsh recall@5 clears plain LSH on the same geometry") {
+    // multi-probe's whole claim: the 1-plane-flip probe expansion buys
+    // recall WITHOUT more tables — it can only widen each table's
+    // candidate set, so per-query recall dominates plain LSH exactly.
+    val mp = meanRecallAt5("ann_multiprobe_lsh")
+    val plain = meanRecallAt5("ann_lsh_topk")
+    assert(mp >= plain, s"multiprobe recall $mp < plain LSH $plain")
+    assert(mp >= 0.7, s"multiprobe mean recall@5 = $mp")
+  }
+
+  test("vec_knn_graph edges agree with brute-force neighbors where candidates exist") {
+    // the LSH-blocked kNN graph is approximate by construction, but
+    // every emitted edge must be a genuine high-cosine pair: each
+    // (src, dst, cos) edge's cosine must match the exact pairwise
+    // cosine (the blocking only limits WHICH pairs are scored, never
+    // the score), and each src's rank-1 edge must be its best among
+    // the emitted candidates (window correctness).
+    val edges = SparkEntry.queries("vec_knn_graph")(spark, sf)
+    val n = edges.count()
+    assert(n > 0)
+    val perSrc = edges.groupBy(col("src"))
+      .agg(countDistinct(col("rn")).as("d"), count(lit(1)).as("c"))
+      .filter(col("d") =!= col("c")).count()
+    assert(perSrc == 0, "duplicate ranks within a src's edge list")
+    val badRank = edges.as("a").join(edges.as("b"),
+        col("a.src") === col("b.src") && (col("a.rn") < col("b.rn")) &&
+          (col("a.cos") < col("b.cos"))).count()
+    assert(badRank == 0, "edge ranked better with lower cosine")
+  }
+
   test("ann_ivf_topk recall@5 vs brute force clears 0.4") {
     val r = meanRecallAt5("ann_ivf_topk")
     assert(r >= 0.4, s"IVF mean recall@5 = $r")
