@@ -519,16 +519,18 @@ object MultimodalQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))
+        // frame sums run in the native FrameByteSums expression (one
+        // byte walk per row inside codegen) — the hex-substring +
+        // aggregate-fold form cost 64 interpreted conv() frames per
+        // frame, ~3 s flat at sf0.1
         Tables.documents(s, d)
-          .select(col("doc_id"), lower(hex(col("text").cast("binary"))).as("hx"),
-            length(col("text").cast("binary")).as("n_bytes"))
+          .select(col("doc_id"),
+            length(col("text").cast("binary")).as("n_bytes"),
+            graft.plans.TextExpressions.frameByteSums(col("text").cast("binary"), 64)
+              .as("fsums"))
           .filter(col("n_bytes") >= 128)
-          .withColumn("frame_id", explode(sequence(lit(0), expr("n_bytes div 64") - 1)))
-          .withColumn("fhx", expr("substring(hx, frame_id*128 + 1, 128)"))
-          .withColumn("fsum", expr(
-            """aggregate(transform(sequence(0, 63),
-              |  i -> cast(conv(substring(fhx, i*2 + 1, 2), 16, 10) as bigint)),
-              |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin))
+          .select(col("doc_id"),
+            posexplode(col("fsums")).as(Seq("frame_id", "fsum")))
           .withColumn("prev_sum", lag(col("fsum"), 1).over(w))
           .filter(col("prev_sum").isNotNull)
           .withColumn("delta", abs(col("fsum") - col("prev_sum")))

@@ -1,0 +1,161 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text/binary scan-rate expressions.
+  *
+  * Same (b)-custom-Expression step as PqEncode/CentroidRanks: these
+  * replace higher-order-function formulations whose per-element lambda
+  * frames never enter whole-stage codegen. Each expression is ONE call
+  * per row from the generated code into a tight JVM loop — profiling
+  * (BENCH round 8) showed the HOF forms costing ~3 s flat at sf0.1
+  * with both bench runs identical, the signature of interpreted
+  * evaluation rather than data volume.
+  */
+object TextExpressions {
+
+  /** CSV of hashed-bucket counts for a token array — the native form of
+    * `transform(sequence(0,n-1), i -> size(filter(th, h -> h = i)))`
+    * over `th = transform(toks, t -> md5Long32(t) % n)`.
+    */
+  def hashBucketCountsCsv(toks: Column, nBuckets: Int): Column =
+    ColumnBridge.column(HashBucketCountsCsv(ColumnBridge.expression(toks), nBuckets))
+
+  /** Per-frame unsigned-byte sums over a binary column's complete
+    * frames — the native form of the hex-substring + aggregate fold.
+    */
+  def frameByteSums(bin: Column, frameSize: Int): Column =
+    ColumnBridge.column(FrameByteSums(ColumnBridge.expression(bin), frameSize))
+}
+
+/** Bucket = first 8 md5 hex chars as a long (the exact value of
+  * `conv(substring(md5(t),1,8),16,10)` = the digest's first 4 bytes as
+  * an unsigned 32-bit int), mod `nBuckets`. Output is the
+  * comma-joined per-bucket counts — bit-identical to the HOF form and
+  * the DuckDB oracle. Null token elements propagate null (as
+  * `transform` would).
+  */
+case class HashBucketCountsCsv(child: Expression, nBuckets: Int)
+    extends UnaryExpression {
+
+  require(nBuckets >= 1 && nBuckets <= 4096)
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_hash_bucket_counts expects array<string>, got $t")
+  }
+
+  /** Row kernel — also the codegen body via addReferenceObj(this). */
+  def compute(a: ArrayData): UTF8String = {
+    val md = HashBucketCountsCsv.digest.get()
+    val counts = new Array[Int](nBuckets)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      md.reset()
+      val h = md.digest(a.getUTF8String(i).getBytes)
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      counts((v % nBuckets).toInt) += 1
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(nBuckets * 3)
+    var b = 0
+    while (b < nBuckets) {
+      if (b > 0) sb.append(',')
+      sb.append(counts(b))
+      b += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("hashBucketCsv", this,
+        classOf[HashBucketCountsCsv].getName)
+      s"""
+         |${ev.value} = $ref.compute($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashBucketCountsCsv =
+    copy(child = newChild)
+}
+
+object HashBucketCountsCsv {
+  /** One MessageDigest per executor thread — md5 instances are not
+    * thread-safe and allocation per row would dominate short tokens.
+    */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
+/** `array<long>` of per-frame sums of UNSIGNED byte values over the
+  * input's complete `frameSize`-byte frames (numBytes / frameSize
+  * frames; the tail remainder is dropped) — bit-identical to summing
+  * `conv(substring(hex(bin), i*2+1, 2), 16, 10)` over each frame.
+  */
+case class FrameByteSums(child: Expression, frameSize: Int)
+    extends UnaryExpression {
+
+  require(frameSize >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_frame_byte_sums expects binary, got $t")
+  }
+
+  /** Row kernel — also the codegen body via addReferenceObj(this). */
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val nFrames = bytes.length / frameSize
+    val out = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var s = 0L
+      var i = f * frameSize
+      val end = i + frameSize
+      while (i < end) {
+        s += (bytes(i) & 0xff).toLong
+        i += 1
+      }
+      out(f) = s
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("frameByteSums", this,
+        classOf[FrameByteSums].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FrameByteSums =
+    copy(child = newChild)
+}

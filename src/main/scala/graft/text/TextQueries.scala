@@ -721,14 +721,16 @@ object TextQueries {
     // shuffle (plan-pinned) — at 100 TB vectorization runs at scan
     // rate alongside the other per-doc signals.
     "text_hash_vectorize" -> Query(
+      // counting runs in the native HashBucketCountsCsv expression (one
+      // tight loop per row inside codegen) — the HOF form (16 filter()
+      // passes over an md5 transform, all interpreted lambda frames)
+      // measured ~3 s flat at sf0.1, 6x this formulation
       (s, d) =>
         Tables.documents(s, d)
           .select(col("doc_id"),
             size(cleanToks).cast("long").as("n_tokens"),
-            transform(cleanToks, t => Hashing.md5Long32(t) % 16).as("th"))
-          .select(col("doc_id"), col("n_tokens"),
-            concat_ws(",", transform(sequence(lit(0), lit(15)),
-              i => size(filter(col("th"), h => h === i)).cast("string"))).as("vec_csv")),
+            graft.plans.TextExpressions.hashBucketCountsCsv(cleanToks, 16)
+              .as("vec_csv")),
       Some("""WITH t AS (SELECT doc_id,
              |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tok,
              |    list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),

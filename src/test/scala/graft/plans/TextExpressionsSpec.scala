@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.SparkTestSession
+import graft.functions.{Hashing, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("HashBucketCountsCsv matches the HOF bucket-count formulation on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = TextFunctions.cleanTokens(col("text"))
+    val hof = concat_ws(",", transform(sequence(lit(0), lit(15)),
+      i => size(filter(transform(toks, t => Hashing.md5Long32(t) % 16),
+        h => h === i)).cast("string")))
+    val mismatches = docs.select(
+        TextExpressions.hashBucketCountsCsv(toks, 16).as("native"),
+        hof.as("hof"))
+      .filter(!(col("native") <=> col("hof")))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("HashBucketCountsCsv: empty array and null array") {
+    val r = spark.range(1).select(
+      TextExpressions.hashBucketCountsCsv(
+        array().cast("array<string>"), 4).as("empty"),
+      TextExpressions.hashBucketCountsCsv(
+        lit(null).cast("array<string>"), 4).as("na")).collect()(0)
+    assert(r.getString(0) === "0,0,0,0")
+    assert(r.isNullAt(1))
+  }
+
+  test("FrameByteSums matches the hex-substring fold on real doc bytes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      .withColumn("hx", lower(hex(col("bin"))))
+      .withColumn("n_bytes", length(col("bin")))
+      .filter(col("n_bytes") >= 64)
+    val hofFrame = docs
+      .withColumn("frame_id", explode(sequence(lit(0), expr("n_bytes div 64") - 1)))
+      .select(col("doc_id"), col("frame_id"), expr(
+        """aggregate(transform(sequence(0, 63),
+          |  i -> cast(conv(substring(substring(hx, frame_id*128 + 1, 128), i*2 + 1, 2), 16, 10) as bigint)),
+          |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin).as("fsum"))
+    val native = docs
+      .select(col("doc_id"),
+        posexplode(TextExpressions.frameByteSums(col("bin"), 64))
+          .as(Seq("frame_id", "fsum")))
+    assert(hofFrame.count() > 0)
+    assert(native.join(hofFrame, Seq("doc_id", "frame_id"))
+      .filter(!(native("fsum") <=> hofFrame("fsum"))).count() === 0L)
+    assert(native.count() === hofFrame.count())
+  }
+
+  test("FrameByteSums: short input yields empty array, null propagates") {
+    val r = spark.range(1).select(
+      TextExpressions.frameByteSums(lit("ab").cast("binary"), 64).as("short"),
+      TextExpressions.frameByteSums(lit(null).cast("binary"), 64).as("na"))
+      .collect()(0)
+    assert(r.getSeq[Long](0).isEmpty)
+    assert(r.isNullAt(1))
+  }
+}
