@@ -379,6 +379,53 @@ object FrameFeatures {
     }
   }
 
+  case class BmpHistBin(doc_id: Long, channel: String, bin: Long,
+                        n: Long, share_bp: Long)
+
+  /** Per-channel 4-bin (value >> 6) color histogram over the decoded
+    * pixels — the canonical image-statistics artifact (flat/dim gates,
+    * palette drift monitors). Emits all 12 (channel, bin) rows per
+    * image, zero counts included; share_bp = n*10000/n_px stays
+    * integer-exact.
+    */
+  final class BmpHistogrammer {
+    private val dec = new BmpDecoder
+    def histogram(docId: Long, bytes: Array[Byte]): Iterator[BmpHistBin] = {
+      val (dataOff, w, rows) = dec.header(docId, bytes)
+      val stride = ((w * 3 + 3) / 4) * 4
+      val counts = Array.ofDim[Long](3, 4)
+      var row = 0
+      while (row < rows) {
+        val base = dataOff + row * stride
+        var c = 0
+        while (c < w) {
+          val p = base + c * 3
+          counts(0)((bytes(p) & 0xff) >> 6) += 1
+          counts(1)((bytes(p + 1) & 0xff) >> 6) += 1
+          counts(2)((bytes(p + 2) & 0xff) >> 6) += 1
+          c += 1
+        }
+        row += 1
+      }
+      val nPx = w.toLong * rows
+      val chans = Array("b", "g", "r")
+      (0 until 3).iterator.flatMap { ch =>
+        (0 until 4).iterator.map { b =>
+          BmpHistBin(docId, chans(ch), b.toLong, counts(ch)(b),
+            counts(ch)(b) * 10000L / nPx)
+        }
+      }
+    }
+  }
+
+  def histogramBmp(imgs: Dataset[WavPayload]): Dataset[BmpHistBin] = {
+    implicit val enc = Encoders.product[BmpHistBin]
+    imgs.mapPartitions { it =>
+      val codec = new BmpHistogrammer
+      it.flatMap(w => codec.histogram(w.doc_id, w.payload))
+    }
+  }
+
   /** Distributed decode: one codec instance per partition, streamed. */
   def decodeWav(wavs: Dataset[WavPayload]): Dataset[WavFrame] = {
     implicit val enc = Encoders.product[WavFrame]

@@ -554,6 +554,55 @@ object MultimodalQueries {
              |SELECT doc_id, frame_id, prev_sum, fsum,
              |  CAST(abs(fsum - prev_sum) AS BIGINT) AS delta
              |FROM l WHERE prev_sum IS NOT NULL AND abs(fsum - prev_sum) > 300""".stripMargin)
+    ),
+
+    // COLOR HISTOGRAM over the real container: the same 24bpp BMPs as
+    // mm_bmp_decode, folded to a per-channel 4-bin (value >> 6)
+    // histogram inside the mapPartitions codec — the canonical image
+    // statistic behind flat/dim gates, palette-drift monitors, and
+    // cheap visual-dedup features. All 12 (channel, bin) rows emitted
+    // per image (zero counts included) with integer-exact share_bp =
+    // n*10000/n_px; the oracle rebuilds the identical counts from raw
+    // byte arithmetic over a generated 12-row scaffold.
+    "mm_rgb_histogram" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val nB = length(bin)
+        val h = expr("length(cast(text as binary)) div 48")
+        val dataSize = h * 48
+        val bmpHex = concat(
+          lit("424d"), leHex32(dataSize + 54), lit("00000000"),
+          lit("36000000"), lit("28000000"),
+          lit("10000000"), leHex32(h),
+          lit("0100"), lit("1800"), lit("00000000"),
+          leHex32(dataSize), lit("130b0000130b0000"),
+          lit("0000000000000000"),
+          lower(hex(bin)).substr(lit(1), dataSize * 2))
+        val imgs = Tables.documents(s, d)
+          .filter(nB >= 48)
+          .select(col("doc_id"), unhex(bmpHex).as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        FrameFeatures.histogramBmp(imgs).toDF()
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |                  octet_length(encode(text)) // 48 AS h
+             |           FROM documents WHERE octet_length(encode(text)) >= 48),
+             |b AS (SELECT doc_id, h, i % 3 AS ch,
+             |        CAST('0x' || substr(hx, i*2 + 1, 2) AS BIGINT) // 64 AS bin
+             |      FROM (SELECT doc_id, hx, h,
+             |              unnest(generate_series(0, h*48 - 1)) AS i FROM d)),
+             |cnt AS (SELECT doc_id, ch, bin, COUNT(*) AS n FROM b GROUP BY 1, 2, 3),
+             |scaf AS (SELECT d.doc_id, d.h, cc.ch, bb.bin
+             |         FROM d CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS ch) cc
+             |                CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bin) bb)
+             |SELECT scaf.doc_id,
+             |  CASE scaf.ch WHEN 0 THEN 'b' WHEN 1 THEN 'g' ELSE 'r' END AS channel,
+             |  CAST(scaf.bin AS BIGINT) AS bin,
+             |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n,
+             |  CAST(COALESCE(cnt.n, 0) * 10000 // (16 * scaf.h) AS BIGINT) AS share_bp
+             |FROM scaf LEFT JOIN cnt
+             |  ON cnt.doc_id = scaf.doc_id AND cnt.ch = scaf.ch AND cnt.bin = scaf.bin""".stripMargin)
     )
   )
 }

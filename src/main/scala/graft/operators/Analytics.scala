@@ -1201,6 +1201,37 @@ object Analytics {
              |                   WHERE tr.dst = st.state), 0) AS r
              |       FROM st)
              |SELECT state, CAST(r AS BIGINT) AS pi_q FROM p2""".stripMargin)
+    ),
+
+    // BEHAVIORAL ENTROPY per user: Shannon entropy of the user's
+    // event-type distribution — the one-number signal separating
+    // single-purpose accounts and scripted bots (entropy -> 0) from
+    // organic browse-click-buy mixes. H = ln(n) - (sum c*ln c)/n keeps
+    // every ln argument an exact integer count; the weighted sum rides
+    // DECIMAL(18,12) so partial-agg order can't move an ulp. One
+    // map-side-combinable (user, type) agg + one per-user rollup.
+    "events_behavior_entropy" -> Query(
+      (s, d) => {
+        val c = Tables.events(s, d)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        c.groupBy(col("user_id"))
+          .agg(sum(col("c")).as("n_events"),
+            count(lit(1)).as("n_types"),
+            sum((col("c").cast("double") * log(col("c").cast("double")))
+              .cast("decimal(18,12)")).as("sclnc"))
+          .select(col("user_id"), col("n_events"), col("n_types"),
+            round(log(col("n_events").cast("double"))
+              - col("sclnc").cast("double") / col("n_events"), 4).as("entropy"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+             |           FROM events GROUP BY 1, 2)
+             |SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+             |  COUNT(*) AS n_types,
+             |  ROUND(ln(CAST(SUM(c) AS DOUBLE))
+             |    - CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE)
+             |      / SUM(c), 4) AS entropy
+             |FROM c GROUP BY user_id""".stripMargin)
     )
   )
 }

@@ -955,6 +955,42 @@ object TextQueries {
              |SELECT doc_id, n_tokens, dsir_logratio,
              |  CAST(dsir_logratio > 0 AS BIGINT) AS keep
              |FROM sc""".stripMargin)
+    ),
+
+    // SHINGLE NOVELTY — the per-document "how much of this is new to
+    // the corpus" gate (doc_id order = ingest order): fraction of a
+    // doc's distinct 3-gram shingles whose corpus-wide FIRST occurrence
+    // is this doc. A crawl re-emitting mostly-seen text scores near 0
+    // and can be dropped before the expensive dedup passes run. First
+    // occurrence is a map-side-combinable MIN per shingle (the
+    // dedup_paragraphs election, at shingle grain); novelty_bp stays
+    // integer. Shares shingleRows with the dedup family — one plan, two
+    // shuffles (shingle MIN + doc rollup).
+    "text_shingle_novelty" -> Query(
+      (s, d) => {
+        val sh = graft.Caches.scoped(graft.dedup.DedupQueries.shingleRows(s, d))
+        val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
+        sh.join(first, Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum((col("fd") === col("doc_id")).cast("long")).as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            expr("n_novel * 10000 div n_shingles").as("novelty_bp"))
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+             |          FROM documents),
+             |td AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
+             |shl AS (SELECT doc_id,
+             |  list_distinct(list_transform(generate_series(1, len(tk)-2),
+             |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+             |FROM td),
+             |shr AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+             |f AS (SELECT s, MIN(doc_id) AS fd FROM shr GROUP BY 1)
+             |SELECT shr.doc_id, COUNT(*) AS n_shingles,
+             |  CAST(SUM(CAST(f.fd = shr.doc_id AS BIGINT)) AS BIGINT) AS n_novel,
+             |  CAST(SUM(CAST(f.fd = shr.doc_id AS BIGINT)) * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
+             |FROM shr JOIN f ON f.s = shr.s
+             |GROUP BY shr.doc_id""".stripMargin)
     )
   )
 }

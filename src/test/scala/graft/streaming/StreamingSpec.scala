@@ -128,6 +128,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CusumStream.foldKey alarms exactly when cum - running min exceeds the threshold") {
+    import CusumStream._
+    // target 10: residuals -1, -2, +15, +15 -> cum -1, -3, 12, 27 with
+    // running min -3 after p2, so stats 0, 0, 15, 30
+    val pts = Seq(Pt("a", 1, 9), Pt("a", 2, 8), Pt("a", 3, 25), Pt("a", 4, 25))
+    val (out, st) = foldKey("a", pts, None, target = 10L, threshold = 10L)
+    assert(out === Seq(Alarm("a", 3, 15, 12), Alarm("a", 4, 30, 27)))
+    assert(st.cum === 27L && st.min_cum === -3L && st.last_seq === 4L)
+  }
+
+  test("CusumStream carries drift state across micro-batches") {
+    import CusumStream._
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Pt]
+    val out = CusumStream(in.toDS(), target = 10L, threshold = 10L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cusum_stream").start()
+    try {
+      // batch 1: in-control points — builds state, no alarm
+      in.addData(Pt("k", 1, 9), Pt("k", 2, 8))
+      q.processAllAvailable()
+      assert(spark.table("cusum_stream").count() === 0L)
+      // batch 2: the drift only crosses the threshold when batch 1's
+      // carried (cum=-3, min=-3) state is included: +8 then +7
+      // residuals -> stats 8, 15
+      in.addData(Pt("k", 3, 18), Pt("k", 4, 17))
+      q.processAllAvailable()
+      val rows = spark.table("cusum_stream")
+        .select("seq_us", "stat").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows === Seq((4L, 15L)))
+    } finally q.stop()
+  }
+
   test("WindowedAgg file-source run survives a checkpointed restart without loss or duplication") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._
