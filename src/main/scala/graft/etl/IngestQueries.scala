@@ -852,6 +852,42 @@ object IngestQueries {
              |  CASE WHEN MAX(l_partkey) < 500 OR MIN(l_partkey) >= 600
              |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS skip_pk_pred
              |FROM z GROUP BY 1""".stripMargin)
+    ),
+
+    // RETENTION / TTL PURGE manifest — the deletion planner a
+    // compliance-bound event store runs nightly: per event-day
+    // partition, row/user counts and the retention action (keep the
+    // last 14 days, archive to 21, purge beyond) relative to the
+    // corpus watermark. All integer day arithmetic against a broadcast
+    // 1-row max; the manifest is metadata-sized (one map-side agg), so
+    // the plan is identical whether the table holds 1 GB or 100 TB —
+    // the actual delete then targets whole partitions
+    // (Sinks.backfillPartitions-style), never row scans.
+    "etl_retention_purge" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("di"))
+        val mx = ev.agg(max(col("di")).as("maxd"))
+        ev.groupBy(col("di"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("user_id")).as("n_users"))
+          .crossJoin(broadcast(mx))
+          .select(col("di").as("day"), col("n_rows"), col("n_users"),
+            (col("maxd") - col("di")).as("age_days"),
+            when(col("maxd") - col("di") <= 14, "keep")
+              .when(col("maxd") - col("di") <= 21, "archive")
+              .otherwise("purge").as("action"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS di FROM events),
+             |mx AS (SELECT MAX(di) AS maxd FROM ev)
+             |SELECT di AS day, COUNT(*) AS n_rows,
+             |  COUNT(DISTINCT user_id) AS n_users,
+             |  CAST(maxd - di AS BIGINT) AS age_days,
+             |  CASE WHEN maxd - di <= 14 THEN 'keep'
+             |       WHEN maxd - di <= 21 THEN 'archive'
+             |       ELSE 'purge' END AS action
+             |FROM ev CROSS JOIN mx
+             |GROUP BY di, maxd""".stripMargin)
     )
   )
 }

@@ -1147,6 +1147,90 @@ object SimilarityQueries {
              |SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
              |  FROM c) WHERE rn <= 3""".stripMargin)
+    ),
+
+    // IVF INDEX-BALANCE audit — the health check an IVF deployment
+    // runs after (re)training: cell-size distribution of the trained
+    // quantizer's assignment. A skewed index (hot cells) turns nprobe
+    // into a full scan; empty cells waste probe budget. One assignment
+    // scan (literal centroids, zero shuffle) + one k-row agg; every
+    // output is integer arithmetic (avg and imbalance in x100 fixed
+    // point) so the audit hash-checks exactly.
+    "vec_ivf_balance" -> Query(
+      (s, d) => {
+        val cents = trainedCentroids(s, d)
+        val sizes = quantizedVecs(s, d)
+          .select(centroidRanks(cents, 1).getItem(0).as("cid"))
+          .groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+        sizes.agg(
+            count(lit(1)).as("n_cells_used"),
+            min(col("sz")).as("min_sz"),
+            max(col("sz")).as("max_sz"),
+            sum(col("sz")).as("n_vecs"))
+          .select(col("n_cells_used"),
+            (lit(kmeansK.toLong) - col("n_cells_used")).as("n_empty"),
+            col("min_sz"), col("max_sz"), col("n_vecs"),
+            expr("n_vecs * 100 div n_cells_used").as("avg_sz_x100"),
+            expr("max_sz * 100 * n_cells_used div n_vecs").as("imbalance_x100"))
+      },
+      Some(s"""WITH $kmeansCteSql,
+             |asg AS (SELECT vec_id, cid FROM (
+             |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+             |          FROM d1) WHERE rn = 1),
+             |szs AS (SELECT cid, COUNT(*) AS sz FROM asg GROUP BY 1)
+             |SELECT COUNT(*) AS n_cells_used,
+             |  CAST($kmeansK - COUNT(*) AS BIGINT) AS n_empty,
+             |  MIN(sz) AS min_sz, MAX(sz) AS max_sz,
+             |  CAST(SUM(sz) AS BIGINT) AS n_vecs,
+             |  CAST(SUM(sz) * 100 // COUNT(*) AS BIGINT) AS avg_sz_x100,
+             |  CAST(MAX(sz) * 100 * COUNT(*) // SUM(sz) AS BIGINT) AS imbalance_x100
+             |FROM szs""".stripMargin)
+    ),
+
+    // EMBEDDING DRIFT monitor — the refresh-vs-refresh comparison an
+    // embedding pipeline runs before swapping in a new model or
+    // corpus snapshot: per-dimension mean shift between two halves
+    // (here the deterministic vec_id parity split standing in for
+    // old/new). Means derive from exact DECIMAL(18,12) sums, the
+    // drift flag compares a scaled INTEGER (|delta|*1e6, floor+0.5)
+    // so no float threshold crosses the engine boundary. One
+    // posexplode + one 64-row dim rollup.
+    "vec_drift_stats" -> Query(
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy((col("pos") + 1).cast("long").as("dim"))
+          .agg(
+            sum(when(col("vec_id") % 2 === 0, col("x").cast("double"))
+              .otherwise(lit(0.0)).cast("decimal(18,12)")).as("so"),
+            sum((col("vec_id") % 2 === 0).cast("long")).as("no"),
+            sum(when(col("vec_id") % 2 =!= 0, col("x").cast("double"))
+              .otherwise(lit(0.0)).cast("decimal(18,12)")).as("sn"),
+            sum((col("vec_id") % 2 =!= 0).cast("long")).as("nn"))
+          .select(col("dim"),
+            round(col("so").cast("double") / col("no"), 6).as("mean_old"),
+            round(col("sn").cast("double") / col("nn"), 6).as("mean_new"),
+            round(col("sn").cast("double") / col("nn")
+              - col("so").cast("double") / col("no"), 6).as("delta"),
+            floor(abs(col("sn").cast("double") / col("nn")
+              - col("so").cast("double") / col("no")) * 1000000 + 0.5)
+              .cast("long").as("abs_delta_e6"))
+          .withColumn("drifted", (col("abs_delta_e6") >= 10000).cast("long")),
+      Some("""WITH x AS (SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+             |          FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii),
+             |g AS (SELECT dim,
+             |        CAST(SUM(CAST(CASE WHEN vec_id % 2 = 0 THEN v ELSE 0.0 END AS DECIMAL(18,12))) AS DOUBLE) AS so,
+             |        SUM(CAST(vec_id % 2 = 0 AS BIGINT)) AS no,
+             |        CAST(SUM(CAST(CASE WHEN vec_id % 2 <> 0 THEN v ELSE 0.0 END AS DECIMAL(18,12))) AS DOUBLE) AS sn,
+             |        SUM(CAST(vec_id % 2 <> 0 AS BIGINT)) AS nn
+             |      FROM x GROUP BY 1)
+             |SELECT CAST(dim AS BIGINT) AS dim,
+             |  ROUND(so / no, 6) AS mean_old,
+             |  ROUND(sn / nn, 6) AS mean_new,
+             |  ROUND(sn / nn - so / no, 6) AS delta,
+             |  CAST(floor(abs(sn / nn - so / no) * 1000000 + 0.5) AS BIGINT) AS abs_delta_e6,
+             |  CAST(CAST(floor(abs(sn / nn - so / no) * 1000000 + 0.5) AS BIGINT) >= 10000 AS BIGINT) AS drifted
+             |FROM g""".stripMargin)
     )
   )
 }

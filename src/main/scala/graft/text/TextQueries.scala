@@ -13,6 +13,58 @@ object TextQueries {
 
   private def cleanToks: Column = TextFunctions.cleanTokens(col("text"))
 
+  /** Winnowing stage 1: per-doc 3-gram shingle stream keyed as
+    * hash*2^20 + (2^20-1 - pos) — min picks (min hash, rightmost pos)
+    * as ONE integer compare. Shared by text_winnowing and
+    * dedup_winnowing_pairs.
+    */
+  private def winnowKeyed(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(cleanToks).as(Seq("pos", "t")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tok
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("t"), lead(col("t"), 1).over(wd),
+          lead(col("t"), 2).over(wd)).as("s"),
+        lead(col("t"), 2).over(wd).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        (graft.functions.Hashing.md5Long32(col("s")) * 1048576L
+          + (lit(1048575L) - col("pos"))).as("key"))
+  }
+
+  /** Winnowing stage 2: the selected fingerprint per full-width w=4
+    * window (one frame min per window start).
+    */
+  private def winnowSelected(sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    sh.select(col("doc_id"),
+        min(col("key")).over(wd.rowsBetween(0, 3)).as("fp"),
+        lead(col("key"), 3).over(wd).as("k3"))
+      .filter(col("k3").isNotNull)
+  }
+
+  /** DuckDB mirror of winnowKeyed + winnowSelected, ending in
+    * `v(doc_id, fp)`.
+    */
+  private val winnowCteSql =
+    """t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+      |          FROM documents),
+      |sh AS (SELECT doc_id, i - 1 AS pos,
+      |         CAST('0x' || substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 8) AS BIGINT)
+      |           * 1048576 + (1048575 - (i - 1)) AS key
+      |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+      |             FROM t WHERE len(tk) >= 3)),
+      |w AS (SELECT doc_id,
+      |        MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+      |        LEAD(key, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS k3
+      |      FROM sh),
+      |v AS (SELECT doc_id, fp FROM w WHERE k3 IS NOT NULL)""".stripMargin
+
   /** Row types for the deflate-ratio mapPartitions pass. */
   final case class Doc(doc_id: Long, text: String)
   final case class DeflateRatio(doc_id: Long, n_raw: Long, n_deflated: Long,
@@ -785,25 +837,8 @@ object TextQueries {
     // + the exact fingerprint-set sum.
     "text_winnowing" -> Query(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val tok = Tables.documents(s, d)
-          .select(col("doc_id"), posexplode(cleanToks).as(Seq("pos", "t")))
-        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val sh = tok
-          .select(col("doc_id"), col("pos"),
-            concat_ws(" ", col("t"), lead(col("t"), 1).over(wd),
-              lead(col("t"), 2).over(wd)).as("s"),
-            lead(col("t"), 2).over(wd).as("t2"))
-          .filter(col("t2").isNotNull)
-          .select(col("doc_id"), col("pos"),
-            (graft.functions.Hashing.md5Long32(col("s")) * 1048576L
-              + (lit(1048575L) - col("pos"))).as("key"))
-        val frame = wd.rowsBetween(0, 3)
-        val win = sh
-          .select(col("doc_id"),
-            min(col("key")).over(frame).as("fp"),
-            lead(col("key"), 3).over(wd).as("k3"))
-          .filter(col("k3").isNotNull)
+        val sh = winnowKeyed(s, d)
+        val win = winnowSelected(sh)
         val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
         win.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_windows"),
@@ -813,24 +848,39 @@ object TextQueries {
           .select(col("doc_id"), col("n_shingles"), col("n_windows"),
             col("n_fingerprints"), col("fp_sum"))
       },
-      Some("""WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
-             |          FROM documents),
-             |sh AS (SELECT doc_id, i - 1 AS pos,
-             |         CAST('0x' || substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 8) AS BIGINT)
-             |           * 1048576 + (1048575 - (i - 1)) AS key
-             |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
-             |             FROM t WHERE len(tk) >= 3)),
-             |w AS (SELECT doc_id,
-             |        MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
-             |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-             |        LEAD(key, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS k3
-             |      FROM sh),
-             |v AS (SELECT doc_id, fp FROM w WHERE k3 IS NOT NULL),
+      Some(s"""WITH $winnowCteSql,
              |nsh AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1)
              |SELECT v.doc_id, nsh.n_shingles, COUNT(*) AS n_windows,
              |  COUNT(DISTINCT fp) AS n_fingerprints, CAST(SUM(DISTINCT fp) AS BIGINT) AS fp_sum
              |FROM v JOIN nsh ON v.doc_id = nsh.doc_id
              |GROUP BY v.doc_id, nsh.n_shingles""".stripMargin)
+    ),
+
+    // WINNOWING-PAIR dedup — the index in use: two docs sharing >= 2
+    // selected fingerprint HASHES are sub-document near-dup candidates
+    // (winnowing guarantees any shared run of >= w+k-1 tokens selects a
+    // common fingerprint, so this is the guaranteed-recall analog of
+    // random MinHash banding at ~2/(w+1) index density). Candidate
+    // generation is an equi-join on the fingerprint hash — O(n·density),
+    // never all-pairs, hot fingerprints bounded like hot shingles.
+    "dedup_winnowing_pairs" -> Query(
+      (s, d) => {
+        val fps = graft.Caches.scoped(
+          winnowSelected(winnowKeyed(s, d))
+            .select(col("doc_id"), expr("fp div 1048576").as("fh"))
+            .distinct())
+        fps.as("a")
+          .join(fps.as("b"),
+            col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+      },
+      Some(s"""WITH $winnowCteSql,
+             |fh AS (SELECT DISTINCT doc_id, fp // 1048576 AS fh FROM v)
+             |SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+             |FROM fh a JOIN fh b ON a.fh = b.fh AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)
     ),
 
     // FUZZY benchmark decontamination — the near-duplicate completion
