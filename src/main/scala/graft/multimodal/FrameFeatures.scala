@@ -44,7 +44,7 @@ object FrameFeatures {
     private def u32(b: Array[Byte], off: Int): Long =
       (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
         ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
-    private def s16(b: Array[Byte], off: Int): Int = {
+    private[multimodal] def s16(b: Array[Byte], off: Int): Int = {
       val v = u16(b, off)
       if (v >= 0x8000) v - 0x10000 else v
     }
@@ -160,6 +160,51 @@ object FrameFeatures {
   case class WavResampled(doc_id: Long, sample_rate_out: Long, n_in: Long,
                           n_out: Long, sum_out: Long, min_out: Long,
                           max_out: Long, posw_digest: Long)
+
+  case class WavVad(doc_id: Long, n_frames: Long, n_active: Long,
+                    n_segments: Long, longest_seg: Long)
+
+  /** Energy-based voice-activity detection over the parsed PCM: frames
+    * of `frameLen` samples (complete frames only), a frame is ACTIVE
+    * when its Σ|amplitude| exceeds the threshold, and adjacent active
+    * frames merge into segments (the gaps-and-islands fold, run
+    * sequentially inside the codec walk). Integer-exact end to end.
+    */
+  final class WavVadDetector(frameLen: Int, threshold: Long) {
+    private val dec = new WavDecoder
+    def vad(docId: Long, bytes: Array[Byte]): WavVad = {
+      val (dataOff, nSamples, _, _) = dec.parseHeader(docId, bytes)
+      val nFrames = nSamples / frameLen
+      var f = 0
+      var nActive = 0L; var nSeg = 0L; var longest = 0L; var run = 0L
+      while (f < nFrames) {
+        var e = 0L
+        var i = f * frameLen
+        val end = i + frameLen
+        while (i < end) {
+          e += math.abs(dec.s16(bytes, dataOff + 2 * i)).toLong
+          i += 1
+        }
+        if (e > threshold) {
+          if (run == 0L) nSeg += 1
+          run += 1
+          nActive += 1
+          if (run > longest) longest = run
+        } else run = 0L
+        f += 1
+      }
+      WavVad(docId, nFrames.toLong, nActive, nSeg, longest)
+    }
+  }
+
+  def vadWav(wavs: Dataset[WavPayload], frameLen: Int,
+             threshold: Long): Dataset[WavVad] = {
+    implicit val enc = Encoders.product[WavVad]
+    wavs.mapPartitions { it =>
+      val codec = new WavVadDetector(frameLen, threshold)
+      it.map(w => codec.vad(w.doc_id, w.payload))
+    }
+  }
 
   def resampleWav(wavs: Dataset[WavPayload]): Dataset[WavResampled] = {
     implicit val enc = Encoders.product[WavResampled]

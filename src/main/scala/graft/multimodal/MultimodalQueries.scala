@@ -603,6 +603,65 @@ object MultimodalQueries {
              |  CAST(COALESCE(cnt.n, 0) * 10000 // (16 * scaf.h) AS BIGINT) AS share_bp
              |FROM scaf LEFT JOIN cnt
              |  ON cnt.doc_id = scaf.doc_id AND cnt.ch = scaf.ch AND cnt.bin = scaf.bin""".stripMargin)
+    ),
+
+    // VOICE-ACTIVITY DETECTION over the real container: the same PCM
+    // WAVs as mm_wav_features, folded to energy-gated 16-sample frames
+    // (Σ|amplitude| > 400000) with adjacent active frames merged into
+    // segments — the speech-segmentation pre-pass an audio curation
+    // pipeline runs before any transcription/embedding step decides
+    // what's worth the expensive model. The gaps-and-islands merge
+    // runs sequentially inside the codec walk (one pass per doc); the
+    // oracle replays frames, gates, and islands from hex arithmetic.
+    // Integer-exact; one scan, zero shuffle like the other codecs.
+    "mm_audio_vad" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val nBytes = length(bin)
+        val dataSize = nBytes - nBytes % 2
+        val rate = (lit(8000) + (col("doc_id") % 3) * 4000).cast("int")
+        val wavHex = concat(
+          lit("52494646"), leHex32(dataSize + 36), lit("57415645"),
+          lit("666d7420"), lit("10000000"),
+          lit("0100"), lit("0100"),
+          leHex32(rate), leHex32(rate * 2),
+          lit("0200"), lit("1000"),
+          lit("64617461"), leHex32(dataSize),
+          lower(hex(bin)).substr(lit(1), dataSize * 2))
+        val wavs = Tables.documents(s, d)
+          .filter(nBytes >= 2)
+          .select(col("doc_id"), unhex(wavHex).as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        FrameFeatures.vadWav(wavs, frameLen = 16, threshold = 400000L).toDF()
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |         octet_length(encode(text)) // 2 AS n_samp
+             |  FROM documents
+             |  WHERE octet_length(encode(text)) >= 2),
+             |u AS (SELECT doc_id, hx, n_samp // 16 AS n_frames,
+             |        unnest(generate_series(0, (n_samp // 16) * 16 - 1)) AS i
+             |      FROM d),
+             |sg AS (SELECT doc_id, n_frames, i // 16 AS f,
+             |         CASE WHEN CAST('0x' || substr(hx, i*4 + 3, 2) || substr(hx, i*4 + 1, 2) AS INT) >= 32768
+             |              THEN CAST('0x' || substr(hx, i*4 + 3, 2) || substr(hx, i*4 + 1, 2) AS INT) - 65536
+             |              ELSE CAST('0x' || substr(hx, i*4 + 3, 2) || substr(hx, i*4 + 1, 2) AS INT) END AS samp
+             |       FROM u),
+             |fr AS (SELECT doc_id, n_frames, f, SUM(abs(samp)) AS e
+             |       FROM sg GROUP BY 1, 2, 3),
+             |act AS (SELECT doc_id, n_frames, f,
+             |          f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS isl
+             |        FROM fr WHERE e > 400000),
+             |seg AS (SELECT doc_id, isl, COUNT(*) AS seg_len FROM act GROUP BY 1, 2),
+             |per AS (SELECT a.doc_id, COUNT(*) AS n_segments, MAX(seg_len) AS longest_seg,
+             |          CAST(SUM(seg_len) AS BIGINT) AS n_active
+             |        FROM seg a GROUP BY 1)
+             |SELECT dd.doc_id, CAST(dd.n_samp // 16 AS BIGINT) AS n_frames,
+             |  COALESCE(per.n_active, 0) AS n_active,
+             |  COALESCE(per.n_segments, 0) AS n_segments,
+             |  CAST(COALESCE(per.longest_seg, 0) AS BIGINT) AS longest_seg
+             |FROM d dd LEFT JOIN per USING (doc_id)""".stripMargin)
     )
   )
 }

@@ -340,6 +340,92 @@ object Graph {
              |       WHERE e.u IN (SELECT u FROM a2) AND e.v IN (SELECT u FROM a2)
              |       GROUP BY 1 HAVING COUNT(*) >= 2)
              |SELECT u AS node, dg AS core_deg FROM a3""".stripMargin)
+    ),
+
+    // MODULARITY audit of the LPA communities (Newman 2004): per
+    // community, internal-edge count L_c, degree mass d_c, and the
+    // community's modularity numerator 4·m·L_c − d_c² — the INTEGER
+    // scaling of Q_c = L_c/m − (d_c/2m)², so the partition-quality
+    // score that decides whether the communities are real structure or
+    // noise hash-checks exactly (Q = Σ q_num / 4m²; values here stay
+    // far inside BIGINT — widen to DECIMAL(38) beyond ~10^9 edges).
+    // Work on top of the 2-round LPA labels: two label joins on the
+    // canonical pair list + two map-side-combinable aggs.
+    "graph_modularity" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = graft.Caches.scoped(li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+          .select(col("pa"), col("pb")))
+        val edges = graft.Caches.scoped(
+          pairs.select(col("pa").as("u"), col("pb").as("v"))
+            .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v"))))
+        var labels = edges.select(col("u").as("node")).distinct()
+          .select(col("node"), col("node").as("lbl"))
+        (1 to 2).foreach { _ =>
+          labels = edges
+            .join(labels.select(col("node").as("v"), col("lbl")), Seq("v"))
+            .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+            .groupBy(col("u"))
+            .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("best"))
+            .select(col("u").as("node"), col("best.l").as("lbl"))
+        }
+        val lab = graft.Caches.scoped(labels)
+        val m = pairs.agg(count(lit(1)).as("m"))
+        val internal = pairs
+          .join(lab.select(col("node").as("pa"), col("lbl").as("la")), Seq("pa"))
+          .join(lab.select(col("node").as("pb"), col("lbl").as("lb")), Seq("pb"))
+          .filter(col("la") === col("lb"))
+          .groupBy(col("la").as("community")).agg(count(lit(1)).as("l_c"))
+        val degMass = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .join(lab.select(col("node").as("u"), col("lbl")), Seq("u"))
+          .groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
+        degMass.join(internal, Seq("community"), "left")
+          .crossJoin(broadcast(m))
+          .select(col("community"), col("n_nodes"),
+            coalesce(col("l_c"), lit(0L)).as("l_c"), col("d_c"),
+            (lit(4L) * col("m") * coalesce(col("l_c"), lit(0L))
+              - col("d_c") * col("d_c")).as("q_num"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |          FROM li a JOIN li b
+             |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |edges AS (SELECT pa AS u, pb AS v FROM pairs
+             |          UNION ALL SELECT pb, pa FROM pairs),
+             |l0 AS (SELECT DISTINCT u AS node FROM edges),
+             |l1 AS (SELECT u AS node, lbl FROM (
+             |    SELECT e.u, l.node AS lbl, COUNT(*) AS cnt,
+             |      ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY COUNT(*) DESC, l.node) AS rn
+             |    FROM edges e JOIN l0 l ON e.v = l.node
+             |    GROUP BY e.u, l.node) WHERE rn = 1),
+             |l2 AS (SELECT u AS node, lbl FROM (
+             |    SELECT e.u, l.lbl, COUNT(*) AS cnt,
+             |      ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY COUNT(*) DESC, l.lbl) AS rn
+             |    FROM edges e JOIN l1 l ON e.v = l.node
+             |    GROUP BY e.u, l.lbl) WHERE rn = 1),
+             |mm AS (SELECT COUNT(*) AS m FROM pairs),
+             |intl AS (SELECT la.lbl AS community, COUNT(*) AS l_c
+             |         FROM pairs p
+             |         JOIN l2 la ON la.node = p.pa
+             |         JOIN l2 lb ON lb.node = p.pb
+             |         WHERE la.lbl = lb.lbl GROUP BY 1),
+             |dm AS (SELECT l2.lbl AS community, COUNT(*) AS n_nodes,
+             |         CAST(SUM(dg.deg) AS BIGINT) AS d_c
+             |       FROM (SELECT u, COUNT(*) AS deg FROM edges GROUP BY 1) dg
+             |       JOIN l2 ON l2.node = dg.u GROUP BY 1)
+             |SELECT dm.community, dm.n_nodes,
+             |  CAST(COALESCE(intl.l_c, 0) AS BIGINT) AS l_c, dm.d_c,
+             |  CAST(4 * mm.m * COALESCE(intl.l_c, 0) - dm.d_c * dm.d_c AS BIGINT) AS q_num
+             |FROM dm LEFT JOIN intl USING (community) CROSS JOIN mm""".stripMargin)
     )
   )
 }

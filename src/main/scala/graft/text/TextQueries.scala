@@ -47,6 +47,56 @@ object TextQueries {
       .filter(col("k3").isNotNull)
   }
 
+  /** DSIR hashed-bucket scoring shared by text_dsir_weight and
+    * pipeline_dsir_sample: (doc_id, n_tokens, dsir_logratio) with the
+    * weight already rounded 4dp (identical bits cross-engine).
+    */
+  private def dsirScored(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      explode(TextFunctions.cleanTokens(lower(col("text")))).as("term"))
+    val b = t.select(col("doc_id"), col("lang"),
+      (graft.functions.Hashing.md5Long32(col("term")) % 1024).as("bk"))
+    val cr = b.groupBy(col("bk")).agg(count(lit(1)).as("cr"))
+    val ct = b.filter(col("lang") === "en")
+      .groupBy(col("bk")).agg(count(lit(1)).as("ct"))
+    val tot = b.agg(count(lit(1)).as("nr"),
+      sum((col("lang") === "en").cast("long")).as("nt"))
+    val model = cr.join(ct, Seq("bk"), "left")
+      .select(col("bk"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val dc = b.groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("c"))
+    dc.join(broadcast(model), Seq("bk"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum((col("c").cast("double") *
+            (log(((col("ct") + 1) * (col("nr") + 1024)).cast("double"))
+              - log(((col("cr") + 1) * (col("nt") + 1024)).cast("double"))))
+          .cast("decimal(18,12)")).cast("double") / sum(col("c")), 4)
+          .as("dsir_logratio"))
+  }
+
+  /** DuckDB mirror of dsirScored, ending in
+    * `sc(doc_id, n_tokens, dsir_logratio)`.
+    */
+  private lazy val dsirCteSql =
+    s"""t AS (SELECT doc_id, lang, unnest($lowToksSql) AS term FROM documents),
+       |b AS (SELECT doc_id, lang,
+       |        CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 1024 AS bk FROM t),
+       |cr AS (SELECT bk, COUNT(*) AS cr FROM b GROUP BY 1),
+       |ct AS (SELECT bk, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS nr,
+       |          SUM(CAST(lang = 'en' AS BIGINT)) AS nt FROM b),
+       |m AS (SELECT cr.bk, cr.cr, COALESCE(ct.ct, 0) AS ct FROM cr LEFT JOIN ct USING (bk)),
+       |dc AS (SELECT doc_id, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |         ROUND(CAST(SUM(CAST(CAST(c AS DOUBLE) *
+       |             (ln(CAST((m.ct + 1) * (tot.nr + 1024) AS DOUBLE))
+       |              - ln(CAST((m.cr + 1) * (tot.nt + 1024) AS DOUBLE)))
+       |           AS DECIMAL(18,12))) AS DOUBLE) / SUM(c), 4) AS dsir_logratio
+       |       FROM dc JOIN m USING (bk) CROSS JOIN tot
+       |       GROUP BY doc_id)""".stripMargin
+
   /** DuckDB mirror of winnowKeyed + winnowSelected, ending in
     * `v(doc_id, fp)`.
     */
@@ -961,49 +1011,42 @@ object TextQueries {
     // DECIMAL(18,12). The bucket models are 1024-row broadcasts; the
     // data-sized work is one token explode + one (doc, bucket) agg.
     "text_dsir_weight" -> Query(
-      (s, d) => {
-        val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-          explode(TextFunctions.cleanTokens(lower(col("text")))).as("term"))
-        val b = t.select(col("doc_id"), col("lang"),
-          (graft.functions.Hashing.md5Long32(col("term")) % 1024).as("bk"))
-        val cr = b.groupBy(col("bk")).agg(count(lit(1)).as("cr"))
-        val ct = b.filter(col("lang") === "en")
-          .groupBy(col("bk")).agg(count(lit(1)).as("ct"))
-        val tot = b.agg(count(lit(1)).as("nr"),
-          sum((col("lang") === "en").cast("long")).as("nt"))
-        val model = cr.join(ct, Seq("bk"), "left")
-          .select(col("bk"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
-        val dc = b.groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("c"))
-        val scored = dc.join(broadcast(model), Seq("bk"))
-          .crossJoin(broadcast(tot))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("c")).as("n_tokens"),
-            round(sum((col("c").cast("double") *
-                (log(((col("ct") + 1) * (col("nr") + 1024)).cast("double"))
-                  - log(((col("cr") + 1) * (col("nt") + 1024)).cast("double"))))
-              .cast("decimal(18,12)")).cast("double") / sum(col("c")), 4)
-              .as("dsir_logratio"))
-        scored.select(col("doc_id"), col("n_tokens"), col("dsir_logratio"),
-          (col("dsir_logratio") > 0).cast("long").as("keep"))
-      },
-      Some(s"""WITH t AS (SELECT doc_id, lang, unnest($lowToksSql) AS term FROM documents),
-             |b AS (SELECT doc_id, lang,
-             |        CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 1024 AS bk FROM t),
-             |cr AS (SELECT bk, COUNT(*) AS cr FROM b GROUP BY 1),
-             |ct AS (SELECT bk, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
-             |tot AS (SELECT COUNT(*) AS nr,
-             |          SUM(CAST(lang = 'en' AS BIGINT)) AS nt FROM b),
-             |m AS (SELECT cr.bk, cr.cr, COALESCE(ct.ct, 0) AS ct FROM cr LEFT JOIN ct USING (bk)),
-             |dc AS (SELECT doc_id, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
-             |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-             |         ROUND(CAST(SUM(CAST(CAST(c AS DOUBLE) *
-             |             (ln(CAST((m.ct + 1) * (tot.nr + 1024) AS DOUBLE))
-             |              - ln(CAST((m.cr + 1) * (tot.nt + 1024) AS DOUBLE)))
-             |           AS DECIMAL(18,12))) AS DOUBLE) / SUM(c), 4) AS dsir_logratio
-             |       FROM dc JOIN m USING (bk) CROSS JOIN tot
-             |       GROUP BY doc_id)
+      (s, d) =>
+        dsirScored(s, d).select(col("doc_id"), col("n_tokens"), col("dsir_logratio"),
+          (col("dsir_logratio") > 0).cast("long").as("keep")),
+      Some(s"""WITH $dsirCteSql
              |SELECT doc_id, n_tokens, dsir_logratio,
              |  CAST(dsir_logratio > 0 AS BIGINT) AS keep
+             |FROM sc""".stripMargin)
+    ),
+
+    // DSIR importance SAMPLING — the selection step that consumes the
+    // weights: per-doc acceptance probability in integer basis points
+    // (5000 + 5000·weight, clamped to [0, 10000] — target-like docs
+    // oversample, off-target docs undersample), decided by the
+    // deterministic md5 coin every sampler in the repo uses
+    // (hash < accept_bp). The clamp and coin are pure integer
+    // arithmetic on the ROUNDED weight, so the verdict column — the
+    // thing a resampled corpus is built from — hash-checks exactly.
+    "pipeline_dsir_sample" -> Query(
+      (s, d) =>
+        dsirScored(s, d)
+          .select(col("doc_id"), col("dsir_logratio"),
+            least(lit(10000L), greatest(lit(0L),
+              lit(5000L) + floor(col("dsir_logratio") * 5000 + 0.5).cast("long")))
+              .as("accept_bp"),
+            (graft.functions.Hashing.md5Long32(
+              concat(lit("dsirs_"), col("doc_id").cast("string"))) % 10000)
+              .as("coin"))
+          .withColumn("kept", (col("coin") < col("accept_bp")).cast("long")),
+      Some(s"""WITH $dsirCteSql
+             |SELECT doc_id, dsir_logratio,
+             |  LEAST(10000, GREATEST(0,
+             |    5000 + CAST(floor(dsir_logratio * 5000 + 0.5) AS BIGINT))) AS accept_bp,
+             |  CAST('0x' || substr(md5('dsirs_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS coin,
+             |  CAST(CAST('0x' || substr(md5('dsirs_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+             |    < LEAST(10000, GREATEST(0,
+             |        5000 + CAST(floor(dsir_logratio * 5000 + 0.5) AS BIGINT))) AS BIGINT) AS kept
              |FROM sc""".stripMargin)
     ),
 
