@@ -1232,6 +1232,48 @@ object Analytics {
              |    - CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE)
              |      / SUM(c), 4) AS entropy
              |FROM c GROUP BY user_id""".stripMargin)
+    ),
+
+    // OHLC BARS — the canonical time-series downsample (open/high/low/
+    // close + volume) per (event type, day): the shape every metrics
+    // store and trading system reduces ticks into. Open/close are
+    // first/last in (ts, event_id) order via two row_number frames
+    // inside ONE partition sort (no self-join); high/low/volume are
+    // plain map-side aggs; turnover sums exact DECIMAL. Raw value
+    // doubles pass through untouched so the bars hash-check exactly.
+    "window_ohlc" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("value"), col("ts"), col("event_id"),
+            expr("(ts div 1000) div 86400000000").as("di"))
+        val wA = Window.partitionBy(col("event_type"), col("di"))
+          .orderBy(col("ts"), col("event_id"))
+        val wD = Window.partitionBy(col("event_type"), col("di"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev.withColumn("rna", row_number().over(wA))
+          .withColumn("rnd", row_number().over(wD))
+          .groupBy(col("event_type"), col("di").as("day"))
+          .agg(
+            max(when(col("rna") === 1, col("value"))).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(when(col("rnd") === 1, col("value"))).as("close"),
+            count(lit(1)).as("volume"),
+            graft.Parity.dsum(col("value")).as("turnover"))
+      },
+      Some("""WITH ev AS (SELECT event_type, "value" AS v, ts, event_id,
+             |             epoch_us(ts) // 86400000000 AS di FROM events),
+             |r AS (SELECT event_type, di, v,
+             |        ROW_NUMBER() OVER (PARTITION BY event_type, di ORDER BY ts, event_id) AS rna,
+             |        ROW_NUMBER() OVER (PARTITION BY event_type, di ORDER BY ts DESC, event_id DESC) AS rnd
+             |      FROM ev)
+             |SELECT event_type, di AS day,
+             |  MAX(CASE WHEN rna = 1 THEN v END) AS open,
+             |  MAX(v) AS high, MIN(v) AS low,
+             |  MAX(CASE WHEN rnd = 1 THEN v END) AS close,
+             |  COUNT(*) AS volume,
+             |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS turnover
+             |FROM r GROUP BY 1, 2""".stripMargin)
     )
   )
 }

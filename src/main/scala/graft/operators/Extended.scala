@@ -528,6 +528,53 @@ object Extended {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)
     ),
 
+    // ASSOCIATION RULES on top of the basket pairs — confidence and
+    // lift, the metrics that turn co-occurrence counts into "customers
+    // who bought A also buy B" recommendations. Everything stays
+    // integer: confidence and lift ship in scaled fixed point
+    // (conf_bp = sup_ab·10000/sup_a; lift_e4 = sup_ab·n·10000/
+    // (sup_a·sup_b)) so the rule table hash-checks exactly. Per-item
+    // supports are one extra map-side agg on the SAME distinct
+    // (order, part) scan; the basket count rides a broadcast.
+    "basket_rules" -> Query(
+      (s, d) => {
+        val li = graft.Caches.scoped(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct())
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("sup_ab"))
+          .filter(col("sup_ab") >= 2)
+        val item = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("sup"))
+        val n = li.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+        pairs
+          .join(item.select(col("l_partkey").as("pa"), col("sup").as("sup_a")), Seq("pa"))
+          .join(item.select(col("l_partkey").as("pb"), col("sup").as("sup_b")), Seq("pb"))
+          .crossJoin(broadcast(n))
+          .select(col("pa"), col("pb"), col("sup_ab"), col("sup_a"), col("sup_b"),
+            expr("sup_ab * 10000 div sup_a").as("conf_ab_bp"),
+            expr("sup_ab * 10000 div sup_b").as("conf_ba_bp"),
+            expr("sup_ab * n_baskets * 10000 div (sup_a * sup_b)").as("lift_e4"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS sup_ab
+             |          FROM li a JOIN li b
+             |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |item AS (SELECT l_partkey, COUNT(*) AS sup FROM li GROUP BY 1),
+             |nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li)
+             |SELECT pa, pb, sup_ab, ia.sup AS sup_a, ib.sup AS sup_b,
+             |  CAST(sup_ab * 10000 // ia.sup AS BIGINT) AS conf_ab_bp,
+             |  CAST(sup_ab * 10000 // ib.sup AS BIGINT) AS conf_ba_bp,
+             |  CAST(sup_ab * n_baskets * 10000 // (ia.sup * ib.sup) AS BIGINT) AS lift_e4
+             |FROM pairs
+             |JOIN item ia ON ia.l_partkey = pa
+             |JOIN item ib ON ib.l_partkey = pb
+             |CROSS JOIN nb""".stripMargin)
+    ),
+
     // Datetime scalar suite — the calendar function surface an
     // analytics engine lives on. Engine convention traps are mapped
     // explicitly: Spark weekday (Monday=0) = DuckDB isodow - 1 (Spark

@@ -1050,6 +1050,79 @@ object TextQueries {
              |FROM sc""".stripMargin)
     ),
 
+    // CODE-LIKENESS gate — the prose/code split every pretraining
+    // mixture needs before weighting code separately: per doc, the
+    // density of code-class symbols ({}();=<>), digits, and 2-space
+    // indented lines, all as integer basis points (counts via
+    // length-minus-stripped, the regexp trick both engines evaluate
+    // identically), with an integer-threshold verdict. Row-local — one
+    // scan, no shuffle.
+    "text_code_ratio" -> Query(
+      (s, d) => {
+        val n = length(col("text"))
+        val sym = n - length(regexp_replace(col("text"), "[{}();=<>]", ""))
+        val dig = n - length(regexp_replace(col("text"), "[0-9]", ""))
+        val lines = split(col("text"), "\n")
+        val indented = size(filter(lines, l => l.startsWith("  ")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), n.cast("long").as("n_chars_m"),
+            sym.cast("long").as("n_symbols"), dig.cast("long").as("n_digits"),
+            size(lines).cast("long").as("n_lines"),
+            indented.cast("long").as("n_indented"))
+          .filter(col("n_chars_m") > 0)
+          .select(col("doc_id"), col("n_chars_m"), col("n_symbols"), col("n_digits"),
+            col("n_lines"), col("n_indented"),
+            expr("n_symbols * 10000 div n_chars_m").as("symbol_bp"),
+            expr("n_digits * 10000 div n_chars_m").as("digit_bp"))
+          .withColumn("code_like",
+            (col("symbol_bp") >= 300 || col("n_indented") * 2 > col("n_lines"))
+              .cast("long"))
+      },
+      Some("""WITH c AS (SELECT doc_id, length(text) AS n_chars_m,
+             |    length(text) - length(regexp_replace(text, '[{}();=<>]', '', 'g')) AS n_symbols,
+             |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+             |    len(string_split(text, chr(10))) AS n_lines,
+             |    len(list_filter(string_split(text, chr(10)), l -> l LIKE '  %')) AS n_indented
+             |  FROM documents)
+             |SELECT doc_id, CAST(n_chars_m AS BIGINT) AS n_chars_m,
+             |  CAST(n_symbols AS BIGINT) AS n_symbols, CAST(n_digits AS BIGINT) AS n_digits,
+             |  CAST(n_lines AS BIGINT) AS n_lines, CAST(n_indented AS BIGINT) AS n_indented,
+             |  CAST(n_symbols * 10000 // n_chars_m AS BIGINT) AS symbol_bp,
+             |  CAST(n_digits * 10000 // n_chars_m AS BIGINT) AS digit_bp,
+             |  CAST(n_symbols * 10000 // n_chars_m >= 300 OR n_indented * 2 > n_lines AS BIGINT) AS code_like
+             |FROM c WHERE n_chars_m > 0""".stripMargin)
+    ),
+
+    // TOKENIZER FERTILITY per language — the subword-economics metric
+    // (BPE-ish tokens per whitespace word) that decides how a
+    // multilingual mixture's token budget is really spent: languages
+    // the tokenizer fragments (fertility >> 1) cost more context per
+    // word. Integer basis points from two exact count rollups on the
+    // same scan.
+    "text_tokenizer_fertility" -> Query(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("lang"),
+            size(cleanToks).cast("long").as("w"),
+            size(TextFunctions.bpeishTokens(col("text"))).cast("long").as("t"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+            sum(col("t")).as("n_bpeish"))
+          .filter(col("n_words") > 0)
+          .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpeish"),
+            expr("n_bpeish * 10000 div n_words").as("fertility_bp")),
+      Some("""WITH c AS (SELECT lang,
+             |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w,
+             |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS t
+             |  FROM documents),
+             |g AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS n_words,
+             |        CAST(SUM(t) AS BIGINT) AS n_bpeish
+             |      FROM c GROUP BY 1)
+             |SELECT lang, n_docs, n_words, n_bpeish,
+             |  CAST(n_bpeish * 10000 // n_words AS BIGINT) AS fertility_bp
+             |FROM g WHERE n_words > 0""".stripMargin)
+    ),
+
     // SHINGLE NOVELTY — the per-document "how much of this is new to
     // the corpus" gate (doc_id order = ingest order): fraction of a
     // doc's distinct 3-gram shingles whose corpus-wide FIRST occurrence
