@@ -2,6 +2,7 @@ package graft.etl
 
 import graft.{Parity, Query, Tables}
 import graft.functions.{Hashing, TextFunctions}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Additional ingestion + composite-pipeline queries (SURVEY §2.7). */
@@ -888,6 +889,62 @@ object IngestQueries {
              |       ELSE 'purge' END AS action
              |FROM ev CROSS JOIN mx
              |GROUP BY di, maxd""".stripMargin)
+    ),
+
+    // COLUMN-PROFILING manifest — the auto-profiler every catalog runs
+    // on ingest (null rates, cardinalities, value spans per column).
+    // One row per profiled column via a union of single-column aggs:
+    // each leg's scan is pruned to ITS column (the realistic shape on
+    // a columnar store — profiling cost is one pass per column, all
+    // map-side-combinable). Min/max ship as strings with engine-proof
+    // formatting: integers verbatim, doubles through DECIMAL(18,2),
+    // timestamps through a fixed date format.
+    "etl_profile_columns" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def leg(name: String, minS: Column, maxS: Column): org.apache.spark.sql.DataFrame =
+          li.agg(count(lit(1)).as("n_rows"),
+              sum(col(name).isNull.cast("long")).as("n_null"),
+              countDistinct(col(name)).as("n_distinct"),
+              minS.as("min_s"), maxS.as("max_s"))
+            .select(lit(name).as("column"), col("n_rows"), col("n_null"),
+              col("n_distinct"), col("min_s"), col("max_s"))
+        def intLeg(name: String) =
+          leg(name, min(col(name)).cast("string"), max(col(name)).cast("string"))
+        def dblLeg(name: String) =
+          leg(name, min(col(name)).cast("decimal(18,2)").cast("string"),
+            max(col(name)).cast("decimal(18,2)").cast("string"))
+        def strLeg(name: String) =
+          leg(name, min(col(name)), max(col(name)))
+        def tsLeg(name: String) =
+          leg(name, date_format(min(col(name)), "yyyy-MM-dd HH:mm:ss"),
+            date_format(max(col(name)), "yyyy-MM-dd HH:mm:ss"))
+        Seq(intLeg("l_orderkey"), intLeg("l_partkey"), intLeg("l_suppkey"),
+          intLeg("l_linenumber"), dblLeg("l_quantity"), dblLeg("l_extendedprice"),
+          strLeg("l_returnflag"), tsLeg("l_shipdate"))
+          .reduce(_ unionAll _)
+      },
+      Some {
+        def leg(name: String, minS: String, maxS: String) =
+          s"""SELECT '$name' AS "column", COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST($name IS NULL AS BIGINT)) AS BIGINT) AS n_null,
+             |  COUNT(DISTINCT $name) AS n_distinct,
+             |  $minS AS min_s, $maxS AS max_s
+             |FROM lineitem""".stripMargin
+        def intLeg(n: String) =
+          leg(n, s"CAST(MIN($n) AS VARCHAR)", s"CAST(MAX($n) AS VARCHAR)")
+        def dblLeg(n: String) =
+          leg(n, s"CAST(CAST(MIN($n) AS DECIMAL(18,2)) AS VARCHAR)",
+            s"CAST(CAST(MAX($n) AS DECIMAL(18,2)) AS VARCHAR)")
+        def strLeg(n: String) = leg(n, s"MIN($n)", s"MAX($n)")
+        def tsLeg(n: String) =
+          leg(n, s"strftime(MIN($n), '%Y-%m-%d %H:%M:%S')",
+            s"strftime(MAX($n), '%Y-%m-%d %H:%M:%S')")
+        Seq(intLeg("l_orderkey"), intLeg("l_partkey"), intLeg("l_suppkey"),
+          intLeg("l_linenumber"), dblLeg("l_quantity"), dblLeg("l_extendedprice"),
+          strLeg("l_returnflag"), tsLeg("l_shipdate"))
+          .mkString("\nUNION ALL\n")
+      }
     )
   )
 }

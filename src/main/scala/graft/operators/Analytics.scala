@@ -1274,6 +1274,93 @@ object Analytics {
              |  COUNT(*) AS volume,
              |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS turnover
              |FROM r GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // MOVING-AVERAGE CROSSOVER signals over the daily series — the
+    // classic trend-change detector (golden/death cross at MA3 vs MA7
+    // grain): a cross fires when the sign of MA3 − MA7 flips. The
+    // float-free trick: 7·sum3 vs 3·sum7 compares the SAME quantity in
+    // pure integers, so signal days hash-check exactly. One partition
+    // sort per event type serves both frames and the lag.
+    "window_ma_crossover" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+        val daily = dailyCounts(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("sum3", sum(col("x")).over(w.rowsBetween(-2, 0)))
+          .withColumn("sum7", sum(col("x")).over(w.rowsBetween(-6, 0)))
+          .withColumn("diff", col("sum3") * 7 - col("sum7") * 3)
+          .withColumn("prev_diff", lag(col("diff"), 1).over(w))
+          .filter(col("rn") >= 8)
+        daily.select(col("event_type"), col("di"), col("sum3"), col("sum7"),
+          col("diff"),
+          (col("prev_diff") <= 0 && col("diff") > 0).cast("long").as("cross_up"),
+          (col("prev_diff") >= 0 && col("diff") < 0).cast("long").as("cross_down"))
+      },
+      Some(s"""WITH daily AS ($dailySql),
+             |r AS (SELECT event_type, di, x,
+             |        ROW_NUMBER() OVER w AS rn,
+             |        SUM(x) OVER (PARTITION BY event_type ORDER BY di
+             |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sum3,
+             |        SUM(x) OVER (PARTITION BY event_type ORDER BY di
+             |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sum7
+             |      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY di)),
+             |dd AS (SELECT event_type, di, rn,
+             |         CAST(sum3 AS BIGINT) AS sum3, CAST(sum7 AS BIGINT) AS sum7,
+             |         CAST(sum3 * 7 - sum7 * 3 AS BIGINT) AS diff,
+             |         LAG(CAST(sum3 * 7 - sum7 * 3 AS BIGINT)) OVER
+             |           (PARTITION BY event_type ORDER BY di) AS prev_diff
+             |       FROM r)
+             |SELECT event_type, di, sum3, sum7, diff,
+             |  CAST(prev_diff <= 0 AND diff > 0 AS BIGINT) AS cross_up,
+             |  CAST(prev_diff >= 0 AND diff < 0 AS BIGINT) AS cross_down
+             |FROM dd WHERE rn >= 8""".stripMargin)
+    ),
+
+    // INTER-ARRIVAL statistics per event type — the traffic-model
+    // fingerprint (Poisson-ness, burstiness, dead air) capacity
+    // planning and anomaly baselines start from: consecutive-event
+    // gaps in integer microseconds from one lag over the per-type
+    // sort, then min/mean/max + the coefficient-of-variation numerator
+    // in exact integers (mean via integer div; cv as a 4dp-rounded
+    // double from DECIMAL power sums).
+    "events_inter_arrival" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        val gaps = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), expr("(ts div 1000)").as("us"))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+          .filter(col("gap").isNotNull)
+        gaps.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            min(col("gap")).as("min_gap_us"),
+            max(col("gap")).as("max_gap_us"),
+            expr("sum(gap) div count(1)").as("mean_gap_us"),
+            sum(col("gap")).as("s1"),
+            sum((col("gap").cast("double") * col("gap"))
+              .cast("decimal(38,6)")).as("s2"))
+          .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
+            col("max_gap_us"), col("mean_gap_us"),
+            round(sqrt(greatest(col("s2").cast("double") / col("n_gaps")
+                - (col("s1").cast("double") / col("n_gaps"))
+                  * (col("s1").cast("double") / col("n_gaps")), lit(0.0)))
+              / (col("s1").cast("double") / col("n_gaps")), 4).as("cv"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+             |g AS (SELECT event_type,
+             |        us - LAG(us) OVER (PARTITION BY event_type ORDER BY us, event_id) AS gap
+             |      FROM e)
+             |SELECT event_type, COUNT(*) AS n_gaps,
+             |  MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
+             |  CAST(SUM(gap) // COUNT(*) AS BIGINT) AS mean_gap_us,
+             |  ROUND(sqrt(GREATEST(
+             |      CAST(SUM(CAST(CAST(gap AS DOUBLE) * gap AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+             |        - (CAST(SUM(gap) AS DOUBLE) / COUNT(*)) * (CAST(SUM(gap) AS DOUBLE) / COUNT(*)),
+             |      CAST(0 AS DOUBLE)))
+             |    / (CAST(SUM(gap) AS DOUBLE) / COUNT(*)), 4) AS cv
+             |FROM g WHERE gap IS NOT NULL
+             |GROUP BY event_type""".stripMargin)
     )
   )
 }

@@ -426,6 +426,84 @@ object Graph {
              |  CAST(COALESCE(intl.l_c, 0) AS BIGINT) AS l_c, dm.d_c,
              |  CAST(4 * mm.m * COALESCE(intl.l_c, 0) - dm.d_c * dm.d_c AS BIGINT) AS q_num
              |FROM dm LEFT JOIN intl USING (community) CROSS JOIN mm""".stripMargin)
+    ),
+
+    // PERSONALIZED PageRank from a seed set (the recommendation/
+    // similar-items primitive: random walks that RESTART at the seeds,
+    // so mass concentrates near them instead of spreading globally).
+    // Same scaled-integer discipline as graph_pagerank (quantum 1e-12,
+    // integer div floors identically cross-engine); the restart mass
+    // goes only to seed nodes (parts with id % 100 == 0), iterations
+    // are the same edges-join-ranks + destination partial agg. Two
+    // iterations, O(E) messages each — the plan a 100 TB walk runs.
+    "graph_ppr" -> Query(
+      (s, d) => {
+        val Q = 1000000000000L
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+        val edges = graft.Caches.scoped(
+          pairs.select(col("pa").as("u"), col("pb").as("v"))
+            .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v"))))
+        val deg = graft.Caches.scoped(
+          edges.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+        val seeds = deg.filter(col("u") % 100 === 0)
+        val nSeeds = seeds.count()
+        val seedShare = Q / math.max(nSeeds, 1L)
+        val restart = (15L * seedShare) / 100L
+        var ranks = deg.select(col("u").as("node"), col("deg"),
+          when(col("node") % 100 === 0, lit(seedShare)).otherwise(lit(0L)).as("r"))
+        (1 to 2).foreach { _ =>
+          val contrib = ranks.select(col("node").as("u"), expr("r div deg").as("c"))
+          val inSum = edges.join(contrib, Seq("u"))
+            .groupBy(col("v")).agg(sum(col("c")).as("sum_c"))
+          ranks = deg.select(col("u").as("node"), col("deg"))
+            .join(inSum, col("node") === col("v"), "left_outer")
+            .select(col("node"), col("deg"),
+              (when(col("node") % 100 === 0, lit(restart)).otherwise(lit(0L)) +
+                expr("coalesce(sum_c, 0L) * 85 div 100")).as("r"))
+        }
+        ranks.select(col("node").as("part"), col("deg"), col("r").as("ppr_q"))
+      },
+      Some(s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |          FROM li a JOIN li b
+             |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |edges AS (SELECT pa AS u, pb AS v FROM pairs
+             |          UNION ALL SELECT pb, pa FROM pairs),
+             |deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY 1),
+             |k AS (SELECT 1000000000000 // GREATEST(COUNT(*), 1) AS ss,
+             |        (15 * (1000000000000 // GREATEST(COUNT(*), 1))) // 100 AS rst
+             |      FROM deg WHERE u % 100 = 0),
+             |r0 AS (SELECT d.u AS node, d.deg,
+             |         CASE WHEN d.u % 100 = 0 THEN k.ss ELSE 0 END AS r
+             |       FROM deg d CROSS JOIN k),
+             |r1 AS (SELECT d.u AS node, d.deg,
+             |         CASE WHEN d.u % 100 = 0 THEN k.rst ELSE 0 END
+             |           + COALESCE(CAST(s.sum_c AS BIGINT), 0) * 85 // 100 AS r
+             |       FROM deg d CROSS JOIN k
+             |       LEFT JOIN (SELECT e.v, SUM(r0.r // d2.deg) AS sum_c
+             |                  FROM edges e
+             |                  JOIN deg d2 ON e.u = d2.u
+             |                  JOIN r0 ON r0.node = e.u
+             |                  GROUP BY e.v) s ON d.u = s.v),
+             |r2 AS (SELECT d.u AS node, d.deg,
+             |         CASE WHEN d.u % 100 = 0 THEN k.rst ELSE 0 END
+             |           + COALESCE(CAST(s.sum_c AS BIGINT), 0) * 85 // 100 AS r
+             |       FROM deg d CROSS JOIN k
+             |       LEFT JOIN (SELECT e.v, SUM(r1.r // d2.deg) AS sum_c
+             |                  FROM edges e
+             |                  JOIN deg d2 ON e.u = d2.u
+             |                  JOIN r1 ON r1.node = e.u
+             |                  GROUP BY e.v) s ON d.u = s.v)
+             |SELECT node AS part, deg, r AS ppr_q FROM r2""".stripMargin)
     )
   )
 }

@@ -1123,6 +1123,46 @@ object TextQueries {
              |FROM g WHERE n_words > 0""".stripMargin)
     ),
 
+    // SOURCE KL DIVERGENCE — per-source distribution drift vs the
+    // corpus: KL(source ‖ corpus) over unigram distributions, the
+    // information-theoretic "how unlike the rest is this feed" score
+    // that flags a source gone template-spam or off-domain before it
+    // skews a mixture. Every ln argument is a PRODUCT OF INTEGER
+    // counts (c_s·N vs c·N_s), weighted sums ride DECIMAL(26,12)
+    // (term sums exceed the (18,12) integer headroom), one division
+    // by N_s at the end. Two shrinking aggs + one term join.
+    "text_source_kl" -> Query(
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("source"),
+          explode(TextFunctions.cleanTokens(lower(col("text")))).as("term"))
+        val ts = t.groupBy(col("source"), col("term")).agg(count(lit(1)).as("cs"))
+        val tc = t.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val ns = t.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+        val tot = t.agg(count(lit(1)).as("n"))
+        ts.join(tc, Seq("term"))
+          .join(broadcast(ns), Seq("source"))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("source"), col("ns"))
+          .agg(sum((col("cs").cast("double") *
+              (log((col("cs") * col("n")).cast("double"))
+                - log((col("c") * col("ns")).cast("double"))))
+            .cast("decimal(26,12)")).as("skl"))
+          .select(col("source"), col("ns").as("n_tokens"),
+            round(col("skl").cast("double") / col("ns"), 4).as("kl_div"))
+      },
+      Some(s"""WITH t AS (SELECT source, unnest($lowToksSql) AS term FROM documents),
+             |ts AS (SELECT source, term, COUNT(*) AS cs FROM t GROUP BY 1, 2),
+             |tc AS (SELECT term, COUNT(*) AS c FROM t GROUP BY 1),
+             |ns AS (SELECT source, COUNT(*) AS ns FROM t GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n FROM t)
+             |SELECT ts.source, CAST(ns.ns AS BIGINT) AS n_tokens,
+             |  ROUND(CAST(SUM(CAST(CAST(cs AS DOUBLE) *
+             |      (ln(CAST(cs * tot.n AS DOUBLE)) - ln(CAST(tc.c * ns.ns AS DOUBLE)))
+             |    AS DECIMAL(26,12))) AS DOUBLE) / ns.ns, 4) AS kl_div
+             |FROM ts JOIN tc USING (term) JOIN ns USING (source) CROSS JOIN tot
+             |GROUP BY ts.source, ns.ns""".stripMargin)
+    ),
+
     // SHINGLE NOVELTY — the per-document "how much of this is new to
     // the corpus" gate (doc_id order = ingest order): fraction of a
     // doc's distinct 3-gram shingles whose corpus-wide FIRST occurrence
