@@ -151,6 +151,46 @@ class PlanSpec extends AnyFunSuite {
       "vote counts must combine map-side")
   }
 
+  test("kNN graph candidates come from the banded self-join, never a cross product") {
+    val t = tree("vec_knn_graph")
+    assert(!t.exists(l => l.contains("CartesianProduct") ||
+      l.contains("BroadcastNestedLoopJoin")),
+      "kNN graph must block on (table, bucket), not score all pairs")
+  }
+
+  test("multi-probe LSH broadcasts the expanded probe set; corpus side never sorts") {
+    val p = plan("ann_multiprobe_lsh")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe expansion must ride a broadcast onto the corpus bucket table")
+  }
+
+  test("audio VAD plans as one codec scan with zero shuffle") {
+    val t = tree("mm_audio_vad")
+    assert(!t.exists(_.contains("Exchange")),
+      "VAD segment fold is per-doc inside the codec walk")
+  }
+
+  test("RGB histogram plans as one codec scan with zero shuffle") {
+    val t = tree("mm_rgb_histogram")
+    assert(!t.exists(_.contains("Exchange")),
+      "histogram fold is per-image inside the codec walk")
+  }
+
+  test("DSIR models ride broadcasts onto the per-doc bucket counts") {
+    val p = plan("text_dsir_weight")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1 ||
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size >= 1,
+      "the 1024-row bucket model must broadcast, not shuffle the corpus")
+  }
+
+  test("column profiler prunes every leg's scan to its own column") {
+    val p = plan("etl_profile_columns")
+    // each single-column agg leg must read a one-column schema — a leg
+    // scanning the full row width would make profiling cost 8x the table
+    assert("ReadSchema: struct<l_orderkey:bigint>".r.findAllIn(p).size >= 1, p.take(1500))
+    assert("ReadSchema: struct<l_returnflag:string>".r.findAllIn(p).size >= 1)
+  }
+
   test("hashing-trick vectorization is one scan with no shuffle") {
     // hash + bucket-count fold are row-local: vectorization must run
     // at scan rate, never exchange
