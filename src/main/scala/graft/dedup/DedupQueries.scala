@@ -630,6 +630,35 @@ object DedupQueries {
              |SELECT id_a, id_b, CAST(levenshtein(ha, hb) AS BIGINT) AS lev,
              |  CAST(levenshtein(ha, hb) <= 15 AS BIGINT) AS is_dup
              |FROM p WHERE levenshtein(ha, hb) <= 25""".stripMargin)
+    ),
+
+    // CLUSTER-SIZE DISTRIBUTION of the transitive near-dup clusters —
+    // the dedup monitoring artifact: a healthy corpus shows mostly
+    // pairs and small clusters; a template/mirror infestation shows up
+    // as a fat tail (one giant component is the classic symptom of a
+    // too-loose threshold). Sizes come from the same label-propagation
+    // labels; the histogram is two more map-side aggs over O(nodes)
+    // rows.
+    "dedup_cluster_stats" -> Query(
+      (s, d) =>
+        connectedComponents(minhashPairs(s, d))
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("sz")).as("n_docs")),
+      Some(s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+             |edges AS (SELECT da AS src, db AS dst FROM pairs
+             |          UNION ALL SELECT db, da FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS node FROM edges),
+             |walk(node, lbl) AS (
+             |  SELECT node, node FROM nodes
+             |  UNION
+             |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+             |cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node),
+             |szs AS (SELECT cluster_id, COUNT(*) AS sz FROM cc GROUP BY 1)
+             |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+             |  CAST(SUM(sz) AS BIGINT) AS n_docs
+             |FROM szs GROUP BY 1""".stripMargin)
     )
   )
 }

@@ -1361,6 +1361,52 @@ object Analytics {
              |    / (CAST(SUM(gap) AS DOUBLE) / COUNT(*)), 4) AS cv
              |FROM g WHERE gap IS NOT NULL
              |GROUP BY event_type""".stripMargin)
+    ),
+
+    // ORDER BACKLOG curve — work-in-progress over time: an order opens
+    // at o_orderdate and closes when its LAST lineitem ships; backlog
+    // on day t = cumulative opens − cumulative closes. The data-sized
+    // work is one per-order max-shipdate agg + two day-grain rollups;
+    // the running difference walks only the bounded calendar series
+    // (the events_running_distinct contract: windows over day series,
+    // never over rows). Pure integer day arithmetic.
+    "orders_backlog" -> Query(
+      (s, d) => {
+        val closes = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(max(datediff(to_date(col("l_shipdate")), lit("1970-01-01")))
+            .cast("long").as("cd"))
+        val opens = Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+              .cast("long").as("od"))
+          .join(closes, Seq("o_orderkey"))
+        val byOpen = opens.groupBy(col("od").as("day")).agg(count(lit(1)).as("n_opened"))
+        val byClose = opens.groupBy(col("cd").as("day")).agg(count(lit(1)).as("n_closed"))
+        val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+        byOpen.join(byClose, Seq("day"), "full_outer")
+          .select(col("day"),
+            coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+            coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+          .withColumn("backlog",
+            sum(col("n_opened") - col("n_closed")).over(w))
+      },
+      Some("""WITH cl AS (SELECT l_orderkey AS o_orderkey,
+             |              MAX(CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)) AS cd
+             |            FROM lineitem GROUP BY 1),
+             |op AS (SELECT o.o_orderkey,
+             |         CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS od, cl.cd
+             |       FROM orders o JOIN cl USING (o_orderkey)),
+             |d1 AS (SELECT od AS day, COUNT(*) AS n_opened FROM op GROUP BY 1),
+             |d2 AS (SELECT cd AS day, COUNT(*) AS n_closed FROM op GROUP BY 1),
+             |dd AS (SELECT COALESCE(d1.day, d2.day) AS day,
+             |         COALESCE(d1.n_opened, 0) AS n_opened,
+             |         COALESCE(d2.n_closed, 0) AS n_closed
+             |       FROM d1 FULL OUTER JOIN d2 ON d1.day = d2.day)
+             |SELECT day, n_opened, n_closed,
+             |  CAST(SUM(n_opened - n_closed) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+             |FROM dd""".stripMargin)
     )
   )
 }

@@ -94,6 +94,54 @@ object SimilarityQueries {
       |   sqrt(list_sum(list_transform(generate_series(1, 64),
       |    i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))))""".stripMargin
 
+  /** Full oracle statements for the three reference ANN rankings —
+    * shared by their own entries and embedded as subqueries by
+    * ann_recall_eval (DuckDB allows WITH inside a parenthesized
+    * subquery).
+    */
+  private lazy val bruteOracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT q.qid, e.vec_id, $cosSql AS cos
+       |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+       |r AS (SELECT qid, vec_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |      FROM c)
+       |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin
+
+  private lazy val lshOracleSql: String =
+    s"""WITH b AS (${(0 until lshTables).map(t =>
+         s"SELECT vec_id, embedding, $t AS tbl, ${lshBucketSql(lshPlanes * t)} AS bucket FROM embeddings")
+         .mkString("\n UNION ALL ")}),
+       |bq AS (SELECT vec_id AS qid, tbl, bucket FROM b WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT bq.qid, e.vec_id
+       |         FROM b e JOIN bq ON e.tbl = bq.tbl AND e.bucket = bq.bucket AND e.vec_id <> bq.qid),
+       |c AS (SELECT cand.qid, cand.vec_id, $cosSql AS cos
+       |      FROM cand
+       |      JOIN embeddings e ON e.vec_id = cand.vec_id
+       |      JOIN (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10) q
+       |        ON q.qid = cand.qid),
+       |r AS (SELECT qid, vec_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |      FROM c)
+       |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin
+
+  private lazy val ivfOracleSql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+       |sc AS (SELECT e.vec_id, e.embedding, c.cid, $centSimSql AS csim
+       |       FROM embeddings e CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, embedding, cid FROM (
+       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+       |          FROM sc) WHERE crn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, cid FROM (
+       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+       |          FROM sc WHERE vec_id < 10) WHERE crn <= 3),
+       |c AS (SELECT q.qid, e.vec_id, $cosSql AS cos
+       |      FROM asg e JOIN q ON e.cid = q.cid AND e.vec_id <> q.qid),
+       |r AS (SELECT qid, vec_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |      FROM c)
+       |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin
+
   // ---- k-means machinery (kmeans_train + ann_ivf_trained) ----------
   // Embeddings quantized to exact integers (floor(x*1000+0.5) is
   // engine-identical where round() is not) — every k-means sum is then
@@ -672,13 +720,7 @@ object SimilarityQueries {
             pairCos(col("qv"), col("qnrm")).as("cos"))
         topK(scored, 5)
       },
-      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
-             |c AS (SELECT q.qid, e.vec_id, $cosSql AS cos
-             |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
-             |r AS (SELECT qid, vec_id, cos,
-             |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
-             |      FROM c)
-             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
+      Some(bruteOracleSql)
     ),
 
     // METADATA-FILTERED vector search — the retrieval pattern RAG and
@@ -739,21 +781,7 @@ object SimilarityQueries {
           .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos"))
         topK(scored, 5)
       },
-      Some(s"""WITH b AS (${(0 until lshTables).map(t =>
-                 s"SELECT vec_id, embedding, $t AS tbl, ${lshBucketSql(lshPlanes * t)} AS bucket FROM embeddings")
-                 .mkString("\n UNION ALL ")}),
-             |bq AS (SELECT vec_id AS qid, tbl, bucket FROM b WHERE vec_id < 10),
-             |cand AS (SELECT DISTINCT bq.qid, e.vec_id
-             |         FROM b e JOIN bq ON e.tbl = bq.tbl AND e.bucket = bq.bucket AND e.vec_id <> bq.qid),
-             |c AS (SELECT cand.qid, cand.vec_id, $cosSql AS cos
-             |      FROM cand
-             |      JOIN embeddings e ON e.vec_id = cand.vec_id
-             |      JOIN (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10) q
-             |        ON q.qid = cand.qid),
-             |r AS (SELECT qid, vec_id, cos,
-             |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
-             |      FROM c)
-             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
+      Some(lshOracleSql)
     ),
 
     // IVF-style coarse quantization: deterministic seed centroids
@@ -800,21 +828,7 @@ object SimilarityQueries {
             pairCos(col("qv"), col("qnrm")).as("cos"))
         topK(cand, 5)
       },
-      Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
-             |sc AS (SELECT e.vec_id, e.embedding, c.cid, $centSimSql AS csim
-             |       FROM embeddings e CROSS JOIN cent c),
-             |asg AS (SELECT vec_id, embedding, cid FROM (
-             |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
-             |          FROM sc) WHERE crn = 1),
-             |q AS (SELECT vec_id AS qid, embedding AS qv, cid FROM (
-             |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
-             |          FROM sc WHERE vec_id < 10) WHERE crn <= 3),
-             |c AS (SELECT q.qid, e.vec_id, $cosSql AS cos
-             |      FROM asg e JOIN q ON e.cid = q.cid AND e.vec_id <> q.qid),
-             |r AS (SELECT qid, vec_id, cos,
-             |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
-             |      FROM c)
-             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
+      Some(ivfOracleSql)
     ),
 
     // Binary (sign-bit) quantization ANN — the 32x-compression scale
@@ -1147,6 +1161,53 @@ object SimilarityQueries {
              |SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
              |  FROM c) WHERE rn <= 3""".stripMargin)
+    ),
+
+    // ANN RECALL EVALUATION — the index-quality report as a QUERY, not
+    // just a test: per probe, how many of the exact top-5 each
+    // approximate index (LSH, IVF) recovered, with recall in integer
+    // basis points. This is the artifact an index-tuning loop reads
+    // (recall@k vs index params) — QualitySpec asserts floors on the
+    // same numbers, but production monitoring needs them AS DATA. Each
+    // ranking runs its own already-pinned plan; the eval join touches
+    // 3×5 rows per probe.
+    "ann_recall_eval" -> Query(
+      (s, d) => {
+        val m = entries.toMap
+        def ids(name: String) =
+          m(name).fn(s, d).select(col("qid"), col("vec_id"))
+        val ex = ids("ann_bruteforce_topk")
+        val lsh = ids("ann_lsh_topk")
+        val ivf = ids("ann_ivf_topk")
+        val nEx = ex.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+        val lh = ex.join(lsh, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("lsh_hits"))
+        val ih = ex.join(ivf, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("ivf_hits"))
+        nEx.join(lh, Seq("qid"), "left").join(ih, Seq("qid"), "left")
+          .select(col("qid"), col("n_exact"),
+            coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+            coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+          .select(col("qid"), col("n_exact"), col("lsh_hits"), col("ivf_hits"),
+            expr("lsh_hits * 10000 div n_exact").as("lsh_recall_bp"),
+            expr("ivf_hits * 10000 div n_exact").as("ivf_recall_bp"))
+      },
+      Some(s"""WITH ex AS (SELECT qid, vec_id FROM ($bruteOracleSql)),
+             |ls AS (SELECT qid, vec_id FROM ($lshOracleSql)),
+             |iv AS (SELECT qid, vec_id FROM ($ivfOracleSql)),
+             |ne AS (SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY 1),
+             |lh AS (SELECT ex.qid, COUNT(*) AS lsh_hits FROM ex
+             |       WHERE EXISTS (SELECT 1 FROM ls WHERE ls.qid = ex.qid AND ls.vec_id = ex.vec_id)
+             |       GROUP BY 1),
+             |ih AS (SELECT ex.qid, COUNT(*) AS ivf_hits FROM ex
+             |       WHERE EXISTS (SELECT 1 FROM iv WHERE iv.qid = ex.qid AND iv.vec_id = ex.vec_id)
+             |       GROUP BY 1)
+             |SELECT ne.qid, ne.n_exact,
+             |  COALESCE(lh.lsh_hits, 0) AS lsh_hits,
+             |  COALESCE(ih.ivf_hits, 0) AS ivf_hits,
+             |  CAST(COALESCE(lh.lsh_hits, 0) * 10000 // ne.n_exact AS BIGINT) AS lsh_recall_bp,
+             |  CAST(COALESCE(ih.ivf_hits, 0) * 10000 // ne.n_exact AS BIGINT) AS ivf_recall_bp
+             |FROM ne LEFT JOIN lh USING (qid) LEFT JOIN ih USING (qid)""".stripMargin)
     ),
 
     // IVF INDEX-BALANCE audit — the health check an IVF deployment
