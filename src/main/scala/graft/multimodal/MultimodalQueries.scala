@@ -556,6 +556,56 @@ object MultimodalQueries {
              |FROM l WHERE prev_sum IS NOT NULL AND abs(fsum - prev_sum) > 300""".stripMargin)
     ),
 
+    // SHOT STATISTICS on top of scene-cut detection — the video-grain
+    // summary a curation pipeline keys sampling decisions on (a
+    // 1-shot static clip and a 40-cut montage want different frame
+    // sampling rates): per video, frame/cut counts and the mean shot
+    // length in x100 fixed point (shots = cuts + 1 over the frames
+    // that have a predecessor). Same native FrameByteSums walk as
+    // mm_scene_cuts; the rollup is one map-side agg.
+    "mm_shot_stats" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            length(col("text").cast("binary")).as("n_bytes"),
+            graft.plans.TextExpressions.frameByteSums(col("text").cast("binary"), 64)
+              .as("fsums"))
+          .filter(col("n_bytes") >= 128)
+          .select(col("doc_id"),
+            posexplode(col("fsums")).as(Seq("frame_id", "fsum")))
+          .withColumn("prev_sum", lag(col("fsum"), 1).over(w))
+          .filter(col("prev_sum").isNotNull)
+          .groupBy(col("doc_id"))
+          .agg((count(lit(1)) + 1).as("n_frames"),
+            sum((abs(col("fsum") - col("prev_sum")) > 300).cast("long")).as("n_cuts"))
+          .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+            (col("n_cuts") + 1).as("n_shots"),
+            expr("n_frames * 100 div (n_cuts + 1)").as("mean_shot_len_x100"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |    octet_length(encode(text)) AS n_bytes
+             |  FROM documents WHERE octet_length(encode(text)) >= 128),
+             |f AS (SELECT doc_id, hx,
+             |    unnest(generate_series(0, CAST(n_bytes // 64 AS INT) - 1)) AS frame_id
+             |  FROM d),
+             |fs AS (SELECT doc_id, frame_id,
+             |    CAST(list_sum(list_transform(generate_series(0, 63),
+             |      i -> CAST('0x' || substr(hx, frame_id*128 + i*2 + 1, 2) AS BIGINT))) AS BIGINT) AS fsum
+             |  FROM f),
+             |l AS (SELECT doc_id, fsum,
+             |    lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame_id) AS prev_sum
+             |  FROM fs),
+             |g AS (SELECT doc_id, COUNT(*) + 1 AS n_frames,
+             |    CAST(SUM(CAST(abs(fsum - prev_sum) > 300 AS BIGINT)) AS BIGINT) AS n_cuts
+             |  FROM l WHERE prev_sum IS NOT NULL GROUP BY 1)
+             |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames, n_cuts,
+             |  CAST(n_cuts + 1 AS BIGINT) AS n_shots,
+             |  CAST(n_frames * 100 // (n_cuts + 1) AS BIGINT) AS mean_shot_len_x100
+             |FROM g""".stripMargin)
+    ),
+
     // COLOR HISTOGRAM over the real container: the same 24bpp BMPs as
     // mm_bmp_decode, folded to a per-channel 4-bin (value >> 6)
     // histogram inside the mapPartitions codec — the canonical image

@@ -1363,6 +1363,87 @@ object Analytics {
              |GROUP BY event_type""".stripMargin)
     ),
 
+    // BOLLINGER-BAND breakouts on the daily series — the volatility-
+    // scaled anomaly gate (vs the fixed-sigma zscore detector): day t
+    // is a breakout when |x − MA7| > 2σ7. The float-free rewrite keeps
+    // the whole test in integers: (7x − sum7)² > 4·(7·sumsq7 − sum7²),
+    // so breakout days hash-check exactly with no sqrt and no float
+    // threshold edge. One partition sort serves both rolling sums.
+    "window_bollinger" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+        dailyCounts(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("sum7", sum(col("x")).over(w.rowsBetween(-6, 0)))
+          .withColumn("sumsq7", sum(col("x") * col("x")).over(w.rowsBetween(-6, 0)))
+          .filter(col("rn") >= 7)
+          .select(col("event_type"), col("di"), col("x"), col("sum7"), col("sumsq7"),
+            ((col("x") * 7 - col("sum7")) * (col("x") * 7 - col("sum7"))
+              > (col("sumsq7") * 7 - col("sum7") * col("sum7")) * 4)
+              .cast("long").as("breakout"))
+      },
+      Some(s"""WITH daily AS ($dailySql),
+             |r AS (SELECT event_type, di, x,
+             |        ROW_NUMBER() OVER w AS rn,
+             |        CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY di
+             |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum7,
+             |        CAST(SUM(x * x) OVER (PARTITION BY event_type ORDER BY di
+             |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sumsq7
+             |      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY di))
+             |SELECT event_type, di, x, sum7, sumsq7,
+             |  CAST((x * 7 - sum7) * (x * 7 - sum7)
+             |       > (sumsq7 * 7 - sum7 * sum7) * 4 AS BIGINT) AS breakout
+             |FROM r WHERE rn >= 7""".stripMargin)
+    ),
+
+    // CONVERSION-RATE confidence intervals (Wilson score, the interval
+    // that behaves at small n and extreme p): per event type, the
+    // daily-active-user conversion to purchase with 95% Wilson bounds.
+    // Counts are exact integers; the interval arithmetic is identical
+    // IEEE from those integers on both engines, rounded 6dp. One
+    // distinct-user agg per side + a broadcast join.
+    "events_conversion_ci" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val base = ev.filter(col("event_type") === "view")
+          .agg(countDistinct(col("user_id")).as("n_base"))
+        val conv = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_conv"))
+        val z2 = 3.8416 // 1.96^2
+        conv.crossJoin(broadcast(base))
+          .filter(col("event_type") =!= "view")
+          .select(col("event_type"), col("n_conv"), col("n_base"))
+          .withColumn("p", col("n_conv").cast("double") / col("n_base"))
+          .withColumn("den", lit(1.0) + lit(z2) / col("n_base"))
+          .withColumn("ctr", (col("p") + lit(z2) / (col("n_base") * 2)) / col("den"))
+          .withColumn("hw",
+            (lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n_base")
+              + lit(z2) / (col("n_base") * col("n_base") * 4))) / col("den"))
+          .select(col("event_type"), col("n_conv"), col("n_base"),
+            round(col("p"), 6).as("rate"),
+            round(col("ctr") - col("hw"), 6).as("wilson_lo"),
+            round(col("ctr") + col("hw"), 6).as("wilson_hi"))
+      },
+      Some("""WITH base AS (SELECT COUNT(DISTINCT user_id) AS n_base
+             |              FROM events WHERE event_type = 'view'),
+             |conv AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_conv
+             |         FROM events GROUP BY 1),
+             |j AS (SELECT event_type, n_conv, n_base,
+             |        CAST(n_conv AS DOUBLE) / n_base AS p
+             |      FROM conv CROSS JOIN base WHERE event_type <> 'view'),
+             |k AS (SELECT event_type, n_conv, n_base, p,
+             |        1.0 + 3.8416 / n_base AS den,
+             |        (p + 3.8416 / (n_base * 2)) AS ctrn,
+             |        1.96 * sqrt(p * (1.0 - p) / n_base
+             |          + 3.8416 / (CAST(n_base AS BIGINT) * n_base * 4)) AS hwn
+             |      FROM j)
+             |SELECT event_type, n_conv, n_base,
+             |  ROUND(p, 6) AS rate,
+             |  ROUND(ctrn / den - hwn / den, 6) AS wilson_lo,
+             |  ROUND(ctrn / den + hwn / den, 6) AS wilson_hi
+             |FROM k""".stripMargin)
+    ),
+
     // ORDER BACKLOG curve — work-in-progress over time: an order opens
     // at o_orderdate and closes when its LAST lineitem ships; backlog
     // on day t = cumulative opens − cumulative closes. The data-sized

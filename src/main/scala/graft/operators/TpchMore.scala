@@ -237,6 +237,50 @@ object TpchMore {
              |  WHERE year(l_shipdate) = 2000
              |  GROUP BY l_suppkey
              |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 50.0)""".stripMargin)
+    ),
+
+    // SUPPLIER SCORECARD — the per-supplier KPI rollup a procurement
+    // dashboard refreshes nightly: shipment count, exact-DECIMAL
+    // revenue, return rate in integer bp, revenue share in integer bp
+    // (per-supplier revenue vs the broadcast corpus total, compared in
+    // exact DECIMAL cross-multiplication — no float division decides a
+    // rank), and the revenue rank. One fact agg + one broadcast total
+    // + one rank window over the supplier-count-sized rollup.
+    "supplier_scorecard" -> Query(
+      (s, d) => {
+        val per = Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey").as("suppkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(revenue).as("rev_d"),
+            sum((col("l_returnflag") === "R").cast("long")).as("n_returned"))
+        val tot = per.agg(sum(col("rev_d")).as("tot_d"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rev_d").desc, col("suppkey"))
+        per.crossJoin(broadcast(tot))
+          // share via exact integer micro-units — decimal division
+          // rounding rules differ between engines, integer div doesn't
+          .withColumn("rev_u", (col("rev_d") * 1000000).cast("long"))
+          .withColumn("tot_u", (col("tot_d") * 1000000).cast("long"))
+          .select(col("suppkey"), col("n_items"),
+            col("rev_d").cast("double").as("revenue"),
+            expr("n_returned * 10000 div n_items").as("return_bp"),
+            expr("rev_u * 10000 div tot_u").as("share_bp"),
+            col("rev_d"))
+          .withColumn("rev_rank", rank().over(w).cast("long"))
+          .drop("rev_d")
+      },
+      Some(s"""WITH per AS (SELECT l_suppkey AS suppkey, COUNT(*) AS n_items,
+             |    SUM($revSql) AS rev_d,
+             |    CAST(SUM(CAST(l_returnflag = 'R' AS BIGINT)) AS BIGINT) AS n_returned
+             |  FROM lineitem GROUP BY 1),
+             |tot AS (SELECT SUM(rev_d) AS tot_d FROM per)
+             |SELECT suppkey, n_items,
+             |  CAST(rev_d AS DOUBLE) AS revenue,
+             |  CAST(n_returned * 10000 // n_items AS BIGINT) AS return_bp,
+             |  CAST(CAST(rev_d * 1000000 AS BIGINT) * 10000
+             |       // CAST(tot_d * 1000000 AS BIGINT) AS BIGINT) AS share_bp,
+             |  CAST(RANK() OVER (ORDER BY rev_d DESC, suppkey) AS BIGINT) AS rev_rank
+             |FROM per CROSS JOIN tot""".stripMargin)
     )
   )
 }

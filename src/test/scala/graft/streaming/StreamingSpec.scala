@@ -128,6 +128,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("OhlcStream emits one bar per window with event-time open/close") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long, Double)]
+    val bars = OhlcStream(in.toDF().toDF("ts", "key", "id", "value"),
+      "5 minutes", "10 minutes")
+    val q = bars.writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_stream").start()
+    try {
+      // out-of-order arrival: the OPEN must be the earliest event TIME
+      // (value 7.0 at 00:00:10), not the first arrival (9.0)
+      in.addData(
+        (ts("2024-01-01 00:03:00"), "k", 2, 9.0),
+        (ts("2024-01-01 00:00:10"), "k", 1, 7.0),
+        (ts("2024-01-01 00:04:00"), "k", 3, 3.0))
+      q.processAllAvailable()
+      val r = spark.table("ohlc_stream")
+        .select(col("win_start").cast("string"), col("open"), col("high"),
+          col("low"), col("close"), col("volume")).collect()
+        .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2),
+          x.getDouble(3), x.getDouble(4), x.getLong(5))).toSet
+      assert(r === Set(("2024-01-01 00:00:00", 7.0, 9.0, 3.0, 3.0, 3L)))
+    } finally q.stop()
+  }
+
   test("CusumStream.foldKey alarms exactly when cum - running min exceeds the threshold") {
     import CusumStream._
     // target 10: residuals -1, -2, +15, +15 -> cum -1, -3, 12, 27 with
