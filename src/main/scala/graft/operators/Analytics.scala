@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Query, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1361,6 +1362,97 @@ object Analytics {
              |    / (CAST(SUM(gap) AS DOUBLE) / COUNT(*)), 4) AS cv
              |FROM g WHERE gap IS NOT NULL
              |GROUP BY event_type""".stripMargin)
+    ),
+
+    // BENFORD first-digit audit over order totals — the classic
+    // fabricated-numbers screen: organic multi-scale amounts follow
+    // log10(1+1/d); injected or capped values don't. First digit by
+    // integer string ops on exact cents; the expected Benford shares
+    // are LITERAL integer basis points (3010, 1761, ...), so observed
+    // share, expected share, and deviation are all integer — the audit
+    // verdict hash-checks with no float anywhere.
+    "agg_benford" -> Query(
+      (s, d) => {
+        val benfordBp = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+        val cents = floor(col("o_totalprice").cast("double") * 100 + 0.5).cast("long")
+        val digits = Tables.orders(s, d)
+          .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val tot = digits.agg(sum(col("n")).as("tot"))
+        val exp = benfordBp.zipWithIndex
+          .map { case (bp, i) => struct(lit(i + 1L).as("digit"), lit(bp).as("benford_bp")) }
+        val expTable = s.range(1)
+          .select(explode(array(exp: _*)).as("e"))
+          .select(col("e.digit").as("digit"), col("e.benford_bp").as("benford_bp"))
+        digits.crossJoin(broadcast(tot))
+          .join(broadcast(expTable), Seq("digit"))
+          .select(col("digit"), col("n"),
+            expr("n * 10000 div tot").as("share_bp"), col("benford_bp"),
+            abs(expr("n * 10000 div tot") - col("benford_bp")).as("dev_bp"))
+      },
+      Some("""WITH c AS (SELECT CAST(substr(CAST(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             |          FROM orders),
+             |g AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY 1),
+             |t AS (SELECT SUM(n) AS tot FROM g),
+             |e AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+             |             unnest([3010,1761,1249,969,792,669,580,512,458]) AS benford_bp)
+             |SELECT g.digit, g.n,
+             |  CAST(g.n * 10000 // t.tot AS BIGINT) AS share_bp,
+             |  CAST(e.benford_bp AS BIGINT) AS benford_bp,
+             |  CAST(abs(g.n * 10000 // t.tot - e.benford_bp) AS BIGINT) AS dev_bp
+             |FROM g JOIN e USING (digit) CROSS JOIN t""".stripMargin)
+    ),
+
+    // LAG-k AUTOCORRELATION of the daily series (k = 1 and 7) — the
+    // time-series diagnostic that separates trending (high r1),
+    // weekly-seasonal (high r7), and white-noise metrics before any
+    // forecasting model is chosen. Pearson over (x_t, x_{t−k}) pairs
+    // from exact integer count sums; both engines run the identical
+    // IEEE arithmetic on those integers, rounded 4dp. One partition
+    // sort per type serves both lags.
+    "events_autocorr" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+        def corrCols(k: Int) = {
+          val xl = lag(col("x"), k).over(w)
+          struct(col("x").as("x"), xl.as("y"))
+        }
+        val lagged = dailyCounts(s, d)
+          .withColumn("p1", corrCols(1)).withColumn("p7", corrCols(7))
+        def pearson(p: Column): Column = {
+          val n = sum(when(p.getField("y").isNotNull, 1L))
+          val sx = sum(when(p.getField("y").isNotNull, p.getField("x")))
+          val sy = sum(p.getField("y"))
+          val sxx = sum(when(p.getField("y").isNotNull,
+            p.getField("x") * p.getField("x")))
+          val syy = sum(p.getField("y") * p.getField("y"))
+          val sxy = sum(p.getField("x") * p.getField("y"))
+          round((n.cast("double") * sxy - sx.cast("double") * sy)
+            / (sqrt(n.cast("double") * sxx - sx.cast("double") * sx)
+              * sqrt(n.cast("double") * syy - sy.cast("double") * sy)), 4)
+        }
+        lagged.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            pearson(col("p1")).as("r1"), pearson(col("p7")).as("r7"))
+      },
+      Some(s"""WITH daily AS ($dailySql),
+             |l AS (SELECT event_type, x,
+             |        LAG(x, 1) OVER w AS y1, LAG(x, 7) OVER w AS y7
+             |      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY di))
+             |SELECT event_type, COUNT(*) AS n_days,
+             |  ROUND((CAST(SUM(CASE WHEN y1 IS NOT NULL THEN 1 END) AS DOUBLE) * SUM(x * y1)
+             |      - CAST(SUM(CASE WHEN y1 IS NOT NULL THEN x END) AS DOUBLE) * SUM(y1))
+             |    / (sqrt(CAST(SUM(CASE WHEN y1 IS NOT NULL THEN 1 END) AS DOUBLE) * SUM(CASE WHEN y1 IS NOT NULL THEN x * x END)
+             |          - CAST(SUM(CASE WHEN y1 IS NOT NULL THEN x END) AS DOUBLE) * SUM(CASE WHEN y1 IS NOT NULL THEN x END))
+             |     * sqrt(CAST(SUM(CASE WHEN y1 IS NOT NULL THEN 1 END) AS DOUBLE) * SUM(y1 * y1)
+             |          - CAST(SUM(y1) AS DOUBLE) * SUM(y1))), 4) AS r1,
+             |  ROUND((CAST(SUM(CASE WHEN y7 IS NOT NULL THEN 1 END) AS DOUBLE) * SUM(x * y7)
+             |      - CAST(SUM(CASE WHEN y7 IS NOT NULL THEN x END) AS DOUBLE) * SUM(y7))
+             |    / (sqrt(CAST(SUM(CASE WHEN y7 IS NOT NULL THEN 1 END) AS DOUBLE) * SUM(CASE WHEN y7 IS NOT NULL THEN x * x END)
+             |          - CAST(SUM(CASE WHEN y7 IS NOT NULL THEN x END) AS DOUBLE) * SUM(CASE WHEN y7 IS NOT NULL THEN x END))
+             |     * sqrt(CAST(SUM(CASE WHEN y7 IS NOT NULL THEN 1 END) AS DOUBLE) * SUM(y7 * y7)
+             |          - CAST(SUM(y7) AS DOUBLE) * SUM(y7))), 4) AS r7
+             |FROM l GROUP BY event_type""".stripMargin)
     ),
 
     // BOLLINGER-BAND breakouts on the daily series — the volatility-

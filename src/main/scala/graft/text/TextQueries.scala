@@ -1123,6 +1123,41 @@ object TextQueries {
              |FROM g WHERE n_words > 0""".stripMargin)
     ),
 
+    // LICENSE / COMPLIANCE flags — the legal pre-filter a pretraining
+    // corpus runs before anything else: per doc, occurrence counts of
+    // license-signal phrases (case-insensitive literal classes, counted
+    // via the length-minus-replaced trick divided by phrase length so
+    // both engines count identically) and an any-hit verdict. Row-local
+    // regexp work in the scan, zero shuffle.
+    "text_license_flags" -> Query(
+      (s, d) => {
+        val lo = lower(col("text"))
+        def hits(phrase: String): Column =
+          ((length(lo) - length(regexp_replace(lo, phrase, "")))
+            / phrase.length).cast("long")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            hits("copyright").as("n_copyright"),
+            hits("all rights reserved").as("n_rights"),
+            hits("license").as("n_license"),
+            hits("creative commons").as("n_cc"))
+          .withColumn("flagged",
+            (col("n_copyright") + col("n_rights") + col("n_license") + col("n_cc") > 0)
+              .cast("long"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST((length(lower(text)) - length(replace(lower(text), 'copyright', ''))) // 9 AS BIGINT) AS n_copyright,
+             |  CAST((length(lower(text)) - length(replace(lower(text), 'all rights reserved', ''))) // 19 AS BIGINT) AS n_rights,
+             |  CAST((length(lower(text)) - length(replace(lower(text), 'license', ''))) // 7 AS BIGINT) AS n_license,
+             |  CAST((length(lower(text)) - length(replace(lower(text), 'creative commons', ''))) // 16 AS BIGINT) AS n_cc,
+             |  CAST((length(lower(text)) - length(replace(lower(text), 'copyright', ''))) // 9
+             |     + (length(lower(text)) - length(replace(lower(text), 'all rights reserved', ''))) // 19
+             |     + (length(lower(text)) - length(replace(lower(text), 'license', ''))) // 7
+             |     + (length(lower(text)) - length(replace(lower(text), 'creative commons', ''))) // 16
+             |     > 0 AS BIGINT) AS flagged
+             |FROM documents""".stripMargin)
+    ),
+
     // SOURCE KL DIVERGENCE — per-source distribution drift vs the
     // corpus: KL(source ‖ corpus) over unigram distributions, the
     // information-theoretic "how unlike the rest is this feed" score
