@@ -311,6 +311,35 @@ object DedupQueries {
     // not 16 separate md5 passes.
     "dedup_minhash_lsh" -> Query((s, d) => minhashPairs(s, d), Some(minhashPairsSql)),
 
+    // CROSS-SOURCE near-dup MATRIX — the corpus-governance rollup over
+    // the MinHash candidate pairs: which feeds copy which (mirrors,
+    // scrapers, re-crawls) and how much of each source's dup mass is
+    // internal. Two broadcast-able joins attach sources to the pair
+    // list, the (lo, hi) canonicalization makes the matrix triangular,
+    // and the rollup is one <=|sources|^2-cell map-side-combinable agg
+    // — cost is dominated by the banded candidate join it reuses.
+    "dedup_source_matrix" -> Query(
+      (s, d) => {
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        minhashPairs(s, d)
+          .join(src.as("sa"), col("da") === col("sa.doc_id"))
+          .join(src.as("sb"), col("db") === col("sb.doc_id"))
+          .select(least(col("sa.source"), col("sb.source")).as("src_lo"),
+            greatest(col("sa.source"), col("sb.source")).as("src_hi"))
+          .groupBy(col("src_lo"), col("src_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("is_cross", (col("src_lo") =!= col("src_hi")).cast("long"))
+      },
+      Some(s"""WITH pairs AS ($minhashPairsSql)
+             |SELECT least(sa.source, sb.source) AS src_lo,
+             |  greatest(sa.source, sb.source) AS src_hi, COUNT(*) AS n_pairs,
+             |  CAST(least(sa.source, sb.source) <> greatest(sa.source, sb.source) AS BIGINT) AS is_cross
+             |FROM pairs
+             |JOIN documents sa ON pairs.da = sa.doc_id
+             |JOIN documents sb ON pairs.db = sb.doc_id
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
     // Near-dup CLUSTERS from the MinHash candidate pairs: connected
     // components by iterative min-label propagation — the transitive
     // closure production dedup needs (A~B and B~C must collapse to ONE

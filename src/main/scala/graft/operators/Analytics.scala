@@ -1461,6 +1461,75 @@ object Analytics {
     // the whole test in integers: (7x − sum7)² > 4·(7·sumsq7 − sum7²),
     // so breakout days hash-check exactly with no sqrt and no float
     // threshold edge. One partition sort serves both rolling sums.
+    // RSI(14) on the daily series — Cutler's simple-average variant
+    // (the Wilder EMA form is recursive; the SMA form is the standard
+    // window rewrite): gains and losses are INTEGER day-over-day count
+    // deltas, the 14-day sums ride a rows-frame window, and the index
+    // is reported in basis points by integer division — no float
+    // anywhere. rn >= 15 guarantees all 14 deltas in frame are non-null
+    // (full lookback), nullif guards the flat-series 0/0. One shuffle
+    // on event_type; the frame walks each tiny daily series in order.
+    "window_rsi" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+        val w14 = w.rowsBetween(-13, 0)
+        dailyCounts(s, d)
+          .withColumn("dx", col("x") - lag(col("x"), 1).over(w))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("sg", sum(greatest(col("dx"), lit(0L))).over(w14))
+          .withColumn("sl", sum(greatest(-col("dx"), lit(0L))).over(w14))
+          .filter(col("rn") >= 15)
+          .select(col("event_type"), col("di"),
+            expr("sg * 10000 div nullif(sg + sl, 0)").as("rsi_bp"))
+      },
+      Some(s"""WITH daily AS ($dailySql),
+             |l AS (SELECT event_type, di, x - LAG(x, 1) OVER w AS dx,
+             |        ROW_NUMBER() OVER w AS rn
+             |      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY di)),
+             |g AS (SELECT event_type, di, rn,
+             |        SUM(greatest(dx, 0)) OVER w14 AS sg,
+             |        SUM(greatest(-dx, 0)) OVER w14 AS sl
+             |      FROM l WINDOW w14 AS (PARTITION BY event_type ORDER BY di
+             |                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+             |SELECT event_type, di,
+             |  CAST(sg * 10000 // nullif(sg + sl, 0) AS BIGINT) AS rsi_bp
+             |FROM g WHERE rn >= 15""".stripMargin)
+    ),
+
+    // HOUR x DAY-OF-WEEK traffic profile — the capacity-planning /
+    // anomaly-baseline heatmap (which cells carry the load, where the
+    // quiet windows for maintenance are). Bucket arithmetic is pure
+    // integer on epoch micros (epoch day 0 = Thursday, so dow =
+    // (day+4) % 7 with 0=Sunday, both engines literal); counts and
+    // the share ride one 168-cell map-side-combinable agg plus a
+    // broadcast total — a plan that is scan-bound at any corpus size.
+    "events_hour_dow_profile" -> Query(
+      (s, d) => {
+        val g = Tables.events(s, d)
+          .select(expr("((ts div 1000) div 86400000000 + 4) % 7").as("dow"),
+            expr("((ts div 1000) div 3600000000) % 24").as("hour"),
+            col("user_id"))
+          .groupBy(col("dow"), col("hour"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+        val tot = g.agg(sum(col("n_events")).as("tot"))
+        g.crossJoin(broadcast(tot))
+          .select(col("dow"), col("hour"), col("n_events"), col("n_users"),
+            expr("n_events * 10000 div tot").as("share_bp"))
+      },
+      Some("""WITH b AS (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             |                  (epoch_us(ts) // 3600000000) % 24 AS hour, user_id
+             |            FROM events),
+             |g AS (SELECT dow, hour, COUNT(*) AS n_events,
+             |        COUNT(DISTINCT user_id) AS n_users
+             |      FROM b GROUP BY 1, 2),
+             |t AS (SELECT SUM(n_events) AS tot FROM g)
+             |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+             |  n_events, n_users,
+             |  CAST(n_events * 10000 // t.tot AS BIGINT) AS share_bp
+             |FROM g CROSS JOIN t""".stripMargin)
+    ),
+
     "window_bollinger" -> Query(
       (s, d) => {
         val w = Window.partitionBy(col("event_type")).orderBy(col("di"))

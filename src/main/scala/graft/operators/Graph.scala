@@ -504,6 +504,45 @@ object Graph {
              |                  JOIN r1 ON r1.node = e.u
              |                  GROUP BY e.v) s ON d.u = s.v)
              |SELECT node AS part, deg, r AS ppr_q FROM r2""".stripMargin)
+    ),
+
+    // DEGREE DISTRIBUTION of the co-purchase graph in log2 buckets —
+    // the first diagnostic run on any production graph: a heavy
+    // power-law tail predicts which downstream ops (wedge joins,
+    // label propagation) need hub-capping or salting. floor(log2 deg)
+    // is computed as length(bin(deg)) - 1 — pure string/integer ops,
+    // where float log2 differs in the last ulp at exact powers of two
+    // between engines. One edge agg + one <=64-bucket rollup.
+    "graph_degree_stats" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+        val edges = pairs.select(col("pa").as("u"))
+          .unionAll(pairs.select(col("pb").as("u")))
+        edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .select((length(bin(col("deg"))) - 1).cast("long").as("bucket"),
+            col("deg"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |          FROM li a JOIN li b
+             |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |edges AS (SELECT pa AS u FROM pairs UNION ALL SELECT pb FROM pairs),
+             |deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY 1)
+             |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+             |  COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg
+             |FROM deg GROUP BY 1""".stripMargin)
     )
   )
 }

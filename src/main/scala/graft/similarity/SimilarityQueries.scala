@@ -1292,6 +1292,62 @@ object SimilarityQueries {
              |  CAST(floor(abs(sn / nn - so / no) * 1000000 + 0.5) AS BIGINT) AS abs_delta_e6,
              |  CAST(CAST(floor(abs(sn / nn - so / no) * 1000000 + 0.5) AS BIGINT) >= 10000 AS BIGINT) AS drifted
              |FROM g""".stripMargin)
+    ),
+
+    // JOHNSON-LINDENSTRAUSS random projection 64 -> 16 with a +/-1 sign
+    // matrix, audited by the norm-distortion histogram: for a +/-1
+    // matrix R (16 x 64), E[|Rx|^2] = 16 * |x|^2, so ratio_bp =
+    // |Rx|^2 * 10000 / (16 * |x|^2) concentrates around 10000 — the
+    // distortion spread is exactly what decides whether a 4x-cheaper
+    // projected index (ANN prefilter, dedup blocking) is safe. Signs
+    // come from md5 hex-digit parity (sign(j,i) = -1 iff the 8th hex
+    // char of md5("rp_j_i") is odd) — computed at plan-build time here
+    // and replayed literally by the oracle, so the whole projection is
+    // exact integer arithmetic on the 1e3-quantized vectors. The
+    // projection itself is ROW-LOCAL (a 1024-term codegen'd affine
+    // map, no shuffle); only the <=20-bucket histogram aggregates.
+    "vec_rp_project" -> Query(
+      (s, d) => {
+        def sg(j: Int, i: Int): Long = {
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"rp_${j}_${i}".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          if ("13579bdf".contains(hex.charAt(7))) -1L else 1L
+        }
+        val projCols = (1 to 16).map { j =>
+          (1 to 64).map(i => element_at(col("qv"), i) * lit(sg(j, i)))
+            .reduce(_ + _).as(s"p$j")
+        }
+        val vn = (1 to 64)
+          .map(i => element_at(col("qv"), i) * element_at(col("qv"), i))
+          .reduce(_ + _).as("vn")
+        quantizedVecs(s, d)
+          .select(projCols :+ vn: _*)
+          .select((1 to 16).map(j => col(s"p$j") * col(s"p$j"))
+            .reduce(_ + _).as("pn"), col("vn"))
+          .select(expr("pn * 10000 div nullif(16 * vn, 0)").as("ratio_bp"))
+          .groupBy(expr("ratio_bp div 1000").as("bucket"))
+          .agg(count(lit(1)).as("n_vecs"),
+            min(col("ratio_bp")).as("min_bp"), max(col("ratio_bp")).as("max_bp"))
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
+             |        x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+             |      FROM embeddings),
+             |sgn AS (SELECT j, i,
+             |         CASE WHEN strpos('13579bdf',
+             |           substr(md5('rp_' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 8, 1)) > 0
+             |           THEN -1 ELSE 1 END AS sg
+             |        FROM (SELECT unnest(generate_series(1, 16)) AS j)
+             |        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+             |p AS (SELECT q.vec_id, s.j, SUM(q.qv[s.i] * s.sg) AS pj
+             |      FROM q CROSS JOIN sgn s GROUP BY 1, 2),
+             |n2 AS (SELECT vec_id, SUM(pj * pj) AS pn FROM p GROUP BY 1),
+             |v2 AS (SELECT vec_id, list_sum(list_transform(qv, x -> x * x)) AS vn FROM q),
+             |r AS (SELECT CAST(pn * 10000 // nullif(16 * vn, 0) AS BIGINT) AS ratio_bp
+             |      FROM n2 JOIN v2 USING (vec_id))
+             |SELECT CAST(ratio_bp // 1000 AS BIGINT) AS bucket, COUNT(*) AS n_vecs,
+             |  MIN(ratio_bp) AS min_bp, MAX(ratio_bp) AS max_bp
+             |FROM r GROUP BY 1""".stripMargin)
     )
   )
 }

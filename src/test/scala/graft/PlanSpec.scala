@@ -480,4 +480,27 @@ class PlanSpec extends AnyFunSuite {
   test("bloom manifest probes broadcast against the bit table") {
     assert(plan("etl_bloom_manifest").contains("BroadcastHashJoin"))
   }
+
+  test("vec_rp_project projects row-locally: one scan, one histogram exchange") {
+    val t = tree("vec_rp_project")
+    // the 1024-term affine map must stay in the scan's project — the
+    // only shuffles are the <=20-bucket histogram agg and its ~20-row
+    // total; an explode/join formulation would add a vectors-sized one
+    assert(t.count(_.contains("Exchange")) <= 2,
+      "projection must not shuffle the vector set:\n" + t.mkString("\n"))
+    assert(!t.exists(_.contains("Generate")), "no explode in the projection")
+  }
+
+  test("hour-dow profile is one partial agg plus a broadcast total") {
+    val p = plan("events_hour_dow_profile")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row total must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("source matrix attaches sources via its banded candidate join, no all-pairs") {
+    val p = plan("dedup_source_matrix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay a band equi-join")
+  }
 }
