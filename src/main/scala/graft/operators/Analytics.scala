@@ -1461,6 +1461,82 @@ object Analytics {
     // the whole test in integers: (7x − sum7)² > 4·(7·sumsq7 − sum7²),
     // so breakout days hash-check exactly with no sqrt and no float
     // threshold edge. One partition sort serves both rolling sums.
+    // THEIL INDEX of customer revenue within each market segment — the
+    // decomposable inequality measure (pairs with agg_gini: Theil adds
+    // the entropy form that splits into within/between-group terms).
+    // T = (1/S) * sum x*(ln(x*n) - ln(S)) with x = customer cents:
+    // both ln args are exact INTEGER products (the text_source_kl
+    // discipline), the weighted sum rides DECIMAL(26,12), and only the
+    // final division is floating, rounded 4dp. One orders rollup + a
+    // broadcast per-segment total.
+    "agg_theil" -> Query(
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val x = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+          .groupBy(col("o_custkey")).agg(sum(col("cents")).as("x"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+        val seg = x.groupBy(col("c_mktsegment").as("seg"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+        x.join(broadcast(seg), col("c_mktsegment") === col("seg"))
+          .groupBy(col("c_mktsegment"), col("n"), col("s"))
+          .agg(sum((col("x").cast("double") *
+              (log((col("x") * col("n")).cast("double"))
+                - log(col("s").cast("double"))))
+            .cast("decimal(26,12)")).as("t"))
+          .select(col("c_mktsegment"), col("n").as("n_customers"),
+            col("s").as("total_cents"),
+            round(col("t").cast("double") / col("s"), 4).as("theil"))
+      },
+      Some("""WITH x AS (SELECT o_custkey,
+             |        SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+             |      FROM orders GROUP BY 1),
+             |j AS (SELECT c_mktsegment, CAST(x.x AS BIGINT) AS x
+             |      FROM x JOIN customer ON o_custkey = c_custkey),
+             |sg AS (SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s
+             |       FROM j GROUP BY 1)
+             |SELECT j.c_mktsegment, sg.n AS n_customers, sg.s AS total_cents,
+             |  ROUND(CAST(SUM(CAST(CAST(j.x AS DOUBLE) *
+             |      (ln(CAST(j.x * sg.n AS DOUBLE)) - ln(CAST(sg.s AS DOUBLE)))
+             |    AS DECIMAL(26,12))) AS DOUBLE) / sg.s, 4) AS theil
+             |FROM j JOIN sg USING (c_mktsegment)
+             |GROUP BY 1, 2, 3""".stripMargin)
+    ),
+
+    // UPTIME / SLA profile per event type — the pipeline-health view a
+    // feed operator reads first: observed span, days with activity,
+    // uptime share in basis points, and the longest silent gap. All
+    // integer day arithmetic over the daily series (one lag window on
+    // a per-type series that is tiny regardless of corpus size — the
+    // heavy lifting is the map-side-combinable daily rollup).
+    "events_uptime_sla" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+        dailyCounts(s, d)
+          .withColumn("gap",
+            greatest(coalesce(col("di") - lag(col("di"), 1).over(w) - 1, lit(0L)),
+              lit(0L)))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("active_days"),
+            (max(col("di")) - min(col("di")) + 1).as("span_days"),
+            max(col("gap")).as("longest_gap"))
+          .select(col("event_type"), col("active_days"), col("span_days"),
+            expr("active_days * 10000 div span_days").as("uptime_bp"),
+            col("longest_gap"))
+      },
+      Some(s"""WITH daily AS ($dailySql),
+             |g AS (SELECT event_type, di,
+             |        greatest(COALESCE(di - LAG(di, 1) OVER (PARTITION BY event_type ORDER BY di) - 1, 0), 0) AS gap
+             |      FROM daily)
+             |SELECT event_type, COUNT(*) AS active_days,
+             |  MAX(di) - MIN(di) + 1 AS span_days,
+             |  CAST(COUNT(*) * 10000 // (MAX(di) - MIN(di) + 1) AS BIGINT) AS uptime_bp,
+             |  MAX(gap) AS longest_gap
+             |FROM g GROUP BY 1""".stripMargin)
+    ),
+
     // RSI(14) on the daily series — Cutler's simple-average variant
     // (the Wilder EMA form is recursive; the SMA form is the standard
     // window rewrite): gains and losses are INTEGER day-over-day count

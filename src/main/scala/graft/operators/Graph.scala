@@ -506,6 +506,66 @@ object Graph {
              |SELECT node AS part, deg, r AS ppr_q FROM r2""".stripMargin)
     ),
 
+    // LOCAL CLUSTERING COEFFICIENT distribution — how "community-like"
+    // each node's neighborhood is (cc = 2*tri/(deg*(deg-1))): the
+    // structural audit that separates hub-and-spoke catalogs from
+    // clustered ones before community detection is attempted. Per-node
+    // triangle counts come from the SAME oriented wedge join + semi-join
+    // close test as graph_triangles (O(sum deg^2), never all-pairs);
+    // the coefficient ships in integer basis points and rolls into a
+    // <=11-bucket histogram. Nodes of degree < 2 have no defined cc
+    // and are excluded identically by both engines.
+    "graph_clustering_coeff" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = graft.Caches.scoped(
+          li.as("x")
+            .join(li.as("y"),
+              col("x.l_orderkey") === col("y.l_orderkey") &&
+                col("x.l_partkey") < col("y.l_partkey"))
+            .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+            .agg(count(lit(1)).as("sup"))
+            .filter(col("sup") >= 2)
+            .select(col("pa"), col("pb")))
+        val wedges = edges.select(col("pa").as("a"), col("pb").as("b"))
+          .join(edges.select(col("pa").as("b"), col("pb").as("c")), Seq("b"))
+        val tri = wedges.join(edges.select(col("pa").as("a"), col("pb").as("c")),
+            Seq("a", "c"), "left_semi")
+          .select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+          .groupBy(col("u")).agg(count(lit(1)).as("tri"))
+        val deg = edges.select(col("pa").as("u"))
+          .unionAll(edges.select(col("pb").as("u")))
+          .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2)
+        deg.join(tri, Seq("u"), "left")
+          .select(col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+          .select(expr("tri * 20000 div (deg * (deg - 1))").as("cc_bp"))
+          .groupBy(expr("cc_bp div 1000").as("bucket"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("cc_bp")).as("min_bp"), max(col("cc_bp")).as("max_bp"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |      FROM li a JOIN li b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |t3 AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+             |       FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+             |       WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.pa = e1.pa AND e3.pb = e2.pb)),
+             |tri AS (SELECT u, COUNT(*) AS tri FROM (
+             |          SELECT a AS u FROM t3 UNION ALL SELECT b FROM t3 UNION ALL SELECT c FROM t3)
+             |        GROUP BY 1),
+             |deg AS (SELECT u, COUNT(*) AS deg FROM (
+             |          SELECT pa AS u FROM e UNION ALL SELECT pb FROM e)
+             |        GROUP BY 1 HAVING COUNT(*) >= 2),
+             |cc AS (SELECT CAST(COALESCE(tri.tri, 0) * 20000 // (deg.deg * (deg.deg - 1)) AS BIGINT) AS cc_bp
+             |       FROM deg LEFT JOIN tri USING (u))
+             |SELECT CAST(cc_bp // 1000 AS BIGINT) AS bucket, COUNT(*) AS n_nodes,
+             |  MIN(cc_bp) AS min_bp, MAX(cc_bp) AS max_bp
+             |FROM cc GROUP BY 1""".stripMargin)
+    ),
+
     // DEGREE DISTRIBUTION of the co-purchase graph in log2 buckets —
     // the first diagnostic run on any production graph: a heavy
     // power-law tail predicts which downstream ops (wedge joins,

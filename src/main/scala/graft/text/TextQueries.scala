@@ -1123,6 +1123,68 @@ object TextQueries {
              |FROM g WHERE n_words > 0""".stripMargin)
     ),
 
+    // RAKE keyword extraction — the classic unsupervised keyphrase
+    // ranker (Rose et al. 2010): candidate phrases are maximal runs of
+    // non-stopword tokens, a word scores degree/frequency (degree =
+    // summed length of the phrases it appears in), a phrase scores the
+    // sum of its words' scores. Word scores are kept INTEGER
+    // (deg*1e6 div freq) so the phrase ranking is exact — float
+    // near-ties can't reorder the top-k across engines. Phrase ids are
+    // a running stopword count per doc (one window over positions);
+    // phrase text reassembles via array_sort so collect_list order
+    // never matters; the global top-20 shortlists via orderBy+limit
+    // (TakeOrderedAndProject) before the rank window touches anything.
+    "text_keyword_rake" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stop = TextFunctions.stopwords("en")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val marked = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(TextFunctions.cleanTokens(lower(col("text")))).as(Seq("pos", "t")))
+          .withColumn("isstop", col("t").isin(stop: _*).cast("long"))
+          .withColumn("pid", sum(col("isstop")).over(w))
+        val words = graft.Caches.scoped(marked.filter(col("isstop") === 0)
+          .select(col("doc_id"), col("pid"), col("pos"), col("t")))
+        val plen = words.groupBy(col("doc_id"), col("pid"))
+          .agg(count(lit(1)).as("plen"))
+        val wscore = words.join(plen, Seq("doc_id", "pid"))
+          .groupBy(col("t"))
+          .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+          .select(col("t"), expr("deg * 1000000 div freq").as("wscore"))
+        val phrases = words.join(wscore, Seq("t"))
+          .groupBy(col("doc_id"), col("pid"))
+          .agg(sum(col("wscore")).as("score"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("pos"), col("t")))),
+              x => x.getField("t"))).as("phrase"))
+        phrases.groupBy(col("phrase"))
+          .agg(count(lit(1)).as("n_occ"), max(col("score")).as("score"))
+          .orderBy(col("score").desc, col("phrase")).limit(20)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("score").desc, col("phrase"))).cast("long"))
+      },
+      Some(s"""WITH tk0 AS (SELECT doc_id, $lowToksSql AS ls FROM documents),
+             |tk AS (SELECT doc_id, i AS pos, ls[i] AS t
+             |       FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM tk0)),
+             |m AS (SELECT doc_id, pos, t,
+             |        CASE WHEN t IN (${TextFunctions.stopwords("en").map(x => s"'$x'").mkString(", ")})
+             |          THEN 1 ELSE 0 END AS isstop FROM tk),
+             |p AS (SELECT doc_id, pos, t, isstop,
+             |        SUM(isstop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid FROM m),
+             |wrds AS (SELECT doc_id, pid, pos, t FROM p WHERE isstop = 0),
+             |pl AS (SELECT doc_id, pid, COUNT(*) AS plen FROM wrds GROUP BY 1, 2),
+             |wsc AS (SELECT t, CAST(SUM(plen) * 1000000 // COUNT(*) AS BIGINT) AS wscore
+             |        FROM wrds JOIN pl USING (doc_id, pid) GROUP BY t),
+             |ph AS (SELECT wrds.doc_id, wrds.pid, CAST(SUM(wscore) AS BIGINT) AS score,
+             |         string_agg(t, ' ' ORDER BY pos) AS phrase
+             |       FROM wrds JOIN wsc USING (t) GROUP BY 1, 2),
+             |g AS (SELECT phrase, COUNT(*) AS n_occ, MAX(score) AS score FROM ph GROUP BY 1),
+             |r AS (SELECT phrase, n_occ, score,
+             |        ROW_NUMBER() OVER (ORDER BY score DESC, phrase) AS rn FROM g)
+             |SELECT phrase, n_occ, score, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 20""".stripMargin)
+    ),
+
     // LICENSE / COMPLIANCE flags — the legal pre-filter a pretraining
     // corpus runs before anything else: per doc, occurrence counts of
     // license-signal phrases (case-insensitive literal classes, counted
