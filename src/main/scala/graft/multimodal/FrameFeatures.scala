@@ -225,6 +225,38 @@ object FrameFeatures {
     }
   }
 
+  case class WavClip(doc_id: Long, n_samples: Long, n_clipped: Long,
+                     clip_bp: Long, longest_run: Long, peak: Long)
+
+  /** Clipping detector over the parsed PCM stream: count of samples at
+    * or above |threshold| (near full-scale = the recording was driven
+    * past headroom), the LONGEST consecutive clipped run (distinguishes
+    * a single transient from sustained distortion), and peak — the
+    * audio-QA gate a capture pipeline runs before anything expensive.
+    * One sample walk, all integer.
+    */
+  def clipStats(wavs: Dataset[WavPayload], threshold: Long): Dataset[WavClip] = {
+    implicit val enc = Encoders.product[WavClip]
+    wavs.mapPartitions { it =>
+      val codec = new WavDecoder
+      it.map { w =>
+        val (dataOff, nSamples, _, _) = codec.parseHeader(w.doc_id, w.payload)
+        var i = 0; var nClip = 0L; var run = 0L; var longest = 0L; var peak = 0L
+        while (i < nSamples) {
+          val a = math.abs(codec.s16(w.payload, dataOff + 2 * i)).toLong
+          if (a > peak) peak = a
+          if (a >= threshold) {
+            nClip += 1; run += 1
+            if (run > longest) longest = run
+          } else run = 0
+          i += 1
+        }
+        WavClip(w.doc_id, nSamples.toLong, nClip,
+          if (nSamples > 0) nClip * 10000 / nSamples else 0L, longest, peak)
+      }
+    }
+  }
+
   /** Build a minimal valid PCM WAV blob — the test/ingest-side twin of
     * the decoder (what an upstream recorder would have produced).
     */
@@ -468,6 +500,50 @@ object FrameFeatures {
     imgs.mapPartitions { it =>
       val codec = new BmpHistogrammer
       it.flatMap(w => codec.histogram(w.doc_id, w.payload))
+    }
+  }
+
+  case class BmpPatch(doc_id: Long, patch_row: Long, patch_col: Long,
+                      n_px: Long, lum_sum: Long, mean_e2: Long)
+
+  /** ViT-style patch grid over a parsed 24bpp BMP: 4x4-pixel patches in
+    * STORAGE row order, each reduced to pixel count + exact integer
+    * luminance sum (b+g+r per pixel) + scaled mean — the patching/
+    * pooling pass a vision-encoder preprocessing pipeline runs per
+    * image before embedding. One pixel walk per image; edge patches
+    * (height not divisible by 4) keep their true pixel counts.
+    */
+  def patchGrid(imgs: Dataset[WavPayload]): Dataset[BmpPatch] = {
+    implicit val enc = Encoders.product[BmpPatch]
+    imgs.mapPartitions { it =>
+      val codec = new BmpDecoder
+      it.flatMap { w =>
+        val (dataOff, width, rows) = codec.header(w.doc_id, w.payload)
+        val stride = ((width * 3 + 3) / 4) * 4
+        val pCols = (width + 3) / 4
+        val pRows = (rows + 3) / 4
+        val sums = Array.ofDim[Long](pRows * pCols)
+        val cnts = Array.ofDim[Long](pRows * pCols)
+        var row = 0
+        while (row < rows) {
+          val base = dataOff + row * stride
+          var c = 0
+          while (c < width) {
+            val p = base + c * 3
+            val lum = (w.payload(p) & 0xff).toLong +
+              (w.payload(p + 1) & 0xff) + (w.payload(p + 2) & 0xff)
+            val idx = (row / 4) * pCols + c / 4
+            sums(idx) += lum
+            cnts(idx) += 1
+            c += 1
+          }
+          row += 1
+        }
+        (0 until pRows * pCols).iterator.filter(cnts(_) > 0).map { idx =>
+          BmpPatch(w.doc_id, (idx / pCols).toLong, (idx % pCols).toLong,
+            cnts(idx), sums(idx), sums(idx) * 100 / (3 * cnts(idx)))
+        }
+      }
     }
   }
 

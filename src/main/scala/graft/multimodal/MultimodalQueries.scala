@@ -655,6 +655,102 @@ object MultimodalQueries {
              |  ON cnt.doc_id = scaf.doc_id AND cnt.ch = scaf.ch AND cnt.bin = scaf.bin""".stripMargin)
     ),
 
+    // CLIPPING DETECTION over the real container: samples driven to
+    // >= |30000| of the s16 full scale, plus the LONGEST consecutive
+    // clipped run (one transient vs sustained distortion) and peak —
+    // the audio-QA gate that rejects hot captures before transcription
+    // or embedding spends anything. Same one-walk codec shape as
+    // mm_wav_features; the oracle replays samples from hex and finds
+    // runs with the gaps-and-islands grouping. Integer-exact.
+    "mm_audio_clipping" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val nBytes = length(bin)
+        val dataSize = nBytes - nBytes % 2
+        val rate = (lit(8000) + (col("doc_id") % 3) * 4000).cast("int")
+        val wavHex = concat(
+          lit("52494646"), leHex32(dataSize + 36), lit("57415645"),
+          lit("666d7420"), lit("10000000"),
+          lit("0100"), lit("0100"),
+          leHex32(rate), leHex32(rate * 2),
+          lit("0200"), lit("1000"),
+          lit("64617461"), leHex32(dataSize),
+          lower(hex(bin)).substr(lit(1), dataSize * 2))
+        val wavs = Tables.documents(s, d)
+          .filter(nBytes >= 2)
+          .select(col("doc_id"), unhex(wavHex).as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        FrameFeatures.clipStats(wavs, 30000L).toDF()
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |         octet_length(encode(text)) // 2 AS n_samp
+             |  FROM documents
+             |  WHERE octet_length(encode(text)) >= 2),
+             |u AS (SELECT doc_id, hx, unnest(generate_series(0, n_samp - 1)) AS i FROM d),
+             |sg AS (SELECT doc_id, i,
+             |         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS samp
+             |       FROM (SELECT doc_id, i,
+             |               CAST('0x' || substr(hx, i*4 + 3, 2) || substr(hx, i*4 + 1, 2) AS INT) AS v
+             |             FROM u)),
+             |c AS (SELECT doc_id, i, abs(samp) AS a,
+             |        CASE WHEN abs(samp) >= 30000 THEN 1 ELSE 0 END AS clip FROM sg),
+             |runs AS (SELECT doc_id, COUNT(*) AS run FROM (
+             |           SELECT doc_id, i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+             |           FROM c WHERE clip = 1)
+             |         GROUP BY doc_id, grp),
+             |mr AS (SELECT doc_id, MAX(run) AS longest FROM runs GROUP BY 1)
+             |SELECT c.doc_id, COUNT(*) AS n_samples,
+             |  CAST(SUM(clip) AS BIGINT) AS n_clipped,
+             |  CAST(SUM(clip) * 10000 // COUNT(*) AS BIGINT) AS clip_bp,
+             |  CAST(COALESCE(MAX(mr.longest), 0) AS BIGINT) AS longest_run,
+             |  CAST(MAX(a) AS BIGINT) AS peak
+             |FROM c LEFT JOIN mr USING (doc_id) GROUP BY 1""".stripMargin)
+    ),
+
+    // PATCH GRID extraction over the real container: the 16-wide BMPs
+    // reduced to a ViT-style grid of 4x4-pixel patches (pixel count,
+    // exact luminance sum b+g+r, scaled mean) — the patching/pooling
+    // pre-pass a vision-encoder pipeline runs per image before the
+    // model sees anything. One pixel walk per image in the sanctioned
+    // codec; the oracle replays the grid from hex byte arithmetic.
+    "mm_patch_grid" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val nB = length(bin)
+        val h = expr("length(cast(text as binary)) div 48")
+        val dataSize = h * 48
+        val bmpHex = concat(
+          lit("424d"), leHex32(dataSize + 54), lit("00000000"),
+          lit("36000000"), lit("28000000"),
+          lit("10000000"), leHex32(h),
+          lit("0100"), lit("1800"), lit("00000000"),
+          leHex32(dataSize), lit("130b0000130b0000"),
+          lit("0000000000000000"),
+          lower(hex(bin)).substr(lit(1), dataSize * 2))
+        val imgs = Tables.documents(s, d)
+          .filter(nB >= 48)
+          .select(col("doc_id"), unhex(bmpHex).as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        FrameFeatures.patchGrid(imgs).toDF()
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |                  octet_length(encode(text)) // 48 AS h
+             |           FROM documents WHERE octet_length(encode(text)) >= 48),
+             |px AS (SELECT doc_id, i // 16 AS y, i % 16 AS x,
+             |         CAST('0x' || substr(hx, i*6 + 1, 2) AS BIGINT)
+             |       + CAST('0x' || substr(hx, i*6 + 3, 2) AS BIGINT)
+             |       + CAST('0x' || substr(hx, i*6 + 5, 2) AS BIGINT) AS lum
+             |       FROM (SELECT doc_id, hx, unnest(generate_series(0, h*16 - 1)) AS i FROM d))
+             |SELECT doc_id, CAST(y // 4 AS BIGINT) AS patch_row,
+             |  CAST(x // 4 AS BIGINT) AS patch_col, COUNT(*) AS n_px,
+             |  CAST(SUM(lum) AS BIGINT) AS lum_sum,
+             |  CAST(SUM(lum) * 100 // (3 * COUNT(*)) AS BIGINT) AS mean_e2
+             |FROM px GROUP BY 1, 2, 3""".stripMargin)
+    ),
+
     // VOICE-ACTIVITY DETECTION over the real container: the same PCM
     // WAVs as mm_wav_features, folded to energy-gated 16-sample frames
     // (Σ|amplitude| > 400000) with adjacent active frames merged into
