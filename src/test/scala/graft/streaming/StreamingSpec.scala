@@ -188,6 +188,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("HeavyHittersStream.foldKey keeps <= cap slots with the space-saving bounds") {
+    import HeavyHittersStream._
+    // cap 2: a,a,b fills both slots; c evicts the min (b, count 1) and
+    // inherits its count as err -> c tracked at (2, err 1)
+    val evts = Seq(Evt("k", 1, "a"), Evt("k", 2, "a"), Evt("k", 3, "b"),
+      Evt("k", 4, "c"))
+    val (out, st) = foldKey("k", evts, None, cap = 2, emitK = 2)
+    assert(st.slots.size === 2 && st.n_seen === 4L)
+    assert(out === Seq(
+      HH("k", "a", 2, 2, 1, 4, 4),
+      HH("k", "c", 2, 1, 2, 4, 4)))
+    // guarantee: any item with true freq > n/cap is tracked (a: 2 > 4/2 is
+    // false here, but a is tracked anyway; the bound count_min <= true <=
+    // count_max holds for every emitted row)
+    assert(out.forall(h => h.count_min <= h.count_max))
+  }
+
+  test("HeavyHittersStream carries sketch state across micro-batches") {
+    import HeavyHittersStream._
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val out = HeavyHittersStream(in.toDS(), cap = 3, emitK = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hh_stream").start()
+    try {
+      in.addData(Evt("k", 1, "x"), Evt("k", 2, "x"), Evt("k", 3, "y"))
+      q.processAllAvailable()
+      // batch 2 only beats x's carried count because batch 1's state is in
+      in.addData(Evt("k", 4, "y"), Evt("k", 5, "y"), Evt("k", 6, "z"))
+      q.processAllAvailable()
+      val rows = spark.table("hh_stream")
+        .select("as_of_us", "item", "count_max", "rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(rows === Seq(
+        (3L, "x", 2L, 1L), (3L, "y", 1L, 2L),
+        (6L, "y", 3L, 1L), (6L, "x", 2L, 2L)).sorted)
+    } finally q.stop()
+  }
+
   test("WindowedAgg file-source run survives a checkpointed restart without loss or duplication") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._
