@@ -640,6 +640,37 @@ object IngestQueries {
              |FROM t GROUP BY 1, 2""".stripMargin)
     ),
 
+    // K-FOLD split audit — the cross-validation twin of
+    // etl_train_val_split: deterministic fold assignment (md5 % 5 on
+    // doc_id, so any engine reproduces membership without storing it)
+    // plus the balance readout that decides whether hashed folds are
+    // usable as-is: per (fold, lang) doc counts and the within-fold
+    // share in basis points. A skewed share says "stratify instead".
+    // One map-side agg + a broadcast per-fold total.
+    "etl_kfold_split" -> Query(
+      (s, d) => {
+        val fold = Hashing.md5Long60(
+          concat(lit("fold_"), col("doc_id").cast("string"))) % 5
+        val g = Tables.documents(s, d)
+          .groupBy(fold.as("fold"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        val ft = g.groupBy(col("fold").as("f")).agg(sum(col("n_docs")).as("fn"))
+        g.join(broadcast(ft), col("fold") === col("f"))
+          .select(col("fold"), col("lang"), col("n_docs"), col("sum_chars"),
+            expr("n_docs * 10000 div fn").as("lang_share_bp"))
+      },
+      Some("""WITH t AS (SELECT lang, n_chars,
+             |    CAST('0x' || substr(md5('fold_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 AS fold
+             |  FROM documents),
+             |g AS (SELECT fold, lang, COUNT(*) AS n_docs,
+             |        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |      FROM t GROUP BY 1, 2),
+             |ft AS (SELECT fold, SUM(n_docs) AS fn FROM g GROUP BY 1)
+             |SELECT g.fold, g.lang, g.n_docs, g.sum_chars,
+             |  CAST(g.n_docs * 10000 // ft.fn AS BIGINT) AS lang_share_bp
+             |FROM g JOIN ft USING (fold)""".stripMargin)
+    ),
+
     // Bloom-filter manifest — the EQUALITY twin of etl_zone_map's
     // range pruning: zone maps skip files by min/max, but a point
     // lookup on an unclustered key (o_custkey here) matches every

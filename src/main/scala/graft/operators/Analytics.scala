@@ -1505,6 +1505,59 @@ object Analytics {
              |GROUP BY 1, 2, 3""".stripMargin)
     ),
 
+    // REPEAT-PURCHASE COHORTS — the acquisition-quality readout:
+    // customers grouped by first-order month, with ever-repeat and
+    // repeat-within-90-days rates per cohort (the retention curve's
+    // first point, on the orders fact rather than the event log — the
+    // events_retention twin for transactional data). First/second
+    // order dates come from one row_number window per customer;
+    // cohort keys and rates are pure integers (yyyymm, day diffs,
+    // basis points). One shuffle on o_custkey + a tiny cohort rollup.
+    "orders_repeat_cohort" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val f = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("o_custkey"))
+          .agg(min(when(col("rn") === 1, col("o_orderdate"))).as("d1"),
+            min(when(col("rn") === 2, col("o_orderdate"))).as("d2"),
+            count(lit(1)).as("n"))
+        f.select((year(col("d1")) * 100 + month(col("d1"))).cast("long").as("cohort_ym"),
+            (col("n") >= 2).cast("long").as("rep"),
+            (col("d2").isNotNull && datediff(col("d2"), col("d1")) <= 90)
+              .cast("long").as("rep90"))
+          .groupBy(col("cohort_ym"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("rep")).as("n_repeat"), sum(col("rep90")).as("n_repeat_90d"))
+          .select(col("cohort_ym"), col("n_customers"), col("n_repeat"),
+            expr("n_repeat * 10000 div n_customers").as("repeat_bp"),
+            col("n_repeat_90d"),
+            expr("n_repeat_90d * 10000 div n_customers").as("repeat90_bp"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderdate,
+             |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                           ORDER BY o_orderdate, o_orderkey) AS rn
+             |      FROM orders),
+             |f AS (SELECT o_custkey,
+             |        MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS d1,
+             |        MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS d2,
+             |        COUNT(*) AS n
+             |      FROM o GROUP BY 1),
+             |c AS (SELECT CAST(year(d1) * 100 + month(d1) AS BIGINT) AS cohort_ym,
+             |        CASE WHEN n >= 2 THEN 1 ELSE 0 END AS rep,
+             |        CASE WHEN d2 IS NOT NULL AND date_diff('day', d1, d2) <= 90
+             |             THEN 1 ELSE 0 END AS rep90
+             |      FROM f)
+             |SELECT cohort_ym, COUNT(*) AS n_customers,
+             |  CAST(SUM(rep) AS BIGINT) AS n_repeat,
+             |  CAST(SUM(rep) * 10000 // COUNT(*) AS BIGINT) AS repeat_bp,
+             |  CAST(SUM(rep90) AS BIGINT) AS n_repeat_90d,
+             |  CAST(SUM(rep90) * 10000 // COUNT(*) AS BIGINT) AS repeat90_bp
+             |FROM c GROUP BY 1""".stripMargin)
+    ),
+
     // UPTIME / SLA profile per event type — the pipeline-health view a
     // feed operator reads first: observed span, days with activity,
     // uptime share in basis points, and the longest silent gap. All

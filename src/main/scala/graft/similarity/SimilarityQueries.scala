@@ -1348,6 +1348,55 @@ object SimilarityQueries {
              |SELECT CAST(ratio_bp // 1000 AS BIGINT) AS bucket, COUNT(*) AS n_vecs,
              |  MIN(ratio_bp) AS min_bp, MAX(ratio_bp) AS max_bp
              |FROM r GROUP BY 1""".stripMargin)
+    ),
+
+    // COLBERT-STYLE LATE INTERACTION (MaxSim) top-k: each vector is
+    // treated as 8 sub-vectors of 8 dims (the multi-vector document
+    // representation), and a pair scores sum over query sub-vectors of
+    // the MAX dot product against any doc sub-vector — the retrieval
+    // scorer that beats single-vector cosine on fine-grained matches.
+    // Declared exact rerank baseline over the broadcast probe set (the
+    // ann_bruteforce convention: the corpus never shuffles for the
+    // probe pairing; the partial-agg chain max-per-qsub then sum is
+    // map-side combinable). All dots are exact integers on the
+    // 1e3-quantized vectors, so the ranking is float-free.
+    "ann_maxsim_topk" -> Query(
+      (s, d) => {
+        val subs = quantizedVecs(s, d)
+          .select(col("vec_id"), explode(array((0 until 8).map(j =>
+            struct(lit(j.toLong).as("m"), slice(col("qv"), j * 8 + 1, 8).as("sv"))): _*)).as("e"))
+          .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+        val qs = subs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("m").as("qj"), col("sv").as("qsv"))
+        val scored = subs.join(broadcast(qs), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("qj"),
+            expr("aggregate(zip_with(qsv, sv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("dot"))
+          .groupBy(col("qid"), col("vec_id"), col("qj"))
+          .agg(max(col("dot")).as("mx"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("mx")).as("maxsim"))
+        scored.withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("maxsim").desc, col("vec_id"))).cast("long"))
+          .filter(col("rn") <= 5)
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding,
+             |        x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+             |      FROM embeddings),
+             |sub AS (SELECT vec_id, j, list_slice(qv, 8*j + 1, 8*j + 8) AS sv
+             |        FROM q CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)),
+             |qs AS (SELECT vec_id AS qid, j AS qj, sv AS qsv FROM sub WHERE vec_id < 10),
+             |dots AS (SELECT qs.qid, sub.vec_id, qs.qj,
+             |           MAX(list_sum(list_transform(generate_series(1, 8),
+             |             i -> qsv[i] * sv[i]))) AS mx
+             |         FROM sub JOIN qs ON sub.vec_id <> qs.qid
+             |         GROUP BY 1, 2, 3),
+             |sc AS (SELECT qid, vec_id, CAST(SUM(mx) AS BIGINT) AS maxsim
+             |       FROM dots GROUP BY 1, 2),
+             |r AS (SELECT qid, vec_id, maxsim,
+             |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY maxsim DESC, vec_id) AS rn
+             |      FROM sc)
+             |SELECT qid, vec_id, maxsim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
     )
   )
 }
