@@ -1204,6 +1204,111 @@ object Analytics {
              |SELECT state, CAST(r AS BIGINT) AS pi_q FROM p2""".stripMargin)
     ),
 
+    // AUDIENCE OVERLAP matrix — Jaccard of distinct-user sets for every
+    // event-type pair: the segmentation readout (which behaviors share
+    // an audience, which are disjoint funnels). One distinct
+    // (type, user) projection, a self-equi-join on user_id (the only
+    // shuffle that scales with data; the |types|^2 rollup is constant),
+    // and integer-bp Jaccard from exact distinct counts.
+    "events_audience_overlap" -> Query(
+      (s, d) => {
+        val u = graft.Caches.scoped(Tables.events(s, d)
+          .select(col("event_type"), col("user_id")).distinct())
+        val nt = u.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val inter = u.as("a")
+          .join(u.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(nt.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+          .join(broadcast(nt.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("inter"),
+            expr("inter * 10000 div (n_a + n_b - inter)").as("jaccard_bp"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+             |nt AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
+             |iv AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS inter
+             |       FROM u a JOIN u b
+             |         ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |       GROUP BY 1, 2)
+             |SELECT type_a, type_b, na.n AS n_a, nb.n AS n_b, inter,
+             |  CAST(inter * 10000 // (na.n + nb.n - inter) AS BIGINT) AS jaccard_bp
+             |FROM iv JOIN nt na ON na.event_type = type_a
+             |        JOIN nt nb ON nb.event_type = type_b""".stripMargin)
+    ),
+
+    // MARKOV ENTROPY RATE of the user journey — the one-number
+    // predictability score of the whole behavior graph (how many
+    // nats the NEXT action carries given the current one): H =
+    // -sum_i pi_i sum_j p_ij ln p_ij over the transition matrix,
+    // with pi the 2-step power-iteration stationary vector that
+    // events_markov_stationary pins (integer quantum 1e-12) and every
+    // ln argument an exact integer count (ln c_ij - ln n_i). Per-row
+    // terms are identical IEEE doubles both engines, summed in
+    // DECIMAL(26,12); the matrix is |types|^2 — driver-free, constant
+    // size regardless of event volume.
+    "events_entropy_rate" -> Query(
+      (s, d) => {
+        val Q = 1000000000000L
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = graft.Caches.scoped(Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("src"))
+          .withColumn("dst", lead(col("src"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("nij")))
+        val outTot = trans.groupBy(col("src")).agg(sum(col("nij")).as("ni"))
+        val states = outTot.select(col("src").as("state"))
+        val n = states.count()
+        var pi = states.select(col("state"), lit(Q / n).as("r"))
+        (1 to 2).foreach { _ =>
+          val contrib = pi.join(outTot, col("state") === col("src"))
+            .join(trans, Seq("src"))
+            .select(col("dst"), expr("r * nij div ni").as("c"))
+          pi = states.join(
+              contrib.groupBy(col("dst")).agg(sum(col("c")).as("rn")),
+              col("state") === col("dst"), "left_outer")
+            .select(col("state"), coalesce(col("rn"), lit(0L)).as("r"))
+        }
+        trans.join(outTot, Seq("src"))
+          .join(broadcast(pi), col("src") === col("state"))
+          .agg(count(lit(1)).as("n_trans_cells"),
+            sum((col("r").cast("double") * col("nij").cast("double") *
+                (log(col("nij").cast("double")) - log(col("ni").cast("double")))
+                / col("ni").cast("double"))
+              .cast("decimal(26,12)")).as("t"))
+          .select(col("n_trans_cells"),
+            round(-col("t").cast("double") / lit(Q.toDouble), 4).as("entropy_rate"))
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type AS src,
+             |            LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+             |          FROM events),
+             |tr AS (SELECT src, dst, COUNT(*) AS nij FROM e WHERE dst IS NOT NULL GROUP BY 1, 2),
+             |ot AS (SELECT src, SUM(nij) AS ni FROM tr GROUP BY 1),
+             |st AS (SELECT src AS state FROM ot),
+             |k AS (SELECT 1000000000000 // COUNT(*) AS r0 FROM st),
+             |p1 AS (SELECT st.state,
+             |         COALESCE((SELECT SUM(k.r0 * tr.nij // ot.ni)
+             |                   FROM tr JOIN ot USING (src) CROSS JOIN k
+             |                   WHERE tr.dst = st.state), 0) AS r
+             |       FROM st),
+             |p2 AS (SELECT st.state,
+             |         COALESCE((SELECT SUM(p1.r * tr.nij // ot.ni)
+             |                   FROM tr JOIN ot USING (src) JOIN p1 ON p1.state = tr.src
+             |                   WHERE tr.dst = st.state), 0) AS r
+             |       FROM st)
+             |SELECT COUNT(*) AS n_trans_cells,
+             |  ROUND(-CAST(SUM(CAST(
+             |      CAST(p2.r AS DOUBLE) * CAST(tr.nij AS DOUBLE) *
+             |        (ln(CAST(tr.nij AS DOUBLE)) - ln(CAST(ot.ni AS DOUBLE)))
+             |        / CAST(ot.ni AS DOUBLE)
+             |    AS DECIMAL(26,12))) AS DOUBLE) / 1000000000000.0, 4) AS entropy_rate
+             |FROM tr JOIN ot USING (src) JOIN p2 ON p2.state = tr.src""".stripMargin)
+    ),
+
     // BEHAVIORAL ENTROPY per user: Shannon entropy of the user's
     // event-type distribution — the one-number signal separating
     // single-purpose accounts and scripted bots (entropy -> 0) from

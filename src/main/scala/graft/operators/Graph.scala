@@ -566,6 +566,59 @@ object Graph {
              |FROM cc GROUP BY 1""".stripMargin)
     ),
 
+    // DEGREE ASSORTATIVITY of the co-purchase graph — do hubs connect
+    // to hubs (r > 0, social-network-like) or to leaves (r < 0,
+    // hub-and-spoke catalogs)? Newman's r is the Pearson correlation
+    // of endpoint degrees over the symmetric edge list: every sum
+    // (n, sx, sy, sxx, syy, sxy) is an exact integer, only the final
+    // correlation is floating, rounded 6dp — the events_autocorr
+    // discipline. Two broadcast degree attaches + one scalar agg.
+    "graph_assortativity" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+        val sym = graft.Caches.scoped(
+          pairs.select(col("pa").as("u"), col("pb").as("v"))
+            .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v"))))
+        val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        sym
+          .join(deg.select(col("u"), col("deg").as("x")), Seq("u"))
+          .join(deg.select(col("u").as("v"), col("deg").as("y")), Seq("v"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("n").as("n_directed_edges"),
+            round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+              / (sqrt(col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx"))
+                * sqrt(col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))),
+              6).as("assortativity"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |          FROM li a JOIN li b
+             |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT pa AS u, pb AS v FROM pairs
+             |        UNION ALL SELECT pb, pa FROM pairs),
+             |deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1),
+             |j AS (SELECT dx.deg AS x, dy.deg AS y
+             |      FROM sym JOIN deg dx ON sym.u = dx.u JOIN deg dy ON sym.v = dy.u),
+             |m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             |        SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy FROM j)
+             |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+             |  ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             |     * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS assortativity
+             |FROM m""".stripMargin)
+    ),
+
     // DEGREE DISTRIBUTION of the co-purchase graph in log2 buckets —
     // the first diagnostic run on any production graph: a heavy
     // power-law tail predicts which downstream ops (wedge joins,
