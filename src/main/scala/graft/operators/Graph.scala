@@ -656,6 +656,61 @@ object Graph {
              |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
              |  COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg
              |FROM deg GROUP BY 1""".stripMargin)
+    ),
+
+    // HITS hubs-and-authorities (Kleinberg) over the BIPARTITE
+    // supplier->part purchase graph — the mutual-recursion ranking
+    // PageRank can't express: a part is authoritative when bought by
+    // strong hubs, a supplier is a strong hub when it stocks
+    // authoritative parts. Two pinned power iterations in the ppr
+    // scaled-integer discipline (quantum 1e-12); each mass sum is
+    // renormalized to ~Q by DIV-FIRST integer division (x div
+    // greatest(S div Q, 1)) so magnitudes stay bounded at any corpus
+    // size — no BIGINT overflow at 100x, no float drift. Per
+    // iteration: one equi-join edges><scores + one partial agg, with
+    // the three mass totals crossing as broadcast scalars — O(E)
+    // messages, the same scale shape as graph_pagerank.
+    "graph_hits" -> Query(
+      (s, d) => {
+        val Q = 1000000000000L
+        val e = graft.Caches.scoped(Tables.lineitem(s, d)
+          .select(col("l_suppkey").as("sup"), col("l_partkey").as("part"))
+          .distinct())
+        val nSup = e.select(col("sup")).distinct().count()
+        val hub0 = Q / math.max(nSup, 1L)
+        val a1 = e.groupBy(col("part")).agg((count(lit(1)) * hub0).as("a"))
+        val s1 = a1.agg(sum(col("a")).as("sa"))
+        val an1 = a1.crossJoin(broadcast(s1))
+          .select(col("part"), expr(s"a div greatest(sa div ${Q}L, 1L)").as("a"))
+        val h1 = e.join(an1, Seq("part"))
+          .groupBy(col("sup")).agg(sum(col("a")).as("h"))
+        val s2 = h1.agg(sum(col("h")).as("sh"))
+        val hn1 = h1.crossJoin(broadcast(s2))
+          .select(col("sup"), expr(s"h div greatest(sh div ${Q}L, 1L)").as("h"))
+        val a2 = e.join(hn1, Seq("sup"))
+          .groupBy(col("part")).agg(sum(col("h")).as("a"))
+        val s3 = a2.agg(sum(col("a")).as("sa"))
+        a2.crossJoin(broadcast(s3))
+          .join(e.groupBy(col("part")).agg(count(lit(1)).as("pdeg")), Seq("part"))
+          .select(col("part"), col("pdeg"),
+            expr(s"a div greatest(sa div ${Q}L, 1L)").as("auth_q"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_suppkey AS sup, l_partkey AS part FROM lineitem),
+             |k AS (SELECT 1000000000000 // GREATEST(COUNT(DISTINCT sup), 1) AS hub0 FROM e),
+             |a1 AS (SELECT part, COUNT(*) * k.hub0 AS a FROM e CROSS JOIN k GROUP BY part, k.hub0),
+             |s1 AS (SELECT SUM(a) AS sa FROM a1),
+             |an1 AS (SELECT part, a // GREATEST(sa // 1000000000000, 1) AS a
+             |        FROM a1 CROSS JOIN s1),
+             |h1 AS (SELECT e.sup, SUM(an1.a) AS h FROM e JOIN an1 USING (part) GROUP BY 1),
+             |s2 AS (SELECT SUM(h) AS sh FROM h1),
+             |hn1 AS (SELECT sup, h // GREATEST(sh // 1000000000000, 1) AS h
+             |        FROM h1 CROSS JOIN s2),
+             |a2 AS (SELECT e.part, SUM(hn1.h) AS a FROM e JOIN hn1 USING (sup) GROUP BY 1),
+             |s3 AS (SELECT SUM(a) AS sa FROM a2),
+             |pd AS (SELECT part, COUNT(*) AS pdeg FROM e GROUP BY 1)
+             |SELECT a2.part, CAST(pd.pdeg AS BIGINT) AS pdeg,
+             |  CAST(a2.a // GREATEST(s3.sa // 1000000000000, 1) AS BIGINT) AS auth_q
+             |FROM a2 CROSS JOIN s3 JOIN pd ON pd.part = a2.part""".stripMargin)
     )
   )
 }

@@ -281,6 +281,50 @@ object TpchMore {
              |       // CAST(tot_d * 1000000 AS BIGINT) AS BIGINT) AS share_bp,
              |  CAST(RANK() OVER (ORDER BY rev_d DESC, suppkey) AS BIGINT) AS rev_rank
              |FROM per CROSS JOIN tot""".stripMargin)
+    ),
+
+    // HERFINDAHL-HIRSCHMAN INDEX per nation — the supply-concentration
+    // gate a sourcing/risk review runs before trusting a region: HHI =
+    // sum of squared supplier revenue shares (10000 bp scale, so HHI in
+    // [0, 1e8]; >0.25e8 = "highly concentrated"). Shares use DIV-FIRST
+    // integer micro-units (rev_u div (tot_u div 10000)) so the product
+    // never exceeds BIGINT even when national revenue reaches 1e18
+    // micro-units at 100x — the supplier_scorecard multiply-first form
+    // would overflow there. One fact agg, both dims broadcast, and the
+    // 25-row nation total re-attached as a broadcast.
+    "supplier_hhi" -> Query(
+      (s, d) => {
+        def per = Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey").as("suppkey"))
+          .agg(sum(revenue).as("rev_d"))
+          .withColumn("rev_u", (col("rev_d") * 1000000).cast("long"))
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))), Seq("suppkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+            Seq("s_nationkey"))
+        val tot = per.groupBy(col("n_name")).agg(sum(col("rev_u")).as("tot_u"))
+        per.join(broadcast(tot), Seq("n_name"))
+          .withColumn("share_bp", expr("rev_u div greatest(tot_u div 10000, 1L)"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(col("share_bp") * col("share_bp")).as("hhi"),
+            max(col("share_bp")).as("top_share_bp"))
+      },
+      Some(s"""WITH per AS (SELECT l_suppkey AS suppkey,
+             |    CAST(SUM($revSql) * 1000000 AS BIGINT) AS rev_u
+             |  FROM lineitem GROUP BY 1),
+             |j AS (SELECT n.n_name, per.suppkey, per.rev_u
+             |      FROM per JOIN supplier s ON s.s_suppkey = per.suppkey
+             |      JOIN nation n ON n.n_nationkey = s.s_nationkey),
+             |t AS (SELECT n_name, SUM(rev_u) AS tot_u FROM j GROUP BY 1),
+             |sh AS (SELECT j.n_name,
+             |         rev_u // GREATEST(tot_u // 10000, 1) AS share_bp
+             |       FROM j JOIN t USING (n_name))
+             |SELECT n_name, COUNT(*) AS n_suppliers,
+             |  CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi,
+             |  CAST(MAX(share_bp) AS BIGINT) AS top_share_bp
+             |FROM sh GROUP BY 1""".stripMargin)
     )
   )
 }

@@ -1397,6 +1397,47 @@ object SimilarityQueries {
              |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY maxsim DESC, vec_id) AS rn
              |      FROM sc)
              |SELECT qid, vec_id, maxsim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
+    ),
+
+    // RADIUS (epsilon-ball) SEARCH — "everything within cosine >= tau
+    // of each probe", the dedup/recall-sweep primitive where top-k's
+    // fixed k is wrong: result size follows true neighborhood density.
+    // Candidates come from the SAME 5x3 banded hyperplane index as
+    // ann_lsh_topk (equi-join on (table, bucket) — O(L*n) index rows,
+    // never all-pairs), then the exact rounded cosine filters at the
+    // threshold. Deterministic: the oracle replays bucketing, dedup,
+    // and the 4dp-rounded comparison bit-for-bit.
+    "ann_range_search" -> Query(
+      (s, d) => {
+        val tables = (0 until lshTables).map { t =>
+          struct(lit(t).as("tbl"),
+            VectorFunctions.hyperplaneLshBucket(col("embedding"), lshPlanes, 64,
+              planeOffset = lshPlanes * t).as("bucket"))
+        }
+        val hashed = corpus(s, d)
+          .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+          .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val qh = hashed.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "qid")
+        val cand = hashed.join(broadcast(qh), Seq("tbl", "bucket"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id")).distinct()
+        cand.join(corpus(s, d), Seq("vec_id"))
+          .join(broadcast(queriesDf(s, d)), Seq("qid"))
+          .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos"))
+          .filter(col("cos") >= 0.25)
+      },
+      Some(s"""WITH b AS (${(0 until lshTables).map(t =>
+               s"SELECT vec_id, embedding, $t AS tbl, ${lshBucketSql(lshPlanes * t)} AS bucket FROM embeddings")
+               .mkString("\n UNION ALL ")}),
+             |bq AS (SELECT vec_id AS qid, tbl, bucket FROM b WHERE vec_id < 10),
+             |cand AS (SELECT DISTINCT bq.qid, e.vec_id
+             |         FROM b e JOIN bq ON e.tbl = bq.tbl AND e.bucket = bq.bucket AND e.vec_id <> bq.qid),
+             |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT cand.qid, cand.vec_id, $cosSql AS cos
+             |      FROM cand
+             |      JOIN embeddings e ON e.vec_id = cand.vec_id
+             |      JOIN q ON q.qid = cand.qid)
+             |SELECT qid, vec_id, cos FROM c WHERE cos >= 0.25""".stripMargin)
     )
   )
 }

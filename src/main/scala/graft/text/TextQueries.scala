@@ -1294,6 +1294,79 @@ object TextQueries {
              |  CAST(SUM(CAST(f.fd = shr.doc_id AS BIGINT)) * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
              |FROM shr JOIN f ON f.s = shr.s
              |GROUP BY shr.doc_id""".stripMargin)
+    ),
+
+    // HAPAX RATIO per source — the vocabulary-tail health check a
+    // tokenizer/mixture review runs: what share of each source's
+    // vocabulary occurs exactly once (hapax) or twice (dis legomena)?
+    // A boilerplate-heavy or template-generated source shows a
+    // collapsed tail (low hapax share); OCR noise shows an inflated
+    // one. Two map-side-combinable shuffles — (source, token) counts,
+    // then the per-source rollup — integer-bp ratios, no floats.
+    "text_hapax_ratio" -> Query(
+      (s, d) => {
+        val tc = Tables.documents(s, d)
+          .select(col("source"), explode(cleanToks).as("tok"))
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        tc.groupBy(col("source"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("vocab"),
+            sum((col("c") === 1).cast("long")).as("hapax"),
+            sum((col("c") === 2).cast("long")).as("dis"))
+          .select(col("source"), col("n_tokens"), col("vocab"),
+            col("hapax"), col("dis"),
+            expr("hapax * 10000 div vocab").as("hapax_bp"),
+            expr("dis * 10000 div vocab").as("dis_bp"))
+      },
+      Some("""WITH t AS (SELECT source,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |tc AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY 1, 2)
+             |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS vocab,
+             |  CAST(SUM(CAST(c = 1 AS BIGINT)) AS BIGINT) AS hapax,
+             |  CAST(SUM(CAST(c = 2 AS BIGINT)) AS BIGINT) AS dis,
+             |  CAST(SUM(CAST(c = 1 AS BIGINT)) * 10000 // COUNT(*) AS BIGINT) AS hapax_bp,
+             |  CAST(SUM(CAST(c = 2 AS BIGINT)) * 10000 // COUNT(*) AS BIGINT) AS dis_bp
+             |FROM tc GROUP BY 1""".stripMargin)
+    ),
+
+    // LANGUAGE-ID CONFUSION MATRIX — declared `lang` metadata vs the
+    // n-gram langId prediction, the audit that decides whether the
+    // upstream metadata or the heuristic gets trusted per language.
+    // Re-uses text_langid's exact decision rule; the matrix is a
+    // |langs|^2 map-side-combinable count plus a broadcast row-total
+    // attach — per-row integer-bp shares, nothing driver-side.
+    "text_langid_confusion" -> Query(
+      (s, d) => {
+        val cm = Tables.documents(s, d)
+          .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+        val tot = cm.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+        cm.join(broadcast(tot), Seq("lang"))
+          .select(col("lang"), col("lang_pred"), col("n"),
+            expr("n * 10000 div n_lang").as("row_bp"),
+            (col("lang") === col("lang_pred")).cast("long").as("agree"))
+      },
+      Some(s"""WITH h AS (SELECT lang,
+             |  ${hitsSql("en")} AS en_hits,
+             |  ${hitsSql("fr")} AS fr_hits,
+             |  ${hitsSql("es")} AS es_hits,
+             |  ${hitsSql("de")} AS de_hits,
+             |  len(regexp_extract_all(text, '${TextFunctions.zhChars.mkString("|")}')) AS zh_hits
+             |FROM documents),
+             |p AS (SELECT lang,
+             |  CASE WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= zh_hits THEN 'en'
+             |       WHEN fr_hits >= es_hits AND fr_hits >= de_hits AND fr_hits >= zh_hits THEN 'fr'
+             |       WHEN es_hits >= de_hits AND es_hits >= zh_hits THEN 'es'
+             |       WHEN de_hits >= zh_hits THEN 'de'
+             |       ELSE 'zh' END AS lang_pred
+             |  FROM h),
+             |cm AS (SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+             |t AS (SELECT lang, SUM(n) AS n_lang FROM cm GROUP BY 1)
+             |SELECT cm.lang, cm.lang_pred, cm.n,
+             |  CAST(cm.n * 10000 // t.n_lang AS BIGINT) AS row_bp,
+             |  CAST(cm.lang = cm.lang_pred AS BIGINT) AS agree
+             |FROM cm JOIN t USING (lang)""".stripMargin)
     )
   )
 }
