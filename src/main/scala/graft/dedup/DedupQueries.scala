@@ -688,6 +688,46 @@ object DedupQueries {
              |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
              |  CAST(SUM(sz) AS BIGINT) AS n_docs
              |FROM szs GROUP BY 1""".stripMargin)
+    ),
+
+    // PHONETIC BLOCKING over catalog names — the record-linkage
+    // primitive for "same thing, spelled differently": a consonant
+    // skeleton (first letter + next 5 non-[aeiouyhw] letters) buckets
+    // names that sound alike, and only blocks with >= 2 members go on
+    // to pairwise comparison. The key is a pure codegen'd string
+    // expression; blocking is ONE map-side-combinable group-by, so
+    // candidate pairs are O(sum block^2) with skeleton-bounded blocks
+    // instead of all-pairs — the same scale argument as MinHash
+    // banding, for the short-string/name domain where shingles are
+    // too sparse.
+    "dedup_phonetic_block" -> Query(
+      (s, d) => {
+        val letters = lower(regexp_replace(col("p_name"), "[^A-Za-z]", ""))
+        val key = concat(substring(letters, 1, 1),
+          substring(regexp_replace(substring(letters, 2, 1000000),
+            "[aeiouyhw]", ""), 1, 5))
+        Tables.part(s, d)
+          .select(col("p_name"), key.as("pkey"))
+          .filter(length(col("pkey")) > 0)
+          .groupBy(col("pkey"))
+          .agg(count(lit(1)).as("n_parts"),
+            countDistinct(col("p_name")).as("n_names"),
+            min(col("p_name")).as("sample_name"))
+          .filter(col("n_parts") >= 2)
+      },
+      Some("""WITH l AS (SELECT p_name,
+             |    lower(regexp_replace(p_name, '[^A-Za-z]', '', 'g')) AS ls
+             |  FROM part),
+             |k AS (SELECT p_name,
+             |        substr(ls, 1, 1) ||
+             |        substr(regexp_replace(substr(ls, 2, 1000000), '[aeiouyhw]', '', 'g'), 1, 5)
+             |          AS pkey
+             |      FROM l)
+             |SELECT pkey, COUNT(*) AS n_parts,
+             |  COUNT(DISTINCT p_name) AS n_names,
+             |  MIN(p_name) AS sample_name
+             |FROM k WHERE length(pkey) > 0
+             |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin)
     )
   )
 }

@@ -1883,6 +1883,112 @@ object Analytics {
              |  CAST(SUM(n_opened - n_closed) OVER (ORDER BY day
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
              |FROM dd""".stripMargin)
+    ),
+
+    // UP/DOWN STREAKS of the daily volume series per event type — the
+    // gaps-and-islands run-length readout ("7 straight days of growth")
+    // a trend monitor alerts on. Group ids come from the classic
+    // cumulative-resets trick (sum of NOT-up over the ordered days), so
+    // the whole thing is two windows + two rollups over the tiny daily
+    // series — integer-only, per-type partitions, day count bounded by
+    // the calendar regardless of event volume.
+    "events_streaks" -> Query(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("di"))
+          .groupBy(col("event_type"), col("di")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+        val dir = daily
+          .withColumn("delta", col("c") - lag(col("c"), 1).over(w))
+          .filter(col("delta").isNotNull)
+          .withColumn("up", (col("delta") > 0).cast("long"))
+          .withColumn("dn", (col("delta") < 0).cast("long"))
+          .withColumn("grp_up", sum(lit(1) - col("up")).over(w))
+          .withColumn("grp_dn", sum(lit(1) - col("dn")).over(w))
+        val ups = dir.filter(col("up") === 1)
+          .groupBy(col("event_type"), col("grp_up")).agg(count(lit(1)).as("len"))
+          .groupBy(col("event_type")).agg(max(col("len")).as("max_up_streak"))
+        val dns = dir.filter(col("dn") === 1)
+          .groupBy(col("event_type"), col("grp_dn")).agg(count(lit(1)).as("len"))
+          .groupBy(col("event_type")).agg(max(col("len")).as("max_down_streak"))
+        dir.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_deltas"), sum(col("up")).as("n_up_days"),
+            sum(col("dn")).as("n_down_days"))
+          .join(ups, Seq("event_type"), "left_outer")
+          .join(dns, Seq("event_type"), "left_outer")
+          .select(col("event_type"), col("n_deltas"),
+            col("n_up_days"), col("n_down_days"),
+            coalesce(col("max_up_streak"), lit(0L)).as("max_up_streak"),
+            coalesce(col("max_down_streak"), lit(0L)).as("max_down_streak"))
+      },
+      Some("""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS di, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |dir AS (SELECT event_type, di,
+             |          c - LAG(c) OVER (PARTITION BY event_type ORDER BY di) AS delta
+             |        FROM daily),
+             |f AS (SELECT event_type, di, CAST(delta > 0 AS BIGINT) AS up,
+             |        CAST(delta < 0 AS BIGINT) AS dn
+             |      FROM dir WHERE delta IS NOT NULL),
+             |g AS (SELECT event_type, up, dn,
+             |        SUM(1 - up) OVER (PARTITION BY event_type ORDER BY di) AS grp_up,
+             |        SUM(1 - dn) OVER (PARTITION BY event_type ORDER BY di) AS grp_dn
+             |      FROM f),
+             |us AS (SELECT event_type, MAX(len) AS max_up_streak FROM (
+             |        SELECT event_type, grp_up, COUNT(*) AS len FROM g
+             |        WHERE up = 1 GROUP BY 1, 2) GROUP BY 1),
+             |ds AS (SELECT event_type, MAX(len) AS max_down_streak FROM (
+             |        SELECT event_type, grp_dn, COUNT(*) AS len FROM g
+             |        WHERE dn = 1 GROUP BY 1, 2) GROUP BY 1),
+             |b AS (SELECT event_type, COUNT(*) AS n_deltas,
+             |        CAST(SUM(up) AS BIGINT) AS n_up_days,
+             |        CAST(SUM(dn) AS BIGINT) AS n_down_days
+             |      FROM f GROUP BY 1)
+             |SELECT b.event_type, b.n_deltas, b.n_up_days, b.n_down_days,
+             |  CAST(COALESCE(us.max_up_streak, 0) AS BIGINT) AS max_up_streak,
+             |  CAST(COALESCE(ds.max_down_streak, 0) AS BIGINT) AS max_down_streak
+             |FROM b LEFT JOIN us ON us.event_type = b.event_type
+             |       LEFT JOIN ds ON ds.event_type = b.event_type""".stripMargin)
+    ),
+
+    // CUMULATIVE VWAP per event type — the volume-weighted benchmark
+    // price (here: value weighted by the props.k quantity) every
+    // execution-quality report compares fills against. Quantities come
+    // off the JSON props via the native from_json path; the weighted
+    // turnover accumulates as exact DECIMAL, and only the final
+    // ratio-of-cumulatives floats (both operands bit-identical, 4dp).
+    // One daily partial agg + a per-type cumulative window over the
+    // calendar-bounded daily series.
+    "window_vwap" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("(ts div 1000) div 86400000000").as("di"),
+            col("value"),
+            expr("from_json(props, 'k INT').k").cast("long").as("vol"))
+        val daily = ev.groupBy(col("event_type"), col("di"))
+          .agg(sum((col("value") * col("vol")).cast("decimal(26,6)")).as("pv"),
+            sum(col("vol")).as("vv"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+        daily
+          .withColumn("cum_pv", sum(col("pv")).over(w))
+          .withColumn("cum_v", sum(col("vv")).over(w))
+          .select(col("event_type"), col("di").as("day"), col("vv").as("volume"),
+            round(col("cum_pv").cast("double") / col("cum_v").cast("double"), 4)
+              .as("vwap"))
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS di, "value" AS v,
+             |        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS vol
+             |      FROM events),
+             |daily AS (SELECT event_type, di,
+             |            SUM(CAST(v * vol AS DECIMAL(26,6))) AS pv, SUM(vol) AS vv
+             |          FROM ev GROUP BY 1, 2),
+             |c AS (SELECT event_type, di, vv,
+             |        SUM(pv) OVER (PARTITION BY event_type ORDER BY di) AS cum_pv,
+             |        SUM(vv) OVER (PARTITION BY event_type ORDER BY di) AS cum_v
+             |      FROM daily)
+             |SELECT event_type, di AS day, CAST(vv AS BIGINT) AS volume,
+             |  ROUND(CAST(cum_pv AS DOUBLE) / CAST(cum_v AS DOUBLE), 4) AS vwap
+             |FROM c""".stripMargin)
     )
   )
 }

@@ -1438,6 +1438,43 @@ object SimilarityQueries {
              |      JOIN embeddings e ON e.vec_id = cand.vec_id
              |      JOIN q ON q.qid = cand.qid)
              |SELECT qid, vec_id, cos FROM c WHERE cos >= 0.25""".stripMargin)
+    ),
+
+    // PER-DIMENSION EMBEDDING AUDIT — mean / std / dead-share for each
+    // of the 64 dims: the check that catches collapsed or dead
+    // dimensions (training bug, bad normalization) BEFORE they poison
+    // quantizers and LSH planes downstream. One posexplode + one
+    // 64-group map-side-combinable agg; sums are exact DECIMAL so the
+    // only floats are the final mean/std (identical-operand division
+    // and sqrt, rounded 6dp). No driver state, no second pass.
+    "vec_dim_stats" -> Query(
+      (s, d) => {
+        val t = Tables.embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .select((col("pos") + 1).cast("long").as("dim"),
+            col("xf").cast("double").as("x"))
+        t.groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(18,9)")).as("sx"),
+            sum((col("x") * col("x")).cast("decimal(26,9)")).as("sxx"),
+            sum((abs(col("x")) < 0.001).cast("long")).as("n_dead"))
+          .select(col("dim"), col("n"),
+            round(col("sx").cast("double") / col("n"), 6).as("mean"),
+            round(sqrt((col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+              / col("n")), 6).as("std"),
+            expr("n_dead * 10000 div n").as("dead_bp"))
+      },
+      Some("""WITH u AS (SELECT embedding, unnest(generate_series(1, 64)) AS dim FROM embeddings),
+             |t AS (SELECT dim, CAST(embedding[dim] AS DOUBLE) AS x FROM u)
+             |SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+             |  ROUND(CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean,
+             |  ROUND(sqrt((CAST(SUM(CAST(x * x AS DECIMAL(26,9))) AS DOUBLE)
+             |    - CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+             |      * CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*))
+             |    / COUNT(*)), 6) AS std,
+             |  CAST(SUM(CAST(abs(x) < 0.001 AS BIGINT)) * 10000 // COUNT(*) AS BIGINT) AS dead_bp
+             |FROM t GROUP BY dim""".stripMargin)
     )
   )
 }
