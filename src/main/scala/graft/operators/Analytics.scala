@@ -1989,6 +1989,85 @@ object Analytics {
              |SELECT event_type, di AS day, CAST(vv AS BIGINT) AS volume,
              |  ROUND(CAST(cum_pv AS DOUBLE) / CAST(cum_v AS DOUBLE), 4) AS vwap
              |FROM c""".stripMargin)
+    ),
+
+    // REACTIVATION monitor — users returning after >= 14 silent days,
+    // per day: the win-back readout that separates real growth from
+    // resurrection in a DAU curve. One distinct (user, day) projection,
+    // a lag window along each user's own day series (shuffles once on
+    // user_id; per-user rows are calendar-bounded), then a per-day
+    // rollup with integer-bp shares.
+    "events_reactivation" -> Query(
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("di"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("di"))
+        ud.withColumn("gap", col("di") - lag(col("di"), 1).over(w))
+          .groupBy(col("di").as("day"))
+          .agg(count(lit(1)).as("n_active"),
+            sum((col("gap") >= 14).cast("long")).as("n_reactivated"),
+            sum(col("gap").isNull.cast("long")).as("n_new"))
+          .select(col("day"), col("n_active"), col("n_reactivated"), col("n_new"),
+            expr("n_reactivated * 10000 div n_active").as("react_bp"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS di FROM events),
+             |g AS (SELECT user_id, di,
+             |        di - LAG(di) OVER (PARTITION BY user_id ORDER BY di) AS gap
+             |      FROM ud)
+             |SELECT di AS day, COUNT(*) AS n_active,
+             |  CAST(SUM(CAST(gap >= 14 AS BIGINT)) AS BIGINT) AS n_reactivated,
+             |  CAST(SUM(CAST(gap IS NULL AS BIGINT)) AS BIGINT) AS n_new,
+             |  CAST(SUM(CAST(gap >= 14 AS BIGINT)) * 10000 // COUNT(*) AS BIGINT) AS react_bp
+             |FROM g GROUP BY 1""".stripMargin)
+    ),
+
+    // TYPE-PAIR CORRELATION MATRIX of the daily volume series — which
+    // behaviors move together day over day (shared driver) and which
+    // anti-correlate (cannibalization): Pearson over the per-day count
+    // pairs, every sum an exact integer (counts), only the final r
+    // floats (6dp, the events_autocorr discipline). The matrix is
+    // |types|^2 over the calendar-bounded daily series — constant work
+    // regardless of event volume; only days where BOTH types fired
+    // enter a pair (inner join on day).
+    "events_type_corr_matrix" -> Query(
+      (s, d) => {
+        val daily = graft.Caches.scoped(Tables.events(s, d)
+          .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("di"))
+          .groupBy(col("event_type"), col("di")).agg(count(lit(1)).as("c")))
+        daily.as("a")
+          .join(daily.as("b"),
+            col("a.di") === col("b.di") &&
+              col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+            col("a.c").as("x"), col("b.c").as("y"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("type_a"), col("type_b"), col("n_days"),
+            round((col("n_days").cast("double") * col("sxy")
+              - col("sx").cast("double") * col("sy"))
+              / (sqrt(col("n_days").cast("double") * col("sxx")
+                  - col("sx").cast("double") * col("sx"))
+                * sqrt(col("n_days").cast("double") * col("syy")
+                  - col("sy").cast("double") * col("sy"))), 6).as("corr"))
+      },
+      Some("""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS di, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |        a.c AS x, b.c AS y
+             |      FROM daily a JOIN daily b
+             |        ON a.di = b.di AND a.event_type < b.event_type),
+             |m AS (SELECT type_a, type_b, COUNT(*) AS n_days,
+             |        SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+             |        SUM(y*y) AS syy, SUM(x*y) AS sxy
+             |      FROM p GROUP BY 1, 2)
+             |SELECT type_a, type_b, n_days,
+             |  ROUND((CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |    / (sqrt(CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             |     * sqrt(CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS corr
+             |FROM m""".stripMargin)
     )
   )
 }

@@ -1367,6 +1367,92 @@ object TextQueries {
              |  CAST(cm.n * 10000 // t.n_lang AS BIGINT) AS row_bp,
              |  CAST(cm.lang = cm.lang_pred AS BIGINT) AS agree
              |FROM cm JOIN t USING (lang)""".stripMargin)
+    ),
+
+    // HEAD-COVERAGE CURVE — what share of all token mass the top
+    // 10 / 100 / 1000 vocabulary types carry: the head-heaviness
+    // number (complement of text_zipf_slope) that sizes stopword
+    // lists and predicts compression/dedup yield. The top-1000 slice
+    // comes from orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, never a global sort of the vocabulary); the cumulative
+    // window then runs over <= 1000 rows, a constant regardless of
+    // corpus size. Integer-bp, deterministic (count desc, token asc).
+    "text_head_coverage" -> Query(
+      (s, d) => {
+        val tc = Tables.documents(s, d)
+          .select(explode(cleanToks).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val tot = tc.agg(sum(col("c")).as("total_tokens"))
+        val top = tc.orderBy(col("c").desc, col("tok")).limit(1000)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok"))
+        top
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cum", sum(col("c")).over(w))
+          .filter(col("rn").isin(10L, 100L, 1000L))
+          .crossJoin(broadcast(tot))
+          .select(col("rn").as("rank"), col("cum").as("cum_tokens"),
+            col("total_tokens"),
+            expr("cum * 10000 div total_tokens").as("coverage_bp"))
+      },
+      Some("""WITH tc AS (SELECT tok, COUNT(*) AS c FROM (
+             |    SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+             |    FROM documents) GROUP BY 1),
+             |tot AS (SELECT SUM(c) AS total_tokens FROM tc),
+             |top AS (SELECT tok, c FROM tc ORDER BY c DESC, tok LIMIT 1000),
+             |r AS (SELECT c,
+             |        ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn,
+             |        SUM(c) OVER (ORDER BY c DESC, tok) AS cum
+             |      FROM top)
+             |SELECT CAST(rn AS BIGINT) AS rank, CAST(cum AS BIGINT) AS cum_tokens,
+             |  CAST(total_tokens AS BIGINT) AS total_tokens,
+             |  CAST(cum * 10000 // total_tokens AS BIGINT) AS coverage_bp
+             |FROM r CROSS JOIN tot WHERE rn IN (10, 100, 1000)""".stripMargin)
+    ),
+
+    // CHARACTER-CLASS PROFILE per source — lower/upper/digit/space/
+    // other shares of the raw character stream: the cheapest corpus
+    // fingerprint (code vs prose vs tables vs OCR noise) and the
+    // input-distribution audit for tokenizer training. Pure codegen'd
+    // regexp_count arithmetic, one map-side-combinable agg per source,
+    // integer-bp output.
+    "text_charclass_profile" -> Query(
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("source"),
+          length(col("text")).cast("long").as("nc"),
+          regexp_count(col("text"), lit("[a-z]")).cast("long").as("lo"),
+          regexp_count(col("text"), lit("[A-Z]")).cast("long").as("up"),
+          regexp_count(col("text"), lit("[0-9]")).cast("long").as("dg"),
+          regexp_count(col("text"), lit("\\s")).cast("long").as("sp"))
+        t.groupBy(col("source"))
+          .agg(sum(col("nc")).as("n_chars"), sum(col("lo")).as("n_lower"),
+            sum(col("up")).as("n_upper"), sum(col("dg")).as("n_digit"),
+            sum(col("sp")).as("n_space"))
+          .select(col("source"), col("n_chars"),
+            expr("n_lower * 10000 div n_chars").as("lower_bp"),
+            expr("n_upper * 10000 div n_chars").as("upper_bp"),
+            expr("n_digit * 10000 div n_chars").as("digit_bp"),
+            expr("n_space * 10000 div n_chars").as("space_bp"),
+            expr("(n_chars - n_lower - n_upper - n_digit - n_space) * 10000 div n_chars")
+              .as("other_bp"))
+      },
+      Some("""WITH t AS (SELECT source, CAST(length(text) AS BIGINT) AS nc,
+             |    CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS lo,
+             |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS up,
+             |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS dg,
+             |    CAST(len(regexp_extract_all(text, '\s')) AS BIGINT) AS sp
+             |  FROM documents),
+             |g AS (SELECT source, SUM(nc) AS n_chars, SUM(lo) AS n_lower,
+             |        SUM(up) AS n_upper, SUM(dg) AS n_digit, SUM(sp) AS n_space
+             |      FROM t GROUP BY 1)
+             |SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+             |  CAST(n_lower * 10000 // n_chars AS BIGINT) AS lower_bp,
+             |  CAST(n_upper * 10000 // n_chars AS BIGINT) AS upper_bp,
+             |  CAST(n_digit * 10000 // n_chars AS BIGINT) AS digit_bp,
+             |  CAST(n_space * 10000 // n_chars AS BIGINT) AS space_bp,
+             |  CAST((n_chars - n_lower - n_upper - n_digit - n_space) * 10000 // n_chars AS BIGINT)
+             |    AS other_bp
+             |FROM g""".stripMargin)
     )
   )
 }
