@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSession
   * The oracle-parity-critical settings live here so they cannot drift
   * between the correctness gate and the bench:
   *  - UTC session timezone (timestamps hash identically vs DuckDB),
-  *  - `nanosAsLong` (events.parquet stores timestamp[ns]; Spark reads the
-  *    raw int64 nanos, which is exactly DuckDB's `epoch_ns(ts)`),
+  *  - `nanosAsLong` (when events.parquet stores timestamp[ns], Spark reads
+  *    the raw int64 nanos — exactly DuckDB's `epoch_ns(ts)`; either way
+  *    `Tables.events` normalizes ts to int64 UTC nanos),
   *  - AQE on (runtime skew/coalesce handling — the same knob a 1000-executor
   *    cluster run would rely on),
   *  - shuffle partitions sized to local cores, not the 200 default.

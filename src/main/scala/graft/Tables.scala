@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -20,7 +22,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  /** Events with `ts` normalized to int64 UTC NANOSECONDS — the engine's
+    * ts contract (every temporal operator does integer `ts div 1000` µs
+    * arithmetic, and the DuckDB oracles read the same instants via
+    * `epoch_us`/`epoch_ns`). Generator output has varied by round
+    * between timestamp[ns] parquet (read raw via the `nanosAsLong`
+    * session flag → already long) and timestamp[us] (read as
+    * TIMESTAMP_NTZ → converted here; the session timezone is pinned
+    * UTC, so the NTZ wall clock IS the epoch instant).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn(
+        "ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

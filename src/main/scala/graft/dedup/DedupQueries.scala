@@ -93,14 +93,22 @@ object DedupQueries {
     * affine permutations; 8 bands x 2 rows. The index every MinHash-based
     * dedup variant (self-pair, clustering, incremental) joins on.
     */
-  private[graft] def bandTable(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, sig0..sig15) MinHash signatures — codegen'd MIN aggregates
+    * of the 16 affine permutations over one md5 per distinct shingle.
+    * Shared by the band table and the estimator-accuracy audit.
+    */
+  private[graft] def signatures(s: SparkSession, d: String): DataFrame = {
     val hs = shingleRows(s, d)
       .select(col("doc_id"), Hashing.md5Long32(col("sh")).as("h"))
     val sigAggs = (0 until 16).map { i =>
       val (a, b) = Hashing.minHashConsts(i)
       min((col("h") * a + b) % Hashing.minHashP).as(s"sig$i")
     }
-    val withSig = hs.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    hs.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  private[graft] def bandTable(s: SparkSession, d: String): DataFrame = {
+    val withSig = signatures(s, d)
     val bandStructs = (0 until 8).map { b =>
       struct(lit(b).as("band_idx"),
         concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
@@ -183,6 +191,63 @@ object DedupQueries {
   private val embLshTables = 6
   private val embLshPlanes = 4
   private val embPlaneBase = 100
+
+  /** Embedding near-dup pairs `(va, vb, cos)` — dedup_embedding's body,
+    * shared with the embedding-cluster view. Candidates come from the
+    * multi-table hyperplane-LSH bucket equi-join (O(L·n) index rows,
+    * never all-pairs); exact 4dp cosine confirms.
+    */
+  private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    // norms precomputed per VECTOR (not per pair) — same arithmetic,
+    // bit-identical cosine, 1/3 the per-pair flops
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding"), VectorFunctions.norm(col("embedding")).as("nrm"))
+    val tableStructs = (0 until embLshTables).map { t =>
+      struct(lit(t).as("tbl"),
+        VectorFunctions.hyperplaneLshBucket(col("embedding"), embLshPlanes, 64,
+          planeOffset = embPlaneBase + embLshPlanes * t).as("bucket"))
+    }
+    val hashed = graft.Caches.scoped(
+      e.select(col("vec_id"), explode(array(tableStructs: _*)).as("tb"))
+        .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
+    val cand = hashed.as("a")
+      .join(hashed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na")), Seq("va"))
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("vb"))
+      .select(col("va"), col("vb"),
+        round(VectorFunctions.dot(col("ea"), col("eb"))
+          / (col("na") * col("nb")), 4).as("cos"))
+      .filter(col("cos") >= 0.3)
+  }
+
+  /** DuckDB mirror of `embeddingPairs`, ending in `(va, vb, cos)`. */
+  private lazy val embPairsSql: String =
+    s"""WITH b AS (${(0 until embLshTables).map(t =>
+         s"SELECT vec_id, embedding, $t AS tbl, ${graft.functions.VectorFunctions
+           .lshBucketSql(embPlaneBase + embLshPlanes * t, embLshPlanes, 64)} AS bucket FROM embeddings")
+         .mkString("\n UNION ALL ")}),
+       |cand AS (SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
+       |         FROM b l JOIN b r
+       |           ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+       |p AS (
+       |  SELECT cand.va, cand.vb,
+       |    ROUND(
+       |      list_sum(list_transform(generate_series(1, 64),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+       |      (sqrt(list_sum(list_transform(generate_series(1, 64),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+       |       sqrt(list_sum(list_transform(generate_series(1, 64),
+       |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+       |    , 4) AS cos
+       |  FROM cand JOIN embeddings a ON a.vec_id = cand.va
+       |            JOIN embeddings b ON b.vec_id = cand.vb)
+       |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin
 
   val entries: Seq[(String, Query)] = Seq(
 
@@ -507,54 +572,28 @@ object DedupQueries {
     // plane coefficients) => hash-checked; pair recall vs the exact
     // same-label pairs is asserted in QualitySpec.
     "dedup_embedding" -> Query(
-      (s, d) => {
-        import graft.functions.VectorFunctions
-        // norms precomputed per VECTOR (not per pair) — same arithmetic,
-        // bit-identical cosine, 1/3 the per-pair flops
-        val e = Tables.embeddings(s, d).select(col("vec_id"),
-          col("embedding"), VectorFunctions.norm(col("embedding")).as("nrm"))
-        val tableStructs = (0 until embLshTables).map { t =>
-          struct(lit(t).as("tbl"),
-            VectorFunctions.hyperplaneLshBucket(col("embedding"), embLshPlanes, 64,
-              planeOffset = embPlaneBase + embLshPlanes * t).as("bucket"))
-        }
-        val hashed = graft.Caches.scoped(
-          e.select(col("vec_id"), explode(array(tableStructs: _*)).as("tb"))
-            .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
-        val cand = hashed.as("a")
-          .join(hashed.as("b"),
-            col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-          .distinct()
-        cand
-          .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na")), Seq("va"))
-          .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("vb"))
-          .select(col("va"), col("vb"),
-            round(VectorFunctions.dot(col("ea"), col("eb"))
-              / (col("na") * col("nb")), 4).as("cos"))
-          .filter(col("cos") >= 0.3)
-      },
-      Some(s"""WITH b AS (${(0 until embLshTables).map(t =>
-                 s"SELECT vec_id, embedding, $t AS tbl, ${graft.functions.VectorFunctions
-                   .lshBucketSql(embPlaneBase + embLshPlanes * t, embLshPlanes, 64)} AS bucket FROM embeddings")
-                 .mkString("\n UNION ALL ")}),
-             |cand AS (SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
-             |         FROM b l JOIN b r
-             |           ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
-             |p AS (
-             |  SELECT cand.va, cand.vb,
-             |    ROUND(
-             |      list_sum(list_transform(generate_series(1, 64),
-             |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
-             |      (sqrt(list_sum(list_transform(generate_series(1, 64),
-             |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
-             |       sqrt(list_sum(list_transform(generate_series(1, 64),
-             |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
-             |    , 4) AS cos
-             |  FROM cand JOIN embeddings a ON a.vec_id = cand.va
-             |            JOIN embeddings b ON b.vec_id = cand.vb)
-             |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin)
+      (s, d) => embeddingPairs(s, d),
+      Some(embPairsSql)
+    ),
+
+    // EMBEDDING-SPACE near-dup families: connected components over the
+    // hyperplane-LSH cosine pairs above — the cluster view of
+    // dedup_embedding (pick one survivor per family, or route whole
+    // families to semdedup). Same min-label-propagation machinery as
+    // the MinHash clustering; edges stay the O(L·n) bucket equi-join.
+    "vec_cluster_components" -> Query(
+      (s, d) => connectedComponents(embeddingPairs(s, d)
+          .select(col("va").as("da"), col("vb").as("db")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id")),
+      Some(s"""WITH RECURSIVE pairs AS ($embPairsSql),
+             |edges AS (SELECT va AS src, vb AS dst FROM pairs
+             |          UNION ALL SELECT vb, va FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS node FROM edges),
+             |walk(node, lbl) AS (
+             |  SELECT node, node FROM nodes
+             |  UNION
+             |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node)
+             |SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node""".stripMargin)
     ),
 
     // Incremental dedup: NEW BATCH vs a PERSISTED corpus index — the
@@ -728,6 +767,67 @@ object DedupQueries {
              |  MIN(p_name) AS sample_name
              |FROM k WHERE length(pkey) > 0
              |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin)
+    ),
+
+    // ESTIMATOR ACCURACY audit for the MinHash family: per banded
+    // candidate pair, the signature-estimated Jaccard (matching sig
+    // positions / 16, integer bp) against the EXACT shingle Jaccard,
+    // and the absolute error — the calibration evidence behind every
+    // banding threshold choice (ann_recall_eval's twin for dedup).
+    // Exact intersections are computed only for banded candidates via
+    // the shingle equi-join (dedup_ngram_jaccard's shape), so the audit
+    // costs O(candidates · doc shingles), never all-pairs.
+    "dedup_minhash_accuracy" -> Query(
+      (s, d) => {
+        val pairs = graft.Caches.scoped(minhashPairs(s, d))
+        val sigs = graft.Caches.scoped(signatures(s, d))
+        val matchCnt = (0 until 16)
+          .map(i => (col(s"sa.sig$i") === col(s"sb.sig$i")).cast("long"))
+          .reduce(_ + _)
+        val est = pairs
+          .join(sigs.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sigs.as("sb"), col("db") === col("sb.doc_id"))
+          .select(col("da"), col("db"), (matchCnt * 625L).as("est_bp"))
+        val sr = graft.Caches.scoped(shingleRows(s, d))
+        val szs = sr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = pairs
+          .join(sr.as("x"), col("da") === col("x.doc_id"))
+          .join(sr.as("y"),
+            col("db") === col("y.doc_id") && col("x.sh") === col("y.sh"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+        est
+          .join(inter, Seq("da", "db"), "left")
+          .join(szs.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+          .join(szs.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+          .withColumn("i0", coalesce(col("inter"), lit(0L)))
+          .select(col("da"), col("db"), col("est_bp"),
+            expr("i0 * 10000 div (na + nb - i0)").as("jac_bp"))
+          .withColumn("err_bp", abs(col("est_bp") - col("jac_bp")))
+      },
+      Some(s"""WITH $bandsCteSql,
+             |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             |          FROM bd a JOIN bd b ON a.band_idx = b.band_idx
+             |            AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+             |est AS (SELECT p.da, p.db,
+             |          CAST(len(list_filter(generate_series(1, 16),
+             |            i -> sa.sig[i] = sb.sig[i])) * 625 AS BIGINT) AS est_bp
+             |        FROM pairs p JOIN sg sa ON sa.doc_id = p.da
+             |        JOIN sg sb ON sb.doc_id = p.db),
+             |sz AS (SELECT doc_id, len(sh) AS n FROM shl),
+             |xs AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+             |inter AS (SELECT p.da, p.db, COUNT(*) AS inter
+             |          FROM pairs p JOIN xs x ON x.doc_id = p.da
+             |          JOIN xs y ON y.doc_id = p.db AND y.s = x.s
+             |          GROUP BY 1, 2)
+             |SELECT e.da, e.db, e.est_bp,
+             |  CAST(COALESCE(i.inter, 0) * 10000
+             |    // (za.n + zb.n - COALESCE(i.inter, 0)) AS BIGINT) AS jac_bp,
+             |  CAST(abs(e.est_bp - COALESCE(i.inter, 0) * 10000
+             |    // (za.n + zb.n - COALESCE(i.inter, 0))) AS BIGINT) AS err_bp
+             |FROM est e
+             |LEFT JOIN inter i ON i.da = e.da AND i.db = e.db
+             |JOIN sz za ON za.doc_id = e.da
+             |JOIN sz zb ON zb.doc_id = e.db""".stripMargin)
     )
   )
 }

@@ -401,12 +401,16 @@ object FrameFeatures {
     */
   final class AHasher {
     private val inner = new BmpDecoder
-    def hash(docId: Long, bytes: Array[Byte]): AHash = {
+
+    /** The shared 8x8 block-luma grid: blockSums(row*8 + x/2) is the sum
+      * of B+G+R over the block's 2 pixels — ahash thresholds it against
+      * the image mean, PHasher pushes it through the integer DCT.
+      */
+    def blockSums(docId: Long, bytes: Array[Byte]): Array[Long] = {
       val (dataOff, w, rows) = inner.header(docId, bytes)
       require(w == 16 && rows == 8,
         s"doc $docId: ahash expects a 16x8 thumbnail, got ${w}x$rows")
       val sums = new Array[Long](64)
-      var total = 0L
       var r = 0
       while (r < 8) {
         val base = dataOff + r * 48
@@ -415,13 +419,20 @@ object FrameFeatures {
           val p = base + x * 3
           val s = (bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)
           sums(r * 8 + x / 2) += s
-          total += s
           x += 1
         }
         r += 1
       }
-      var lo = 0L; var hi = 0L
+      sums
+    }
+
+    def hash(docId: Long, bytes: Array[Byte]): AHash = {
+      val sums = blockSums(docId, bytes)
+      var total = 0L
       var i = 0
+      while (i < 64) { total += sums(i); i += 1 }
+      var lo = 0L; var hi = 0L
+      i = 0
       while (i < 64) {
         if (sums(i) * 64 > total) {
           if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
@@ -436,6 +447,64 @@ object FrameFeatures {
     implicit val enc = Encoders.product[AHash]
     imgs.mapPartitions { it =>
       val codec = new AHasher
+      it.map(w => codec.hash(w.doc_id, w.payload))
+    }
+  }
+
+  /** Integer 8x8 DCT-II basis, scaled by 8192 and rounded — shared
+    * verbatim with the oracle SQL (MultimodalQueries interpolates these
+    * exact longs as literals), so both engines run the identical
+    * integer transform. basis(u)(x) = round(cos(pi*(2x+1)*u/16)*8192).
+    */
+  val dctBasis: Array[Array[Long]] = Array.tabulate(8, 8) { (u, x) =>
+    math.round(math.cos(math.Pi * (2 * x + 1) * u / 16.0) * 8192.0)
+  }
+
+  /** pHash: the AHasher's 8x8 block-luma grid pushed through the integer
+    * DCT above; bit i = u*8+v (i > 0 — DC carries only global brightness
+    * and is dropped) set iff the AC coefficient is strictly positive.
+    * Sign-of-DCT is the classic pHash decision rule re-expressed without
+    * the float median so both engines agree bit-for-bit. Max |term| =
+    * 1530 * 8192^2 and 64 terms keep every sum well inside a signed 64-bit
+    * long.
+    */
+  final class PHasher {
+    private val inner = new AHasher
+    def hash(docId: Long, bytes: Array[Byte]): AHash = {
+      val sums = inner.blockSums(docId, bytes)
+      var lo = 0L; var hi = 0L
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          val i = u * 8 + v
+          if (i > 0) {
+            var f = 0L
+            var r = 0
+            while (r < 8) {
+              var c = 0
+              while (c < 8) {
+                f += sums(r * 8 + c) * dctBasis(u)(r) * dctBasis(v)(c)
+                c += 1
+              }
+              r += 1
+            }
+            if (f > 0) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+          }
+          v += 1
+        }
+        u += 1
+      }
+      AHash(docId, lo, hi)
+    }
+  }
+
+  def phashBmp(imgs: Dataset[WavPayload]): Dataset[AHash] = {
+    implicit val enc = Encoders.product[AHash]
+    imgs.mapPartitions { it =>
+      val codec = new PHasher
       it.map(w => codec.hash(w.doc_id, w.payload))
     }
   }

@@ -80,13 +80,21 @@ object MultimodalQueries {
   /** Oracle twin of the hash computation — ends in `h(doc_id, lo, hi)`
     * and `bands(doc_id, lo, hi, band_idx, bkey)`.
     */
-  private val ahashCteSql =
+  /** Shared oracle prefix: the 8x8 block-luma grid `bs(doc_id, blk, s)`
+    * recomputed from the raw text bytes (the BMP payload is built from
+    * those same bytes) — consumed by both the ahash mean-threshold and
+    * the pHash integer DCT.
+    */
+  private val blockSumsCteSql =
     """d AS (SELECT doc_id, lower(hex(encode(text))) AS hx
       |      FROM documents WHERE octet_length(encode(text)) >= 384),
       |b AS (SELECT doc_id, (i // 48) * 8 + ((i % 48) // 6) AS blk,
       |             CAST('0x' || substr(hx, i*2 + 1, 2) AS BIGINT) AS v
       |      FROM (SELECT doc_id, hx, unnest(generate_series(0, 383)) AS i FROM d)),
-      |bs AS (SELECT doc_id, blk, SUM(v) AS s FROM b GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, blk, SUM(v) AS s FROM b GROUP BY 1, 2)""".stripMargin
+
+  private val ahashCteSql =
+    blockSumsCteSql + """,
       |tot AS (SELECT doc_id, SUM(s) AS total FROM bs GROUP BY 1),
       |h AS (SELECT bs.doc_id,
       |        CAST(SUM(CASE WHEN s*64 > total AND blk < 32
@@ -98,6 +106,15 @@ object MultimodalQueries {
       |            CASE bb.b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
       |                      WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bkey
       |          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb)""".stripMargin
+
+  /** The integer DCT basis as SQL VALUES rows `(u, x, c)` — the same
+    * longs PHasher multiplies with, so the oracle transform is
+    * literally identical.
+    */
+  private lazy val dctValsSql: String =
+    FrameFeatures.dctBasis.zipWithIndex.flatMap { case (row, u) =>
+      row.zipWithIndex.map { case (c, x) => s"($u, $x, $c)" }
+    }.mkString(", ")
 
   val entries: Seq[(String, Query)] = Seq(
 
@@ -401,6 +418,48 @@ object MultimodalQueries {
              |cand AS (SELECT DISTINCT a.doc_id AS da, a.lo AS la, a.hi AS ha,
              |                         b.doc_id AS db, b.lo AS lb, b.hi AS hb
              |         FROM bands a JOIN bands b
+             |           ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+             |SELECT da, db,
+             |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 12""".stripMargin)
+    ),
+
+    // pHash NEAR-DUP: the decoded 8x8 block-luma grid pushed through an
+    // INTEGER 8x8 DCT-II (basis = round(cos*8192), the exact longs
+    // interpolated into the oracle below from FrameFeatures.dctBasis),
+    // sign-of-AC-coefficient bits — robust to global brightness shifts
+    // aHash is blind to, the standard second fingerprint in an image
+    // curation stack. Same 4x16-bit banded Hamming equi-join as aHash:
+    // candidates are O(n·bands), never all-pairs, and the decode is one
+    // zero-shuffle mapPartitions scan.
+    "mm_dct_phash" -> Query(
+      (s, d) => {
+        val hashes = graft.Caches.scoped(
+          FrameFeatures.phashBmp(ahashImgs(s, d)).toDF())
+        ahashPairs(ahashBands(hashes), maxHam = 12)
+      },
+      Some(s"""WITH $blockSumsCteSql,
+             |cs AS (SELECT * FROM (VALUES $dctValsSql) AS t(u, x, c)),
+             |phf AS (SELECT bs.doc_id, cu.u, cv.u AS v, SUM(bs.s * cu.c * cv.c) AS f
+             |        FROM bs
+             |        JOIN cs cu ON cu.x = bs.blk // 8
+             |        JOIN cs cv ON cv.x = bs.blk % 8
+             |        GROUP BY 1, 2, 3),
+             |ph AS (SELECT doc_id,
+             |         CAST(SUM(CASE WHEN f > 0 AND u*8+v > 0 AND u*8+v < 32
+             |                       THEN (CAST(1 AS BIGINT) << CAST(u*8+v AS INT))
+             |                       ELSE 0 END) AS BIGINT) AS lo,
+             |         CAST(SUM(CASE WHEN f > 0 AND u*8+v >= 32
+             |                       THEN (CAST(1 AS BIGINT) << CAST(u*8+v-32 AS INT))
+             |                       ELSE 0 END) AS BIGINT) AS hi
+             |       FROM phf GROUP BY 1),
+             |pbands AS (SELECT doc_id, lo, hi, bb.b AS band_idx,
+             |            CASE bb.b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+             |                      WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bkey
+             |          FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
+             |cand AS (SELECT DISTINCT a.doc_id AS da, a.lo AS la, a.hi AS ha,
+             |                         b.doc_id AS db, b.lo AS lb, b.hi AS hb
+             |         FROM pbands a JOIN pbands b
              |           ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
              |SELECT da, db,
              |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming

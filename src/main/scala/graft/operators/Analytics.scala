@@ -2068,6 +2068,206 @@ object Analytics {
              |    / (sqrt(CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
              |     * sqrt(CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS corr
              |FROM m""".stripMargin)
+    ),
+
+    // LEAD-LAG detection: events_type_corr_matrix extended over shifted
+    // day axes — for every type pair, Pearson r at every lag in [-7, 7]
+    // days, then the best lag by |r| (rounded-6 compare, smaller lag
+    // breaks ties deterministically). "logins lead purchases by 2 days"
+    // is the causal-ordering signal the lag-0 matrix can't see. Shape:
+    // day-grain aggregates fan out 15x via a broadcast lag spine, one
+    // equi-join on the shifted day, a partial-aggregatable rollup, and
+    // a window over |types|^2 * 15 summary rows — corpus size only
+    // enters through the first daily rollup.
+    "events_lead_lag" -> Query(
+      (s, d) => {
+        val dc = graft.Caches.scoped(dailyCounts(s, d))
+        val lagsDf = s.range(1)
+          .select(explode(sequence(lit(-7), lit(7))).as("lag"))
+          .select(col("lag").cast("long").as("lag"))
+        val a = dc.select(col("event_type").as("ta"), col("di"), col("x").as("xa"))
+          .crossJoin(broadcast(lagsDf))
+          .withColumn("jd", col("di") + col("lag"))
+        val b = dc.select(col("event_type").as("tb"), col("di").as("jd"),
+          col("x").as("xb"))
+        val g = a.join(b, Seq("jd")).filter(col("ta") < col("tb"))
+          .groupBy(col("ta"), col("tb"), col("lag"))
+          .agg(count(lit(1)).as("n"), sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+            sum(col("xa") * col("xb")).as("sxy"),
+            sum(col("xa") * col("xa")).as("sxx"),
+            sum(col("xb") * col("xb")).as("syy"))
+        val r = g
+          .withColumn("den",
+            sqrt(col("n").cast("double") * col("sxx")
+              - col("sx").cast("double") * col("sx"))
+              * sqrt(col("n").cast("double") * col("syy")
+                - col("sy").cast("double") * col("sy")))
+          .withColumn("r",
+            when(col("den") > 0,
+              round((col("n").cast("double") * col("sxy")
+                - col("sx").cast("double") * col("sy")) / col("den"), 6)))
+          .filter(col("n") >= 8 && col("r").isNotNull)
+        val w = Window.partitionBy(col("ta"), col("tb"))
+          .orderBy(abs(col("r")).desc, col("lag"))
+        r.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("ta"), col("tb"), col("lag").as("best_lag"), col("r"),
+            col("n").as("n_days"))
+      },
+      Some(s"""WITH dc AS ($dailySql),
+             |l AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+             |j AS (SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+             |        a.x AS xa, b.x AS xb
+             |      FROM dc a CROSS JOIN l
+             |      JOIN dc b ON b.di = a.di + l.lag AND a.event_type < b.event_type),
+             |g AS (SELECT ta, tb, lag, COUNT(*) AS n, SUM(xa) AS sx, SUM(xb) AS sy,
+             |        SUM(xa*xb) AS sxy, SUM(xa*xa) AS sxx, SUM(xb*xb) AS syy
+             |      FROM j GROUP BY 1, 2, 3),
+             |r AS (SELECT ta, tb, lag, n,
+             |        ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |          / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             |           * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r
+             |      FROM g
+             |      WHERE n >= 8
+             |        AND sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             |          * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0),
+             |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ta, tb
+             |         ORDER BY abs(r) DESC, lag) AS rn FROM r)
+             |SELECT ta, tb, CAST(lag AS BIGINT) AS best_lag, r,
+             |  CAST(n AS BIGINT) AS n_days
+             |FROM rk WHERE rn = 1""".stripMargin)
+    ),
+
+    // DISTRIBUTION-DRIFT monitor: weekly event-type mix vs the overall
+    // corpus mix as a chi-square statistic per ISO-ish week (µs-epoch
+    // day // 7) — the standard feed-health gate catching a source whose
+    // type distribution shifts. exp = week_total * type_share_overall;
+    // each (obs-exp)^2/exp term is computed identically both engines
+    // then summed as DECIMAL(28,12) (exact, order-independent) before
+    // the terminal round. Three partial-aggregatable count rollups and
+    // a broadcast-size join of |weeks|x|types| summaries.
+    "events_dist_drift" -> Query(
+      (s, d) => {
+        val wc = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("((ts div 1000) div 86400000000) div 7").as("wk"))
+          .groupBy(col("wk"), col("event_type")).agg(count(lit(1)).as("obs"))
+        val wt = wc.groupBy(col("wk")).agg(sum(col("obs")).as("wtot"))
+        val ct = wc.groupBy(col("event_type")).agg(sum(col("obs")).as("ctot"))
+        val tot = ct.agg(sum(col("ctot")).as("tot"))
+        val term = wc.join(wt, Seq("wk")).join(broadcast(ct), Seq("event_type"))
+          .crossJoin(broadcast(tot))
+          .withColumn("exp",
+            col("wtot").cast("double") * col("ctot") / col("tot"))
+          .withColumn("term",
+            ((col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp"))
+              .cast("decimal(28,12)"))
+        term.groupBy(col("wk"))
+          .agg(max(col("wtot")).as("week_total"),
+            round(sum(col("term")).cast("double"), 4).as("chi2"))
+          .withColumn("drifted", (col("chi2") > 21.67).cast("long"))
+      },
+      Some("""WITH wc AS (SELECT event_type,
+             |    (epoch_us(ts) // 86400000000) // 7 AS wk, COUNT(*) AS obs
+             |  FROM events GROUP BY 1, 2),
+             |wt AS (SELECT wk, SUM(obs) AS wtot FROM wc GROUP BY 1),
+             |ct AS (SELECT event_type, SUM(obs) AS ctot FROM wc GROUP BY 1),
+             |tot AS (SELECT SUM(ctot) AS tot FROM ct),
+             |base AS (SELECT wc.wk, wt.wtot, wc.obs,
+             |    CAST(wt.wtot AS DOUBLE) * ct.ctot / tot.tot AS exp
+             |  FROM wc JOIN wt USING (wk) JOIN ct USING (event_type) CROSS JOIN tot),
+             |term AS (SELECT wk, wtot,
+             |    CAST((obs - exp) * (obs - exp) / exp AS DECIMAL(28,12)) AS term
+             |  FROM base),
+             |g AS (SELECT wk, MAX(wtot) AS week_total,
+             |        ROUND(CAST(SUM(term) AS DOUBLE), 4) AS chi2
+             |      FROM term GROUP BY 1)
+             |SELECT wk, CAST(week_total AS BIGINT) AS week_total, chi2,
+             |  CAST(chi2 > 21.67 AS BIGINT) AS drifted
+             |FROM g""".stripMargin)
+    ),
+
+    // GROUPED OLS: quantity-on-discount regression per part brand
+    // (slope/intercept/r2) — the price-elasticity screen a merchandising
+    // warehouse runs per SKU family. Inputs quantized to exact integers
+    // (quantity integral; discount in whole percent via floor(x*100+.5))
+    // so all five sufficient statistics are exact BIGINT sums from ONE
+    // map-side-combinable aggregation; floats appear only in the three
+    // terminal rounded formulas, written identically both engines.
+    "agg_ols_slope" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_partkey"),
+          floor(col("l_quantity") + 0.5).cast("long").as("qk"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("dk"))
+        val j = li.join(
+          Tables.part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand")),
+          Seq("l_partkey"))
+        val g = j.groupBy(col("p_brand")).agg(count(lit(1)).as("n"),
+          sum(col("dk")).as("sx"), sum(col("qk")).as("sy"),
+          sum(col("dk") * col("qk")).as("sxy"),
+          sum(col("dk") * col("dk")).as("sxx"),
+          sum(col("qk") * col("qk")).as("syy"))
+        val dx = col("n").cast("double") * col("sxx")
+          - col("sx").cast("double") * col("sx")
+        val dy = col("n").cast("double") * col("syy")
+          - col("sy").cast("double") * col("sy")
+        val cov = col("n").cast("double") * col("sxy")
+          - col("sx").cast("double") * col("sy")
+        g.filter(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0)
+          .select(col("p_brand"), col("n"),
+            round(cov / dx, 6).as("slope"),
+            round((col("sy").cast("double") - (cov / dx) * col("sx")) / col("n"), 6)
+              .as("intercept"),
+            round(cov * cov / (dx * dy), 6).as("r2"))
+      },
+      Some("""WITH q AS (SELECT l_partkey,
+             |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qk,
+             |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dk
+             |  FROM lineitem),
+             |g AS (SELECT p.p_brand, COUNT(*) AS n, SUM(dk) AS sx, SUM(qk) AS sy,
+             |        SUM(dk*qk) AS sxy, SUM(dk*dk) AS sxx, SUM(qk*qk) AS syy
+             |      FROM q JOIN part p ON p.p_partkey = q.l_partkey
+             |      GROUP BY 1)
+             |SELECT p_brand, n,
+             |  ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+             |  ROUND((CAST(sy AS DOUBLE)
+             |      - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+             |    / n, 6) AS intercept,
+             |  ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |      * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |    / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             |     * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+             |FROM g
+             |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin)
+    ),
+
+    // MONTH-OF-YEAR seasonality index: each calendar month's share of
+    // revenue vs a flat-year baseline (index 10000 = exactly average) —
+    // the demand-planning staple. Money stays integer cents; the index
+    // is one integer cross-multiplication, so the whole op is exact.
+    // One map-side-combinable 12-group aggregation.
+    "orders_month_seasonality" -> Query(
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          month(col("o_orderdate")).cast("long").as("m"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        val g = o.groupBy(col("m"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_c"))
+        val tot = g.agg(sum(col("rev_c")).as("tot"))
+        g.crossJoin(broadcast(tot))
+          .select(col("m"), col("n_orders"), col("rev_c"),
+            expr("rev_c * 120000 div tot").as("season_idx_bp"))
+      },
+      Some("""WITH o AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |g AS (SELECT m, COUNT(*) AS n_orders, SUM(cents) AS rev_c FROM o GROUP BY 1),
+             |tot AS (SELECT SUM(rev_c) AS tot FROM g)
+             |SELECT m, n_orders, CAST(rev_c AS BIGINT) AS rev_c,
+             |  CAST(rev_c * 120000 // tot AS BIGINT) AS season_idx_bp
+             |FROM g CROSS JOIN tot""".stripMargin)
     )
   )
 }

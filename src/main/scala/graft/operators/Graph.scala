@@ -711,6 +711,60 @@ object Graph {
              |SELECT a2.part, CAST(pd.pdeg AS BIGINT) AS pdeg,
              |  CAST(a2.a // GREATEST(s3.sa // 1000000000000, 1) AS BIGINT) AS auth_q
              |FROM a2 CROSS JOIN s3 JOIN pd ON pd.part = a2.part""".stripMargin)
+    ),
+
+    // ADAMIC-ADAR link prediction over the co-purchase graph: candidate
+    // (non-edge) pairs from the wedge equi-join, scored Σ 1/ln(deg(z))
+    // over common neighbors z — the degree-weighted upgrade of
+    // graph_link_predict's Jaccard (rare shared neighbors count more).
+    // Each identical per-wedge double term is cast DECIMAL(18,12) so
+    // the per-pair sum is exact and order-independent; existing edges
+    // are removed by an anti-join. Work is O(Σ deg²) wedges — the
+    // canonical scale shape, never an all-pairs product. A common
+    // neighbor always has deg >= 2, so ln(deg) > 0.
+    "graph_adamic_adar" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = graft.Caches.scoped(
+          li.as("x")
+            .join(li.as("y"),
+              col("x.l_orderkey") === col("y.l_orderkey") &&
+                col("x.l_partkey") < col("y.l_partkey"))
+            .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+            .agg(count(lit(1)).as("sup"))
+            .filter(col("sup") >= 2)
+            .select(col("pa"), col("pb")))
+        val sym = edges.select(col("pa").as("u"), col("pb").as("v"))
+          .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+        val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        val wed = sym.select(col("u").as("z"), col("v").as("a"))
+          .join(sym.select(col("u").as("z"), col("v").as("b")), Seq("z"))
+          .filter(col("a") < col("b"))
+          .join(deg.select(col("u").as("z"), col("deg").as("degz")), Seq("z"))
+        val scored = wed.groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("cn"),
+            round(sum((lit(1.0) / log(col("degz").cast("double")))
+              .cast("decimal(18,12)")).cast("double"), 6).as("aa"))
+        scored.join(edges,
+            scored("a") === edges("pa") && scored("b") === edges("pb"),
+            "left_anti")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |      FROM li a JOIN li b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+             |deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1),
+             |w AS (SELECT s1.v AS a, s2.v AS b, s1.u AS z
+             |      FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v),
+             |sc AS (SELECT w.a, w.b, COUNT(*) AS cn,
+             |        ROUND(CAST(SUM(CAST(1.0 / ln(CAST(deg.deg AS DOUBLE))
+             |          AS DECIMAL(18,12))) AS DOUBLE), 6) AS aa
+             |       FROM w JOIN deg ON deg.u = w.z GROUP BY 1, 2)
+             |SELECT a, b, cn, aa FROM sc
+             |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = sc.a AND e.pb = sc.b)""".stripMargin)
     )
   )
 }

@@ -1475,6 +1475,42 @@ object SimilarityQueries {
              |    / COUNT(*)), 6) AS std,
              |  CAST(SUM(CAST(abs(x) < 0.001 AS BIGINT)) * 10000 // COUNT(*) AS BIGINT) AS dead_bp
              |FROM t GROUP BY dim""".stripMargin)
+    ),
+
+    // PAIRWISE-COSINE HISTOGRAM over deterministic stride samples — the
+    // embedding-space anisotropy audit (Ethayarajh 2019): if random-pair
+    // cosines cluster far from 0, the space is anisotropic and cosine
+    // thresholds (dedup_embedding, semdedup) need recalibration. Strides
+    // 1 and 97 give two independent O(n) pair samples via pure equi-joins
+    // on vec_id + stride — never an all-pairs product, so the audit stays
+    // linear at any corpus size. 40 bins over [-1, 1]; per-stride mean
+    // from an exact DECIMAL sum.
+    "vec_cosine_hist" -> Query(
+      (s, d) => {
+        val e = corpus(s, d)
+        val a = e
+          .select(col("vec_id"), col("embedding").as("qv"), col("nrm").as("qnrm"),
+            explode(array(lit(1L), lit(97L))).as("stride"))
+          .withColumn("pid", col("vec_id") + col("stride"))
+        val b = e.select(col("vec_id").as("pid"), col("embedding"), col("nrm"))
+        a.join(b, Seq("pid"))
+          .select(col("stride"), pairCos(col("qv"), col("qnrm")).as("cos"))
+          .withColumn("bin", floor((col("cos") + 1) * 20).cast("long"))
+          .groupBy(col("stride"), col("bin"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("cos").cast("decimal(18,6)")).cast("double")
+              / count(lit(1)), 4).as("mean_cos"))
+      },
+      Some(s"""WITH st AS (SELECT unnest([1, 97]) AS stride),
+             |q AS (SELECT vec_id, embedding AS qv, stride
+             |      FROM embeddings CROSS JOIN st),
+             |c AS (SELECT q.stride, $cosSql AS cos
+             |      FROM q JOIN embeddings e ON e.vec_id = q.vec_id + q.stride)
+             |SELECT CAST(stride AS BIGINT) AS stride,
+             |  CAST(floor((cos + 1) * 20) AS BIGINT) AS bin, COUNT(*) AS n,
+             |  ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+             |    AS mean_cos
+             |FROM c GROUP BY 1, 2""".stripMargin)
     )
   )
 }

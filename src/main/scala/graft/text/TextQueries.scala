@@ -124,6 +124,10 @@ object TextQueries {
   private val lowToksSql =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
 
+  /** DuckDB mirror of cleanTokens over the raw (case-preserving) text. */
+  private val toksSql =
+    "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
   private def hitsSql(lang: String): String = {
     val lst = TextFunctions.stopwords(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter($lowToksSql, x -> list_contains([$lst], x)))"
@@ -1453,6 +1457,116 @@ object TextQueries {
              |  CAST((n_chars - n_lower - n_upper - n_digit - n_space) * 10000 // n_chars AS BIGINT)
              |    AS other_bp
              |FROM g""".stripMargin)
+    ),
+
+    // GOPHER-STYLE quality gates (Rae et al. 2021 §A1.1 repetition/
+    // quality heuristics, re-expressed as integer-exact per-doc rules):
+    // word count in [50, 100k], mean word length in [3, 10] chars,
+    // symbol-to-word ratio (# and ...) under 10%, bullet-start lines
+    // under 90%, ellipsis-end lines under 30%, >=80% alphabetic words,
+    // >=2 english stopword hits. Pure map-side codegen'd arithmetic —
+    // zero shuffles, the plan is a scan + project at any corpus size.
+    // All rates integer basis points / centi-chars so both engines
+    // derive bit-identical verdicts.
+    "text_gopher_rules" -> Query(
+      (s, d) => {
+        val toks = TextFunctions.cleanTokens(col("text"))
+        val lowToks = TextFunctions.cleanTokens(lower(col("text")))
+        val lines = split(col("text"), "\n")
+        val c = Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          aggregate(toks, lit(0L), (a, t) => a + length(t)).as("tok_chars"),
+          size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("alpha_words"),
+          (regexp_count(col("text"), lit("#")) +
+            regexp_count(col("text"), lit("\\.\\.\\."))).cast("long").as("sym_hits"),
+          size(lines).cast("long").as("n_lines"),
+          size(filter(lines, l => l.rlike("^[ \t]*[-*•]"))).cast("long")
+            .as("bullet_lines"),
+          size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \t]*$"))).cast("long")
+            .as("ellipsis_lines"),
+          TextFunctions.stopwordHits(lowToks, "en").cast("long").as("stop_hits"))
+        c.select(col("doc_id"), col("n_words"),
+            expr("CASE WHEN n_words > 0 THEN tok_chars * 100 div n_words ELSE 0 END")
+              .as("mwl_cp"),
+            expr("CASE WHEN n_words > 0 THEN sym_hits * 10000 div n_words ELSE 0 END")
+              .as("symbol_bp"),
+            expr("CASE WHEN n_words > 0 THEN alpha_words * 10000 div n_words ELSE 0 END")
+              .as("alpha_bp"),
+            expr("bullet_lines * 10000 div n_lines").as("bullet_bp"),
+            expr("ellipsis_lines * 10000 div n_lines").as("ellipsis_bp"),
+            col("stop_hits"))
+          .withColumn("keep",
+            (col("n_words").between(50, 100000) &&
+              col("mwl_cp").between(300, 1000) &&
+              col("symbol_bp") < 1000 &&
+              col("bullet_bp") <= 9000 &&
+              col("ellipsis_bp") <= 3000 &&
+              col("alpha_bp") >= 8000 &&
+              col("stop_hits") >= 2).cast("long"))
+      },
+      Some(s"""WITH c AS (
+             |  SELECT doc_id,
+             |    CAST(len($toksSql) AS BIGINT) AS n_words,
+             |    CAST(COALESCE(list_sum(list_transform($toksSql, x -> length(x))), 0) AS BIGINT)
+             |      AS tok_chars,
+             |    CAST(len(list_filter($toksSql, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+             |      AS alpha_words,
+             |    CAST(len(regexp_extract_all(text, '#'))
+             |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS sym_hits,
+             |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             |    CAST(len(list_filter(string_split(text, chr(10)),
+             |        l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS BIGINT) AS bullet_lines,
+             |    CAST(len(list_filter(string_split(text, chr(10)),
+             |        l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*$$'))) AS BIGINT) AS ellipsis_lines,
+             |    CAST(${hitsSql("en")} AS BIGINT) AS stop_hits
+             |  FROM documents)
+             |SELECT doc_id, n_words,
+             |  CAST(CASE WHEN n_words > 0 THEN tok_chars * 100 // n_words ELSE 0 END AS BIGINT)
+             |    AS mwl_cp,
+             |  CAST(CASE WHEN n_words > 0 THEN sym_hits * 10000 // n_words ELSE 0 END AS BIGINT)
+             |    AS symbol_bp,
+             |  CAST(CASE WHEN n_words > 0 THEN alpha_words * 10000 // n_words ELSE 0 END AS BIGINT)
+             |    AS alpha_bp,
+             |  CAST(bullet_lines * 10000 // n_lines AS BIGINT) AS bullet_bp,
+             |  CAST(ellipsis_lines * 10000 // n_lines AS BIGINT) AS ellipsis_bp,
+             |  stop_hits,
+             |  CAST(n_words BETWEEN 50 AND 100000
+             |    AND (CASE WHEN n_words > 0 THEN tok_chars * 100 // n_words ELSE 0 END) BETWEEN 300 AND 1000
+             |    AND (CASE WHEN n_words > 0 THEN sym_hits * 10000 // n_words ELSE 0 END) < 1000
+             |    AND bullet_lines * 10000 // n_lines <= 9000
+             |    AND ellipsis_lines * 10000 // n_lines <= 3000
+             |    AND (CASE WHEN n_words > 0 THEN alpha_words * 10000 // n_words ELSE 0 END) >= 8000
+             |    AND stop_hits >= 2 AS BIGINT) AS keep
+             |FROM c""".stripMargin)
+    ),
+
+    // TYPE-TOKEN RATIO per doc + heaviest-token share — the per-document
+    // lexical-diversity twin of the corpus-level hapax/vocab-growth
+    // audits: low TTR or a dominant token flags machine-generated /
+    // keyword-stuffed docs before pretraining. Two partial-aggregatable
+    // shuffles ((doc, tok) counts, then per-doc rollup); integer bp.
+    "text_ttr" -> Query(
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextFunctions.cleanTokens(col("text"))).as("tok"))
+        t.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+            max(col("c")).as("top_c"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            expr("n_types * 10000 div n_tokens").as("ttr_bp"),
+            expr("top_c * 10000 div n_tokens").as("top_tok_bp"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+             |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+             |d AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+             |        MAX(c) AS top_c FROM tc GROUP BY 1)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_types AS BIGINT) AS n_types,
+             |  CAST(n_types * 10000 // n_tokens AS BIGINT) AS ttr_bp,
+             |  CAST(top_c * 10000 // n_tokens AS BIGINT) AS top_tok_bp
+             |FROM d""".stripMargin)
     )
   )
 }
