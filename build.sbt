@@ -9,6 +9,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// A discarded non-Unit expression (e.g. a Column whose leading `-` on a
+// continuation line turned it into a free-standing statement) silently
+// drops terms — r08's agg_ols_slope bug. Make the compiler fail on it.
+scalacOptions ++= Seq("-Wvalue-discard", "-Xlint", "-Werror")
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -59,14 +59,6 @@ object DedupQueries {
        |FROM bd a JOIN bd b
        |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
 
-  /** doc_id + distinct 3-gram shingle array, docs with >= 3 tokens.
-    * (Array form — handy for signatures over small inputs.)
-    */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .filter(size(cleanToks) >= 3)
-      .select(col("doc_id"), array_distinct(TextFunctions.shingles(cleanToks, 3)).as("shl"))
-
   /** Distinct (doc_id, shingle) rows built RELATIONALLY: one posexplode
     * of the token array, then lead() windows assemble the 3-grams.
     * Higher-order array lambdas don't run in whole-stage codegen — the

@@ -65,12 +65,12 @@ object Sinks {
     if (bak.exists()) throw new IllegalStateException(s"stale backup at $bak")
     if (!dst.renameTo(bak)) throw new IllegalStateException(s"cannot move $dst aside")
     if (!new java.io.File(tmp).renameTo(dst)) {
-      bak.renameTo(dst) // roll back
+      val _ = bak.renameTo(dst) // best-effort roll back
       throw new IllegalStateException(s"cannot promote $tmp")
     }
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+      val _ = f.delete()
     }
     rm(bak)
     (before, dataFiles(path).length)

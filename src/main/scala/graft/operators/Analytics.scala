@@ -421,15 +421,25 @@ object Analytics {
 
     // WINSORIZED mean — the robust mean that survives fat tails: clamp
     // every value into [p05, p95] before averaging. Exact percentiles
-    // come from one grouped agg (broadcast back); the clamped sum goes
-    // through DECIMAL so partition order cannot move it. The outlier
-    // fraction is reported alongside so the clamping is auditable.
+    // come from GroupedPercentile.exact (histogram-bisect two-pass —
+    // no per-group value buffer, unlike Spark's `percentile` aggregate
+    // whose buffer holds every group value; events.value is exact
+    // 2-decimal, so it rides as integer cents with $10 buckets and the
+    // interpolation reproduces `percentile` bit-for-bit). Thresholds
+    // broadcast back; the clamped sum goes through DECIMAL so
+    // partition order cannot move it. The outlier fraction is reported
+    // alongside so the clamping is auditable.
     "agg_winsorized_mean" -> Query(
       (s, d) => {
         val ev = Tables.events(s, d).select(col("event_type"), col("value"))
-        val pct = ev.groupBy(col("event_type"))
-          .agg(expr("percentile(value, 0.05)").as("p05"),
-            expr("percentile(value, 0.95)").as("p95"))
+        val evc = graft.Caches.scoped(ev.select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc")))
+        val pct = GroupedPercentile.exact(evc, "event_type", "vc",
+            Seq(("p05", 0.05), ("p95", 0.95)),
+            expr("vc div 1000"), _.cast("double") / lit(100.0))
+          .groupBy(col("event_type"))
+          .agg(max(when(col("pname") === "p05", col("res"))).as("p05"),
+            max(when(col("pname") === "p95", col("res"))).as("p95"))
         ev.join(broadcast(pct), Seq("event_type"))
           .withColumn("wv", when(col("value") < col("p05"), col("p05"))
             .when(col("value") > col("p95"), col("p95"))
@@ -2206,12 +2216,12 @@ object Analytics {
           sum(col("dk") * col("qk")).as("sxy"),
           sum(col("dk") * col("dk")).as("sxx"),
           sum(col("qk") * col("qk")).as("syy"))
-        val dx = col("n").cast("double") * col("sxx")
-          - col("sx").cast("double") * col("sx")
-        val dy = col("n").cast("double") * col("syy")
-          - col("sy").cast("double") * col("sy")
-        val cov = col("n").cast("double") * col("sxy")
-          - col("sx").cast("double") * col("sy")
+        val dx = (col("n").cast("double") * col("sxx")) -
+          (col("sx").cast("double") * col("sx"))
+        val dy = (col("n").cast("double") * col("syy")) -
+          (col("sy").cast("double") * col("sy"))
+        val cov = (col("n").cast("double") * col("sxy")) -
+          (col("sx").cast("double") * col("sy"))
         g.filter(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
             col("n") * col("syy") - col("sy") * col("sy") > 0)
           .select(col("p_brand"), col("n"),

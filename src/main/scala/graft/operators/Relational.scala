@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Parity, Query, Tables}
+import graft.{Query, Tables}
 import graft.Parity._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -330,74 +330,22 @@ object Relational {
              |FROM m""".stripMargin)
     ),
 
-    // Exact interpolated percentiles per group WITHOUT the value buffer:
-    // Spark's `percentile` aggregate holds every group value in its
-    // buffer, so one hot l_returnflag group at 100 TB is billions of
-    // doubles in a single executor — the round-7 judge's top perf flaw.
-    // This is the grouped generalization of agg_exact_median_2pass's
-    // histogram-bisect: pass 1 folds a (group, $10k-bucket) histogram
-    // (one map-side partial agg; ~11 buckets/group over TPC-H prices —
-    // the width is the knob that bounds pass-2 bucket size at scale),
-    // the cumulative locates which bucket holds each of the 8 requested
-    // ranks (lo/hi of 1 + p*(n-1) for the 4 percentiles), and pass 2
-    // rank-extracts ONLY inside those buckets (row_number partitioned
-    // by (group, bucket) + broadcast cumulative offset = exact global
-    // rank). No group's values are ever buffered or globally sorted.
-    // Interpolation v_lo + frac*(v_hi - v_lo) is the identical IEEE
-    // arithmetic both engines run; engines may differ in the last ulp,
-    // so both sides round to 4dp. Prices ride as exact integer cents
-    // (2-decimal TPC-H values), reconstructed by one identical double
-    // division.
+    // Exact interpolated percentiles per group WITHOUT the value buffer
+    // — the histogram-bisect two-pass, now factored into
+    // GroupedPercentile.exact (see its scaladoc for the machinery;
+    // $10k buckets give ~11 buckets/group over TPC-H prices). Engines
+    // may differ in the last ulp of the interpolation, so both sides
+    // round to 4dp. Prices ride as exact integer cents (2-decimal
+    // TPC-H values), reconstructed by one identical double division.
     "agg_percentiles" -> Query(
       (s, d) => {
         val ps = Seq(("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p99", 0.99))
         val c = graft.Caches.scoped(Tables.lineitem(s, d).select(col("l_returnflag"),
           (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents")))
-        val hist = c.groupBy(col("l_returnflag"), expr("cents div 1000000").as("bkt"))
-          .agg(count(lit(1)).as("cnt"))
-        val cum = hist
-          .withColumn("cumhi", sum(col("cnt")).over(
-            Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))))
-          .withColumn("cumlo", col("cumhi") - col("cnt"))
-        // 2 rank requests per (group, percentile): the bracketing ranks
-        // klo = floor(p*(n-1))+1 and khi = klo+1 (clamped), plus the
-        // interpolation fraction. n comes from the histogram, not a
-        // second scan. O(groups*8) rows — broadcast material.
-        val reqs = hist.groupBy(col("l_returnflag")).agg(sum(col("cnt")).as("n"))
-          .select(col("l_returnflag"), col("n"),
-            explode(array(ps.map { case (nm, p) =>
-              struct(lit(nm).as("pname"), lit(p).as("p")) }: _*)).as("pp"))
-          .withColumn("pos0", col("pp.p") * (col("n") - 1).cast("double"))
-          .withColumn("klo", (floor(col("pos0")) + 1).cast("long"))
-          .withColumn("khi", least(col("klo") + 1, col("n")))
-          .withColumn("frac", col("pos0") - floor(col("pos0")))
-        val ranks = reqs.select(col("l_returnflag").as("rf"), col("pp.pname").as("pname"),
-            col("frac"),
-            explode(array(
-              struct(lit("lo").as("which"), col("klo").as("k")),
-              struct(lit("hi").as("which"), col("khi").as("k")))).as("rk"))
-          .select(col("rf"), col("pname"), col("frac"),
-            col("rk.which").as("which"), col("rk.k").as("k"))
-        // buckets holding any requested rank — pass 2 touches only these
-        val tbkts = cum.join(broadcast(ranks.select(col("rf"), col("k"))),
-            col("rf") === col("l_returnflag") &&
-              col("k") > col("cumlo") && col("k") <= col("cumhi"))
-          .select(col("rf").as("tf"), col("bkt").as("tb"), col("cumlo")).distinct()
-        val inb = c.join(broadcast(tbkts),
-            col("l_returnflag") === col("tf") && expr("cents div 1000000") === col("tb"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("tf"), col("tb")).orderBy(col("cents"))))
-          .select(col("tf"), (col("cumlo") + col("rn")).as("pos"), col("cents"))
-        inb.join(broadcast(ranks),
-            col("tf") === col("rf") && col("pos") === col("k"))
-          .select(col("rf"), col("pname"), col("which"), col("frac"),
-            (col("cents").cast("double") / lit(100.0)).as("v"))
-          .groupBy(col("rf"), col("pname"), col("frac"))
-          .agg(max(when(col("which") === "lo", col("v"))).as("vlo"),
-            max(when(col("which") === "hi", col("v"))).as("vhi"))
-          .withColumn("res",
-            round(col("vlo") + col("frac") * (col("vhi") - col("vlo")), 4))
-          .groupBy(col("rf").as("l_returnflag"))
+        GroupedPercentile.exact(c, "l_returnflag", "cents", ps,
+            expr("cents div 1000000"), _.cast("double") / lit(100.0))
+          .withColumn("res", round(col("res"), 4))
+          .groupBy(col("l_returnflag"))
           .agg(
             max(when(col("pname") === "p25", col("res"))).as("p25"),
             max(when(col("pname") === "p50", col("res"))).as("p50"),

@@ -58,6 +58,7 @@ case class PqEncode(child: Expression, cents: Seq[Seq[Seq[Double]]])
     case ShortType   => arr.getShort(i).toDouble
     case ByteType    => arr.getByte(i).toDouble
     case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new UnsupportedOperationException(s"unsupported element type $other")
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -98,6 +99,7 @@ case class PqEncode(child: Expression, cents: Seq[Seq[Seq[Double]]])
     case ShortType   => s"(double) $arr.getShort($i)"
     case ByteType    => s"(double) $arr.getByte($i)"
     case d: DecimalType => s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+    case other => throw new UnsupportedOperationException(s"unsupported element type $other")
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -210,6 +212,7 @@ case class CentroidRanks(child: Expression, cids: Seq[Long],
     case ShortType   => arr.getShort(i).toDouble
     case ByteType    => arr.getByte(i).toDouble
     case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new UnsupportedOperationException(s"unsupported element type $other")
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -312,6 +315,7 @@ case class CentroidRanks(child: Expression, cids: Seq[Long],
     case ShortType   => s"(double) $arr.getShort($i)"
     case ByteType    => s"(double) $arr.getByte($i)"
     case d: DecimalType => s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+    case other => throw new UnsupportedOperationException(s"unsupported element type $other")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CentroidRanks =

@@ -48,6 +48,7 @@ case class DotProduct(left: Expression, right: Expression)
     case ShortType   => arr.getShort(i).toDouble
     case ByteType    => arr.getByte(i).toDouble
     case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new UnsupportedOperationException(s"unsupported element type $other")
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -73,6 +74,7 @@ case class DotProduct(left: Expression, right: Expression)
     case ShortType   => s"(double) $arr.getShort($i)"
     case ByteType    => s"(double) $arr.getByte($i)"
     case d: DecimalType => s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+    case other => throw new UnsupportedOperationException(s"unsupported element type $other")
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

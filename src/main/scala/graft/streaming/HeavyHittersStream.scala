@@ -34,7 +34,7 @@ object HeavyHittersStream {
   /** Fold one key's micro-batch in seq order; exposed for unit tests. */
   def foldKey(key: String, evts: Seq[Evt], st: Option[HHState],
               cap: Int, emitK: Int): (Seq[HH], HHState) = {
-    var s = st.getOrElse(HHState(Seq.empty, 0L, Long.MinValue))
+    val s = st.getOrElse(HHState(Seq.empty, 0L, Long.MinValue))
     val slots = scala.collection.mutable.Map[String, (Long, Long)](
       s.slots.map(sl => sl.item -> (sl.count, sl.err)): _*)
     var nSeen = s.n_seen

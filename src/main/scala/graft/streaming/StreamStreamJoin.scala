@@ -21,10 +21,10 @@ object StreamStreamJoin {
             windowSec: Int, watermarkDelay: String = "30 seconds"): DataFrame = {
     val l = left.withWatermark(tsCol, watermarkDelay)
       .select(col(key).as("l_key"), col(tsCol).as("l_ts"),
-        struct(left.columns.map(col): _*).as("l"))
+        struct(left.columns.toIndexedSeq.map(col): _*).as("l"))
     val r = right.withWatermark(tsCol, watermarkDelay)
       .select(col(key).as("r_key"), col(tsCol).as("r_ts"),
-        struct(right.columns.map(col): _*).as("r"))
+        struct(right.columns.toIndexedSeq.map(col): _*).as("r"))
     l.join(r,
       col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") &&

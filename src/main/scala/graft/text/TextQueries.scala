@@ -571,16 +571,22 @@ object TextQueries {
     ),
 
     // Context-window SEQUENCE PACKING: greedy first-fit of docs (in
-    // doc_id order) into 256-token training sequences per source shard
-    // — the step that turns a curated corpus into fixed-budget training
-    // rows without splitting documents. The fold is inherently
-    // sequential PER SHARD, so the shard is the parallelism unit: one
-    // shuffle groups each source's (doc_id, ntok) structs, and the
-    // greedy scan runs as a codegen'd aggregate fold over the sorted
-    // array (per-shard payload is bounded by the writer's shard sizing
-    // — the same contract as agg_string_concat). A doc longer than the
-    // budget gets its own pack. The oracle replays the identical greedy
-    // recurrence as a per-source recursive CTE.
+    // doc_id order) into 256-token training sequences — the step that
+    // turns a curated corpus into fixed-budget training rows without
+    // splitting documents. The fold is inherently sequential, so the
+    // parallelism unit is a DETERMINISTIC ≤4096-doc sub-shard
+    // (source, doc_id div 4096): one shuffle groups each sub-shard's
+    // (doc_id, ntok) structs and the greedy scan runs as a codegen'd
+    // aggregate fold over the sorted array. Unlike the former
+    // whole-source grouping, the collect_list buffer is now CAPPED at
+    // 4096 structs regardless of corpus size — a source at 100 TB is
+    // millions of independent sub-shards, not one executor-killing
+    // array. Packs never span sub-shards (the ≤budget-token tail of
+    // each is padding — the standard locality/packing-efficiency
+    // trade); global pack_id = sub*4096 + local (≤4096 packs per
+    // sub-shard, one per doc at worst). A doc longer than the budget
+    // gets its own pack. The oracle replays the identical greedy
+    // recurrence as a per-(source, sub-shard) recursive CTE.
     "text_pack_greedy" -> Query(
       (s, d) => {
         val budget = 256
@@ -605,45 +611,53 @@ object TextQueries {
               (off + x.getField("ntok")).as("acc"))
           },
           st => st.getField("out"))
-        docs.groupBy(col("source"))
+        docs.groupBy(col("source"), expr("doc_id div 4096").as("sub"))
           .agg(sort_array(collect_list(struct(col("doc_id"), col("ntok")))).as("ds"))
-          .select(col("source"), explode(packed).as("p"))
+          .select(col("source"), col("sub"), explode(packed).as("p"))
           .select(col("source"), col("p.doc_id").as("doc_id"), col("p.ntok").as("ntok"),
-            col("p.pack_id").as("pack_id"), col("p.off").as("off"))
+            (col("sub") * 4096 + col("p.pack_id")).as("pack_id"),
+            col("p.off").as("off"))
       },
       Some("""WITH RECURSIVE t AS (
-             |  SELECT source, doc_id,
+             |  SELECT source, doc_id, doc_id // 4096 AS sub,
              |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS ntok,
-             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             |    ROW_NUMBER() OVER (PARTITION BY source, doc_id // 4096 ORDER BY doc_id) AS rn
              |  FROM documents),
              |r AS (
-             |  SELECT source, doc_id, ntok, rn,
+             |  SELECT source, sub, doc_id, ntok, rn,
              |    CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS off, ntok AS acc
              |  FROM t WHERE rn = 1
              |  UNION ALL
-             |  SELECT t.source, t.doc_id, t.ntok, t.rn,
+             |  SELECT t.source, t.sub, t.doc_id, t.ntok, t.rn,
              |    CASE WHEN r.acc > 0 AND r.acc + t.ntok > 256 THEN r.pack_id + 1 ELSE r.pack_id END,
              |    CASE WHEN r.acc > 0 AND r.acc + t.ntok > 256 THEN CAST(0 AS BIGINT) ELSE r.acc END,
              |    CASE WHEN r.acc > 0 AND r.acc + t.ntok > 256 THEN t.ntok ELSE r.acc + t.ntok END
-             |  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
-             |SELECT source, doc_id, ntok, pack_id, off FROM r""".stripMargin)
+             |  FROM r JOIN t ON t.source = r.source AND t.sub = r.sub AND t.rn = r.rn + 1)
+             |SELECT source, doc_id, ntok, CAST(sub * 4096 + pack_id AS BIGINT) AS pack_id, off
+             |FROM r""".stripMargin)
     ),
 
     // Per-language CALIBRATED quality gate: keep docs at or above their
     // own language's median quality — absolute thresholds are miscalibrated
     // across languages (stopword lists, punctuation norms differ), so
-    // production curation gates per-domain/per-language quantiles. Two
-    // passes: a per-lang exact median (one partial agg over few groups)
-    // broadcasts back onto the scoring scan — no window over the corpus,
-    // no sort. The keep decision compares 6dp-ROUNDED score vs threshold
-    // on both sides, so an engine ulp in the interpolated median can
-    // never flip a verdict.
+    // production curation gates per-domain/per-language quantiles. The
+    // per-lang exact median comes from GroupedPercentile.exact
+    // (histogram-bisect two-pass, 64 score buckets over q ∈ [0,1] — no
+    // per-group value buffer, unlike Spark's `percentile` aggregate
+    // which would hold every score of a hot language in one executor)
+    // and broadcasts back onto the scoring scan — no window over the
+    // corpus, no sort. The keep decision compares 6dp-ROUNDED score vs
+    // threshold on both sides, so an engine ulp in the interpolated
+    // median can never flip a verdict.
     "text_quality_calibrated" -> Query(
       (s, d) => {
-        val q = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-          TextFunctions.qualityScore(col("text")).as("q"))
-        val thr = q.groupBy(col("lang"))
-          .agg(percentile(col("q"), lit(0.5)).as("thr"))
+        val q = graft.Caches.scoped(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            TextFunctions.qualityScore(col("text")).as("q")))
+        val thr = graft.operators.GroupedPercentile.exact(
+            q.select(col("lang"), col("q")), "lang", "q",
+            Seq(("p50", 0.5)), floor(col("q") * 64).cast("long"), identity)
+          .select(col("lang"), col("res").as("thr"))
         q.join(broadcast(thr), "lang")
           .select(col("doc_id"), col("lang"),
             round(col("q"), 6).as("quality"), round(col("thr"), 6).as("thr"),

@@ -284,6 +284,36 @@ class PlanSpec extends AnyFunSuite {
       "bisect must never move data to one partition")
   }
 
+  test("winsorized mean and calibrated quality gate use the bisect, not percentile") {
+    // Both operators moved off Spark's `percentile` aggregate in round
+    // 9 (its buffer holds every group value — executor OOM on a hot
+    // event_type/lang at 100 TB) onto GroupedPercentile.exact. Pin it.
+    for (name <- Seq("agg_winsorized_mean", "text_quality_calibrated")) {
+      val t = tree(name)
+      assert(!t.exists(l => l.contains("percentile") || l.contains("collect_list")),
+        s"$name: value-buffering aggregate crept back into the plan")
+      assert(!t.exists(_.contains("Exchange SinglePartition")),
+        s"$name: bisect must never move data to one partition")
+    }
+  }
+
+  test("text_pack_greedy buffers at most one 4096-doc sub-shard per group") {
+    // The greedy fold is sequential per group, so the group IS the
+    // memory bound: pin that the collect_list aggregate keys include
+    // the (doc_id div 4096) sub-shard, never whole-source groups whose
+    // array would scale with corpus size.
+    val t = tree("text_pack_greedy")
+    val aggLines = t.filter(_.contains("collect_list"))
+    assert(aggLines.nonEmpty, "expected the sub-shard collect_list fold")
+    // Catalyst extracts the (doc_id div 4096) key into a project below
+    // the agg as _groupingexpression; pin both halves.
+    assert(aggLines.forall(l =>
+        l.contains("div 4096") || l.contains("_groupingexpression")),
+      s"collect_list no longer keyed by the 4096-doc sub-shard:\n${aggLines.mkString("\n")}")
+    assert(t.exists(_.contains("div 4096")),
+      "the 4096-doc sub-shard key vanished from the plan")
+  }
+
   test("kmeans assignment is shuffle-free and the update agg is partial") {
     // Centroids ship as literals, so assignment must contain NO join
     // and NO exchange below the (cid, dim) aggregate; the update's only

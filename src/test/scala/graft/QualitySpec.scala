@@ -119,7 +119,6 @@ class QualitySpec extends AnyFunSuite {
     // 0.28 on this weakly-clustered corpus (random codebooks: 0.22);
     // the floor catches a degenerate codebook, not SOTA recall — real
     // deployments train 8-bit codebooks with kmeans_train's machinery.
-    import graft.functions.VectorFunctions
     val e = Tables.embeddings(spark, sf)
     val p = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("q"))

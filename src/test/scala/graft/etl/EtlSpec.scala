@@ -110,7 +110,7 @@ class EtlSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_customer")
+      val _ = spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
 
@@ -155,7 +155,7 @@ class EtlSpec extends AnyFunSuite {
       assert(spark.table(t).as[Int].collect().sorted.toSeq === Seq(9, 10))
       // WRITE_EMPTY fails when data is already present
       intercept[Exception] { Sinks.table(Seq(0).toDF("x"), t, Sinks.FailIfExists) }
-    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+    } finally { val _ = spark.sql(s"DROP TABLE IF EXISTS $t") }
   }
 
   test("CsvIngest dead-letter branch routes malformed rows visibly") {

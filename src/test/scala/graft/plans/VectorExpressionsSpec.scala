@@ -22,7 +22,7 @@ class VectorExpressionsSpec extends AnyFunSuite {
 
   test("DotProduct null semantics: length mismatch and null elements") {
     def arr(xs: Any*) = array(xs.map {
-      case null => lit(null).cast("double"); case d: Double => lit(d)
+      case d: Double => lit(d); case _ => lit(null).cast("double")
     }: _*)
     val row = spark.range(1).select(
       VectorFunctions.dot(arr(1.0, 2.0), arr(3.0)).as("mismatch"),

@@ -239,8 +239,9 @@ class StreamingSpec extends AnyFunSuite {
       StructField("ts", TimestampType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
 
-    def writeBatch(name: String, lines: Seq[String]): Unit =
-      Files.writeString(java.nio.file.Paths.get(s"$inDir/$name"), lines.mkString("\n"))
+    def writeBatch(name: String, lines: Seq[String]): Unit = {
+      val _ = Files.writeString(java.nio.file.Paths.get(s"$inDir/$name"), lines.mkString("\n"))
+    }
 
     // append-mode parquet sink: a window is emitted exactly once, when
     // the watermark passes its end — the file-source offsets + sink log
