@@ -509,10 +509,11 @@ object DedupQueries {
     ),
 
     // 60-bit SimHash, 4 x 15-bit bands, Hamming <= 20 confirm step.
-    // The per-doc bit votes are 60 codegen'd SUM aggregates over the
-    // exploded token hashes (one md5 per token) — the scalar
+    // Signatures come from the native TextExpressions.simHash60
+    // Catalyst expression (one codegen'd call per doc, no token
+    // explode/shuffle — see SimHash.relational); the scalar
     // `Hashing.simHash60` computes the same value but runs its fold
-    // interpreted, which is ~10x slower per doc.
+    // interpreted, an order of magnitude slower per doc.
     "dedup_simhash" -> Query(
       (s, d) => {
         val sims = SimHash.relational(Tables.documents(s, d), "doc_id", "text")

@@ -33,6 +33,12 @@ object TextExpressions {
     */
   def frameByteSums(bin: Column, frameSize: Int): Column =
     ColumnBridge.column(FrameByteSums(ColumnBridge.expression(bin), frameSize))
+
+  /** 60-bit SimHash of a token array — the native form of the
+    * 60-lane vote fold (`Hashing.simHash60` / `SimHash.relational`).
+    */
+  def simHash60(toks: Column): Column =
+    ColumnBridge.column(SimHash60(ColumnBridge.expression(toks)))
 }
 
 /** Bucket = first 8 md5 hex chars as a long (the exact value of
@@ -158,4 +164,85 @@ case class FrameByteSums(child: Expression, frameSize: Int)
 
   override protected def withNewChildInternal(newChild: Expression): FrameByteSums =
     copy(child = newChild)
+}
+
+/** Native 60-bit SimHash over `array<string>` tokens: one md5 per
+  * token (the first 15 hex chars as a 60-bit value — exactly
+  * `Hashing.md5Long60`), 60 signed bit votes, bit j of the result set
+  * iff vote_j >= 0. Bit-identical to the scalar `Hashing.simHash60`
+  * fold and to `SimHash.relational`'s 60-SUM formulation (asserted in
+  * TextExpressionsSpec), but ONE codegen'd call per document into a
+  * tight JVM loop — no token explode, no shuffle, no per-element
+  * lambda frames. An empty token array yields the all-votes-tie
+  * signature (every vote 0 >= 0), matching the scalar fold; callers
+  * that drop empty docs filter before calling. A null element
+  * propagates null (as the `transform`-based forms would).
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash60 expects array<string>, got $t")
+  }
+
+  /** Row kernel — also the codegen body via addReferenceObj(this). */
+  def computeBoxed(a: ArrayData): java.lang.Long = {
+    val md = SimHash60.digest.get()
+    val votes = new Array[Int](60)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val h = md.digest(a.getUTF8String(i).getBytes)
+      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+      v = (v << 4) | ((h(7) & 0xffL) >>> 4)
+      var j = 0
+      while (j < 60) {
+        votes(j) += (((v >>> j) & 1L).toInt << 1) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) >= 0) sim |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(sim)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeBoxed(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("simHash60", this, classOf[SimHash60].getName)
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Long $boxed = $ref.computeBoxed($a);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  /** One MessageDigest per executor thread — md5 instances are not
+    * thread-safe and allocation per row would dominate short tokens.
+    */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }

@@ -62,4 +62,26 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](0).isEmpty)
     assert(r.isNullAt(1))
   }
+
+  test("SimHash60 matches the scalar simHash60 fold on every real doc") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = TextFunctions.cleanTokens(col("text"))
+    val mismatches = docs.select(
+        TextExpressions.simHash60(toks).as("native"),
+        Hashing.simHash60(toks).as("scalar"))
+      .filter(!(col("native") <=> col("scalar")))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("SimHash60: empty array ties every vote, null array/element propagate") {
+    val r = spark.range(1).select(
+      TextExpressions.simHash60(array().cast("array<string>")).as("empty"),
+      TextExpressions.simHash60(lit(null).cast("array<string>")).as("na"),
+      TextExpressions.simHash60(
+        array(lit("tok"), lit(null).cast("string"))).as("nelem")).collect()(0)
+    assert(r.getLong(0) === (1L << 60) - 1) // all votes 0 >= 0
+    assert(r.isNullAt(1))
+    assert(r.isNullAt(2))
+  }
 }
