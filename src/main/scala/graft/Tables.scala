@@ -34,11 +34,30 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw
+      case LongType =>
+        // Guard against a generator round writing plain int64 MICROS
+        // with no timestamp logical type: that would be silently
+        // mis-scaled 1000x here while the DuckDB oracles (epoch_us on
+        // real timestamps) stay right. One sampled row per directory
+        // (memoized) distinguishes ns-era (~1e18) from µs-era (~1e15).
+        tsNanosChecked.computeIfAbsent(d, _ => {
+          raw.select(col("ts")).limit(1).collect().headOption.foreach { r =>
+            val v = math.abs(r.getLong(0))
+            require(v > 1e16,
+              s"events.ts at $d is int64 but |$v| is not nanosecond-era; " +
+                "generator likely wrote epoch micros without a timestamp type")
+          }
+          java.lang.Boolean.TRUE
+        })
+        raw
       case _ => raw.withColumn(
         "ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
     }
   }
+
+  /** Directories whose int64 events.ts magnitude has been validated. */
+  private val tsNanosChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

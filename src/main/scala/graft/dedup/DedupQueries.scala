@@ -80,11 +80,6 @@ object DedupQueries {
       .distinct()
   }
 
-  /** MinHash band table `(doc_id, band_idx, bkey)`: one md5 per distinct
-    * shingle; 16 signature entries as codegen'd MIN aggregates of the
-    * affine permutations; 8 bands x 2 rows. The index every MinHash-based
-    * dedup variant (self-pair, clustering, incremental) joins on.
-    */
   /** (doc_id, sig0..sig15) MinHash signatures — codegen'd MIN aggregates
     * of the 16 affine permutations over one md5 per distinct shingle.
     * Shared by the band table and the estimator-accuracy audit.
@@ -99,6 +94,10 @@ object DedupQueries {
     hs.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
   }
 
+  /** MinHash band table `(doc_id, band_idx, bkey)`: 8 bands x 2
+    * signature rows. The index every MinHash-based dedup variant
+    * (self-pair, clustering, incremental) joins on.
+    */
   private[graft] def bandTable(s: SparkSession, d: String): DataFrame = {
     val withSig = signatures(s, d)
     val bandStructs = (0 until 8).map { b =>

@@ -77,9 +77,6 @@ object MultimodalQueries {
       .filter(col("hamming") <= maxHam)
   }
 
-  /** Oracle twin of the hash computation — ends in `h(doc_id, lo, hi)`
-    * and `bands(doc_id, lo, hi, band_idx, bkey)`.
-    */
   /** Shared oracle prefix: the 8x8 block-luma grid `bs(doc_id, blk, s)`
     * recomputed from the raw text bytes (the BMP payload is built from
     * those same bytes) — consumed by both the ahash mean-threshold and
@@ -93,6 +90,10 @@ object MultimodalQueries {
       |      FROM (SELECT doc_id, hx, unnest(generate_series(0, 383)) AS i FROM d)),
       |bs AS (SELECT doc_id, blk, SUM(v) AS s FROM b GROUP BY 1, 2)""".stripMargin
 
+  /** Oracle twin of the aHash computation — extends the block-sum grid
+    * to `h(doc_id, lo, hi)` (mean-threshold bits, split 32/32) and
+    * `bands(doc_id, lo, hi, band_idx, bkey)` (16-bit LSH bands).
+    */
   private val ahashCteSql =
     blockSumsCteSql + """,
       |tot AS (SELECT doc_id, SUM(s) AS total FROM bs GROUP BY 1),

@@ -909,6 +909,54 @@ object Temporal {
              |SELECT CAST(MAX(conc) AS BIGINT) AS peak,
              |  MIN(CASE WHEN conc = (SELECT MAX(conc) FROM sw) THEN tus END) AS first_peak_us
              |FROM sw""".stripMargin)
+    ),
+
+    // Session-duration SLOs per user cohort: p50/p90/p99 of session
+    // length (µs) over the 6h-gap sessionization, grouped by a 4-way
+    // user-id cohort. The quantiles come from GroupedPercentile.exact
+    // (histogram-bisect over 1h duration buckets — bounded memory at
+    // any session count, REUSING round 9's shared machinery rather
+    // than a `percentile` buffer), so the whole chain is: one window
+    // per user, one session agg, two bounded passes. Durations are
+    // exact integer µs; only the final interpolated quantile is a
+    // double, rounded 4dp on both engines.
+    "events_session_quantiles" -> Query(
+      (s, d) => {
+        val gapUs = 21600000000L // 6h in µs
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = Tables.events(s, d)
+          .withColumn("tus", expr("ts div 1000"))
+          .withColumn("new_sess",
+            when(col("tus") - lag(col("tus"), 1).over(w) > gapUs ||
+                 lag(col("tus"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg((max(col("tus")) - min(col("tus"))).as("dur_us"))
+          .select(pmod(col("user_id"), lit(4)).as("cohort"), col("dur_us"))
+        val durs = graft.Caches.scoped(sess)
+        GroupedPercentile.exact(durs, "cohort", "dur_us",
+            Seq(("p50", 0.50), ("p90", 0.90), ("p99", 0.99)),
+            expr("dur_us div 3600000000"), _.cast("double"))
+          .withColumn("res", round(col("res"), 4))
+          .groupBy(col("cohort"))
+          .agg(max(when(col("pname") === "p50", col("res"))).as("p50_us"),
+            max(when(col("pname") === "p90", col("res"))).as("p90_us"),
+            max(when(col("pname") === "p99", col("res"))).as("p99_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+             |g AS (SELECT *, CASE WHEN tus - LAG(tus) OVER w > 21600000000
+             |                       OR LAG(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+             |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM g),
+             |sess AS (SELECT user_id % 4 AS cohort, MAX(tus) - MIN(tus) AS dur_us
+             |         FROM s GROUP BY user_id, sess_id)
+             |SELECT cohort,
+             |  ROUND(quantile_cont(CAST(dur_us AS DOUBLE), 0.50), 4) AS p50_us,
+             |  ROUND(quantile_cont(CAST(dur_us AS DOUBLE), 0.90), 4) AS p90_us,
+             |  ROUND(quantile_cont(CAST(dur_us AS DOUBLE), 0.99), 4) AS p99_us
+             |FROM sess GROUP BY cohort""".stripMargin)
     )
   )
 }

@@ -330,4 +330,46 @@ class QualitySpec extends AnyFunSuite {
         s"p99 drift: $r")
     }
   }
+
+  test("ann_maxsim_topk late-interaction ranking recovers the full-dim cosine top-5") {
+    // MaxSim is exact over its own scorer (8x8-dim sub-vector late
+    // interaction); this floor relates it to the exact full-dim cosine
+    // top-5. On this synthetic near-isotropic corpus the per-sub-vector
+    // max adds positive bias noise that swamps most alignment signal
+    // (real ColBERT token embeddings are clustered, arbitrary 8-dim
+    // chunks of one vector are not), so agreement is weak BY GEOMETRY:
+    // measured 0.08 both here and in an independent DuckDB replay,
+    // vs ~0.01 for random top-5 of 499. The floor catches a DEGENERATE
+    // scorer (wrong slice bounds, dropped max, sum over the wrong key
+    // all land at random), not retrieval quality.
+    val r = meanRecallAt5("ann_maxsim_topk")
+    assert(r >= 0.04, s"maxsim mean recall@5 vs exact cosine = $r (random ~= 0.01)")
+  }
+
+  test("ann_range_search returns a pure subset of the true epsilon-ball, most of it") {
+    // Truth = EVERY (qid, vec) pair with rounded cosine >= 0.25 (brute
+    // force at sf0.01: 10 probes x 500 vectors). The registered query
+    // only scores LSH candidates, and exact cosine confirms each — so
+    // precision must be 1.0 by construction (asserted as subset) and
+    // the 5x3 banded index must surface nearly the whole ball.
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding"), VectorFunctions.norm(col("embedding")).as("nrm"))
+    val p = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val truth = e.crossJoin(p).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFunctions.dot(col("qv"), col("embedding"))
+          / (col("qnrm") * col("nrm")), 4).as("cos"))
+      .filter(col("cos") >= 0.25)
+      .select(col("qid").cast("long"), col("vec_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("ann_range_search")(spark, sf)
+      .select(col("qid").cast("long"), col("vec_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(got.subsetOf(truth), "range-search pairs must be a subset of the true ball")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.5, s"epsilon-ball recall = $recall (${got.size}/${truth.size})")
+  }
 }
