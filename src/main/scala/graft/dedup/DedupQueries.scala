@@ -59,26 +59,20 @@ object DedupQueries {
        |FROM bd a JOIN bd b
        |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
 
-  /** Distinct (doc_id, shingle) rows built RELATIONALLY: one posexplode
-    * of the token array, then lead() windows assemble the 3-grams.
-    * Higher-order array lambdas don't run in whole-stage codegen — the
-    * array formulation costs ~1ms/doc interpreted; this shape keeps the
-    * whole pass codegen'd (one shuffle on doc_id for the window), which
-    * is the difference between hours and minutes at corpus scale.
-    * Produces exactly the same shingle set as `docShingles`.
+  /** Distinct (doc_id, shingle) rows via the native ShingleWindows
+    * expression — ROW-LOCAL shingle assembly in one codegen'd call
+    * (replacing round 8's posexplode + lead()-window build, whose
+    * only purpose for its full token shuffle was lining tokens up
+    * next to their neighbors), then Spark's codegen'd `.distinct()`
+    * exactly as before. Same exact string rows (pinned in
+    * TextExpressionsSpec), so every consumer's hashing and the SQL
+    * oracles are unchanged.
     */
-  private[graft] def shingleRows(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(cleanToks).as(Seq("pos", "t")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    tok.select(col("doc_id"),
-        concat_ws(" ", col("t"), lead(col("t"), 1).over(w), lead(col("t"), 2).over(w)).as("sh"),
-        lead(col("t"), 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), col("sh"))
+  private[graft] def shingleRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.plans.TextExpressions.shingles(cleanToks, 3)).as("sh"))
       .distinct()
-  }
 
   /** (doc_id, sig0..sig15) MinHash signatures — codegen'd MIN aggregates
     * of the 16 affine permutations over one md5 per distinct shingle.

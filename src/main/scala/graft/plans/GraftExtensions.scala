@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_dot(arrayA, arrayB) takes two arguments")
         DotProduct(exprs.head, exprs(1))
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          "graft_simhash60(array<string>) takes one argument")
+        SimHash60(exprs.head)
+      }))
     // cosine as a pure composition over the native dot — all three dot
     // products run codegen'd; no separate expression to maintain
     e.injectFunction((

@@ -297,6 +297,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle index build is row-local: no token window shuffle") {
+    // Round 9 moved shingle assembly into the native ShingleWindows
+    // expression: the old posexplode + lead()-window build shuffled
+    // EVERY token across the cluster just to line neighbors up — the
+    // dominant cost of the whole MinHash/Jaccard family at 100 TB.
+    // Pin that no Window operator appears in the index-building plans.
+    for (name <- Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "text_shingle_novelty")) {
+      val t = tree(name)
+      assert(!t.exists(_.contains("Window")),
+        s"$name: a window crept back into the shingle build")
+    }
+  }
+
   test("text_pack_greedy buffers at most one 4096-doc sub-shard per group") {
     // The greedy fold is sequential per group, so the group IS the
     // memory bound: pin that the collect_list aggregate keys include

@@ -84,4 +84,43 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
     assert(r.isNullAt(2))
   }
+
+  test("graft_simhash60 is registered for SQL via GraftExtensions") {
+    val sql = spark.sql(
+      "SELECT graft_simhash60(array('alpha', 'beta')) AS s").collect()(0).getLong(0)
+    val col = spark.range(1).select(
+      TextExpressions.simHash60(array(lit("alpha"), lit("beta"))).as("s"))
+      .collect()(0).getLong(0)
+    assert(sql === col)
+  }
+
+  test("ShingleWindows + distinct matches the relational window build row-for-row") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = TextFunctions.cleanTokens(col("text"))
+    val tok = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val old = tok.select(col("doc_id"),
+        concat_ws(" ", col("t"), lead(col("t"), 1).over(w), lead(col("t"), 2).over(w)).as("sh"),
+        lead(col("t"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("sh"))
+      .distinct()
+    val nw = docs.select(col("doc_id"),
+      explode(TextExpressions.shingles(toks, 3)).as("sh")).distinct()
+    assert(nw.exceptAll(old).count() === 0L)
+    assert(old.exceptAll(nw).count() === 0L)
+  }
+
+  test("ShingleWindows: short array, window order with duplicates, null element") {
+    val r = spark.range(1).select(
+      TextExpressions.shingles(array(lit("a"), lit("b")), 3).as("short"),
+      TextExpressions.shingles(
+        array(lit("x"), lit("y"), lit("x"), lit("y"), lit("x")), 3).as("dup"),
+      TextExpressions.shingles(
+        array(lit("a"), lit(null).cast("string"), lit("c")), 3).as("ne")).collect()(0)
+    assert(r.getSeq[String](0) === Seq.empty)
+    assert(r.getSeq[String](1) === Seq("x y x", "y x y", "x y x"))
+    assert(r.isNullAt(2))
+  }
 }
