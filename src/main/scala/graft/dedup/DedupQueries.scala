@@ -32,6 +32,29 @@ object DedupQueries {
 
   private def cleanToks: Column = TextFunctions.cleanTokens(col("text"))
 
+  /** Distinct (doc_id, 60-bit shingle hash) rows — the string-free
+    * index jaccard/containment join on: the native ShingleHashes60
+    * expression hashes every 3-gram window row-locally (no token
+    * shuffle, no shingle strings materialized), then Spark's codegen'd
+    * distinct dedups on the HASH. The oracle dedups on the hash too
+    * (hashed-shingle-set semantics — what production MinHash stacks
+    * actually compare), so cross-engine parity cannot hinge on
+    * string-vs-hash collision differences.
+    */
+  private[graft] def shingleHash60Rows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.plans.TextExpressions.shingleHashes60(cleanToks, 3)).as("shh"))
+      .distinct()
+
+  /** DuckDB twin of `shingleHash60Rows`, ending in `shx0(doc_id, shh)`. */
+  private val shingleHashCte =
+    tokCte + """,
+      |td AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
+      |shx0 AS (SELECT DISTINCT doc_id,
+      |  CAST('0x' || substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15) AS BIGINT) AS shh
+      |FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-2)) AS i FROM td))""".stripMargin
+
   /** DuckDB CTE chain ending in `bd(doc_id, band_idx, bkey)` — the
     * MinHash band table both the pair and the incremental oracles read.
     */
@@ -277,8 +300,7 @@ object DedupQueries {
     // (deterministic) double division.
     "dedup_ngram_jaccard" -> Query(
       (s, d) => {
-        val raw = graft.Caches.scoped(shingleRows(s, d)
-          .select(col("doc_id"), Hashing.md5Long60(col("sh")).as("shh")))
+        val raw = graft.Caches.scoped(shingleHash60Rows(s, d))
         // stop-shingle guard: a shingle present in >100 docs contributes
         // ~df^2 candidate pairs and no near-dup signal — drop it from the
         // index (broadcast anti-join; the hot list is tiny by definition).
@@ -300,9 +322,7 @@ object DedupQueries {
             (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
           .filter(col("jaccard") >= 0.2)
       },
-      Some(s"""WITH $shingleCte,
-             |shx0 AS (SELECT doc_id, CAST('0x' || substr(md5(u.sh), 1, 15) AS BIGINT) AS shh
-             |         FROM (SELECT doc_id, unnest(sh) AS sh FROM shl) u),
+      Some(s"""WITH $shingleHashCte,
              |hot AS (SELECT shh FROM shx0 GROUP BY shh HAVING COUNT(*) > 100),
              |shx AS (SELECT doc_id, shh FROM shx0 WHERE shh NOT IN (SELECT shh FROM hot)),
              |sz AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
@@ -324,8 +344,7 @@ object DedupQueries {
     // (5*inter >= 4*min) so no float exists for engines to disagree on.
     "dedup_containment" -> Query(
       (s, d) => {
-        val raw = graft.Caches.scoped(shingleRows(s, d)
-          .select(col("doc_id"), Hashing.md5Long60(col("sh")).as("shh")))
+        val raw = graft.Caches.scoped(shingleHash60Rows(s, d))
         val hot = raw.groupBy(col("shh")).agg(count(lit(1)).as("df"))
           .filter(col("df") > 100).select(col("shh"))
         val ex = graft.Caches.scoped(raw.join(broadcast(hot), Seq("shh"), "left_anti"))
@@ -340,9 +359,7 @@ object DedupQueries {
             col("sa.n").as("na"), col("sb.n").as("nb"))
           .filter(col("inter") * 5 >= least(col("na"), col("nb")) * 4)
       },
-      Some(s"""WITH $shingleCte,
-             |shx0 AS (SELECT doc_id, CAST('0x' || substr(md5(u.sh), 1, 15) AS BIGINT) AS shh
-             |         FROM (SELECT doc_id, unnest(sh) AS sh FROM shl) u),
+      Some(s"""WITH $shingleHashCte,
              |hot AS (SELECT shh FROM shx0 GROUP BY shh HAVING COUNT(*) > 100),
              |shx AS (SELECT doc_id, shh FROM shx0 WHERE shh NOT IN (SELECT shh FROM hot)),
              |sz AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),

@@ -47,6 +47,12 @@ object TextExpressions {
     */
   def shingles(toks: Column, n: Int): Column =
     ColumnBridge.column(ShingleWindows(ColumnBridge.expression(toks), n))
+
+  /** 60-bit md5 hashes of all n-gram shingles (duplicates kept) — the
+    * string-free form for consumers that only ever join on the hash.
+    */
+  def shingleHashes60(toks: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes60(ColumnBridge.expression(toks), n))
 }
 
 /** Bucket = first 8 md5 hex chars as a long (the exact value of
@@ -346,3 +352,107 @@ case class ShingleWindows(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+
+/** 60-bit hashes of ALL word n-gram shingles of a token array, window
+  * order, duplicates kept — each value is exactly
+  * `Hashing.md5Long60(concat_ws(" ", window))` (the first 15 md5 hex
+  * chars as a long), computed in one codegen'd call per doc with a
+  * single reused byte buffer: no shingle strings are ever
+  * materialized, no token shuffle, and downstream joins/aggregates
+  * key on 8-byte longs instead of ~20-byte strings (narrower
+  * exchanges — at 100 TB the shingle index shuffle halves). Callers
+  * that need set semantics dedup with Spark's codegen'd
+  * `.distinct()` on (id, hash). A doc with fewer than `n` tokens
+  * yields an empty array; null elements propagate null.
+  */
+case class ShingleHashes60(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1 && n <= 16)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes60 expects array<string>, got $t")
+  }
+
+  /** Row kernel — also the codegen body via addReferenceObj(this). */
+  def compute(a: ArrayData): ArrayData = {
+    val cnt = a.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Long])
+    val toks = new Array[UTF8String](cnt)
+    var i = 0
+    var maxWin = 0
+    while (i < cnt) {
+      if (a.isNullAt(i)) return null
+      toks(i) = a.getUTF8String(i)
+      i += 1
+    }
+    i = 0
+    while (i <= cnt - n) {
+      var bytes = n - 1
+      var j = 0
+      while (j < n) { bytes += toks(i + j).numBytes; j += 1 }
+      if (bytes > maxWin) maxWin = bytes
+      i += 1
+    }
+    val md = ShingleHashes60.digest.get()
+    val buf = new Array[Byte](maxWin)
+    val out = new Array[Long](cnt - n + 1)
+    i = 0
+    while (i <= cnt - n) {
+      var off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET.toLong
+      var j = 0
+      while (j < n) {
+        if (j > 0) {
+          org.apache.spark.unsafe.Platform.putByte(buf, off, ' '.toByte)
+          off += 1
+        }
+        val t = toks(i + j)
+        t.writeToMemory(buf, off)
+        off += t.numBytes
+        j += 1
+      }
+      md.update(buf, 0,
+        (off - org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET).toInt)
+      val h = md.digest()
+      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+      var v = 0L
+      j = 0
+      while (j < 7) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
+      v = (v << 4) | ((h(7) & 0xffL) >>> 4)
+      out(i) = v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("shingleHashes60", this,
+        classOf[ShingleHashes60].getName)
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes60 =
+    copy(child = newChild)
+}
+
+object ShingleHashes60 {
+  /** One MessageDigest per executor thread — md5 instances are not
+    * thread-safe and allocation per row would dominate short tokens.
+    */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}

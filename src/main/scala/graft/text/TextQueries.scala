@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.{Query, Tables}
-import graft.functions.{Hashing, TextFunctions}
+import graft.functions.TextFunctions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -806,8 +806,7 @@ object TextQueries {
           .select(col("doc_id"), cleanToks.as("t"))
           .filter(size(col("t")) >= 5)
         val inst = base.select(col("doc_id"),
-          explode(TextFunctions.shingles(col("t"), 5)).as("g"))
-          .select(col("doc_id"), Hashing.md5Long60(col("g")).as("sh"))
+          explode(graft.plans.TextExpressions.shingleHashes60(col("t"), 5)).as("sh"))
         val dfreq = inst.groupBy(col("sh"))
           .agg(countDistinct(col("doc_id")).as("df"))
         inst.join(dfreq, Seq("sh"))
