@@ -22,14 +22,6 @@ object DedupQueries {
   private val tokCte =
     """t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
       |      FROM documents)""".stripMargin
-  private val shingleCte =
-    tokCte + """,
-      |td AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
-      |shl AS (SELECT doc_id,
-      |  list_distinct(list_transform(generate_series(1, len(tk)-2),
-      |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
-      |FROM td)""".stripMargin
-
   private def cleanToks: Column = TextFunctions.cleanTokens(col("text"))
 
   /** Distinct (doc_id, 60-bit shingle hash) rows — the string-free
@@ -59,10 +51,12 @@ object DedupQueries {
     * MinHash band table both the pair and the incremental oracles read.
     */
   private[graft] lazy val bandsCteSql: String =
-    s"""$shingleCte,
+    s"""$tokCte,
+       |td AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
        |hsx AS (SELECT doc_id,
-       |  list_transform(sh, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs
-       |FROM shl),
+       |  list_transform(generate_series(1, len(tk) - 2),
+       |    i -> CAST('0x' || substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 8) AS BIGINT)) AS hs
+       |FROM td),
        |sg AS (SELECT doc_id, [${
          (0 until 16).map { i =>
            val (a, b) = Hashing.minHashConsts(i)
@@ -98,12 +92,20 @@ object DedupQueries {
       .distinct()
 
   /** (doc_id, sig0..sig15) MinHash signatures — codegen'd MIN aggregates
-    * of the 16 affine permutations over one md5 per distinct shingle.
+    * of the 16 affine permutations over the native 32-bit window
+    * hashes (ShingleHashes, one call per doc). NO distinct anywhere:
+    * a MIN aggregate is unaffected by duplicate hash instances, so the
+    * whole signature build is one row-local hash pass + ONE map-side-
+    * combinable shuffle — round 8's build paid a token-window shuffle
+    * and a (doc, shingle) distinct shuffle before the same aggregate,
+    * with identical signature values (min over a multiset = min over
+    * its set; oracle CTE updated to the same all-window form).
     * Shared by the band table and the estimator-accuracy audit.
     */
   private[graft] def signatures(s: SparkSession, d: String): DataFrame = {
-    val hs = shingleRows(s, d)
-      .select(col("doc_id"), Hashing.md5Long32(col("sh")).as("h"))
+    val hs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.plans.TextExpressions.shingleHashes32(cleanToks, 3)).as("h"))
     val sigAggs = (0 until 16).map { i =>
       val (a, b) = Hashing.minHashConsts(i)
       min((col("h") * a + b) % Hashing.minHashP).as(s"sig$i")
@@ -808,6 +810,10 @@ object DedupQueries {
           .withColumn("err_bp", abs(col("est_bp") - col("jac_bp")))
       },
       Some(s"""WITH $bandsCteSql,
+             |shl AS (SELECT doc_id,
+             |  list_distinct(list_transform(generate_series(1, len(tk)-2),
+             |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+             |FROM td),
              |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
              |          FROM bd a JOIN bd b ON a.band_idx = b.band_idx
              |            AND a.bkey = b.bkey AND a.doc_id < b.doc_id),

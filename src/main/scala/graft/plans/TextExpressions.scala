@@ -52,7 +52,15 @@ object TextExpressions {
     * string-free form for consumers that only ever join on the hash.
     */
   def shingleHashes60(toks: Column, n: Int): Column =
-    ColumnBridge.column(ShingleHashes60(ColumnBridge.expression(toks), n))
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(toks), n, 15))
+
+  /** 32-bit variant (first 8 md5 hex chars — `Hashing.md5Long32`): the
+    * pre-hash MinHash signatures permute. Duplicates kept — a MIN
+    * aggregate is unaffected by them, so signature builds skip the
+    * dedup shuffle entirely.
+    */
+  def shingleHashes32(toks: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(toks), n, 8))
 }
 
 /** Bucket = first 8 md5 hex chars as a long (the exact value of
@@ -353,22 +361,24 @@ case class ShingleWindows(child: Expression, n: Int)
 }
 
 
-/** 60-bit hashes of ALL word n-gram shingles of a token array, window
+/** Hashes of ALL word n-gram shingles of a token array, window
   * order, duplicates kept — each value is exactly
-  * `Hashing.md5Long60(concat_ws(" ", window))` (the first 15 md5 hex
-  * chars as a long), computed in one codegen'd call per doc with a
-  * single reused byte buffer: no shingle strings are ever
-  * materialized, no token shuffle, and downstream joins/aggregates
-  * key on 8-byte longs instead of ~20-byte strings (narrower
-  * exchanges — at 100 TB the shingle index shuffle halves). Callers
-  * that need set semantics dedup with Spark's codegen'd
-  * `.distinct()` on (id, hash). A doc with fewer than `n` tokens
+  * `Hashing.md5Long60(concat_ws(" ", window))` (hexChars = 15) or
+  * `Hashing.md5Long32(...)` (hexChars = 8), computed in one codegen'd
+  * call per doc with a single reused byte buffer: no shingle strings
+  * are ever materialized, no token shuffle, and downstream
+  * joins/aggregates key on 8-byte longs instead of ~20-byte strings
+  * (narrower exchanges — at 100 TB the shingle index shuffle halves).
+  * Callers that need set semantics dedup with Spark's codegen'd
+  * `.distinct()` on (id, hash); MIN-aggregating callers (MinHash
+  * signatures) need no dedup at all. A doc with fewer than `n` tokens
   * yields an empty array; null elements propagate null.
   */
-case class ShingleHashes60(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int, hexChars: Int)
     extends UnaryExpression {
 
   require(n >= 1 && n <= 16)
+  require(hexChars == 8 || hexChars == 15)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -376,7 +386,7 @@ case class ShingleHashes60(child: Expression, n: Int)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_shingle_hashes60 expects array<string>, got $t")
+      s"graft_shingle_hashes expects array<string>, got $t")
   }
 
   /** Row kernel — also the codegen body via addReferenceObj(this). */
@@ -399,7 +409,7 @@ case class ShingleHashes60(child: Expression, n: Int)
       if (bytes > maxWin) maxWin = bytes
       i += 1
     }
-    val md = ShingleHashes60.digest.get()
+    val md = ShingleHashes.digest.get()
     val buf = new Array[Byte](maxWin)
     val out = new Array[Long](cnt - n + 1)
     i = 0
@@ -419,12 +429,18 @@ case class ShingleHashes60(child: Expression, n: Int)
       md.update(buf, 0,
         (off - org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET).toInt)
       val h = md.digest()
-      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
-      var v = 0L
-      j = 0
-      while (j < 7) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
-      v = (v << 4) | ((h(7) & 0xffL) >>> 4)
-      out(i) = v
+      out(i) =
+        if (hexChars == 8) {
+          // first 8 hex chars = first 4 bytes as an unsigned 32-bit int
+          ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        } else {
+          // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+          var v = 0L
+          var k = 0
+          while (k < 7) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+          (v << 4) | ((h(7) & 0xffL) >>> 4)
+        }
       i += 1
     }
     new GenericArrayData(out)
@@ -435,19 +451,19 @@ case class ShingleHashes60(child: Expression, n: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val ref = ctx.addReferenceObj("shingleHashes60", this,
-        classOf[ShingleHashes60].getName)
+      val ref = ctx.addReferenceObj("shingleHashes", this,
+        classOf[ShingleHashes].getName)
       s"""
          |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })
 
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes60 =
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
 
-object ShingleHashes60 {
+object ShingleHashes {
   /** One MessageDigest per executor thread — md5 instances are not
     * thread-safe and allocation per row would dominate short tokens.
     */

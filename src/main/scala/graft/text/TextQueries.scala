@@ -968,11 +968,11 @@ object TextQueries {
             col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey"))
           .select(col("a.doc_id").as("train"), col("b.doc_id").as("eval"))
           .distinct()
-        val sh = graft.Caches.scoped(graft.dedup.DedupQueries.shingleRows(s, d))
+        val sh = graft.Caches.scoped(graft.dedup.DedupQueries.shingleHash60Rows(s, d))
         val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = cand
-          .join(sh.select(col("doc_id").as("train"), col("sh")), Seq("train"))
-          .join(sh.select(col("doc_id").as("eval"), col("sh")), Seq("eval", "sh"))
+          .join(sh.select(col("doc_id").as("train"), col("shh")), Seq("train"))
+          .join(sh.select(col("doc_id").as("eval"), col("shh")), Seq("eval", "shh"))
           .groupBy(col("train"), col("eval")).agg(count(lit(1)).as("inter"))
         val ver = cand
           .join(inter, Seq("train", "eval"), "left")
@@ -995,8 +995,10 @@ object TextQueries {
              |cd AS (SELECT DISTINCT a.doc_id AS train, b.doc_id AS eval
              |       FROM bd a JOIN bd b ON a.band_idx = b.band_idx AND a.bkey = b.bkey
              |       WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0),
-             |shr AS (SELECT doc_id, unnest(sh) AS s FROM shl),
-             |sz AS (SELECT doc_id, len(sh) AS n FROM shl),
+             |shr AS (SELECT DISTINCT doc_id,
+             |    CAST('0x' || substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15) AS BIGINT) AS s
+             |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-2)) AS i FROM td)),
+             |sz AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY 1),
              |itr AS (SELECT cd.train, cd.eval, COUNT(*) AS inter
              |        FROM cd JOIN shr a ON a.doc_id = cd.train
              |                JOIN shr b ON b.doc_id = cd.eval AND b.s = a.s
@@ -1284,13 +1286,14 @@ object TextQueries {
     // and can be dropped before the expensive dedup passes run. First
     // occurrence is a map-side-combinable MIN per shingle (the
     // dedup_paragraphs election, at shingle grain); novelty_bp stays
-    // integer. Shares shingleRows with the dedup family — one plan, two
-    // shuffles (shingle MIN + doc rollup).
+    // integer. Shares the string-free shingleHash60Rows index with the
+    // dedup family — row-local hashing, then two shuffles (shingle MIN
+    // + doc rollup) over 8-byte keys.
     "text_shingle_novelty" -> Query(
       (s, d) => {
-        val sh = graft.Caches.scoped(graft.dedup.DedupQueries.shingleRows(s, d))
-        val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
-        sh.join(first, Seq("sh"))
+        val sh = graft.Caches.scoped(graft.dedup.DedupQueries.shingleHash60Rows(s, d))
+        val first = sh.groupBy(col("shh")).agg(min(col("doc_id")).as("fd"))
+        sh.join(first, Seq("shh"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_shingles"),
             sum((col("fd") === col("doc_id")).cast("long")).as("n_novel"))
@@ -1300,11 +1303,9 @@ object TextQueries {
       Some("""WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
              |          FROM documents),
              |td AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
-             |shl AS (SELECT doc_id,
-             |  list_distinct(list_transform(generate_series(1, len(tk)-2),
-             |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
-             |FROM td),
-             |shr AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+             |shr AS (SELECT DISTINCT doc_id,
+             |    CAST('0x' || substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15) AS BIGINT) AS s
+             |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-2)) AS i FROM td)),
              |f AS (SELECT s, MIN(doc_id) AS fd FROM shr GROUP BY 1)
              |SELECT shr.doc_id, COUNT(*) AS n_shingles,
              |  CAST(SUM(CAST(f.fd = shr.doc_id AS BIGINT)) AS BIGINT) AS n_novel,
