@@ -653,8 +653,10 @@ object DedupQueries {
     // 4-grams (band j = min md5 of "bj|"+gram; a true near-dup shares
     // most 4-grams, so some band's min-gram collides with probability
     // 1-(1-s)^4 while unrelated heads almost never do). Candidates
-    // dedup before the Levenshtein pass. ~4x57 md5s per doc is scan-
-    // stage codegen arithmetic — the price of bounded blocks. Both
+    // dedup before the Levenshtein pass. The ~4x57 md5s per doc run in
+    // the native EditBandKeys expression (one call per doc; digest-byte
+    // mins, hex only for each band's winner — the HOF form paid an
+    // interpreted lambda + a 32-char string per (band, window)). Both
     // engines implement unit-cost Levenshtein and md5, so the banded
     // key, the distance, and the <= 15 verdict are all engine-exact.
     "dedup_edit_distance" -> Query(
@@ -664,17 +666,10 @@ object DedupQueries {
           (col("n_chars") / 20).cast("long").as("lb"),
           substring(col("text"), 1, 1).as("c1"),
           substring(col("text"), 1, 60).as("head"))
-        val bandStructs = array((0 until nBands).map { j =>
-          struct(lit(j).as("j"),
-            array_min(transform(
-              sequence(lit(1), greatest(length(col("head")) - 3, lit(1))),
-              i => md5(concat(lit(s"b$j|"), col("head").substr(i, lit(4)))))).as("bkey"))
-        }: _*)
         val idx = docs
           .select(col("doc_id"), col("lb"), col("c1"), col("head"),
-            explode(bandStructs).as("bd"))
-          .select(col("doc_id"), col("lb"), col("c1"), col("head"),
-            col("bd.j").as("j"), col("bd.bkey").as("bkey"))
+            posexplode(graft.plans.TextExpressions.editBandKeys(col("head"), nBands))
+              .as(Seq("j", "bkey")))
         idx.as("a").join(idx.as("b"),
             col("a.lb") === col("b.lb") && col("a.c1") === col("b.c1") &&
               col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey") &&

@@ -62,23 +62,12 @@ object VectorFunctions {
     * multi-table (banded) LSH index uses its own offset.
     */
   def hyperplaneLshBucket(v: Column, nPlanes: Int, dims: Int,
-                          planeOffset: Int = 0): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val coefs = typedlit((0 until dims).map(planeCoef(planeOffset + p, _)))
-      val proj = aggregate(
-        zip_with(asDouble(v), coefs, (x, c) => x * c),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    // dims mismatch: zip_with null-pads length mismatches, which would
-    // silently zero every projection and collapse all vectors into
-    // bucket 0 — and a null bucket would instead silently drop every
-    // candidate (null never equi-joins). FAIL the query loudly instead.
-    when(size(v) === dims, bits.reduce(_ + _))
-      .otherwise(raise_error(concat(
-        lit(s"hyperplaneLshBucket: expected $dims dims, got "),
-        size(v).cast("string"))))
-  }
+                          planeOffset: Int = 0): Column =
+    // native since round 9: one codegen'd call per row instead of
+    // nPlanes interpreted aggregate(zip_with(...)) lambda chains;
+    // bit-identical values (pinned in VectorExpressionsSpec), loud
+    // failure on a dims mismatch as before
+    graft.plans.VectorExpressions.lshBucket(v, planeOffset, nPlanes, dims)
 
   /** DuckDB mirror of `hyperplaneLshBucket(vecExpr, nPlanes, dims, off)`:
     * the identical literal coefficient rows, the identical sequential

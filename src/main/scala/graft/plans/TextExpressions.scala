@@ -61,6 +61,12 @@ object TextExpressions {
     */
   def shingleHashes32(toks: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(toks), n, 8))
+
+  /** Per-band min-md5 4-gram keys of a head string — the native form
+    * of the banded edit-distance blocking key.
+    */
+  def editBandKeys(head: Column, nBands: Int): Column =
+    ColumnBridge.column(EditBandKeys(ColumnBridge.expression(head), nBands))
 }
 
 /** Bucket = first 8 md5 hex chars as a long (the exact value of
@@ -466,6 +472,98 @@ case class ShingleHashes(child: Expression, n: Int, hexChars: Int)
 object ShingleHashes {
   /** One MessageDigest per executor thread — md5 instances are not
     * thread-safe and allocation per row would dominate short tokens.
+    */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
+/** MinHash band keys over a head string's char 4-grams:
+  * element j (0-based) = MIN over window starts i of
+  * `md5("b<j>|" || substr(head, i, 4))` as a lowercase-hex string —
+  * exactly the value of the HOF formulation
+  * `array_min(transform(sequence(1, greatest(len-3, 1)),
+  * i => md5(concat("b<j>|", head.substr(i, 4)))))`, for every band in
+  * one codegen'd call. Grams use Spark's own `substringSQL`
+  * (code-point semantics), the min runs on raw digest bytes compared
+  * UNSIGNED (lowercase hex order == unsigned byte order), and only
+  * each band's winner is hex-formatted — the HOF form paid an
+  * interpreted lambda frame, a 32-char string and a string compare
+  * per (band, window). Null input propagates null.
+  */
+case class EditBandKeys(child: Expression, nBands: Int)
+    extends UnaryExpression {
+
+  require(nBands >= 1 && nBands <= 16)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_edit_band_keys expects string, got $t")
+  }
+
+  @transient private lazy val salts: Array[Array[Byte]] =
+    Array.tabulate(nBands)(j => s"b$j|".getBytes("UTF-8"))
+
+  /** Row kernel — also the codegen body via addReferenceObj(this). */
+  def compute(head: UTF8String): ArrayData = {
+    val md = EditBandKeys.digest.get()
+    val w = math.max(head.numChars() - 3, 1)
+    // hash each gram once; reuse across bands via per-band salted pass
+    val out = new Array[Any](nBands)
+    var j = 0
+    while (j < nBands) {
+      var best: Array[Byte] = null
+      var i = 1
+      while (i <= w) {
+        md.update(salts(j))
+        md.update(head.substringSQL(i, 4).getBytes)
+        val h = md.digest()
+        if (best == null || {
+          var c = 0
+          var k = 0
+          while (c == 0 && k < 16) {
+            c = (h(k) & 0xff) - (best(k) & 0xff); k += 1
+          }
+          c < 0
+        }) best = h
+        i += 1
+      }
+      val hex = new Array[Byte](32)
+      var k = 0
+      while (k < 16) {
+        hex(2 * k) = EditBandKeys.hexDigits((best(k) & 0xf0) >> 4)
+        hex(2 * k + 1) = EditBandKeys.hexDigits(best(k) & 0x0f)
+        k += 1
+      }
+      out(j) = UTF8String.fromBytes(hex)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("editBandKeys", this,
+        classOf[EditBandKeys].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): EditBandKeys =
+    copy(child = newChild)
+}
+
+object EditBandKeys {
+  private val hexDigits = "0123456789abcdef".getBytes("US-ASCII")
+  /** One MessageDigest per executor thread — md5 instances are not
+    * thread-safe and allocation per row would dominate short heads.
     */
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -105,4 +105,92 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level entry point for the codegen'd sign-bit LSH bucket. */
+  def lshBucket(v: Column, planeOffset: Int, nPlanes: Int, dims: Int): Column =
+    ColumnBridge.column(HyperplaneLshBucket(
+      ColumnBridge.expression(v), planeOffset, nPlanes, dims))
+}
+
+/** Sign-bit LSH bucket over `nPlanes` deterministic hyperplanes — the
+  * native form of the per-plane `aggregate(zip_with(v, coefs, _*_))`
+  * fold (nPlanes interpreted lambda chains per row) as ONE codegen'd
+  * call. Arithmetic BIT-MATCHES the HOF form and the DuckDB oracle:
+  * per plane, a left-to-right fold of `(double)v[k] * coef[k]` from
+  * 0.0, bit p set iff the projection >= 0. The coefficient matrix is
+  * rebuilt from the same `VectorFunctions.planeCoefs` derivation at
+  * deserialization (it is a deterministic function of (planeOffset,
+  * nPlanes, dims) — nothing data-dependent ships with the plan).
+  * A wrong-dims vector fails the query loudly (matching the HOF
+  * form's raise_error); a null element nulls every plane's fold, so
+  * every bit takes the otherwise-0 branch — bucket 0, exactly as the
+  * `when` lands in the HOF form.
+  */
+case class HyperplaneLshBucket(child: Expression, planeOffset: Int,
+    nPlanes: Int, dims: Int) extends UnaryExpression {
+
+  require(nPlanes >= 1 && nPlanes <= 62 && dims >= 1)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_bucket expects a numeric array, got $t")
+  }
+
+  @transient private lazy val coefs: Array[Array[Double]] =
+    Array.tabulate(nPlanes)(p =>
+      graft.functions.VectorFunctions.planeCoefs(planeOffset + p, dims).toArray)
+
+  @transient private lazy val elem: NumericType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+  private def getD(arr: ArrayData, i: Int): Double = elem match {
+    case FloatType   => arr.getFloat(i).toDouble
+    case DoubleType  => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType    => arr.getLong(i).toDouble
+    case ShortType   => arr.getShort(i).toDouble
+    case ByteType    => arr.getByte(i).toDouble
+    case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new UnsupportedOperationException(s"unsupported element type $other")
+  }
+
+  /** Row kernel — also the codegen body via addReferenceObj(this). */
+  def compute(a: ArrayData): Long = {
+    val n = a.numElements()
+    if (n != dims) throw new IllegalStateException(
+      s"hyperplaneLshBucket: expected $dims dims, got $n")
+    var k = 0
+    while (k < n) {
+      if (a.isNullAt(k)) return 0L // null fold -> every bit's otherwise-0
+      k += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val cs = coefs(p)
+      var proj = 0.0
+      k = 0
+      while (k < dims) { proj += getD(a, k) * cs(k); k += 1 }
+      if (proj >= 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("lshBucket", this,
+        classOf[HyperplaneLshBucket].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLshBucket =
+    copy(child = newChild)
 }

@@ -123,4 +123,34 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](1) === Seq("x y x", "y x y", "x y x"))
     assert(r.isNullAt(2))
   }
+
+  test("EditBandKeys matches the HOF min-md5 band formulation on real heads") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(substring(col("text"), 1, 60).as("head"))
+    val hof = array((0 until 4).map { j =>
+      array_min(transform(
+        sequence(lit(1), greatest(length(col("head")) - 3, lit(1))),
+        i => md5(concat(lit(s"b$j|"), col("head").substr(i, lit(4))))))
+    }: _*)
+    val mismatches = docs.select(
+        TextExpressions.editBandKeys(col("head"), 4).as("native"), hof.as("hof"))
+      .filter(!(col("native") <=> col("hof"))).count()
+    assert(mismatches === 0L)
+  }
+
+  test("ShingleHashes60/32 match the md5Long60/32 of the string windows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = TextFunctions.cleanTokens(col("text"))
+    val strs = TextExpressions.shingles(toks, 3)
+    val m60 = docs.select(
+        TextExpressions.shingleHashes60(toks, 3).as("native"),
+        transform(strs, s => Hashing.md5Long60(s)).as("hof"))
+      .filter(!(col("native") <=> col("hof"))).count()
+    val m32 = docs.select(
+        TextExpressions.shingleHashes32(toks, 3).as("native"),
+        transform(strs, s => Hashing.md5Long32(s)).as("hof"))
+      .filter(!(col("native") <=> col("hof"))).count()
+    assert(m60 === 0L)
+    assert(m32 === 0L)
+  }
 }

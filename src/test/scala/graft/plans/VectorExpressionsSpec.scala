@@ -136,4 +136,32 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(ok.getLong(0) === 1L) // centroid (1,1) is nearer (0.9,1.1)
     assert(math.abs(ok.getDouble(1) - (0.01 + 0.01)) < 1e-12)
   }
+
+  test("HyperplaneLshBucket matches the HOF sign-bit fold on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val hof = {
+      val bits = (0 until 5).map { p =>
+        val coefs = typedlit(graft.functions.VectorFunctions.planeCoefs(7 + p, 64))
+        val proj = aggregate(
+          zip_with(transform(col("embedding"), x => x.cast("double")), coefs,
+            (x, c) => x * c),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+    val mismatches = e.select(
+        VectorExpressions.lshBucket(col("embedding"), 7, 5, 64).as("native"),
+        hof.as("hof"))
+      .filter(!(col("native") <=> col("hof"))).count()
+    assert(mismatches === 0L)
+  }
+
+  test("HyperplaneLshBucket fails loudly on a dims mismatch") {
+    val ex = intercept[Exception] {
+      spark.range(1).select(VectorExpressions.lshBucket(
+        array(lit(1.0f), lit(2.0f)), 0, 5, 64)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
