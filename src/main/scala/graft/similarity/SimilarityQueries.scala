@@ -1370,7 +1370,11 @@ object SimilarityQueries {
           .select(col("vec_id").as("qid"), col("m").as("qj"), col("sv").as("qsv"))
         val scored = subs.join(broadcast(qs), col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"), col("qj"),
-            expr("aggregate(zip_with(qsv, sv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("dot"))
+            // native dot runs in double, but on 1e3-quantized 8-dim
+            // sub-vectors |dot| <= 8e6 << 2^53, so every value is an
+            // exactly-represented integer and the long cast is lossless
+            graft.functions.VectorFunctions.dot(col("qsv"), col("sv"))
+              .cast("long").as("dot"))
           .groupBy(col("qid"), col("vec_id"), col("qj"))
           .agg(max(col("dot")).as("mx"))
           .groupBy(col("qid"), col("vec_id"))
