@@ -22,6 +22,7 @@ object SparkEntry {
       dedup.DedupQueries.entries ++
       similarity.SimilarityQueries.entries ++
       text.TextQueries.entries ++
+      text.CorpusQueries.entries ++
       text.RetrievalQueries.entries ++
       multimodal.MultimodalQueries.entries
 

@@ -1,0 +1,288 @@
+package graft.text
+
+import graft.{Query, Tables}
+import graft.functions.{Hashing, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics for training-data curation (SURVEY §2.5):
+  * lexical-richness scoring, tokenizer-vocab design curves, pairwise
+  * source-distribution divergence, crawl prefix-dup detection, and
+  * bigram conditional entropy. Shapes are all vocabulary-sized — term
+  * counts are the only shuffle keys, never raw tokens or doc pairs —
+  * so each plan survives a 100x corpus scale-up unchanged.
+  *
+  * Float discipline follows graft.Parity: every data-sized float sum
+  * goes through an exact DECIMAL accumulator (order-independent), ln
+  * arguments are integer-valued doubles or integer ratios (identical
+  * bits cross-engine), and results round at 4dp.
+  */
+object CorpusQueries {
+
+  private def toks: Column = TextFunctions.cleanTokens(col("text"))
+  private def lowToks: Column = TextFunctions.cleanTokens(lower(col("text")))
+
+  private val toksSql =
+    "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+  private val lowToksSql =
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+
+  /** Per-(source, lowercased term) counts — the shared vocabulary-sized
+    * base relation for the corpus-distribution queries.
+    */
+  private def sourceTermCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(lowToks).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+
+  val entries: Seq[(String, Query)] = Seq(
+
+    // YULE'S K lexical-richness characteristic per doc:
+    // K = 1e4 * (sum(c^2) - N) / N^2 over the doc's term-frequency
+    // spectrum. High K = repetitive/templated text (a finer signal than
+    // TTR because it weighs the whole frequency spectrum, not just the
+    // type count). Two partial-aggregatable shuffles, exact integer
+    // sufficient statistics, one terminal rounded double.
+    "text_yule_k" -> Query(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(lowToks).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("v"),
+            sum(col("c") * col("c")).as("s2"))
+          .select(col("doc_id"), col("n").as("n_tokens"),
+            col("v").as("n_types"),
+            round(lit(10000.0) * (col("s2") - col("n")).cast("double")
+              / (col("n") * col("n")).cast("double"), 4).as("yule_k")),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($lowToksSql) AS tok FROM documents),
+             |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+             |d AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS v, SUM(c*c) AS s2
+             |      FROM tc GROUP BY 1)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             |  CAST(v AS BIGINT) AS n_types,
+             |  ROUND(10000.0 * CAST(s2 - n AS DOUBLE) / CAST(n * n AS DOUBLE), 4)
+             |    AS yule_k
+             |FROM d""".stripMargin)
+    ),
+
+    // TOKENIZER-VOCAB CUTOFF CURVE: vocabulary size and corpus token
+    // coverage at min-frequency cutoffs {1,2,5,10,20,50,100} — the
+    // curve a tokenizer designer reads to pick a vocab floor. The term
+    // count table is the only data-sized relation; the x7 cutoff
+    // explode happens on vocabulary-sized rows and partial-aggregates
+    // map-side, so the plan is corpus-scan + two tiny shuffles.
+    "text_vocab_cutoffs" -> Query(
+      (s, d) => {
+        val tc = Tables.documents(s, d)
+          .select(explode(lowToks).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val tot = tc.agg(sum(col("c")).as("n_total"))
+        tc.select(col("c"),
+            explode(array(Seq(1, 2, 5, 10, 20, 50, 100).map(lit): _*))
+              .as("cutoff"))
+          .filter(col("c") >= col("cutoff"))
+          .groupBy(col("cutoff"))
+          .agg(count(lit(1)).as("vocab_size"), sum(col("c")).as("covered"))
+          .crossJoin(broadcast(tot))
+          .select(col("cutoff").cast("long").as("cutoff"), col("vocab_size"),
+            col("covered"),
+            expr("covered * 10000 div n_total").as("coverage_bp"))
+      },
+      Some(s"""WITH t AS (SELECT unnest($lowToksSql) AS tok FROM documents),
+             |tc AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+             |tot AS (SELECT SUM(c) AS n_total FROM tc),
+             |cut AS (SELECT unnest([1, 2, 5, 10, 20, 50, 100]) AS cutoff)
+             |SELECT CAST(cutoff AS BIGINT) AS cutoff,
+             |  CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             |  CAST(SUM(c) AS BIGINT) AS covered,
+             |  CAST(SUM(c) * 10000 // MAX(n_total) AS BIGINT) AS coverage_bp
+             |FROM tc, cut, tot WHERE c >= cutoff
+             |GROUP BY cutoff""".stripMargin)
+    ),
+
+    // PAIRWISE SOURCE JENSEN-SHANNON DIVERGENCE: the mixture-planning
+    // distance matrix between every source pair's unigram distribution.
+    // The only data-sized join is term-count-vs-term-count on the term
+    // key (vocabulary-sized, ~|sources|^2 fan-out per term); terms
+    // present in just one side contribute in closed form from the
+    // per-source scalars (N_s, T_s = sum c*ln c), so NO full-outer join
+    // is needed:  H(M) = H_both + onlyA + onlyB with
+    //   onlyA = (ln(2*Na)*(Na - Sa) - (Ta_all - Ta_both)) / (2*Na)
+    // and JSD = H(M) - (H(A) + H(B))/2, H(S) = ln Ns - Ts/Ns.
+    "text_source_jsd" -> Query(
+      (s, d) => {
+        val cs = sourceTermCounts(s, d)
+        val tot = cs.groupBy(col("source"))
+          .agg(sum(col("c")).as("n"),
+            sum((col("c").cast("double") * log(col("c").cast("double")))
+              .cast("decimal(28,12)")).as("t_all"))
+        val a = cs.select(col("source").as("src_a"), col("tok"),
+          col("c").as("ca"))
+        val b = cs.select(col("source").as("src_b"), col("tok"),
+          col("c").as("cb"))
+        val ta = tot.select(col("source").as("src_a"), col("n").as("na"),
+          col("t_all").as("ta_all"))
+        val tb = tot.select(col("source").as("src_b"), col("n").as("nb"),
+          col("t_all").as("tb_all"))
+        val m = (col("ca").cast("double") / col("na").cast("double")
+          + col("cb").cast("double") / col("nb").cast("double")) / 2
+        val pair = a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
+          .join(broadcast(ta), Seq("src_a")).join(broadcast(tb), Seq("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("shared_types"),
+            max(col("na")).as("na"), max(col("nb")).as("nb"),
+            sum(col("ca")).as("sa"), sum(col("cb")).as("sb"),
+            sum((col("ca").cast("double") * log(col("ca").cast("double")))
+              .cast("decimal(28,12)")).as("ta_both"),
+            sum((col("cb").cast("double") * log(col("cb").cast("double")))
+              .cast("decimal(28,12)")).as("tb_both"),
+            sum((-m * log(m)).cast("decimal(28,12)")).as("h_both"),
+            max(col("ta_all")).as("ta_all"), max(col("tb_all")).as("tb_all"))
+        val nad = col("na").cast("double")
+        val nbd = col("nb").cast("double")
+        val onlyA = (log(lit(2.0) * nad) * (col("na") - col("sa")).cast("double")
+          - (col("ta_all") - col("ta_both")).cast("double")) / (lit(2.0) * nad)
+        val onlyB = (log(lit(2.0) * nbd) * (col("nb") - col("sb")).cast("double")
+          - (col("tb_all") - col("tb_both")).cast("double")) / (lit(2.0) * nbd)
+        val ha = log(nad) - col("ta_all").cast("double") / nad
+        val hb = log(nbd) - col("tb_all").cast("double") / nbd
+        val jsd = (col("h_both").cast("double") + onlyA + onlyB) -
+          (ha + hb) / 2
+        pair.select(col("src_a"), col("src_b"), col("shared_types"),
+          round(jsd, 4).as("jsd_nats"))
+      },
+      Some(s"""WITH t AS (SELECT source, unnest($lowToksSql) AS tok FROM documents),
+             |cs AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+             |tot AS (SELECT source, SUM(c) AS n,
+             |          SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+             |              AS DECIMAL(28,12))) AS t_all
+             |        FROM cs GROUP BY 1),
+             |pair AS (SELECT a.source AS src_a, b.source AS src_b,
+             |    COUNT(*) AS shared_types,
+             |    MAX(ta.n) AS na, MAX(tb.n) AS nb,
+             |    SUM(a.c) AS sa, SUM(b.c) AS sb,
+             |    SUM(CAST(CAST(a.c AS DOUBLE) * ln(CAST(a.c AS DOUBLE))
+             |        AS DECIMAL(28,12))) AS ta_both,
+             |    SUM(CAST(CAST(b.c AS DOUBLE) * ln(CAST(b.c AS DOUBLE))
+             |        AS DECIMAL(28,12))) AS tb_both,
+             |    SUM(CAST(-((CAST(a.c AS DOUBLE) / CAST(ta.n AS DOUBLE)
+             |          + CAST(b.c AS DOUBLE) / CAST(tb.n AS DOUBLE)) / 2)
+             |        * ln((CAST(a.c AS DOUBLE) / CAST(ta.n AS DOUBLE)
+             |          + CAST(b.c AS DOUBLE) / CAST(tb.n AS DOUBLE)) / 2)
+             |        AS DECIMAL(28,12))) AS h_both,
+             |    MAX(ta.t_all) AS ta_all, MAX(tb.t_all) AS tb_all
+             |  FROM cs a JOIN cs b ON a.tok = b.tok AND a.source < b.source
+             |  JOIN tot ta ON ta.source = a.source
+             |  JOIN tot tb ON tb.source = b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b, CAST(shared_types AS BIGINT) AS shared_types,
+             |  ROUND(CAST(h_both AS DOUBLE)
+             |    + (ln(2.0 * CAST(na AS DOUBLE)) * CAST(na - sa AS DOUBLE)
+             |       - CAST(ta_all - ta_both AS DOUBLE)) / (2.0 * CAST(na AS DOUBLE))
+             |    + (ln(2.0 * CAST(nb AS DOUBLE)) * CAST(nb - sb AS DOUBLE)
+             |       - CAST(tb_all - tb_both AS DOUBLE)) / (2.0 * CAST(nb AS DOUBLE))
+             |    - ((ln(CAST(na AS DOUBLE)) - CAST(ta_all AS DOUBLE) / CAST(na AS DOUBLE))
+             |       + (ln(CAST(nb AS DOUBLE)) - CAST(tb_all AS DOUBLE) / CAST(nb AS DOUBLE))) / 2,
+             |    4) AS jsd_nats
+             |FROM pair""".stripMargin)
+    ),
+
+    // CRAWL PREFIX-DUP GROUPS: docs sharing their first 16 tokens —
+    // the cheap screen for re-crawled pages whose bodies diverge after
+    // a common header (exact dedup misses them, MinHash is overkill).
+    // One row-local 60-bit hash of the prefix, one shuffle on it.
+    "text_prefix_dup" -> Query(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            Hashing.md5Long60(concat_ws(" ", slice(toks, 1, 16)))
+              .as("prefix_hash"))
+          .groupBy(col("prefix_hash"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            min(col("doc_id")).as("first_doc"),
+            sum(col("n_chars")).as("total_chars"))
+          .filter(col("n_docs") >= 2),
+      Some(s"""WITH p AS (SELECT doc_id, source, n_chars,
+             |    CAST('0x' || substr(md5(array_to_string(($toksSql)[1:16], ' ')), 1, 15)
+             |      AS BIGINT) AS prefix_hash
+             |  FROM documents)
+             |SELECT prefix_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             |  MIN(doc_id) AS first_doc,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM p GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin)
+    ),
+
+    // BIGRAM CONDITIONAL ENTROPY per source: H(next|cur) of the
+    // source's bigram model, the next-token predictability signal that
+    // separates templated/boilerplate sources (low H) from diverse
+    // prose (high H); mi = H(next) - H(next|cur) is the information
+    // the current token carries. Bigram and unigram count tables are
+    // vocabulary-sized; the one data-sized step is the per-doc lead
+    // window (partitioned by doc_id).
+    "text_cond_entropy_bigram" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            posexplode(lowToks).as(Seq("pos", "t")))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bg = tok
+          .select(col("source"), col("t").as("w1"),
+            lead(col("t"), 1).over(wd).as("w2"))
+          .filter(col("w2").isNotNull)
+        val bc = bg.groupBy(col("source"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val u1 = bc.groupBy(col("source"), col("w1"))
+          .agg(sum(col("c12")).as("c1"))
+        val u2 = bc.groupBy(col("source"), col("w2"))
+          .agg(sum(col("c12")).as("c2"))
+        val n = bc.groupBy(col("source")).agg(sum(col("c12")).as("n"))
+        val condTerm = (col("c12").cast("double")
+          * (log(col("c1").cast("double")) - log(col("c12").cast("double"))))
+          .cast("decimal(28,12)")
+        val cond = bc.join(u1, Seq("source", "w1"))
+          .groupBy(col("source")).agg(sum(condTerm).as("hc_num"))
+        val h2 = u2.groupBy(col("source"))
+          .agg(sum((col("c2").cast("double") * log(col("c2").cast("double")))
+            .cast("decimal(28,12)")).as("t2"))
+        val nd = col("n").cast("double")
+        val hCond = col("hc_num").cast("double") / nd
+        val hNext = log(nd) - col("t2").cast("double") / nd
+        n.join(cond, Seq("source")).join(h2, Seq("source"))
+          .select(col("source"), col("n").as("n_bigrams"),
+            round(hCond, 4).as("h_cond"),
+            round(hNext, 4).as("h_next"),
+            round(hNext - hCond, 4).as("mi"))
+      },
+      Some(s"""WITH t AS (SELECT source, doc_id, $lowToksSql AS tk FROM documents),
+             |bg AS (SELECT source, tk[i] AS w1, tk[i+1] AS w2
+             |       FROM (SELECT source, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+             |             FROM t WHERE len(tk) >= 2)),
+             |bc AS (SELECT source, w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+             |u1 AS (SELECT source, w1, SUM(c12) AS c1 FROM bc GROUP BY 1, 2),
+             |u2 AS (SELECT source, w2, SUM(c12) AS c2 FROM bc GROUP BY 1, 2),
+             |n AS (SELECT source, SUM(c12) AS n FROM bc GROUP BY 1),
+             |cond AS (SELECT bc.source,
+             |    SUM(CAST(CAST(c12 AS DOUBLE)
+             |        * (ln(CAST(c1 AS DOUBLE)) - ln(CAST(c12 AS DOUBLE)))
+             |        AS DECIMAL(28,12))) AS hc_num
+             |  FROM bc JOIN u1 ON bc.source = u1.source AND bc.w1 = u1.w1
+             |  GROUP BY 1),
+             |h2 AS (SELECT source,
+             |    SUM(CAST(CAST(c2 AS DOUBLE) * ln(CAST(c2 AS DOUBLE))
+             |        AS DECIMAL(28,12))) AS t2
+             |  FROM u2 GROUP BY 1)
+             |SELECT n.source, CAST(n.n AS BIGINT) AS n_bigrams,
+             |  ROUND(CAST(hc_num AS DOUBLE) / CAST(n.n AS DOUBLE), 4) AS h_cond,
+             |  ROUND(ln(CAST(n.n AS DOUBLE)) - CAST(t2 AS DOUBLE) / CAST(n.n AS DOUBLE), 4)
+             |    AS h_next,
+             |  ROUND((ln(CAST(n.n AS DOUBLE)) - CAST(t2 AS DOUBLE) / CAST(n.n AS DOUBLE))
+             |    - CAST(hc_num AS DOUBLE) / CAST(n.n AS DOUBLE), 4) AS mi
+             |FROM n JOIN cond ON cond.source = n.source
+             |JOIN h2 ON h2.source = n.source""".stripMargin)
+    )
+  )
+}
