@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Temporal.entries ++
       operators.Extended.entries ++
       operators.Analytics.entries ++
+      operators.Analytics2.entries ++
       operators.TpchMore.entries ++
       operators.Graph.entries ++
       dedup.DedupQueries.entries ++
