@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Graph.entries ++
       dedup.DedupQueries.entries ++
       similarity.SimilarityQueries.entries ++
+      similarity.VectorOps.entries ++
       text.TextQueries.entries ++
       text.CorpusQueries.entries ++
       text.RetrievalQueries.entries ++
