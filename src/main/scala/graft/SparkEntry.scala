@@ -13,6 +13,7 @@ object SparkEntry {
   private val modules: Seq[(String, Query)] =
     etl.EtlQueries.entries ++
       etl.IngestQueries.entries ++
+      etl.GovernanceQueries.entries ++
       operators.Relational.entries ++
       operators.Temporal.entries ++
       operators.Extended.entries ++
@@ -20,6 +21,7 @@ object SparkEntry {
       operators.Analytics2.entries ++
       operators.TpchMore.entries ++
       operators.Graph.entries ++
+      operators.Graph2.entries ++
       dedup.DedupQueries.entries ++
       similarity.SimilarityQueries.entries ++
       similarity.VectorOps.entries ++
