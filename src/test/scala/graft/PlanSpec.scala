@@ -546,4 +546,52 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "candidate generation must stay a band equi-join")
   }
+
+  test("silhouette distances ride a broadcast centroid table, no vector pairs") {
+    val p = plan("vec_simplified_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the |labels|x64 centroid table must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "no vector-vector pair join may appear")
+  }
+
+  test("source JSD pairs fan out from the term equi-join, never a cross join") {
+    val p = plan("text_source_jsd")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay keyed on the term")
+  }
+
+  test("quarantine router is map-only: no exchange at all") {
+    val t = tree("etl_quarantine_split")
+    assert(!t.exists(_.contains("Exchange")),
+      "row routing must not shuffle:\n" + t.mkString("\n"))
+  }
+
+  test("vocab cutoff curve explodes the vocabulary-sized count table, not tokens") {
+    // Two Generates: the token explode (feeds the term-count agg) and
+    // the x7 cutoff explode. The cutoff one must sit ABOVE the
+    // term-count shuffle — i.e. an Exchange separates them — so the
+    // fan-out multiplies vocab rows, not corpus tokens.
+    val t = tree("text_vocab_cutoffs")
+    val gi = t.indexWhere(_.contains("Generate"))
+    val gj = t.lastIndexWhere(_.contains("Generate"))
+    assert(gi >= 0 && gj > gi, "expected two Generate nodes:\n" + t.mkString("\n"))
+    assert(t.slice(gi, gj).exists(_.contains("Exchange")),
+      "cutoff explode must run above the term-count agg:\n" + t.mkString("\n"))
+  }
+
+  test("katz iterations stay equi-joins + partial aggs, no pair explosion") {
+    val p = plan("graph_katz")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("page-hinkley windows partition by event_type") {
+    assert(plan("events_page_hinkley").contains("windowspecdefinition(event_type"))
+  }
+
+  test("knn hubness reuses the banded candidate join, no all-pairs") {
+    val p = plan("vec_knn_hubness")
+    assert(!p.contains("CartesianProduct"),
+      "candidates must come from the (table, bucket) equi-join")
+  }
 }
