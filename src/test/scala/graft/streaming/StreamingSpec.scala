@@ -398,4 +398,74 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows === Seq(SessionOut(7, 0, 800, 2, 2.0)))
     } finally q.stop()
   }
+
+  test("ZscoreStream.foldKey tests each point against the PRIOR moments only") {
+    import ZscoreStream._
+    // baseline 10,12,11,9,10 (n=5, mean 10.4, var 1.04): 50 is ~39 sd
+    // out -> alarm; the very same 50 then joins the baseline, and a
+    // second 50 is within 3 sd of the contaminated stats -> no alarm
+    // masking the first (each point judged on what came before it).
+    val base = Seq(10L, 12L, 11L, 9L, 10L).zipWithIndex
+      .map { case (v, i) => Pt("a", i + 1L, v) }
+    val (out, st) = foldKey("a", base :+ Pt("a", 6, 50) :+ Pt("a", 7, 50),
+      None, minN = 5L)
+    assert(out === Seq(Anomaly("a", 6, 50, 5)))
+    assert(st.n === 7L && st.s === 152L && st.last_seq === 7L)
+  }
+
+  test("ZscoreStream carries integer moments across micro-batches") {
+    import ZscoreStream._
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Pt]
+    val out = ZscoreStream(in.toDS(), minN = 5L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("zscore_stream").start()
+    try {
+      // batch 1: below the warm-up floor -> no alarms, state builds
+      in.addData(Pt("k", 1, 10), Pt("k", 2, 12), Pt("k", 3, 11))
+      q.processAllAvailable()
+      assert(spark.table("zscore_stream").count() === 0L)
+      // batch 2: two more baseline points reach n=5, then the spike
+      // alarms ONLY because batch 1's carried (n, s, s2) is included
+      in.addData(Pt("k", 4, 9), Pt("k", 5, 10), Pt("k", 6, 50))
+      q.processAllAvailable()
+      val rows = spark.table("zscore_stream").as[Anomaly].collect().toSeq
+      assert(rows === Seq(Anomaly("k", 6, 50, 5)))
+    } finally q.stop()
+  }
+
+  test("RateLimitStream.foldKey admits up to the limit per event-time window") {
+    import RateLimitStream._
+    // window = 100us, limit 2: seqs 10,20,30 in window 0 -> third drops;
+    // seq 110 opens window 100 -> admits again
+    val pts = Seq(Pt("a", 10, 1), Pt("a", 20, 2), Pt("a", 30, 3), Pt("a", 110, 4))
+    val (out, st) = foldKey("a", pts, None, limit = 2L, windowUs = 100L)
+    assert(out.map(d => (d.seq_us, d.dropped)) ===
+      Seq((10L, 0L), (20L, 0L), (30L, 1L), (110L, 0L)))
+    assert(st.win_start === 100L && st.in_win === 1L)
+  }
+
+  test("RateLimitStream's window count survives a micro-batch boundary") {
+    import RateLimitStream._
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Pt]
+    val out = RateLimitStream(in.toDS(), limit = 2L, windowUs = 1000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ratelimit_stream").start()
+    try {
+      // batch 1 admits two events of window 0
+      in.addData(Pt("k", 100, 1), Pt("k", 200, 2))
+      q.processAllAvailable()
+      // batch 2: same event-time window -> dropped ONLY because the
+      // carried in-window count says the budget is spent; the next
+      // window admits again
+      in.addData(Pt("k", 300, 3), Pt("k", 1100, 4))
+      q.processAllAvailable()
+      val rows = spark.table("ratelimit_stream").as[Decision].collect()
+        .map(d => (d.seq_us, d.dropped)).sorted.toSeq
+      assert(rows === Seq((100L, 0L), (200L, 0L), (300L, 1L), (1100L, 0L)))
+    } finally q.stop()
+  }
 }
