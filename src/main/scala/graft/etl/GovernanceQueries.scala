@@ -176,6 +176,34 @@ object GovernanceQueries {
              |       WHEN l_tax = 0 THEN 'zero_tax' END AS reason
              |FROM lineitem
              |WHERE l_quantity > 45 OR l_discount >= 0.09 OR l_tax = 0""".stripMargin)
+    ),
+
+    // HEAD-SOURCE CAP: keep at most 20 docs per source, chosen by a
+    // deterministic salted-hash rank — the mixture-balancing
+    // downsample that stops one crawl domain from dominating the
+    // corpus (the complement of rate-based etl_stratified_sample:
+    // exact cap, not a fraction). One rank window partitioned by
+    // source; the hash order makes reruns reproducible row for row.
+    "etl_downsample_capped" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            Hashing.md5Long60(concat(lit("cap_"), col("doc_id").cast("string")))
+              .as("h"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20)
+          .select(col("doc_id"), col("source"), col("rk"))
+      },
+      Some("""SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+             |  SELECT doc_id, source,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+             |      CAST('0x' || substr(md5('cap_' || CAST(doc_id AS VARCHAR)), 1, 15)
+             |        AS BIGINT), doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 20""".stripMargin)
     )
   )
 }

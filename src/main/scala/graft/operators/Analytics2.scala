@@ -333,6 +333,157 @@ object Analytics2 {
              |SELECT seg_h1, seg_h2, CAST(COUNT(*) AS BIGINT) AS n,
              |  CAST(COUNT(*) * 10000 // MAX(n_users) AS BIGINT) AS share_bp
              |FROM segd GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // ORDER-TO-SHIP LAG SLOs per priority class: p50/p90/p99 of the
+    // ship lag in days — the fulfillment SLA readout. Quantiles come
+    // from GroupedPercentile.exact (histogram-bisect over weekly lag
+    // buckets — bounded memory on any priority's volume, the shared
+    // machinery agg_percentiles pinned); the only data-sized shuffle
+    // is the lineitem->orders key join.
+    "orders_ship_lag_sla" -> Query(
+      (s, d) => {
+        val lag = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate"))
+          .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderdate"), col("o_orderpriority")), Seq("l_orderkey"))
+          .select(col("o_orderpriority").as("priority"),
+            datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+              .cast("long").as("lag_d"))
+        val durs = graft.Caches.scoped(lag)
+        GroupedPercentile.exact(durs, "priority", "lag_d",
+            Seq(("p50", 0.50), ("p90", 0.90), ("p99", 0.99)),
+            expr("lag_d div 7"), _.cast("double"))
+          .withColumn("res", round(col("res"), 4))
+          .groupBy(col("priority"))
+          .agg(max(when(col("pname") === "p50", col("res"))).as("p50_days"),
+            max(when(col("pname") === "p90", col("res"))).as("p90_days"),
+            max(when(col("pname") === "p99", col("res"))).as("p99_days"))
+          .join(durs.groupBy(col("priority")).agg(count(lit(1)).as("n_lines")),
+            Seq("priority"))
+      },
+      Some("""WITH lag AS (SELECT o_orderpriority AS priority,
+             |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+             |      AS BIGINT) AS lag_d
+             |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+             |SELECT priority,
+             |  ROUND(quantile_cont(CAST(lag_d AS DOUBLE), 0.50), 4) AS p50_days,
+             |  ROUND(quantile_cont(CAST(lag_d AS DOUBLE), 0.90), 4) AS p90_days,
+             |  ROUND(quantile_cont(CAST(lag_d AS DOUBLE), 0.99), 4) AS p99_days,
+             |  CAST(COUNT(*) AS BIGINT) AS n_lines
+             |FROM lag GROUP BY 1""".stripMargin)
+    ),
+
+    // SEASONALLY-ADJUSTED volume anomalies: a (type, day, hour) cell
+    // alarms when its count exceeds 2x the average for that type's
+    // same (day-of-week, hour) slot — the traffic monitor that doesn't
+    // page on every Monday morning. The verdict is one integer
+    // cross-multiplication (c * n_days > 2 * slot_total); baselines
+    // are (type x 168)-sized broadcast material, and the only
+    // data-sized agg is the hourly rollup.
+    "events_anomaly_seasonal" -> Query(
+      (s, d) => {
+        val hc = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("(ts div 1000) div 86400000000").as("di"),
+            expr("((ts div 1000) div 3600000000) % 24").as("hr"))
+          .groupBy(col("event_type"), col("di"), col("hr"))
+          .agg(count(lit(1)).as("c"))
+        val days = Tables.events(s, d)
+          .select(expr("(ts div 1000) div 86400000000").as("di")).distinct()
+          .groupBy(pmod(col("di"), lit(7)).as("dow"))
+          .agg(count(lit(1)).as("n_days"))
+        val slot = hc.withColumn("dow", pmod(col("di"), lit(7)))
+          .groupBy(col("event_type"), col("dow"), col("hr"))
+          .agg(sum(col("c")).as("slot_total"))
+        hc.withColumn("dow", pmod(col("di"), lit(7)))
+          .join(broadcast(slot), Seq("event_type", "dow", "hr"))
+          .join(broadcast(days), Seq("dow"))
+          .filter(col("c") * col("n_days") > col("slot_total") * 2)
+          .select(col("event_type"), col("di"), col("hr"), col("c"),
+            col("slot_total"), col("n_days"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    epoch_us(ts) // 86400000000 AS di,
+             |    (epoch_us(ts) // 3600000000) % 24 AS hr
+             |  FROM events),
+             |hc AS (SELECT event_type, di, hr, COUNT(*) AS c
+             |       FROM e GROUP BY 1, 2, 3),
+             |days AS (SELECT di % 7 AS dow, COUNT(*) AS n_days
+             |         FROM (SELECT DISTINCT di FROM e) GROUP BY 1),
+             |slot AS (SELECT event_type, di % 7 AS dow, hr,
+             |           SUM(c) AS slot_total
+             |         FROM hc GROUP BY 1, 2, 3)
+             |SELECT hc.event_type, hc.di, hc.hr, CAST(c AS BIGINT) AS c,
+             |  CAST(slot_total AS BIGINT) AS slot_total,
+             |  CAST(n_days AS BIGINT) AS n_days
+             |FROM hc
+             |JOIN slot ON slot.event_type = hc.event_type
+             |  AND slot.dow = hc.di % 7 AND slot.hr = hc.hr
+             |JOIN days ON days.dow = hc.di % 7
+             |WHERE c * n_days > slot_total * 2""".stripMargin)
+    ),
+
+    // USER GROWTH CURVE: per day, how many users appeared for the
+    // FIRST time, and the cumulative distinct-user count — the
+    // adoption curve without any running count-distinct: first-seen
+    // day per user is one user-keyed min, the cumulative is a window
+    // over the bounded daily series.
+    "events_user_growth" -> Query(
+      (s, d) => {
+        val first = Tables.events(s, d)
+          .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("di"))
+          .groupBy(col("user_id")).agg(min(col("di")).as("d0"))
+          .groupBy(col("d0").as("di")).agg(count(lit(1)).as("new_users"))
+        first.withColumn("cum_users",
+          sum(col("new_users")).over(Window.orderBy(col("di"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      },
+      Some("""WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0
+             |           FROM events GROUP BY 1),
+             |n AS (SELECT d0 AS di, COUNT(*) AS new_users FROM f GROUP BY 1)
+             |SELECT di, CAST(new_users AS BIGINT) AS new_users,
+             |  CAST(SUM(new_users) OVER (ORDER BY di
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS cum_users
+             |FROM n""".stripMargin)
+    ),
+
+    // RETURN / FILL RATE by order month: share of lineitems flagged
+    // returned per month plus the month-over-month delta — the
+    // fulfillment-quality trendline. One map-side monthly rollup;
+    // the delta window runs over the bounded monthly series.
+    "orders_fill_rate" -> Query(
+      (s, d) => {
+        val w = Window.orderBy(col("m"))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderdate")), Seq("l_orderkey"))
+          .groupBy(expr("year(o_orderdate) * 100 + month(o_orderdate)")
+            .cast("long").as("m"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+              .as("returned"))
+          .select(col("m"), col("n_lines"), col("returned"),
+            expr("returned * 10000 div n_lines").as("ret_bp"))
+          .withColumn("delta_bp",
+            col("ret_bp") - coalesce(lag(col("ret_bp"), 1).over(w),
+              col("ret_bp")))
+      },
+      Some("""WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+             |      AS BIGINT) AS m,
+             |    COUNT(*) AS n_lines,
+             |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned
+             |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |  GROUP BY 1),
+             |r AS (SELECT m, CAST(n_lines AS BIGINT) AS n_lines,
+             |        CAST(returned AS BIGINT) AS returned,
+             |        CAST(returned * 10000 // n_lines AS BIGINT) AS ret_bp
+             |      FROM m)
+             |SELECT m, n_lines, returned, ret_bp,
+             |  CAST(ret_bp - COALESCE(LAG(ret_bp) OVER (ORDER BY m), ret_bp)
+             |    AS BIGINT) AS delta_bp
+             |FROM r""".stripMargin)
     )
   )
 }

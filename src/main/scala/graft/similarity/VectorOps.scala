@@ -155,6 +155,120 @@ object VectorOps {
            |SELECT CAST(in_degree AS BIGINT) AS in_degree,
            |  CAST(COUNT(*) AS BIGINT) AS n_vecs
            |FROM deg GROUP BY 1""".stripMargin)
+    ),
+
+    // METRIC-CHOICE AUDIT: for each probe, how much the top-5 result
+    // set changes between cosine, raw dot product (MIPS), and
+    // euclidean ranking — the one-glance answer to "does my corpus
+    // need normalization before ANN indexing". One broadcast of the
+    // probe set over one corpus scan computes all three scores; the
+    // overlap join touches 3x5 rows per probe. Scores break ties on
+    // vec_id, so every ranking is a deterministic row set.
+    "ann_metric_compare" -> Query(
+      (s, d) => {
+        import graft.functions.VectorFunctions
+        val probes = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val dot = VectorFunctions.dot(col("qv"), col("embedding"))
+        val l2 = aggregate(
+          zip_with(transform(col("qv"), x => x.cast("double")),
+            transform(col("embedding"), x => x.cast("double")),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+        val scored = graft.Caches.scoped(Tables.embeddings(s, d)
+          .join(broadcast(probes), col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id"), dot.as("dot"),
+            (dot / (VectorFunctions.norm(col("qv"))
+              * VectorFunctions.norm(col("embedding")))).as("cos"),
+            l2.as("l2")))
+        def top5(score: org.apache.spark.sql.Column, asc: Boolean) = {
+          val ord = if (asc) Seq(score.asc, col("vec_id").asc)
+                    else Seq(score.desc, col("vec_id").asc)
+          scored.withColumn("rn",
+              row_number().over(Window.partitionBy(col("qid")).orderBy(ord: _*)))
+            .filter(col("rn") <= 5).select(col("qid"), col("vec_id"))
+        }
+        val tc = top5(col("cos"), asc = false)
+        val td = top5(col("dot"), asc = false)
+        val tl = top5(col("l2"), asc = true)
+        def overlap(a: org.apache.spark.sql.DataFrame,
+                    b: org.apache.spark.sql.DataFrame, name: String) =
+          a.join(b, Seq("qid", "vec_id"))
+            .groupBy(col("qid")).agg(count(lit(1)).as(name))
+        probes.select(col("qid"))
+          .join(overlap(tc, td, "ov_cos_dot"), Seq("qid"), "left")
+          .join(overlap(tc, tl, "ov_cos_l2"), Seq("qid"), "left")
+          .join(overlap(td, tl, "ov_dot_l2"), Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("ov_cos_dot"), lit(0L)).as("ov_cos_dot"),
+            coalesce(col("ov_cos_l2"), lit(0L)).as("ov_cos_l2"),
+            coalesce(col("ov_dot_l2"), lit(0L)).as("ov_dot_l2"))
+      },
+      Some("""WITH p AS (SELECT vec_id AS qid, embedding AS qv
+             |          FROM embeddings WHERE vec_id < 10),
+             |sc AS (SELECT p.qid, e.vec_id,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> CAST(p.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> CAST(p.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+             |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+             |       i -> CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))) *
+             |     sqrt(list_sum(list_transform(generate_series(1, 64),
+             |       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> (CAST(p.qv[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+             |         * (CAST(p.qv[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)))) AS l2
+             |  FROM p JOIN embeddings e ON e.vec_id <> p.qid),
+             |tc AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |       FROM sc) WHERE rn <= 5),
+             |td AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn
+             |       FROM sc) WHERE rn <= 5),
+             |tl AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2 ASC, vec_id) AS rn
+             |       FROM sc) WHERE rn <= 5),
+             |ocd AS (SELECT qid, COUNT(*) AS ov_cos_dot
+             |        FROM tc JOIN td USING (qid, vec_id) GROUP BY 1),
+             |ocl AS (SELECT qid, COUNT(*) AS ov_cos_l2
+             |        FROM tc JOIN tl USING (qid, vec_id) GROUP BY 1),
+             |odl AS (SELECT qid, COUNT(*) AS ov_dot_l2
+             |        FROM td JOIN tl USING (qid, vec_id) GROUP BY 1)
+             |SELECT p.qid,
+             |  CAST(COALESCE(ov_cos_dot, 0) AS BIGINT) AS ov_cos_dot,
+             |  CAST(COALESCE(ov_cos_l2, 0) AS BIGINT) AS ov_cos_l2,
+             |  CAST(COALESCE(ov_dot_l2, 0) AS BIGINT) AS ov_dot_l2
+             |FROM p LEFT JOIN ocd ON ocd.qid = p.qid
+             |LEFT JOIN ocl ON ocl.qid = p.qid
+             |LEFT JOIN odl ON odl.qid = p.qid""".stripMargin)
+    ),
+
+    // INTER-CENTROID DISTANCE MATRIX: euclidean distance between every
+    // label-centroid pair — the compact geometry summary read next to
+    // the confusion matrix (close centroids predict exactly the
+    // classes that bleed). |labels|^2 rows from a dim-keyed self-join
+    // of the 640-row centroid table: broadcast-scale everything.
+    "vec_centroid_distance_matrix" -> Query(
+      (s, d) => {
+        val c = centroids(s, d)
+        val a = c.select(col("clabel").as("label_a"), col("dim"),
+          col("m").as("ma"))
+        val b = c.select(col("clabel").as("label_b"), col("dim"),
+          col("m").as("mb"))
+        a.join(b, Seq("dim")).filter(col("label_a") < col("label_b"))
+          .groupBy(col("label_a"), col("label_b"))
+          .agg(sum(((col("ma") - col("mb")) * (col("ma") - col("mb")))
+            .cast("decimal(18,12)")).as("d2"))
+          .select(col("label_a"), col("label_b"),
+            round(sqrt(col("d2").cast("double")), 4).as("dist"))
+      },
+      Some(s"""WITH cent AS ($centSql)
+             |SELECT a.clabel AS label_a, b.clabel AS label_b,
+             |  ROUND(sqrt(CAST(SUM(CAST((a.m - b.m) * (a.m - b.m)
+             |    AS DECIMAL(18,12))) AS DOUBLE)), 4) AS dist
+             |FROM cent a JOIN cent b
+             |  ON a.dim = b.dim AND a.clabel < b.clabel
+             |GROUP BY 1, 2""".stripMargin)
     )
   )
 }

@@ -283,6 +283,81 @@ object CorpusQueries {
              |    - CAST(hc_num AS DOUBLE) / CAST(n.n AS DOUBLE), 4) AS mi
              |FROM n JOIN cond ON cond.source = n.source
              |JOIN h2 ON h2.source = n.source""".stripMargin)
+    ),
+
+    // LANGUAGE-PROFILE OUTLIERS: per-doc KL divergence from the doc's
+    // own language's unigram distribution — the mislabeled-language /
+    // off-domain detector that runs after langid. The closed form
+    // KL = (sum c*(ln c - ln cl))/Nd + ln Nl - ln Nd needs only ONE
+    // (lang, term)-keyed join (doc counts vs language profile, the doc
+    // is a subset of its own profile so nothing is unmatched) and one
+    // fused decimal sum; per-language totals are broadcast scalars.
+    "text_doc_lang_outliers" -> Query(
+      (s, d) => {
+        val tc = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), explode(lowToks).as("tok"))
+          .groupBy(col("doc_id"), col("lang"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        val lc = tc.groupBy(col("lang"), col("tok")).agg(sum(col("c")).as("cl"))
+        val nl = lc.groupBy(col("lang")).agg(sum(col("cl")).as("nl"))
+        val fused = (col("c").cast("double")
+          * (log(col("c").cast("double")) - log(col("cl").cast("double"))))
+          .cast("decimal(28,12)")
+        tc.join(lc, Seq("lang", "tok"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("c")).as("nd"), sum(fused).as("ab"))
+          .join(broadcast(nl), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("nd").as("n_tokens"),
+            round(col("ab").cast("double") / col("nd").cast("double")
+              + (log(col("nl").cast("double")) - log(col("nd").cast("double"))),
+              4).as("kl_nats"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, unnest($lowToksSql) AS tok FROM documents),
+             |tc AS (SELECT doc_id, lang, tok, COUNT(*) AS c FROM t GROUP BY 1, 2, 3),
+             |lc AS (SELECT lang, tok, SUM(c) AS cl FROM tc GROUP BY 1, 2),
+             |nl AS (SELECT lang, SUM(cl) AS nl FROM lc GROUP BY 1),
+             |d AS (SELECT doc_id, tc.lang, SUM(c) AS nd,
+             |        SUM(CAST(CAST(c AS DOUBLE)
+             |            * (ln(CAST(c AS DOUBLE)) - ln(CAST(cl AS DOUBLE)))
+             |            AS DECIMAL(28,12))) AS ab
+             |      FROM tc JOIN lc ON lc.lang = tc.lang AND lc.tok = tc.tok
+             |      GROUP BY 1, 2)
+             |SELECT doc_id, d.lang, CAST(nd AS BIGINT) AS n_tokens,
+             |  ROUND(CAST(ab AS DOUBLE) / CAST(nd AS DOUBLE)
+             |    + (ln(CAST(nl AS DOUBLE)) - ln(CAST(nd AS DOUBLE))), 4) AS kl_nats
+             |FROM d JOIN nl ON nl.lang = d.lang""".stripMargin)
+    ),
+
+    // RARE-TOKEN GATE: share of each doc's tokens whose CORPUS
+    // frequency is <= 2 — the OOV-risk screen run before tokenizer
+    // training (a doc of near-hapax junk inflates the vocab tail).
+    // Doc term counts join the corpus count table on the term key
+    // (vocabulary-sized); verdicts are integer bp with a 20% keep
+    // threshold mirrored cross-engine.
+    "text_rare_token_docs" -> Query(
+      (s, d) => {
+        val tc = Tables.documents(s, d)
+          .select(col("doc_id"), explode(lowToks).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        val cc = tc.groupBy(col("tok")).agg(sum(col("c")).as("cf"))
+        tc.join(cc, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(when(col("cf") <= 2, col("c")).otherwise(0L)).as("rare"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("rare * 10000 div n_tokens").as("rare_bp"),
+            (expr("rare * 10000 div n_tokens") <= 2000).cast("long").as("keep"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($lowToksSql) AS tok FROM documents),
+             |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+             |cc AS (SELECT tok, SUM(c) AS cf FROM tc GROUP BY 1),
+             |d AS (SELECT doc_id, SUM(c) AS n_tokens,
+             |        SUM(CASE WHEN cf <= 2 THEN c ELSE 0 END) AS rare
+             |      FROM tc JOIN cc USING (tok) GROUP BY 1)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(rare * 10000 // n_tokens AS BIGINT) AS rare_bp,
+             |  CAST(rare * 10000 // n_tokens <= 2000 AS BIGINT) AS keep
+             |FROM d""".stripMargin)
     )
   )
 }
