@@ -372,4 +372,47 @@ class QualitySpec extends AnyFunSuite {
     val recall = got.size.toDouble / truth.size
     assert(recall >= 0.5, s"epsilon-ball recall = $recall (${got.size}/${truth.size})")
   }
+
+  test("centroid-classifier accuracy beats chance by 2.5x") {
+    // 10 labels -> chance is 1000 bp on the confusion diagonal; the
+    // synthetic labels are weak clusters, but the centroid classifier
+    // must still recover well above chance or the distance plumbing
+    // is broken (observed: ~4100 bp).
+    val rows = SparkEntry.queries("vec_centroid_confusion")(spark, sf)
+      .select(col("label").cast("long"), col("assigned").cast("long"),
+        col("n").cast("long")).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val diag = rows.filter(r => r.getLong(0) == r.getLong(1)).map(_.getLong(2)).sum
+    val accBp = diag * 10000 / total
+    assert(accBp >= 2500, s"diagonal accuracy = $accBp bp")
+  }
+
+  test("simplified silhouette stays in range and near-neutral on the weak labels") {
+    // s in [-1, 1] by construction; these labels barely cluster, so a
+    // big |mean| either way would mean the a/b distance wiring flipped
+    val rows = SparkEntry.queries("vec_simplified_silhouette")(spark, sf)
+      .select(col("mean_sil")).collect().map(_.getDouble(0))
+    assert(rows.forall(s => s >= -1.0 && s <= 1.0))
+    assert(rows.forall(s => math.abs(s) < 0.5), rows.mkString(","))
+  }
+
+  test("language-profile KL is non-negative for every doc") {
+    // KL(doc || lang) >= 0 is a mathematical identity; a negative
+    // value means the closed-form single-side decomposition lost a term
+    val bad = SparkEntry.queries("text_doc_lang_outliers")(spark, sf)
+      .filter(col("kl_nats") < 0).count()
+    assert(bad === 0L)
+  }
+
+  test("hubness histogram mass equals the kNN edge count plus isolated vectors") {
+    val edges = SparkEntry.queries("vec_knn_graph")(spark, sf).count()
+    val hist = SparkEntry.queries("vec_knn_hubness")(spark, sf)
+      .select(col("in_degree").cast("long"), col("n_vecs").cast("long"))
+      .collect()
+    val vecs = Tables.embeddings(spark, sf).count()
+    assert(hist.map(_.getLong(1)).sum === vecs,
+      "every vector appears exactly once in the histogram")
+    assert(hist.map(r => r.getLong(0) * r.getLong(1)).sum === edges,
+      "total in-degree mass must equal the edge count")
+  }
 }
