@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Graph.entries ++
       operators.Graph2.entries ++
       dedup.DedupQueries.entries ++
+      dedup.DedupCalibration.entries ++
       similarity.SimilarityQueries.entries ++
       similarity.VectorOps.entries ++
       text.TextQueries.entries ++

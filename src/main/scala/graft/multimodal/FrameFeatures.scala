@@ -572,6 +572,49 @@ object FrameFeatures {
     }
   }
 
+  case class BmpChannelMoments(doc_id: Long, n_px: Long,
+                               sb: Long, sg: Long, sr: Long,
+                               sbb: Long, sgg: Long, srr: Long,
+                               sbg: Long, sbr: Long, sgr: Long)
+
+  /** Exact first/second/cross moments of the B/G/R channels over a
+    * parsed 24bpp BMP — the integer sufficient statistics for the
+    * channel-correlation audit (de-facto grayscale detection). One
+    * pixel walk per image; every sum is a Long, so the query layer's
+    * correlation arithmetic is bit-reproducible cross-engine.
+    */
+  def channelMoments(imgs: Dataset[WavPayload]): Dataset[BmpChannelMoments] = {
+    implicit val enc = Encoders.product[BmpChannelMoments]
+    imgs.mapPartitions { it =>
+      val codec = new BmpDecoder
+      it.map { w =>
+        val (dataOff, width, rows) = codec.header(w.doc_id, w.payload)
+        val stride = ((width * 3 + 3) / 4) * 4
+        var sb = 0L; var sg = 0L; var sr = 0L
+        var sbb = 0L; var sgg = 0L; var srr = 0L
+        var sbg = 0L; var sbr = 0L; var sgr = 0L
+        var row = 0
+        while (row < rows) {
+          val base = dataOff + row * stride
+          var c = 0
+          while (c < width) {
+            val p = base + c * 3
+            val b = (w.payload(p) & 0xff).toLong
+            val g = (w.payload(p + 1) & 0xff).toLong
+            val r = (w.payload(p + 2) & 0xff).toLong
+            sb += b; sg += g; sr += r
+            sbb += b * b; sgg += g * g; srr += r * r
+            sbg += b * g; sbr += b * r; sgr += g * r
+            c += 1
+          }
+          row += 1
+        }
+        BmpChannelMoments(w.doc_id, width.toLong * rows,
+          sb, sg, sr, sbb, sgg, srr, sbg, sbr, sgr)
+      }
+    }
+  }
+
   case class BmpPatch(doc_id: Long, patch_row: Long, patch_col: Long,
                       n_px: Long, lum_sum: Long, mean_e2: Long)
 

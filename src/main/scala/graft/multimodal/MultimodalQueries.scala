@@ -868,6 +868,83 @@ object MultimodalQueries {
              |  COALESCE(per.n_segments, 0) AS n_segments,
              |  CAST(COALESCE(per.longest_seg, 0) AS BIGINT) AS longest_seg
              |FROM d dd LEFT JOIN per USING (doc_id)""".stripMargin)
+    ),
+
+    // CHANNEL-CORRELATION AUDIT: Pearson correlation between the B/G/R
+    // channels of each decoded image — near-1.0 on all three pairs
+    // means a de-facto grayscale image stored as RGB (a dedup/storage
+    // signal no pixel hash gives you). The codec walk emits exact
+    // integer first/second/cross moments; the correlations divide
+    // integer-difference doubles, mirrored cross-engine, with
+    // zero-variance channels pinned to 0.
+    "mm_channel_corr" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val nB = length(bin)
+        val h = expr("length(cast(text as binary)) div 48")
+        val dataSize = h * 48
+        val bmpHex = concat(
+          lit("424d"), leHex32(dataSize + 54), lit("00000000"),
+          lit("36000000"), lit("28000000"),
+          lit("10000000"), leHex32(h),
+          lit("0100"), lit("1800"), lit("00000000"),
+          leHex32(dataSize), lit("130b0000130b0000"),
+          lit("0000000000000000"),
+          lower(hex(bin)).substr(lit(1), dataSize * 2))
+        val imgs = Tables.documents(s, d)
+          .filter(nB >= 48)
+          .select(col("doc_id"), unhex(bmpHex).as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        val m = FrameFeatures.channelMoments(imgs).toDF()
+        def corr(sxy: String, sx: String, sy: String,
+                 sxx: String, syy: String) = {
+          val num = (col("n_px") * col(sxy) - col(sx) * col(sy)).cast("double")
+          val dx = col("n_px") * col(sxx) - col(sx) * col(sx)
+          val dy = col("n_px") * col(syy) - col(sy) * col(sy)
+          when(dx > 0 && dy > 0,
+            round(num / (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 4))
+            .otherwise(lit(0.0))
+        }
+        m.select(col("doc_id"), col("n_px"),
+          corr("sbg", "sb", "sg", "sbb", "sgg").as("corr_bg"),
+          corr("sbr", "sb", "sr", "sbb", "srr").as("corr_br"),
+          corr("sgr", "sg", "sr", "sgg", "srr").as("corr_gr"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |                  octet_length(encode(text)) // 48 AS h
+             |           FROM documents WHERE octet_length(encode(text)) >= 48),
+             |b AS (SELECT doc_id, i // 3 AS px, i % 3 AS ch,
+             |        CAST('0x' || substr(hx, i*2 + 1, 2) AS BIGINT) AS v
+             |      FROM (SELECT doc_id, hx, h,
+             |              unnest(generate_series(0, h*48 - 1)) AS i FROM d)),
+             |px AS (SELECT doc_id, px,
+             |         MAX(CASE WHEN ch = 0 THEN v END) AS b,
+             |         MAX(CASE WHEN ch = 1 THEN v END) AS g,
+             |         MAX(CASE WHEN ch = 2 THEN v END) AS r
+             |       FROM b GROUP BY 1, 2),
+             |m AS (SELECT doc_id, COUNT(*) AS n, SUM(b) AS sb, SUM(g) AS sg,
+             |        SUM(r) AS sr, SUM(b*b) AS sbb, SUM(g*g) AS sgg,
+             |        SUM(r*r) AS srr, SUM(b*g) AS sbg, SUM(b*r) AS sbr,
+             |        SUM(g*r) AS sgr
+             |      FROM px GROUP BY 1)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_px,
+             |  CASE WHEN n*sbb - sb*sb > 0 AND n*sgg - sg*sg > 0
+             |    THEN ROUND(CAST(n*sbg - sb*sg AS DOUBLE)
+             |      / (sqrt(CAST(n*sbb - sb*sb AS DOUBLE))
+             |         * sqrt(CAST(n*sgg - sg*sg AS DOUBLE))), 4)
+             |    ELSE 0.0 END AS corr_bg,
+             |  CASE WHEN n*sbb - sb*sb > 0 AND n*srr - sr*sr > 0
+             |    THEN ROUND(CAST(n*sbr - sb*sr AS DOUBLE)
+             |      / (sqrt(CAST(n*sbb - sb*sb AS DOUBLE))
+             |         * sqrt(CAST(n*srr - sr*sr AS DOUBLE))), 4)
+             |    ELSE 0.0 END AS corr_br,
+             |  CASE WHEN n*sgg - sg*sg > 0 AND n*srr - sr*sr > 0
+             |    THEN ROUND(CAST(n*sgr - sg*sr AS DOUBLE)
+             |      / (sqrt(CAST(n*sgg - sg*sg AS DOUBLE))
+             |         * sqrt(CAST(n*srr - sr*sr AS DOUBLE))), 4)
+             |    ELSE 0.0 END AS corr_gr
+             |FROM m""".stripMargin)
     )
   )
 }
