@@ -118,6 +118,65 @@ object DedupCalibration {
            |FROM pairs JOIN jac ON jac.da = pairs.da AND jac.db = pairs.db
            |GROUP BY b, r""".stripMargin
       }
+    ),
+
+    // DEDUP IMPACT REPORT: what exact + near dedup together buy, per
+    // source — docs and characters before/after, with the survivor
+    // rules the dedup family actually ships (exact: min doc_id per
+    // content hash; near: min-label MinHash cluster survivor). The
+    // "how much smaller is my corpus" artifact a curation run reports
+    // up. One hash window + the already-banded cluster plan; the
+    // dropped-id set unions and anti-joins on doc_id only.
+    "pipeline_dedup_impact" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val exactDropped = graft.Tables.documents(s, d)
+          .select(col("doc_id"), Hashing.md5Long60(col("text")).as("h"))
+          .withColumn("keep", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+          .filter(col("doc_id") =!= col("keep")).select(col("doc_id"))
+        val nearDropped = DedupQueries.entries.toMap
+          .apply("dedup_cluster_components").fn(s, d)
+          .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+        val dropped = exactDropped.unionAll(nearDropped).distinct()
+          .withColumn("dropped", lit(1L))
+        graft.Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .join(dropped, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("dropped").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+            sum(col("n_chars")).as("chars_total"),
+            sum(when(col("dropped").isNull, col("n_chars")).otherwise(0L))
+              .as("chars_kept"))
+          .select(col("source"), col("n_docs"), col("n_dropped"),
+            (col("n_docs") - col("n_dropped")).as("n_kept"),
+            col("chars_total"), col("chars_kept"),
+            expr("(chars_total - chars_kept) * 10000 div chars_total")
+              .as("reduction_bp"))
+      },
+      DedupQueries.entries.toMap.apply("dedup_cluster_components").oracle.map(
+        compSql =>
+          s"""WITH eh AS (SELECT doc_id,
+             |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+             |  FROM documents),
+             |ed AS (SELECT doc_id FROM (
+             |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS keep FROM eh)
+             |  WHERE doc_id <> keep),
+             |nd AS (SELECT doc_id FROM ($compSql) WHERE doc_id <> cluster_id),
+             |dropped AS (SELECT DISTINCT doc_id FROM (
+             |    SELECT doc_id FROM ed UNION ALL SELECT doc_id FROM nd)),
+             |j AS (SELECT d.source, d.n_chars,
+             |        CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END AS dropped
+             |      FROM documents d LEFT JOIN dropped dr USING (doc_id))
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+             |  CAST(COUNT(*) - SUM(dropped) AS BIGINT) AS n_kept,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+             |  CAST(SUM(CASE WHEN dropped = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+             |    AS chars_kept,
+             |  CAST((SUM(n_chars) - SUM(CASE WHEN dropped = 0 THEN n_chars ELSE 0 END))
+             |    * 10000 // SUM(n_chars) AS BIGINT) AS reduction_bp
+             |FROM j GROUP BY 1""".stripMargin)
     )
   )
 }

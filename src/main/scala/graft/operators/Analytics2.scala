@@ -484,6 +484,78 @@ object Analytics2 {
              |  CAST(ret_bp - COALESCE(LAG(ret_bp) OVER (ORDER BY m), ret_bp)
              |    AS BIGINT) AS delta_bp
              |FROM r""".stripMargin)
+    ),
+
+    // POPULATION STABILITY INDEX per event type: the standard ML
+    // feature-drift score between the period halves,
+    // PSI = sum (p2-p1)*ln(p2/p1) over 21 clamped value bins with
+    // add-one smoothing (no ln(0) edge). Complements the chi-square
+    // events_dist_drift with the metric model-monitoring stacks
+    // actually alert on (0.2 = investigate). Counts are one partial
+    // agg on (type, half, bin); the PSI fold runs over |types| x 21
+    // broadcast-scale rows.
+    "events_psi_drift" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), expr("ts div 1000").as("tus"),
+            expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+        val mid = ev.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
+        val binned = ev.crossJoin(broadcast(mid))
+          .select(col("event_type"),
+            when(col("tus") < col("mid"), 1L).otherwise(2L).as("half"),
+            least(greatest(expr("vc div 5000"), lit(-10L)), lit(10L)).as("bin"))
+        val cnt = binned.groupBy(col("event_type"), col("half"), col("bin"))
+          .agg(count(lit(1)).as("c"))
+        val tot = binned.groupBy(col("event_type"), col("half"))
+          .agg(count(lit(1)).as("n"))
+        val wide = cnt.groupBy(col("event_type"), col("bin"))
+          .agg(
+            coalesce(max(when(col("half") === 1, col("c"))), lit(0L)).as("c1"),
+            coalesce(max(when(col("half") === 2, col("c"))), lit(0L)).as("c2"))
+          .join(broadcast(tot.filter(col("half") === 1)
+            .select(col("event_type"), col("n").as("n1"))), Seq("event_type"))
+          .join(broadcast(tot.filter(col("half") === 2)
+            .select(col("event_type"), col("n").as("n2"))), Seq("event_type"))
+        val p1 = (col("c1") + 1).cast("double") / (col("n1") + 21).cast("double")
+        val p2 = (col("c2") + 1).cast("double") / (col("n2") + 21).cast("double")
+        val term = ((p2 - p1) * log(p2 / p1)).cast("decimal(28,12)")
+        wide.groupBy(col("event_type"))
+          .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            sum(term).as("psi_d"))
+          .select(col("event_type"), col("n1"), col("n2"),
+            round(col("psi_d").cast("double"), 4).as("psi"),
+            (col("psi_d").cast("double") > 0.2).cast("long").as("drifted"))
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus,
+             |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS vc FROM events),
+             |mid AS (SELECT (MIN(tus) + MAX(tus)) // 2 AS mid FROM ev),
+             |b AS (SELECT event_type,
+             |        CASE WHEN tus < mid THEN 1 ELSE 2 END AS half,
+             |        LEAST(GREATEST(vc // 5000, -10), 10) AS bin
+             |      FROM ev CROSS JOIN mid),
+             |cnt AS (SELECT event_type, half, bin, COUNT(*) AS c
+             |        FROM b GROUP BY 1, 2, 3),
+             |tot AS (SELECT event_type, half, COUNT(*) AS n
+             |        FROM b GROUP BY 1, 2),
+             |piv AS (SELECT event_type, bin,
+             |    COALESCE(MAX(CASE WHEN half = 1 THEN c END), 0) AS c1,
+             |    COALESCE(MAX(CASE WHEN half = 2 THEN c END), 0) AS c2
+             |  FROM cnt GROUP BY 1, 2),
+             |wide AS (SELECT piv.event_type, bin, c1, c2, t1.n AS n1, t2.n AS n2
+             |  FROM piv
+             |  JOIN tot t1 ON t1.event_type = piv.event_type AND t1.half = 1
+             |  JOIN tot t2 ON t2.event_type = piv.event_type AND t2.half = 2),
+             |t AS (SELECT event_type, n1, n2,
+             |    SUM(CAST((CAST(c2 + 1 AS DOUBLE) / CAST(n2 + 21 AS DOUBLE)
+             |          - CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 21 AS DOUBLE))
+             |        * ln((CAST(c2 + 1 AS DOUBLE) / CAST(n2 + 21 AS DOUBLE))
+             |            / (CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 21 AS DOUBLE)))
+             |        AS DECIMAL(28,12))) AS psi_d
+             |  FROM wide GROUP BY 1, 2, 3)
+             |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             |  ROUND(CAST(psi_d AS DOUBLE), 4) AS psi,
+             |  CAST(CAST(psi_d AS DOUBLE) > 0.2 AS BIGINT) AS drifted
+             |FROM t""".stripMargin)
     )
   )
 }

@@ -358,6 +358,69 @@ object CorpusQueries {
              |  CAST(rare * 10000 // n_tokens AS BIGINT) AS rare_bp,
              |  CAST(rare * 10000 // n_tokens <= 2000 AS BIGINT) AS keep
              |FROM d""".stripMargin)
+    ),
+
+    // HELD-OUT PERPLEXITY per source: train an add-one unigram LM on
+    // a deterministic salted-hash half of each source's docs, score
+    // the other half — the generalization twin of in-sample
+    // text_surprisal (a source whose held-out cross-entropy far
+    // exceeds its in-sample one is template-diverse; OOV share flags
+    // vocabulary churn). The hash split decorrelates from doc_id
+    // assignment patterns. Seen and unseen test tokens share one
+    // formula, p = (c+1)/(N+V+1) with c = 0 when unseen, so the
+    // single left join on the (source, term) key covers both.
+    "text_heldout_perplexity" -> Query(
+      (s, d) => {
+        val half = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), explode(lowToks).as("tok"),
+            pmod(Hashing.md5Long60(concat(lit("ho_"),
+              col("doc_id").cast("string"))), lit(2)).as("parity"))
+        val trc = half.filter(col("parity") === 0)
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        val trTot = trc.groupBy(col("source"))
+          .agg(sum(col("c")).as("n_train"), count(lit(1)).as("v"))
+        val tec = half.filter(col("parity") === 1)
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("ct"))
+        val denom = (col("n_train") + col("v") + 1).cast("double")
+        val term = (col("ct").cast("double")
+          * (log(denom) - log((coalesce(col("c"), lit(0L)) + 1).cast("double"))))
+          .cast("decimal(28,12)")
+        tec.join(trc, Seq("source", "tok"), "left")
+          .join(broadcast(trTot), Seq("source"))
+          .groupBy(col("source"))
+          .agg(max(col("n_train")).as("n_train"), sum(col("ct")).as("n_test"),
+            sum(when(col("c").isNull, col("ct")).otherwise(0L)).as("oov"),
+            sum(term).as("nll"))
+          .select(col("source"), col("n_train"), col("n_test"),
+            expr("oov * 10000 div n_test").as("oov_bp"),
+            round(col("nll").cast("double") / col("n_test").cast("double"), 4)
+              .as("heldout_ce"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, unnest($lowToksSql) AS tok,
+             |    CAST('0x' || substr(md5('ho_' || CAST(doc_id AS VARCHAR)), 1, 15)
+             |      AS BIGINT) % 2 AS parity FROM documents),
+             |trc AS (SELECT source, tok, COUNT(*) AS c FROM t
+             |        WHERE parity = 0 GROUP BY 1, 2),
+             |tt AS (SELECT source, SUM(c) AS n_train, COUNT(*) AS v
+             |       FROM trc GROUP BY 1),
+             |tec AS (SELECT source, tok, COUNT(*) AS ct FROM t
+             |        WHERE parity = 1 GROUP BY 1, 2),
+             |j AS (SELECT tec.source, ct, c, n_train, v
+             |      FROM tec LEFT JOIN trc ON trc.source = tec.source
+             |        AND trc.tok = tec.tok
+             |      JOIN tt ON tt.source = tec.source),
+             |g AS (SELECT source, MAX(n_train) AS n_train, SUM(ct) AS n_test,
+             |        SUM(CASE WHEN c IS NULL THEN ct ELSE 0 END) AS oov,
+             |        SUM(CAST(CAST(ct AS DOUBLE)
+             |            * (ln(CAST(n_train + v + 1 AS DOUBLE))
+             |               - ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)))
+             |            AS DECIMAL(28,12))) AS nll
+             |      FROM j GROUP BY 1)
+             |SELECT source, CAST(n_train AS BIGINT) AS n_train,
+             |  CAST(n_test AS BIGINT) AS n_test,
+             |  CAST(oov * 10000 // n_test AS BIGINT) AS oov_bp,
+             |  ROUND(CAST(nll AS DOUBLE) / CAST(n_test AS DOUBLE), 4) AS heldout_ce
+             |FROM g""".stripMargin)
     )
   )
 }
