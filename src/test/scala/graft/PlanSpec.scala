@@ -594,4 +594,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       "candidates must come from the (table, bucket) equi-join")
   }
+
+  test("ship-lag SLOs never buffer values: no Percentile aggregate in the plan") {
+    val p = plan("orders_ship_lag_sla")
+    assert(!p.contains("percentile"),
+      "quantiles must come from the histogram-bisect two-pass")
+  }
+
+  test("PSI per-half totals ride broadcasts onto the bin pivot") {
+    val p = plan("events_psi_drift")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("held-out perplexity joins on the (source, term) key only") {
+    val p = plan("text_heldout_perplexity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup impact and band calibration stay equi-join shaped") {
+    assert(!plan("pipeline_dedup_impact").contains("CartesianProduct"))
+    assert(!plan("dedup_band_calibration").contains("CartesianProduct"))
+  }
 }
