@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Extended.entries ++
       operators.Analytics.entries ++
       operators.Analytics2.entries ++
+      operators.Analytics3.entries ++
       operators.TpchMore.entries ++
       operators.Graph.entries ++
       operators.Graph2.entries ++

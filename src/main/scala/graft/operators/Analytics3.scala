@@ -1,0 +1,455 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Query, Tables}
+
+/** Hypothesis-test and distribution-comparison analytics — the
+  * statistical battery an experimentation/curation warehouse runs on
+  * top of the relational core: chi-square independence, Mann-Whitney
+  * rank-sum, two-sample Kolmogorov-Smirnov, Welch's t, rolling
+  * correlation, and demand-volatility classes.
+  *
+  * Exactness discipline (see graft.Parity): every sufficient statistic
+  * is an integer/DECIMAL sum from ONE map-side-combinable aggregation;
+  * doubles appear only in terminal formulas written identically in the
+  * DuckDB oracles, with `round` absorbing any last-ulp divergence.
+  * Scale discipline: each test aggregates the fact table down to a
+  * value-level or cell-level summary FIRST (distinct discount/quantity
+  * values, contingency cells, daily buckets), so the windows that
+  * follow run over dimension-sized inputs no matter the fact size.
+  */
+object Analytics3 {
+
+  val entries: Seq[(String, Query)] = Seq(
+
+    // CHI-SQUARE independence of return flag x line status — the
+    // canonical "are these two categoricals related" gate. One partial
+    // agg folds the contingency cells (|cells| = r*c, here 3x2); row/
+    // column/grand totals come from windows over that tiny cell table.
+    // Each cell term uses the integer-numerator form
+    // (cnt*tot - rowt*colt)^2 / (rowt*colt*tot) so both engines square
+    // and divide the same exact operands; only the 6-term chi2 sum is
+    // a double. Cramer's V and the 5%-critical verdict derive from the
+    // ROUNDED chi2 so the comparison never sits on an ulp.
+    "agg_chisq_independence" -> Query(
+      (s, d) => {
+        val cells = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"))
+        val wr = Window.partitionBy(col("l_returnflag"))
+        val wc = Window.partitionBy(col("l_linestatus"))
+        val wt = Window.partitionBy()
+        val t = cells
+          .withColumn("rowt", sum(col("cnt")).over(wr))
+          .withColumn("colt", sum(col("cnt")).over(wc))
+          .withColumn("tot", sum(col("cnt")).over(wt))
+          .withColumn("num",
+            (col("cnt") * col("tot") - col("rowt") * col("colt")).cast("double"))
+          .withColumn("den",
+            (col("rowt").cast("decimal(38,0)") * col("colt") * col("tot"))
+              .cast("double"))
+          .withColumn("term", col("num") * col("num") / col("den"))
+        val g = t.agg(
+          max(col("tot")).as("n"),
+          countDistinct(col("l_returnflag")).as("r"),
+          countDistinct(col("l_linestatus")).as("c"),
+          round(sum(col("term")), 4).as("chi2"))
+        g.select(col("n"), col("r"), col("c"),
+            ((col("r") - 1) * (col("c") - 1)).as("dof"), col("chi2"),
+            round(sqrt(col("chi2") /
+              (col("n") * least(col("r") - 1, col("c") - 1)).cast("double")), 6)
+              .as("cramers_v"))
+          .withColumn("crit",
+            when(col("dof") === 1, 3.841).when(col("dof") === 2, 5.991)
+              .when(col("dof") === 3, 7.815).when(col("dof") === 4, 9.488)
+              .when(col("dof") === 5, 11.07).otherwise(12.592))
+          .withColumn("dependent", (col("chi2") > col("crit")).cast("long"))
+          .drop("crit")
+      },
+      Some("""WITH cells AS (
+             |  SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY 1, 2),
+             |t AS (
+             |  SELECT cnt,
+             |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS rowt,
+             |    SUM(cnt) OVER (PARTITION BY l_linestatus) AS colt,
+             |    SUM(cnt) OVER () AS tot,
+             |    l_returnflag, l_linestatus
+             |  FROM cells),
+             |g AS (
+             |  SELECT CAST(MAX(tot) AS BIGINT) AS n,
+             |    COUNT(DISTINCT l_returnflag) AS r,
+             |    COUNT(DISTINCT l_linestatus) AS c,
+             |    ROUND(SUM(CAST(cnt*tot - rowt*colt AS DOUBLE)
+             |              * CAST(cnt*tot - rowt*colt AS DOUBLE)
+             |              / CAST(CAST(rowt AS HUGEINT)*colt*tot AS DOUBLE)), 4)
+             |      AS chi2
+             |  FROM t)
+             |SELECT n, r, c, (r-1)*(c-1) AS dof, chi2,
+             |  ROUND(sqrt(chi2 / CAST(n * LEAST(r-1, c-1) AS DOUBLE)), 6)
+             |    AS cramers_v,
+             |  CAST(chi2 > (CASE (r-1)*(c-1) WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+             |    WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 WHEN 5 THEN 11.07
+             |    ELSE 12.592 END) AS BIGINT) AS dependent
+             |FROM g""".stripMargin)
+    ),
+
+    // MANN-WHITNEY U rank-sum: do returned (R) and delivered (N) lines
+    // draw their discounts from the same distribution? Nonparametric —
+    // the A/B workhorse when values are skewed and a t-test lies. The
+    // fact table folds to per-distinct-value counts first (discount has
+    // 11 whole-percent values), so the rank window runs over 11 rows
+    // regardless of fact size. Tie-averaged ranks ride the 2x-integer
+    // trick (2*avgrank = 2*cumlo + cnt + 1, always integral): the
+    // rank-sum and U stay EXACT integers; the tie-corrected normal
+    // approximation z is the only double. cnt^3 in the tie term goes
+    // through DECIMAL(38,0)/HUGEINT so a hot value at 100x cannot
+    // overflow. No continuity correction (same formula both engines).
+    "agg_mannwhitney" -> Query(
+      (s, d) => {
+        val base = Tables.lineitem(s, d)
+          .filter(col("l_returnflag").isin("R", "N"))
+          .select(floor(col("l_discount") * 100 + 0.5).cast("long").as("dk"),
+            (col("l_returnflag") === "R").cast("long").as("isr"))
+        val v = base.groupBy(col("dk"))
+          .agg(count(lit(1)).as("cnt"), sum(col("isr")).as("cr"))
+        val wo = Window.orderBy(col("dk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = v.withColumn("cumlo",
+          coalesce(sum(col("cnt")).over(wo), lit(0L)))
+        val g = ranked.agg(
+          sum(col("cnt")).as("n"),
+          sum(col("cr")).as("n1"),
+          sum(col("cr") * (lit(2) * col("cumlo") + col("cnt") + 1)).as("rs2"),
+          sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
+            - col("cnt")).cast("double").as("ties"))
+        g.select(col("n1"), (col("n") - col("n1")).as("n2"),
+            (col("rs2") - col("n1") * (col("n1") + 1)).as("u2"),
+            col("n"), col("rs2"), col("ties"))
+          .withColumn("varu",
+            (col("n1").cast("double") * (col("n") - col("n1")) / 12.0) *
+              ((col("n") + 1).cast("double") -
+                col("ties") / (col("n").cast("double") * (col("n") - 1))))
+          .withColumn("z", round(
+            (col("u2") - col("n1") * (col("n") - col("n1"))).cast("double") /
+              (lit(2.0) * sqrt(col("varu"))), 4))
+          .select(col("n1"), col("n2"), col("u2"), col("z"),
+            (abs(col("z")) > 1.96).cast("long").as("significant"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS dk,
+             |    CAST(l_returnflag = 'R' AS BIGINT) AS isr
+             |  FROM lineitem WHERE l_returnflag IN ('R','N')),
+             |v AS (SELECT dk, COUNT(*) AS cnt, SUM(isr) AS cr
+             |      FROM base GROUP BY 1),
+             |r AS (SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY dk
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |        AS cumlo
+             |      FROM v),
+             |g AS (SELECT SUM(cnt) AS n, SUM(cr) AS n1,
+             |        SUM(cr * (2*cumlo + cnt + 1)) AS rs2,
+             |        CAST(SUM(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS DOUBLE)
+             |          AS ties
+             |      FROM r),
+             |f AS (SELECT CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n2,
+             |        CAST(rs2 - n1*(n1+1) AS BIGINT) AS u2, n,
+             |        (CAST(n1 AS DOUBLE) * (n - n1) / 12.0) *
+             |          (CAST(n + 1 AS DOUBLE)
+             |           - ties / (CAST(n AS DOUBLE) * (n - 1))) AS varu
+             |      FROM g)
+             |SELECT n1, n2, u2,
+             |  ROUND(CAST(u2 - n1*(n - n1) AS DOUBLE) / (2.0*sqrt(varu)), 4)
+             |    AS z,
+             |  CAST(abs(ROUND(CAST(u2 - n1*(n - n1) AS DOUBLE)
+             |    / (2.0*sqrt(varu)), 4)) > 1.96 AS BIGINT) AS significant
+             |FROM f""".stripMargin)
+    ),
+
+    // Two-sample KOLMOGOROV-SMIRNOV on order quantity, R vs N lines —
+    // "same distribution?" without binning assumptions. The ECDF gap at
+    // every distinct value is the EXACT rational |C1*n2 - C2*n1| /
+    // (n1*n2): the max runs over integer numerators, so the supremum
+    // D is found exactly and becomes a double only at the terminal
+    // division. Value-level fold first (50 distinct quantities) keeps
+    // the cumulative window dimension-sized. The 5% verdict compares
+    // rounded D against the rounded large-sample critical value
+    // c(alpha)*sqrt((n1+n2)/(n1*n2)), c(0.05)=1.358.
+    "agg_ks_test" -> Query(
+      (s, d) => {
+        val base = Tables.lineitem(s, d)
+          .filter(col("l_returnflag").isin("R", "N"))
+          .select(floor(col("l_quantity") + 0.5).cast("long").as("qk"),
+            (col("l_returnflag") === "R").cast("long").as("isr"))
+        val v = base.groupBy(col("qk"))
+          .agg(sum(col("isr")).as("c1"),
+            (count(lit(1)) - sum(col("isr"))).as("c2"))
+        val wo = Window.orderBy(col("qk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy()
+        val cum = v
+          .withColumn("cc1", sum(col("c1")).over(wo))
+          .withColumn("cc2", sum(col("c2")).over(wo))
+          .withColumn("n1", sum(col("c1")).over(wt))
+          .withColumn("n2", sum(col("c2")).over(wt))
+          .withColumn("num", abs(col("cc1") * col("n2") - col("cc2") * col("n1")))
+        val g = cum.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(col("num")).as("dnum"))
+        g.select(col("n1"), col("n2"),
+            round(col("dnum").cast("double") /
+              (col("n1").cast("double") * col("n2")), 6).as("d"),
+            round(lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+              (col("n1").cast("double") * col("n2"))), 6).as("crit"))
+          .withColumn("reject", (col("d") > col("crit")).cast("long"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS qk,
+             |    CAST(l_returnflag = 'R' AS BIGINT) AS isr
+             |  FROM lineitem WHERE l_returnflag IN ('R','N')),
+             |v AS (SELECT qk, SUM(isr) AS c1, COUNT(*) - SUM(isr) AS c2
+             |      FROM base GROUP BY 1),
+             |cum AS (SELECT
+             |    SUM(c1) OVER (ORDER BY qk ROWS UNBOUNDED PRECEDING) AS cc1,
+             |    SUM(c2) OVER (ORDER BY qk ROWS UNBOUNDED PRECEDING) AS cc2,
+             |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+             |  FROM v),
+             |g AS (SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+             |        CAST(MAX(n2) AS BIGINT) AS n2,
+             |        MAX(abs(cc1*n2 - cc2*n1)) AS dnum
+             |      FROM cum)
+             |SELECT n1, n2,
+             |  ROUND(CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS d,
+             |  ROUND(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+             |    / (CAST(n1 AS DOUBLE) * n2)), 6) AS crit,
+             |  CAST(ROUND(CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6)
+             |    > ROUND(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+             |      / (CAST(n1 AS DOUBLE) * n2)), 6) AS BIGINT) AS reject
+             |FROM g""".stripMargin)
+    ),
+
+    // WELCH'S t-test (unequal variances): do URGENT and LOW priority
+    // orders differ in mean order value? Means and sample variances
+    // come from exact integer-cent power sums (squares summed as
+    // DECIMAL(38,0)/HUGEINT — a cents^2 sum overflows BIGINT at scale);
+    // t and the Welch-Satterthwaite df are terminal double formulas on
+    // those exact operands. One partial agg over the fact table, a
+    // 2-row pivot, one output row.
+    "agg_welch_ttest" -> Query(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(col("o_orderpriority").as("pri"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+        val g = o.groupBy(col("pri")).agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("s1"),
+          sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("s2"))
+        val p = g.agg(
+          max(when(col("pri") === "1-URGENT", col("n"))).as("n1"),
+          max(when(col("pri") === "1-URGENT", col("s1"))).as("a1"),
+          max(when(col("pri") === "1-URGENT", col("s2"))).as("q1"),
+          max(when(col("pri") === "5-LOW", col("n"))).as("n2"),
+          max(when(col("pri") === "5-LOW", col("s1"))).as("a2"),
+          max(when(col("pri") === "5-LOW", col("s2"))).as("q2"))
+        val m1 = col("a1").cast("double") / 100.0 / col("n1")
+        val m2 = col("a2").cast("double") / 100.0 / col("n2")
+        val v1 = (col("q1").cast("double") / 10000.0 -
+          (col("a1").cast("double") / 100.0) *
+            (col("a1").cast("double") / 100.0) / col("n1")) / (col("n1") - 1)
+        val v2 = (col("q2").cast("double") / 10000.0 -
+          (col("a2").cast("double") / 100.0) *
+            (col("a2").cast("double") / 100.0) / col("n2")) / (col("n2") - 1)
+        val se2 = v1 / col("n1") + v2 / col("n2")
+        p.select(col("n1"), col("n2"),
+            round(m1 - m2, 4).as("mean_diff"),
+            round((m1 - m2) / sqrt(se2), 4).as("t"),
+            round(se2 * se2 / ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1)
+              + (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - 1)), 2).as("df"))
+          .withColumn("significant", (abs(col("t")) > 1.96).cast("long"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority AS pri,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM orders WHERE o_orderpriority IN ('1-URGENT','5-LOW')),
+             |g AS (SELECT pri, COUNT(*) AS n, SUM(cents) AS s1,
+             |        SUM(CAST(cents*cents AS HUGEINT)) AS s2
+             |      FROM o GROUP BY 1),
+             |p AS (SELECT
+             |    MAX(CASE WHEN pri='1-URGENT' THEN n END) AS n1,
+             |    MAX(CASE WHEN pri='1-URGENT' THEN s1 END) AS a1,
+             |    MAX(CASE WHEN pri='1-URGENT' THEN s2 END) AS q1,
+             |    MAX(CASE WHEN pri='5-LOW' THEN n END) AS n2,
+             |    MAX(CASE WHEN pri='5-LOW' THEN s1 END) AS a2,
+             |    MAX(CASE WHEN pri='5-LOW' THEN s2 END) AS q2
+             |  FROM g),
+             |f AS (SELECT n1, n2,
+             |    CAST(a1 AS DOUBLE)/100.0/n1 AS m1,
+             |    CAST(a2 AS DOUBLE)/100.0/n2 AS m2,
+             |    (CAST(q1 AS DOUBLE)/10000.0
+             |     - (CAST(a1 AS DOUBLE)/100.0)*(CAST(a1 AS DOUBLE)/100.0)/n1)
+             |      / (n1 - 1) AS v1,
+             |    (CAST(q2 AS DOUBLE)/10000.0
+             |     - (CAST(a2 AS DOUBLE)/100.0)*(CAST(a2 AS DOUBLE)/100.0)/n2)
+             |      / (n2 - 1) AS v2
+             |  FROM p)
+             |SELECT n1, n2, ROUND(m1 - m2, 4) AS mean_diff,
+             |  ROUND((m1 - m2) / sqrt(v1/n1 + v2/n2), 4) AS t,
+             |  ROUND((v1/n1 + v2/n2)*(v1/n1 + v2/n2)
+             |    / ((v1/n1)*(v1/n1)/(n1-1) + (v2/n2)*(v2/n2)/(n2-1)), 2) AS df,
+             |  CAST(abs(ROUND((m1 - m2) / sqrt(v1/n1 + v2/n2), 4)) > 1.96
+             |    AS BIGINT) AS significant
+             |FROM f""".stripMargin)
+    ),
+
+    // ROLLING 14-day Pearson correlation between daily revenue and
+    // daily quantity — the demand-vs-price comovement monitor. The
+    // fact table folds to one row per ship DAY first (exact integer
+    // sums; revenue quantized to $1000 units by integer division so
+    // the squared rolling sums stay in BIGINT range at 10000x); the
+    // rolling window then runs over the calendar-bounded daily series
+    // (~2,400 rows regardless of fact size; precedent: the other
+    // calendar-series windows). All five rolling sums are LONG-exact;
+    // the corr formula is one terminal double expression.
+    "window_rolling_corr" -> Query(
+      (s, d) => {
+        val daily = Tables.lineitem(s, d)
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+          .agg(expr("sum(cast(cast(l_extendedprice as decimal(18,2))*100 as long)) div 100000")
+            .as("rev_k"),
+            sum(floor(col("l_quantity") + 0.5).cast("long")).as("qty"))
+        val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+        val r = daily
+          .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+          .withColumn("sx", sum(col("rev_k")).over(w))
+          .withColumn("sy", sum(col("qty")).over(w))
+          .withColumn("sxx", sum(col("rev_k") * col("rev_k")).over(w))
+          .withColumn("syy", sum(col("qty") * col("qty")).over(w))
+          .withColumn("sxy", sum(col("rev_k") * col("qty")).over(w))
+          .filter(col("rn") >= 14)
+          .withColumn("dxx", lit(14) * col("sxx") - col("sx") * col("sx"))
+          .withColumn("dyy", lit(14) * col("syy") - col("sy") * col("sy"))
+          .filter(col("dxx") > 0 && col("dyy") > 0)
+        r.select(col("day"), col("rev_k"), col("qty"),
+          round((lit(14) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(col("dxx").cast("double") * col("dyy").cast("double")), 6)
+            .as("corr14"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+             |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT))
+             |      // 100000 AS BIGINT) AS rev_k,
+             |    CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty
+             |  FROM lineitem GROUP BY 1),
+             |r AS (SELECT day, rev_k, qty,
+             |    ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             |    SUM(rev_k) OVER w AS sx, SUM(qty) OVER w AS sy,
+             |    SUM(rev_k*rev_k) OVER w AS sxx,
+             |    SUM(qty*qty) OVER w AS syy,
+             |    SUM(rev_k*qty) OVER w AS sxy
+             |  FROM daily
+             |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+             |f AS (SELECT day, rev_k, qty,
+             |    14*sxx - sx*sx AS dxx, 14*syy - sy*sy AS dyy,
+             |    14*sxy - sx*sy AS num
+             |  FROM r WHERE rn >= 14)
+             |SELECT day, rev_k, qty,
+             |  ROUND(CAST(num AS DOUBLE)
+             |    / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6) AS corr14
+             |FROM f WHERE dxx > 0 AND dyy > 0""".stripMargin)
+    ),
+
+    // XYZ demand-volatility classes — the planning-side complement of
+    // ABC revenue classes: per part, the coefficient of variation of
+    // MONTHLY demand buckets parts into steady (X, cv<=0.5), variable
+    // (Y, cv<=1.0), and erratic (Z). CV is quantized to integer basis
+    // points the moment it is born, so the per-brand rollup (counts +
+    // integer-division mean cv_bp) is pure LONG arithmetic — no
+    // double-summation order nondeterminism and no round-half edges. Two partial aggs (part-month, then part) + one
+    // broadcast dim join + one small rollup.
+    "part_xyz_class" -> Query(
+      (s, d) => {
+        val monthly = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"),
+            date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("m"))
+          .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("q"))
+        val per = monthly.groupBy(col("l_partkey")).agg(
+          count(lit(1)).as("n_months"),
+          sum(col("q")).as("s1"),
+          sum(col("q") * col("q")).as("s2"))
+        val cv = sqrt(greatest(
+          col("s2").cast("double") / col("n_months") -
+            (col("s1").cast("double") / col("n_months")) *
+              (col("s1").cast("double") / col("n_months")), lit(0.0))) /
+          (col("s1").cast("double") / col("n_months"))
+        val classed = per
+          .withColumn("cv_bp", floor(cv * 10000 + 0.5).cast("long"))
+          .withColumn("xyz",
+            when(col("cv_bp") <= 5000, "X")
+              .when(col("cv_bp") <= 10000, "Y").otherwise("Z"))
+          .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+            Seq("l_partkey"))
+        classed.groupBy(col("p_brand"), col("xyz"))
+          .agg(count(lit(1)).as("n_parts"),
+            expr("sum(cv_bp) div count(1)").as("avg_cv_bp"))
+      },
+      Some("""WITH monthly AS (
+             |  SELECT l_partkey, strftime(date_trunc('month', l_shipdate), '%Y-%m') AS m,
+             |    SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS q
+             |  FROM lineitem GROUP BY 1, 2),
+             |per AS (SELECT l_partkey, COUNT(*) AS n_months,
+             |          SUM(q) AS s1, SUM(q*q) AS s2
+             |        FROM monthly GROUP BY 1),
+             |classed AS (SELECT l_partkey,
+             |    CAST(floor(sqrt(GREATEST(
+             |        CAST(s2 AS DOUBLE)/n_months
+             |          - (CAST(s1 AS DOUBLE)/n_months)*(CAST(s1 AS DOUBLE)/n_months),
+             |        CAST(0 AS DOUBLE)))
+             |      / (CAST(s1 AS DOUBLE)/n_months) * 10000 + 0.5) AS BIGINT) AS cv_bp
+             |  FROM per)
+             |SELECT p.p_brand, CASE WHEN cv_bp <= 5000 THEN 'X'
+             |    WHEN cv_bp <= 10000 THEN 'Y' ELSE 'Z' END AS xyz,
+             |  COUNT(*) AS n_parts,
+             |  CAST(SUM(cv_bp) // COUNT(*) AS BIGINT) AS avg_cv_bp
+             |FROM classed c JOIN part p ON p.p_partkey = c.l_partkey
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // INTER-ARRIVAL gap percentiles per event type (p50/p90/p99) — the
+    // latency-style tail view `events_inter_arrival`'s mean/cv summary
+    // can't show. Gaps are exact integer microseconds from one lag over
+    // the per-type sort; the quantiles come from GroupedPercentile.exact
+    // (histogram-bisect over minute-wide buckets — NO per-group value
+    // buffer, the 100 TB-safe percentile machinery shared repo-wide).
+    "events_gap_percentiles" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        val gaps = graft.Caches.scoped(Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), expr("(ts div 1000)").as("us"))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+          .filter(col("gap").isNotNull)
+          .select(col("event_type"), col("gap")))
+        val ps = Seq(("p50", 0.50), ("p90", 0.90), ("p99", 0.99))
+        GroupedPercentile.exact(gaps, "event_type", "gap", ps,
+            expr("gap div 60000000"), _.cast("double"))
+          .withColumn("res", round(col("res"), 4))
+          .groupBy(col("event_type"))
+          .agg(max(when(col("pname") === "p50", col("res"))).as("p50_us"),
+            max(when(col("pname") === "p90", col("res"))).as("p90_us"),
+            max(when(col("pname") === "p99", col("res"))).as("p99_us"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+             |g AS (SELECT event_type,
+             |        us - LAG(us) OVER (PARTITION BY event_type ORDER BY us, event_id) AS gap
+             |      FROM e)
+             |SELECT event_type,
+             |  ROUND(quantile_cont(gap, 0.50), 4) AS p50_us,
+             |  ROUND(quantile_cont(gap, 0.90), 4) AS p90_us,
+             |  ROUND(quantile_cont(gap, 0.99), 4) AS p99_us
+             |FROM g WHERE gap IS NOT NULL
+             |GROUP BY event_type""".stripMargin)
+    ),
+  )
+}

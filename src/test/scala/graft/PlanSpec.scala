@@ -616,4 +616,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("pipeline_dedup_impact").contains("CartesianProduct"))
     assert(!plan("dedup_band_calibration").contains("CartesianProduct"))
   }
+
+  /** The rank/ECDF windows of the hypothesis tests must consume a
+    * value-level (or cell-level) AGGREGATE, never fact rows: the
+    * single-partition window is then dimension-sized (<= distinct
+    * values) no matter the fact size. In the SimpleMode tree the
+    * window's input prints below it, so an upstream fold shows as a
+    * HashAggregate line after the first Window line.
+    */
+  private def windowFedByAggregate(name: String): org.scalatest.Assertion = {
+    val t = tree(name)
+    val wi = t.indexWhere(_.contains("Window"))
+    assert(wi >= 0, s"$name: expected a window in the plan")
+    assert(t.drop(wi).exists(_.contains("HashAggregate")),
+      s"$name: the window must run over an aggregated value table, not fact rows")
+  }
+
+  test("rank-sum, KS, and chi-square windows run over value-level folds") {
+    windowFedByAggregate("agg_mannwhitney")
+    windowFedByAggregate("agg_ks_test")
+    windowFedByAggregate("agg_chisq_independence")
+  }
+
+  test("rolling correlation windows the calendar-day series, not fact rows") {
+    windowFedByAggregate("window_rolling_corr")
+  }
+
+  test("welch t-test is pure aggregation: no window, no join") {
+    val p = plan("agg_welch_ttest")
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(1500))
+  }
+
+  test("xyz classes broadcast the part dim, gap percentiles never buffer values") {
+    val px = plan("part_xyz_class")
+    assert(px.contains("BroadcastHashJoin") && !px.contains("SortMergeJoin"))
+    assert(!plan("events_gap_percentiles").contains("percentile"),
+      "quantiles must come from the histogram-bisect two-pass")
+  }
 }
