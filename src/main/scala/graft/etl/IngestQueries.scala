@@ -2,7 +2,7 @@ package graft.etl
 
 import graft.{Parity, Query, Tables}
 import graft.functions.{Hashing, TextFunctions}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Additional ingestion + composite-pipeline queries (SURVEY §2.7). */
@@ -976,6 +976,62 @@ object IngestQueries {
           strLeg("l_returnflag"), tsLeg("l_shipdate"))
           .mkString("\nUNION ALL\n")
       }
+    ),
+
+    // REFERENTIAL-INTEGRITY audit — the FK-orphan counts a warehouse
+    // checks after every load (and the first thing that breaks when an
+    // upstream partial-delivers): per declared relationship, total
+    // child rows and how many reference a missing parent. Each leg is
+    // one LEFT equi-join + count; dimension parents (part, supplier,
+    // customer, documents) broadcast, and the one fact-fact leg
+    // (lineitem->orders) shuffles on the join key only. Parents are
+    // primary keys by schema, so the left join cannot fan out. Output
+    // is O(#relationships) rows regardless of data volume.
+    "etl_fk_orphans" -> Query(
+      (s, d) => {
+        def audit(rel: String, child: DataFrame, key: String,
+                  parent: DataFrame, pk: String): DataFrame =
+          child.select(col(key).as("k"))
+            .join(parent.select(col(pk).as("k")).withColumn("hit", lit(1L)),
+              Seq("k"), "left")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+            .select(lit(rel).as("rel"), col("n_rows"), col("n_orphans"))
+        val li = Tables.lineitem(s, d)
+        audit("lineitem.l_orderkey->orders.o_orderkey",
+            li, "l_orderkey", Tables.orders(s, d), "o_orderkey")
+          .unionByName(audit("lineitem.l_partkey->part.p_partkey",
+            li, "l_partkey", broadcast(Tables.part(s, d)), "p_partkey"))
+          .unionByName(audit("lineitem.l_suppkey->supplier.s_suppkey",
+            li, "l_suppkey", broadcast(Tables.supplier(s, d)), "s_suppkey"))
+          .unionByName(audit("orders.o_custkey->customer.c_custkey",
+            Tables.orders(s, d), "o_custkey",
+            broadcast(Tables.customer(s, d)), "c_custkey"))
+          .unionByName(audit("embeddings.vec_id->documents.doc_id",
+            Tables.embeddings(s, d), "vec_id",
+            broadcast(Tables.documents(s, d)), "doc_id"))
+      },
+      Some("""SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS rel,
+             |  COUNT(*) AS n_rows,
+             |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_orphans
+             |FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |UNION ALL
+             |SELECT 'lineitem.l_partkey->part.p_partkey', COUNT(*),
+             |  CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+             |UNION ALL
+             |SELECT 'lineitem.l_suppkey->supplier.s_suppkey', COUNT(*),
+             |  CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |UNION ALL
+             |SELECT 'orders.o_custkey->customer.c_custkey', COUNT(*),
+             |  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+             |UNION ALL
+             |SELECT 'embeddings.vec_id->documents.doc_id', COUNT(*),
+             |  CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id""".stripMargin)
     )
   )
 }

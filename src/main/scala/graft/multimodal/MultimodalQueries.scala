@@ -945,6 +945,49 @@ object MultimodalQueries {
              |         * sqrt(CAST(n*srr - sr*sr AS DOUBLE))), 4)
              |    ELSE 0.0 END AS corr_gr
              |FROM m""".stripMargin)
+    ),
+
+    // IMAGE BYTE-ENTROPY gate — the cheap blank/flat-image detector a
+    // media-curation pipeline runs before any decode: Shannon entropy
+    // of the 8-bit value histogram over the 384-byte head payload
+    // (same payload window as the aHash family). Low entropy = the
+    // "image" is a near-constant field (blank scans, solid fills) and
+    // gets flagged. Same exact-DECIMAL c*ln(c) fold as text_entropy:
+    // counts are integers, the entropy identity ln(n) - sum(c ln c)/n
+    // is one terminal double, and the flag compares the ROUNDED value.
+    // Row-local explode + two partial aggs; zero joins, zero state.
+    "mm_image_entropy" -> Query(
+      (s, d) => {
+        val hx = Tables.documents(s, d)
+          .filter(length(col("text").cast("binary")) >= 384)
+          .select(col("doc_id"),
+            lower(hex(substring(col("text").cast("binary"), 1, 384))).as("hx"))
+        val bytes = hx
+          .select(col("doc_id"), col("hx"), explode(sequence(lit(0), lit(383))).as("i"))
+          .select(col("doc_id"),
+            conv(expr("substring(hx, i*2 + 1, 2)"), 16, 10).cast("long").as("v"))
+        bytes.groupBy(col("doc_id"), col("v")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_distinct"),
+            sum((col("c").cast("double") * log(col("c").cast("double")))
+              .cast("decimal(18,12)")).as("clnc"))
+          .select(col("doc_id"), col("n_distinct"),
+            round(log(lit(384.0)) - col("clnc").cast("double") / 384, 4).as("entropy"))
+          .withColumn("flat", (col("entropy") < 3.0).cast("long"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx
+             |      FROM documents WHERE octet_length(encode(text)) >= 384),
+             |b AS (SELECT doc_id, CAST('0x' || substr(hx, i*2 + 1, 2) AS BIGINT) AS v
+             |      FROM (SELECT doc_id, hx, unnest(generate_series(0, 383)) AS i FROM d)),
+             |tc AS (SELECT doc_id, v, COUNT(*) AS c FROM b GROUP BY 1, 2),
+             |g AS (SELECT doc_id, COUNT(*) AS n_distinct,
+             |        ROUND(ln(384.0) -
+             |          CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+             |            AS DECIMAL(18,12))) AS DOUBLE) / 384, 4) AS entropy
+             |      FROM tc GROUP BY doc_id)
+             |SELECT doc_id, n_distinct, entropy,
+             |  CAST(entropy < 3.0 AS BIGINT) AS flat
+             |FROM g""".stripMargin)
     )
   )
 }

@@ -308,6 +308,95 @@ object SimilarityQueries {
        |  FROM seeds s JOIN embeddings e ON e.vec_id = s.sid
        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) mm)""".stripMargin
 
+  /** 4dp cosine between two embedding columns given their SQL aliases —
+    * the free-alias form of `cosSql` for oracles that score arbitrary
+    * embedding pairs (MMR's diversity term).
+    */
+  private def cosSqlAB(ea: String, eb: String): String =
+    s"""ROUND(
+       |  list_sum(list_transform(generate_series(1, 64),
+       |    i -> CAST($ea[i] AS DOUBLE) * CAST($eb[i] AS DOUBLE))) /
+       |  (sqrt(list_sum(list_transform(generate_series(1, 64),
+       |    i -> CAST($ea[i] AS DOUBLE) * CAST($ea[i] AS DOUBLE)))) *
+       |   sqrt(list_sum(list_transform(generate_series(1, 64),
+       |    i -> CAST($eb[i] AS DOUBLE) * CAST($eb[i] AS DOUBLE)))))
+       |, 4)""".stripMargin
+
+  /** MMR geometry: greedy k=5 from a 20-candidate shortlist, lambda 0.5. */
+  private val mmrK = 5
+  private val mmrShortlist = 20
+
+  /** Oracle twin of the greedy MMR loop: step 1 is the plain argmax;
+    * each later step r is a (p_r, s_r) CTE pair — candidates outside
+    * the selected set score 0.5*cos - 0.5*max(sim to selected), the
+    * window argmax picks one. The loop is unrolled to k fixed steps
+    * (greedy selection is inherently sequential in its step count; the
+    * per-step work is set-parallel in both engines).
+    */
+  private lazy val mmrOracleSql: String = {
+    val head =
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT q.qid, e.vec_id, $cosSql AS cos
+         |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+         |short AS (SELECT qid, vec_id, cos FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |    FROM c) WHERE rn <= $mmrShortlist),
+         |sims AS (SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+         |    ${cosSqlAB("ea.embedding", "eb.embedding")} AS sim
+         |  FROM short a JOIN short b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |s1 AS (SELECT qid, vec_id, CAST(1 AS BIGINT) AS step, cos AS mmr FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |    FROM short) WHERE rn = 1)""".stripMargin
+    val steps = (2 to mmrK).map { r =>
+      val selUnion = (1 until r).map(i => s"SELECT qid, vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""p$r AS (SELECT c.qid, c.vec_id, c.cos, MAX(s.sim) AS msim
+         |    FROM short c JOIN sims s ON s.qid = c.qid AND s.va = c.vec_id
+         |    JOIN ($selUnion) sel ON sel.qid = s.qid AND sel.vec_id = s.vb
+         |    WHERE NOT EXISTS (SELECT 1 FROM ($selUnion) x
+         |                      WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+         |    GROUP BY 1, 2, 3),
+         |s$r AS (SELECT qid, vec_id, CAST($r AS BIGINT) AS step, mmr FROM (
+         |    SELECT qid, vec_id, ROUND(0.5*cos - 0.5*msim, 4) AS mmr,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY ROUND(0.5*cos - 0.5*msim, 4) DESC, vec_id) AS rn
+         |    FROM p$r) WHERE rn = 1)""".stripMargin
+    }
+    val tail = (1 to mmrK).map(i => s"SELECT qid, vec_id, step, mmr FROM s$i")
+      .mkString("\nUNION ALL\n")
+    (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
+  }
+
+  /** Residual-quantizer codebooks, both fixed-size model artifacts
+    * (16 + 16 rows collected driver-side, like pqCents): level 1 is 16
+    * seed rows of the quantized corpus; level 2 is the ZERO vector
+    * (code 0 — guarantees stage 2 never increases error) plus the
+    * residuals of 15 OTHER seed rows w.r.t. their own level-1
+    * assignment. Everything is integer milli-units, so every distance
+    * and both codebooks are engine-exact.
+    */
+  private val rqSeeds1: Seq[Long] = (0 until 16).map(j => (j * 31).toLong)
+  private val rqSeeds2: Seq[Long] = (0 until 15).map(j => (j * 29 + 7).toLong)
+
+  private def rqCodebooks(s: SparkSession, d: String)
+      : (Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])]) = {
+    val want = (rqSeeds1 ++ rqSeeds2).distinct
+    val rows = quantizedVecs(s, d).filter(col("vec_id").isin(want: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val cb1 = rqSeeds1.zipWithIndex.map { case (sid, j) => j.toLong -> rows(sid) }
+    def l2(a: Seq[Long], b: Seq[Long]): Double =
+      a.lazyZip(b).map { case (x, y) => ((x - y) * (x - y)).toDouble }.sum
+    val cb2 = (0L -> Seq.fill(64)(0L)) +: rqSeeds2.zipWithIndex.map { case (sid, j) =>
+      val v = rows(sid)
+      val near = cb1.minBy { case (cid, cv) => (l2(v, cv), cid) }
+      (j + 1).toLong -> v.lazyZip(near._2).map { case (a, b) => a - b }.toSeq
+    }
+    (cb1.map { case (c, v) => c -> v.map(_.toDouble) },
+      cb2.map { case (c, v) => c -> v.map(_.toDouble) })
+  }
+
   val entries: Seq[(String, Query)] = Seq(
 
     // Product quantization (the PQ of IVF-PQ): each 64-dim vector
@@ -1515,6 +1604,218 @@ object SimilarityQueries {
              |  ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
              |    AS mean_cos
              |FROM c GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // MMR (maximal marginal relevance) diversified top-k — what a RAG
+    // retriever runs when the plain top-5 is five near-duplicates:
+    // greedily pick k=5 from a 20-candidate shortlist, each step
+    // maximizing 0.5*relevance - 0.5*max-similarity-to-already-picked.
+    // Greedy selection is sequential in k BY DEFINITION, so the loop
+    // unrolls to k fixed plan stages; every stage is set-parallel and
+    // everything downstream of the shortlist rank touches only
+    // |queries| * 20 rows (and the 20x20 pair table) — the corpus is
+    // scanned once, by the shortlist pass. Scores compare at 4dp with
+    // vec_id tie-breaks, so the greedy path is engine-deterministic.
+    "ann_mmr_diversify" -> Query(
+      (s, d) => {
+        val scored = corpus(s, d).crossJoin(broadcast(queriesDf(s, d)))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("embedding"), col("nrm"),
+            pairCos(col("qv"), col("qnrm")).as("cos"))
+        val short = graft.Caches.scoped(scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rn") <= mmrShortlist)
+          .select(col("qid"), col("vec_id"), col("embedding"), col("nrm"), col("cos")))
+        val sims = graft.Caches.scoped(short
+          .select(col("qid"), col("vec_id").as("va"),
+            col("embedding").as("ea"), col("nrm").as("na"))
+          .join(short.select(col("qid"), col("vec_id").as("vb"),
+            col("embedding").as("eb"), col("nrm").as("nb")), Seq("qid"))
+          .filter(col("va") =!= col("vb"))
+          .select(col("qid"), col("va"), col("vb"),
+            round(VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+              .as("sim")))
+        val cand0 = short.select(col("qid"), col("vec_id"), col("cos"))
+        var sel = cand0
+          .withColumn("rn1", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rn1") === 1)
+          .select(col("qid"), col("vec_id"), lit(1L).as("step"), col("cos").as("mmr"))
+        for (r <- 2 to mmrK) {
+          val cand = cand0.join(sel.select(col("qid"), col("vec_id")),
+            Seq("qid", "vec_id"), "left_anti")
+          val msim = sims
+            .join(sel.select(col("qid"), col("vec_id").as("vb")), Seq("qid", "vb"))
+            .groupBy(col("qid"), col("va")).agg(max(col("sim")).as("msim"))
+            .withColumnRenamed("va", "vec_id")
+          val pick = cand.join(msim, Seq("qid", "vec_id"))
+            .withColumn("mmr", round(lit(0.5) * col("cos") - lit(0.5) * col("msim"), 4))
+            .withColumn("prn", row_number().over(
+              Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("vec_id"))))
+            .filter(col("prn") === 1)
+            .select(col("qid"), col("vec_id"), lit(r.toLong).as("step"), col("mmr"))
+          sel = sel.unionByName(pick)
+        }
+        sel
+      },
+      Some(mmrOracleSql)
+    ),
+
+    // IVF RECALL-vs-NPROBE curve — the tuning table every IVF
+    // deployment publishes: recall@5 against the brute-force truth at
+    // probe widths 1/2/4/8 over the trained quantizer. Each corpus
+    // vector's candidacy rank is the MIN probe rank that reaches its
+    // cell, computed ONCE; the four widths then re-rank the same
+    // candidate set via one (width, qid)-partitioned window (widths
+    // ride an exploded literal — no extra scans). Hits are exact
+    // integers; recall ships as basis points.
+    "ann_nprobe_recall_curve" -> Query(
+      (s, d) => {
+        val cents = trainedCentroids(s, d)
+        val e = corpus(s, d).withColumn("qv", quantCol)
+        val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
+          centroidRanks(cents, 1).getItem(0).as("cid"))
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv2"),
+            col("nrm").as("qnrm"),
+            posexplode(centroidRanks(cents, 8)).as(Seq("pr0", "cid")))
+          .select(col("qid"), col("qv2"), col("qnrm"),
+            (col("pr0") + 1).cast("long").as("prank"), col("cid"))
+        val cand = assigned.join(broadcast(probes), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(min(col("prank")).as("pr"),
+            max(pairCos(col("qv2"), col("qnrm"))).as("cos"))
+        val truth = topK(corpus(s, d).crossJoin(broadcast(queriesDf(s, d)))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos")), 5)
+          .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+        cand
+          .select(col("qid"), col("vec_id"), col("pr"), col("cos"),
+            explode(array(lit(1L), lit(2L), lit(4L), lit(8L))).as("np"))
+          .filter(col("pr") <= col("np"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("np"), col("qid"))
+              .orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rnk") <= 5)
+          .join(truth, Seq("qid", "vec_id"), "left")
+          .groupBy(col("np").as("nprobe"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+          .withColumn("recall_bp", expr("hits * 10000 div 50"))
+      },
+      Some(s"""WITH $kmeansCteSql,
+             |asg AS (SELECT vec_id, cid FROM (
+             |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+             |          FROM d1) WHERE rn = 1),
+             |pr AS (SELECT vec_id AS qid, cid, CAST(rn AS BIGINT) AS prank FROM (
+             |         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+             |         FROM d1 WHERE vec_id < 10) WHERE rn <= 8),
+             |cand AS (SELECT pr.qid, a.vec_id, MIN(pr.prank) AS p, MAX($cosSql) AS cos
+             |      FROM asg a JOIN pr ON a.cid = pr.cid AND a.vec_id <> pr.qid
+             |      JOIN embeddings e ON e.vec_id = a.vec_id
+             |      JOIN (SELECT vec_id AS qid2, embedding AS qv FROM embeddings) q
+             |        ON q.qid2 = pr.qid
+             |      GROUP BY 1, 2),
+             |np AS (SELECT unnest([1, 2, 4, 8]) AS np),
+             |rk AS (SELECT np.np, c.qid, c.vec_id,
+             |        ROW_NUMBER() OVER (PARTITION BY np.np, c.qid
+             |                           ORDER BY c.cos DESC, c.vec_id) AS rnk
+             |      FROM cand c JOIN np ON c.p <= np.np),
+             |tr AS (SELECT qid, vec_id FROM (
+             |        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+             |            ORDER BY cos DESC, vec_id) AS rn
+             |        FROM (SELECT q.vec_id AS qid, e.vec_id,
+             |                ${cosSqlAB("q.embedding", "e.embedding")} AS cos
+             |              FROM embeddings q CROSS JOIN embeddings e
+             |              WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id))
+             |      WHERE rn <= 5)
+             |SELECT CAST(rk.np AS BIGINT) AS nprobe,
+             |  CAST(SUM(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+             |  CAST(SUM(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // 50
+             |    AS BIGINT) AS recall_bp
+             |FROM rk LEFT JOIN tr ON tr.qid = rk.qid AND tr.vec_id = rk.vec_id
+             |WHERE rk.rnk <= 5
+             |GROUP BY 1""".stripMargin)
+    ),
+
+    // TWO-LEVEL RESIDUAL QUANTIZATION (RQ) — the additive-codebook
+    // compression family (RQ/LSQ) next to PQ's subspace family: stage 1
+    // snaps the vector to its nearest of 16 full-dim codewords, stage 2
+    // quantizes the RESIDUAL against a second 16-codeword book whose
+    // code 0 is the zero vector (so stage 2 can only reduce error).
+    // Both codebooks are fixed-size driver-side model artifacts; the
+    // whole encode is literal-codebook arithmetic in the scan — no
+    // join, no shuffle. Integer milli-units end to end: assignments,
+    // residuals, and both error terms are EXACT, down to the bp gain.
+    "vec_residual_quantize" -> Query(
+      (s, d) => {
+        val (cb1, cb2) = rqCodebooks(s, d)
+        val cb1Arr = cb1.map(_._2.map(_.toLong))
+        val cb2Arr = cb2.map(_._2.map(_.toLong))
+        val sq = quantizedVecs(s, d)
+          .withColumn("c1", centroidRanks(cb1, 1).getItem(0))
+          .withColumn("rv", zip_with(col("qv"),
+            element_at(typedlit(cb1Arr), col("c1").cast("int") + 1),
+            (a, b) => a - b))
+          .withColumn("c2",
+            graft.plans.PqExpressions.centroidRanks(col("rv"), cb2, 1).getItem(0))
+          .withColumn("rv2", zip_with(col("rv"),
+            element_at(typedlit(cb2Arr), col("c2").cast("int") + 1),
+            (a, b) => a - b))
+          .withColumn("err1", aggregate(col("rv"), lit(0L), (acc, x) => acc + x * x))
+          .withColumn("err2", aggregate(col("rv2"), lit(0L), (acc, x) => acc + x * x))
+        sq.select(col("vec_id"), col("c1"), col("c2"), col("err1"), col("err2"),
+          expr("(err1 - err2) * 10000 div greatest(err1, 1)").as("gain_bp"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+             |        x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+             |      FROM embeddings),
+             |s1(j, sid) AS (VALUES
+             |${rqSeeds1.zipWithIndex.map { case (sid, j) => s"  ($j, $sid)" }.mkString(",\n")}),
+             |cb1 AS (SELECT s1.j AS cid, q.qv AS cv FROM s1 JOIN q ON q.vec_id = s1.sid),
+             |d1 AS (SELECT q.vec_id, q.qv, c.cid,
+             |         list_sum(list_transform(generate_series(1,64),
+             |           i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS dist
+             |       FROM q CROSS JOIN cb1 c),
+             |a1 AS (SELECT vec_id, qv, cid AS c1 FROM (
+             |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+             |         FROM d1) WHERE rn = 1),
+             |r1 AS (SELECT a1.vec_id, a1.c1,
+             |         list_transform(generate_series(1,64), i -> a1.qv[i] - c.cv[i]) AS rv
+             |       FROM a1 JOIN cb1 c ON c.cid = a1.c1),
+             |s2(j, sid) AS (VALUES
+             |${rqSeeds2.zipWithIndex.map { case (sid, j) => s"  (${j + 1}, $sid)" }.mkString(",\n")}),
+             |sd AS (SELECT s2.j, q.qv FROM s2 JOIN q ON q.vec_id = s2.sid),
+             |sdd AS (SELECT sd.j, sd.qv, c.cid,
+             |          list_sum(list_transform(generate_series(1,64),
+             |            i -> (sd.qv[i] - c.cv[i]) * (sd.qv[i] - c.cv[i]))) AS dist
+             |        FROM sd CROSS JOIN cb1 c),
+             |sda AS (SELECT j, qv, cid FROM (
+             |          SELECT *, ROW_NUMBER() OVER (PARTITION BY j ORDER BY dist, cid) rn
+             |          FROM sdd) WHERE rn = 1),
+             |cb2 AS (SELECT CAST(0 AS BIGINT) AS cid,
+             |          list_transform(generate_series(1,64), i -> CAST(0 AS BIGINT)) AS cv
+             |        UNION ALL
+             |        SELECT CAST(sda.j AS BIGINT),
+             |          list_transform(generate_series(1,64), i -> sda.qv[i] - c.cv[i])
+             |        FROM sda JOIN cb1 c ON c.cid = sda.cid),
+             |d2 AS (SELECT r1.vec_id, r1.c1, r1.rv, c.cid,
+             |         list_sum(list_transform(generate_series(1,64),
+             |           i -> (r1.rv[i] - c.cv[i]) * (r1.rv[i] - c.cv[i]))) AS dist
+             |       FROM r1 CROSS JOIN cb2 c),
+             |a2 AS (SELECT vec_id, c1, rv, cid AS c2, dist AS err2 FROM (
+             |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+             |         FROM d2) WHERE rn = 1)
+             |SELECT vec_id, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+             |  CAST(list_sum(list_transform(generate_series(1,64),
+             |    i -> rv[i] * rv[i])) AS BIGINT) AS err1,
+             |  CAST(err2 AS BIGINT) AS err2,
+             |  CAST((CAST(list_sum(list_transform(generate_series(1,64),
+             |      i -> rv[i] * rv[i])) AS BIGINT) - err2) * 10000
+             |    // GREATEST(CAST(list_sum(list_transform(generate_series(1,64),
+             |      i -> rv[i] * rv[i])) AS BIGINT), 1) AS BIGINT) AS gain_bp
+             |FROM a2""".stripMargin)
     )
   )
 }

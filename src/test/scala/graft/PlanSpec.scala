@@ -647,6 +647,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("Join"), p.take(1500))
   }
 
+  test("mmr stages only ever touch shortlist-keyed equi-joins past the scan") {
+    // The corpus appears once (the shortlist scoring pass, a broadcast
+    // NL against the 10 probes); every greedy stage after it joins on
+    // qid/vec_id — an unkeyed pair join here would be quadratic in the
+    // corpus instead of the 20-row shortlist.
+    val p = plan("ann_mmr_diversify")
+    assert(!p.contains("CartesianProduct"))
+    // The scoring pass's broadcast NL prints once per reuse of the
+    // cached shortlist; the property that matters is that every reuse
+    // IS the cache (InMemoryTableScan), not a recomputed corpus scan.
+    assert(p.contains("InMemoryTableScan"),
+      "greedy stages must reuse the cached shortlist, not rescan the corpus")
+  }
+
+  test("nprobe curve candidates come from the cell equi-join, widths from a literal explode") {
+    val p = plan("ann_nprobe_recall_curve")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "probe cells must broadcast")
+  }
+
+  test("residual quantize encodes in the scan: no join, no shuffle") {
+    val p = plan("vec_residual_quantize")
+    assert(!p.contains("Join") && !p.contains("Exchange"), p.take(1500))
+  }
+
+  test("image entropy is explode + two partial aggs, no joins") {
+    assert(!plan("mm_image_entropy").contains("Join"))
+  }
+
+  test("fk orphan audit broadcasts every dimension parent") {
+    val p = plan("etl_fk_orphans")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "part/supplier/customer/documents parents must broadcast")
+  }
+
   test("xyz classes broadcast the part dim, gap percentiles never buffer values") {
     val px = plan("part_xyz_class")
     assert(px.contains("BroadcastHashJoin") && !px.contains("SortMergeJoin"))

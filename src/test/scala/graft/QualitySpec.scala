@@ -404,6 +404,73 @@ class QualitySpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("MMR picks are less self-similar than the plain top-5") {
+    // The whole point of MMR: the diversified set's mean pairwise
+    // cosine must not exceed the undiversified top-5's. Equality is
+    // allowed (a query whose top-5 is already diverse changes nothing).
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.lazyZip(b).map(_ * _).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def meanPairSim(sets: Map[Long, Seq[Long]]): Double = {
+      val sims = for {
+        (_, ids) <- sets.toSeq
+        Seq(a, b) <- ids.combinations(2)
+      } yield cos(emb(a), emb(b))
+      sims.sum / sims.size
+    }
+    val mmr = SparkEntry.queries("ann_mmr_diversify")(spark, sf)
+      .select(col("qid").cast("long"), col("vec_id").cast("long")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+    val top5 = SparkEntry.queries("ann_bruteforce_topk")(spark, sf)
+      .select(col("qid").cast("long"), col("vec_id").cast("long")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+    assert(mmr.values.forall(_.size == 5))
+    val (dMmr, dTop) = (meanPairSim(mmr), meanPairSim(top5))
+    assert(dMmr <= dTop + 1e-9, s"mmr=$dMmr top5=$dTop")
+  }
+
+  test("IVF recall curve is monotone in nprobe and bounded by 10000 bp") {
+    val rows = SparkEntry.queries("ann_nprobe_recall_curve")(spark, sf)
+      .select(col("nprobe").cast("long"), col("recall_bp").cast("long"))
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(rows.length === 4)
+    assert(rows.zip(rows.tail).forall { case (a, b) => a <= b },
+      s"recall must not drop as nprobe widens: ${rows.mkString(",")}")
+    assert(rows.forall(r => r >= 0 && r <= 10000))
+    assert(rows.last >= 2000, s"nprobe=8 recall ${rows.last} bp — wiring broken?")
+  }
+
+  test("residual quantization never increases error (zero codeword floor)") {
+    val bad = SparkEntry.queries("vec_residual_quantize")(spark, sf)
+      .filter(col("err2") > col("err1")).count()
+    assert(bad === 0L, "code 0 is the zero vector, so err2 <= err1 always")
+  }
+
+  test("image byte entropy stays within [0, ln 256] and flags agree") {
+    val rows = SparkEntry.queries("mm_image_entropy")(spark, sf)
+      .select(col("entropy"), col("flat").cast("long")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(0) >= 0.0 && r.getDouble(0) <= math.log(256.0) + 1e-9))
+    assert(rows.forall(r => (r.getDouble(0) < 3.0) == (r.getLong(1) == 1L)))
+  }
+
+  test("fk orphan audit finds zero orphans on the generator's star schema") {
+    // The synthetic generator emits referentially-consistent tables;
+    // a nonzero count here means the audit joins are wired wrong (or
+    // the generator broke — either way, surface it).
+    val rows = SparkEntry.queries("etl_fk_orphans")(spark, sf)
+      .select(col("rel"), col("n_rows").cast("long"), col("n_orphans").cast("long"))
+      .collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getLong(1) > 0))
+    assert(rows.forall(_.getLong(2) == 0L),
+      rows.map(r => s"${r.getString(0)}=${r.getLong(2)}").mkString(","))
+  }
+
   test("hubness histogram mass equals the kNN edge count plus isolated vectors") {
     val edges = SparkEntry.queries("vec_knn_graph")(spark, sf).count()
     val hist = SparkEntry.queries("vec_knn_hubness")(spark, sf)
