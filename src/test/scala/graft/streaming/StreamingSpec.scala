@@ -435,6 +435,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("PatternDetectStream.foldUser arms on A, matches first B in window, consumes") {
+    import PatternDetectStream._
+    val evs = Seq(
+      Ev("u", 100, "view"),          // arms at 100
+      Ev("u", 150, "view"),          // re-arms at 150 (freshest A wins)
+      Ev("u", 400, "purchase"),      // within 300 of 150 -> match, consume
+      Ev("u", 500, "purchase"),      // disarmed -> no match
+      Ev("u", 900, "view"),          // re-arms
+      Ev("u", 1500, "purchase"))     // 600 > 300 window -> no match
+    val (out, st) = foldUser("u", evs, None, "view", "purchase", withinUs = 300L)
+    assert(out === Seq(Match("u", 150, 400, 250)))
+    assert(st.armed_a_us === 900L, "the late-B view stays armed for a future B")
+  }
+
+  test("PatternDetectStream's armed A survives a micro-batch boundary") {
+    import PatternDetectStream._
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = PatternDetectStream(in.toDS(), "view", "purchase", withinUs = 1000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("pattern_stream").start()
+    try {
+      // batch 1: A only -> nothing emitted, arm carried in state
+      in.addData(Ev("k", 100, "view"), Ev("k", 200, "other"))
+      q.processAllAvailable()
+      assert(spark.table("pattern_stream").count() === 0L)
+      // batch 2: B matches ONLY via the carried arm; the second B
+      // finds the pattern consumed
+      in.addData(Ev("k", 800, "purchase"), Ev("k", 900, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("pattern_stream").as[Match].collect().toSeq
+      assert(rows === Seq(Match("k", 100, 800, 700)))
+    } finally q.stop()
+  }
+
   test("RateLimitStream.foldKey admits up to the limit per event-time window") {
     import RateLimitStream._
     // window = 100us, limit 2: seqs 10,20,30 in window 0 -> third drops;
