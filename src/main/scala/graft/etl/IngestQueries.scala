@@ -1032,6 +1032,33 @@ object IngestQueries {
              |SELECT 'embeddings.vec_id->documents.doc_id', COUNT(*),
              |  CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              |FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id""".stripMargin)
+    ),
+
+    // EVAL/ANNOTATION batch sampler — a FIXED quota per stratum (2 docs
+    // per source x lang cell), drawn deterministically by salted-md5
+    // order so reruns pick the identical batch and no stratum is
+    // starved (the complement of etl_stratified_sample's rate-based
+    // draw, which keeps proportions but not minimums). One window over
+    // the stratum key; output is O(strata) rows at any corpus size.
+    "etl_eval_sample" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, d)
+          .withColumn("h",
+            Hashing.md5Long60(concat(lit("eval_"), col("doc_id").cast("string"))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("source"), col("lang"))
+              .orderBy(col("h"), col("doc_id"))).cast("long"))
+          .filter(col("rn") <= 2)
+          .select(col("doc_id"), col("source"), col("lang"), col("rn"))
+      },
+      Some("""SELECT doc_id, source, lang, CAST(rn AS BIGINT) AS rn FROM (
+             |  SELECT doc_id, source, lang,
+             |    ROW_NUMBER() OVER (PARTITION BY source, lang
+             |      ORDER BY CAST('0x' || substr(md5('eval_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+             |        doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 2""".stripMargin)
     )
   )
 }

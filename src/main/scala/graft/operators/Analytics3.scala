@@ -416,6 +416,108 @@ object Analytics3 {
              |GROUP BY 1, 2""".stripMargin)
     ),
 
+    // FUNNEL STEP-LAG percentiles — the latency companion to
+    // events_funnel's conversion counts: per step pair, how long users
+    // take from their FIRST upstream event to their first later
+    // downstream event (p50/p90). Per-user firsts are one pivot agg;
+    // the pair lags explode from a literal 3-element array on the
+    // single user-keyed join; quantiles ride GroupedPercentile.exact
+    // over hour buckets (bounded memory at any user count).
+    "events_funnel_lag_percentiles" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+          expr("(ts div 1000)").as("us"))
+        val firsts = ev.groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "view", col("us"))).as("fa_view"),
+          min(when(col("event_type") === "click", col("us"))).as("fa_click"),
+          min(when(col("event_type") === "signup", col("us"))).as("fa_signup"))
+        val ul = graft.Caches.scoped(ev.join(firsts, Seq("user_id"))
+          .select(col("user_id"),
+            explode(array(
+              struct(lit("view->click").as("pair"),
+                when(col("event_type") === "click" && col("us") > col("fa_view"),
+                  col("us") - col("fa_view")).as("lag")),
+              struct(lit("click->signup").as("pair"),
+                when(col("event_type") === "signup" && col("us") > col("fa_click"),
+                  col("us") - col("fa_click")).as("lag")),
+              struct(lit("signup->purchase").as("pair"),
+                when(col("event_type") === "purchase" && col("us") > col("fa_signup"),
+                  col("us") - col("fa_signup")).as("lag")))).as("pl"))
+          .select(col("user_id"), col("pl.pair").as("pair"), col("pl.lag").as("lag"))
+          .filter(col("lag").isNotNull)
+          .groupBy(col("pair"), col("user_id")).agg(min(col("lag")).as("lag"))
+          .select(col("pair"), col("lag")))
+        val pcts = GroupedPercentile.exact(ul, "pair", "lag",
+            Seq(("p50", 0.50), ("p90", 0.90)),
+            expr("lag div 3600000000"), _.cast("double"))
+          .withColumn("res", round(col("res"), 4))
+          .groupBy(col("pair"))
+          .agg(max(when(col("pname") === "p50", col("res"))).as("p50_us"),
+            max(when(col("pname") === "p90", col("res"))).as("p90_us"))
+        val counts = ul.groupBy(col("pair")).agg(count(lit(1)).as("n_users"))
+        pcts.join(counts, Seq("pair"))
+          .select(col("pair"), col("n_users"), col("p50_us"), col("p90_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+             |f AS (SELECT user_id,
+             |        MIN(CASE WHEN event_type='view' THEN us END) AS fa_view,
+             |        MIN(CASE WHEN event_type='click' THEN us END) AS fa_click,
+             |        MIN(CASE WHEN event_type='signup' THEN us END) AS fa_signup
+             |      FROM e GROUP BY 1),
+             |l AS (
+             |  SELECT 'view->click' AS pair, e.user_id, MIN(e.us - f.fa_view) AS lag
+             |  FROM e JOIN f USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.us > f.fa_view GROUP BY 1, 2
+             |  UNION ALL
+             |  SELECT 'click->signup', e.user_id, MIN(e.us - f.fa_click)
+             |  FROM e JOIN f USING (user_id)
+             |  WHERE e.event_type = 'signup' AND e.us > f.fa_click GROUP BY 1, 2
+             |  UNION ALL
+             |  SELECT 'signup->purchase', e.user_id, MIN(e.us - f.fa_signup)
+             |  FROM e JOIN f USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.us > f.fa_signup GROUP BY 1, 2)
+             |SELECT pair, COUNT(*) AS n_users,
+             |  ROUND(quantile_cont(lag, 0.50), 4) AS p50_us,
+             |  ROUND(quantile_cont(lag, 0.90), 4) AS p90_us
+             |FROM l GROUP BY 1""".stripMargin)
+    ),
+
+    // POISSON RATE comparison across equal-exposure halves of the
+    // error stream — the incident-rate regression check SRE runs after
+    // a rollout: split the error events at the midpoint of their time
+    // span (two exactly equal exposures by construction), then the
+    // conditional test of equal rates reduces to the binomial normal
+    // approximation z = (k1 - k2)/sqrt(k1 + k2). Counts are exact
+    // integers from one partial agg + a broadcast scalar midpoint; z
+    // is the single terminal double.
+    "agg_poisson_rate_test" -> Query(
+      (s, d) => {
+        val er = Tables.events(s, d).filter(col("event_type") === "error")
+          .select(expr("(ts div 1000)").as("us"))
+        val mm = er.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        val g = er.crossJoin(broadcast(mm))
+          .select((col("us") * 2 <= col("lo") + col("hi")).cast("long").as("h1"))
+          .agg(sum(col("h1")).as("k1"),
+            (count(lit(1)) - sum(col("h1"))).as("k2"))
+        g.select(col("k1"), col("k2"),
+            round((col("k1") - col("k2")).cast("double") /
+              sqrt((col("k1") + col("k2")).cast("double")), 4).as("z"))
+          .withColumn("significant", (abs(col("z")) > 1.96).cast("long"))
+      },
+      Some("""WITH er AS (SELECT epoch_us(ts) AS us FROM events
+             |            WHERE event_type = 'error'),
+             |mm AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM er),
+             |g AS (SELECT
+             |    CAST(SUM(CASE WHEN us * 2 <= lo + hi THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+             |    CAST(SUM(CASE WHEN us * 2 <= lo + hi THEN 0 ELSE 1 END) AS BIGINT) AS k2
+             |  FROM er CROSS JOIN mm)
+             |SELECT k1, k2,
+             |  ROUND(CAST(k1 - k2 AS DOUBLE) / sqrt(CAST(k1 + k2 AS DOUBLE)), 4) AS z,
+             |  CAST(abs(ROUND(CAST(k1 - k2 AS DOUBLE)
+             |    / sqrt(CAST(k1 + k2 AS DOUBLE)), 4)) > 1.96 AS BIGINT) AS significant
+             |FROM g""".stripMargin)
+    ),
+
     // INTER-ARRIVAL gap percentiles per event type (p50/p90/p99) — the
     // latency-style tail view `events_inter_arrival`'s mean/cv summary
     // can't show. Gaps are exact integer microseconds from one lag over

@@ -421,6 +421,50 @@ object CorpusQueries {
              |  CAST(oov * 10000 // n_test AS BIGINT) AS oov_bp,
              |  ROUND(CAST(nll AS DOUBLE) / CAST(n_test AS DOUBLE), 4) AS heldout_ce
              |FROM g""".stripMargin)
+    ),
+
+    // PER-SOURCE length GINI — does one crawl source owe its token
+    // count to a handful of giant documents? The inequality audit a
+    // mixture plan reads next to the source caps. Unlike the global
+    // agg_gini (range-sort machinery), this per-GROUP Gini folds to a
+    // VALUE-LEVEL histogram first — (source, n_chars) counts — and
+    // computes the rank-weighted sum with the tied-rank closed form
+    // sum x*c*(2*cumlo + c + 1), so the per-source window runs over
+    // distinct lengths (bounded) instead of documents: no hot-source
+    // single partition at any corpus size. DECIMAL(38) rank products
+    // (a hot source's c*cumlo is ~n^2); one terminal double ratio.
+    "text_length_gini" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables.documents(s, d)
+          .groupBy(col("source"), col("n_chars").as("x"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("source")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val t = v.withColumn("cumlo", coalesce(sum(col("c")).over(w), lit(0L)))
+        t.groupBy(col("source")).agg(
+            sum(col("c")).as("n"),
+            sum(col("c").cast("decimal(38,0)") * col("x")).as("sx"),
+            sum(col("x").cast("decimal(38,0)") * col("c") *
+              (lit(2) * col("cumlo") + col("c") + 1)).as("six2"))
+          .select(col("source"), col("n").as("n_docs"),
+            round(col("six2").cast("double") /
+                (col("n").cast("double") * col("sx").cast("double")) -
+              (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+      },
+      Some("""WITH v AS (SELECT source, n_chars AS x, COUNT(*) AS c
+             |           FROM documents GROUP BY 1, 2),
+             |t AS (SELECT *, COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY x
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumlo
+             |      FROM v),
+             |g AS (SELECT source, SUM(c) AS n,
+             |        SUM(CAST(c AS HUGEINT) * x) AS sx,
+             |        SUM(CAST(x AS HUGEINT) * c * (2*cumlo + c + 1)) AS six2
+             |      FROM t GROUP BY 1)
+             |SELECT source, CAST(n AS BIGINT) AS n_docs,
+             |  ROUND(CAST(six2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             |    - (n + 1.0) / n, 6) AS gini
+             |FROM g""".stripMargin)
     )
   )
 }

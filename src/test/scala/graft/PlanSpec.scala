@@ -682,6 +682,21 @@ class PlanSpec extends AnyFunSuite {
       "part/supplier/customer/documents parents must broadcast")
   }
 
+  test("funnel lag percentiles never buffer values; length gini windows the value fold") {
+    assert(!plan("events_funnel_lag_percentiles").contains("percentile"),
+      "quantiles must come from the histogram-bisect two-pass")
+    windowFedByAggregate("text_length_gini")
+  }
+
+  test("eval sampler gets WindowGroupLimit pushdown on the stratum window") {
+    assert(plan("etl_eval_sample").contains("WindowGroupLimit"))
+  }
+
+  test("poisson rate test broadcasts the scalar midpoint") {
+    val p = plan("agg_poisson_rate_test")
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("xyz classes broadcast the part dim, gap percentiles never buffer values") {
     val px = plan("part_xyz_class")
     assert(px.contains("BroadcastHashJoin") && !px.contains("SortMergeJoin"))
