@@ -988,6 +988,140 @@ object MultimodalQueries {
              |SELECT doc_id, n_distinct, entropy,
              |  CAST(entropy < 3.0 AS BIGINT) AS flat
              |FROM g""".stripMargin)
+    ),
+
+    // PCM frame SNR proxy — the clipping gate's dynamic-range partner:
+    // per-frame energies (16 signed LE samples each), then the
+    // p90/p10 energy ratio in dB. A near-flat ratio means dead air or
+    // constant tone; a huge one means bursty speech-like content. The
+    // nearest-rank percentiles come from ONE in-row sort of the
+    // frame-energy list — bounded by the PAYLOAD length, never the
+    // corpus, so the collect is per-row constant-ish at any scale.
+    // Energies are exact integers; the dB value is 10*ln(r)/ln(10) on
+    // an exact integer ratio, written identically both engines.
+    "mm_audio_snr" -> Query(
+      (s, d) => {
+        val bin = col("text").cast("binary")
+        val d0 = Tables.documents(s, d).filter(length(bin) >= 32)
+          .select(col("doc_id"), lower(hex(bin)).as("hx"),
+            (length(bin) / 2).cast("long").as("n_samp"))
+        val samp = d0
+          .select(col("doc_id"), col("hx"), col("n_samp"),
+            explode(sequence(lit(0L), expr("(n_samp div 16) * 16 - 1"))).as("i"))
+          .select(col("doc_id"), expr("i div 16").as("f"),
+            conv(expr("substring(hx, i*4 + 3, 2) || substring(hx, i*4 + 1, 2)"),
+              16, 10).cast("long").as("v"))
+          .select(col("doc_id"), col("f"),
+            when(col("v") >= 32768, col("v") - 65536).otherwise(col("v")).as("samp"))
+        val fe = samp.groupBy(col("doc_id"), col("f"))
+          .agg(sum(col("samp") * col("samp")).as("energy"))
+        fe.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sort_array(collect_list(col("energy"))).as("es"))
+          .select(col("doc_id"), col("n_frames"),
+            element_at(col("es"),
+              (expr("((n_frames - 1) * 10) div 100") + 1).cast("int")).as("e10"),
+            element_at(col("es"),
+              (expr("((n_frames - 1) * 90) div 100") + 1).cast("int")).as("e90"))
+          .withColumn("snr_db",
+            round(lit(10.0) * log(col("e90").cast("double") /
+              greatest(col("e10"), lit(1L)).cast("double")) / log(lit(10.0)), 4))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |         octet_length(encode(text)) // 2 AS n_samp
+             |  FROM documents WHERE octet_length(encode(text)) >= 32),
+             |u AS (SELECT doc_id, hx,
+             |        unnest(generate_series(0, (n_samp // 16) * 16 - 1)) AS i
+             |      FROM d),
+             |sg AS (SELECT doc_id, i // 16 AS f,
+             |         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS samp
+             |       FROM (SELECT doc_id, i,
+             |               CAST('0x' || substr(hx, i*4 + 3, 2)
+             |                    || substr(hx, i*4 + 1, 2) AS INT) AS v
+             |             FROM u)),
+             |fe AS (SELECT doc_id, f, SUM(samp*samp) AS energy
+             |       FROM sg GROUP BY 1, 2),
+             |g AS (SELECT doc_id, COUNT(*) AS n_frames,
+             |        list(energy ORDER BY energy) AS es
+             |      FROM fe GROUP BY 1)
+             |SELECT doc_id, n_frames,
+             |  CAST(es[CAST(((n_frames - 1) * 10) // 100 + 1 AS INT)] AS BIGINT) AS e10,
+             |  CAST(es[CAST(((n_frames - 1) * 90) // 100 + 1 AS INT)] AS BIGINT) AS e90,
+             |  ROUND(10.0 * ln(CAST(es[CAST(((n_frames - 1) * 90) // 100 + 1 AS INT)] AS DOUBLE)
+             |      / CAST(GREATEST(es[CAST(((n_frames - 1) * 10) // 100 + 1 AS INT)], 1) AS DOUBLE))
+             |    / ln(10.0), 4) AS snr_db
+             |FROM g""".stripMargin)
+    ),
+
+    // PALETTE QUANTIZATION — snap every pixel to the nearest of 8
+    // literal palette colors (the 1-bit RGB corners) and report each
+    // image's dominant palette entry and its coverage: the cheap
+    // color-profile fingerprint media dashboards facet on (and a
+    // poor-man's posterize). Distances are exact integer L2 over the
+    // 8-entry literal palette (argmin with index tie-break), coverage
+    // is an exact bp ratio — row-local pixels + two partial aggs,
+    // zero joins.
+    "mm_image_quantize_palette" -> Query(
+      (s, d) => {
+        val bin = col("text").cast("binary")
+        val d0 = Tables.documents(s, d).filter(length(bin) >= 48)
+          .select(col("doc_id"), lower(hex(bin)).as("hx"),
+            expr("length(cast(text as binary)) div 48").as("h"))
+        val px = d0
+          .select(col("doc_id"), col("hx"),
+            explode(sequence(lit(0L), expr("h * 16 - 1"))).as("i"))
+          .select(col("doc_id"),
+            conv(expr("substring(hx, i*6 + 1, 2)"), 16, 10).cast("long").as("b"),
+            conv(expr("substring(hx, i*6 + 3, 2)"), 16, 10).cast("long").as("g"),
+            conv(expr("substring(hx, i*6 + 5, 2)"), 16, 10).cast("long").as("r"))
+        // palette k: bit 0 = blue, bit 1 = green, bit 2 = red (0 or 255)
+        val dist = (k: Int) => {
+          val (pb, pg, pr) =
+            ((k & 1) * 255L, ((k >> 1) & 1) * 255L, ((k >> 2) & 1) * 255L)
+          struct(
+            ((col("b") - pb) * (col("b") - pb) + (col("g") - pg) * (col("g") - pg) +
+              (col("r") - pr) * (col("r") - pr)).as("d"),
+            lit(k.toLong).as("k"))
+        }
+        val assigned = px.select(col("doc_id"),
+          array_min(array((0 until 8).map(dist): _*)).getField("k").as("pk"))
+        val counts = assigned.groupBy(col("doc_id"), col("pk"))
+          .agg(count(lit(1)).as("c"))
+        counts.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_px"),
+            max(struct(col("c"), (-col("pk")).as("nk"))).as("top"))
+          .select(col("doc_id"), col("n_px"),
+            (-col("top.nk")).as("dominant_pk"),
+            expr("top.c * 10000 div n_px").as("coverage_bp"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |                  octet_length(encode(text)) // 48 AS h
+             |           FROM documents WHERE octet_length(encode(text)) >= 48),
+             |px AS (SELECT doc_id, i,
+             |         CAST('0x' || substr(hx, i*6 + 1, 2) AS BIGINT) AS b,
+             |         CAST('0x' || substr(hx, i*6 + 3, 2) AS BIGINT) AS g,
+             |         CAST('0x' || substr(hx, i*6 + 5, 2) AS BIGINT) AS r
+             |       FROM (SELECT doc_id, hx, unnest(generate_series(0, h*16 - 1)) AS i FROM d)),
+             |pal AS (SELECT unnest(generate_series(0, 7)) AS k),
+             |dd AS (SELECT doc_id, i, k,
+             |         (b - (k & 1) * 255) * (b - (k & 1) * 255)
+             |       + (g - ((k >> 1) & 1) * 255) * (g - ((k >> 1) & 1) * 255)
+             |       + (r - ((k >> 2) & 1) * 255) * (r - ((k >> 2) & 1) * 255) AS dist
+             |       FROM px CROSS JOIN pal),
+             |asg AS (SELECT doc_id, CAST(k AS BIGINT) AS pk FROM (
+             |          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, i
+             |                                       ORDER BY dist, k) AS rn
+             |          FROM dd) WHERE rn = 1),
+             |cc AS (SELECT doc_id, pk, COUNT(*) AS c FROM asg GROUP BY 1, 2),
+             |top AS (SELECT doc_id, pk AS dominant_pk, c FROM (
+             |          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |                                       ORDER BY c DESC, pk) AS rn
+             |          FROM cc) WHERE rn = 1),
+             |t AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_px FROM cc GROUP BY 1)
+             |SELECT t.doc_id, t.n_px, top.dominant_pk,
+             |  CAST(top.c * 10000 // t.n_px AS BIGINT) AS coverage_bp
+             |FROM t JOIN top USING (doc_id)""".stripMargin)
     )
   )
 }

@@ -518,6 +518,75 @@ object Analytics3 {
              |FROM g""".stripMargin)
     ),
 
+    // EVENT-TIME DISORDER profile — the empirical input to every
+    // watermark decision: within each (event type, day) shard, replay
+    // events in ARRIVAL order and measure how far each event's
+    // timestamp lags the running event-time maximum seen so far. The
+    // out-of-order share plus the p50/p99 lateness of late events IS
+    // the allowed-lateness setting a streaming job should use. The
+    // generator's ingest sequence is perfectly time-ordered (verified:
+    // zero inversions), so arrival = event time + a DETERMINISTIC
+    // md5-salted ingest jitter of 0-120s — the documented network-delay
+    // model both engines replay bit-identically (same salted-hash
+    // family as the samplers). The running-max window partitions on
+    // (type, event-time day) — calendar-bounded shards, no hot single
+    // partition — and the quantiles ride GroupedPercentile.exact over
+    // minute buckets. All lateness values are exact integer micros.
+    "events_disorder_profile" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"), col("day"))
+          .orderBy(col("arr"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ev = graft.Caches.scoped(Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), expr("(ts div 1000)").as("us"))
+          .withColumn("arr", col("us") +
+            graft.functions.Hashing.md5Long60(
+              concat(lit("jit_"), col("event_id").cast("string"))) % 120000000L)
+          .withColumn("day", expr("us div 86400000000"))
+          .withColumn("late",
+            when(max(col("us")).over(w) > col("us"),
+              max(col("us")).over(w) - col("us"))))
+        val stats = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("late").isNotNull, 1L).otherwise(0L)).as("n_late"))
+          .withColumn("late_bp", expr("n_late * 10000 div n_events"))
+        val pcts = GroupedPercentile.exact(
+            ev.filter(col("late").isNotNull).select(col("event_type"), col("late")),
+            "event_type", "late", Seq(("p50", 0.50), ("p99", 0.99)),
+            expr("late div 60000000"), _.cast("double"))
+          .withColumn("res", round(col("res"), 4))
+          .groupBy(col("event_type"))
+          .agg(max(when(col("pname") === "p50", col("res"))).as("p50_late_us"),
+            max(when(col("pname") === "p99", col("res"))).as("p99_late_us"))
+        stats.join(pcts, Seq("event_type"), "left")
+          .select(col("event_type"), col("n_events"), col("n_late"),
+            col("late_bp"), col("p50_late_us"), col("p99_late_us"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+             |             epoch_us(ts)
+             |               + CAST('0x' || substr(md5('jit_' || CAST(event_id AS VARCHAR)), 1, 15)
+             |                      AS BIGINT) % 120000000 AS arr,
+             |             epoch_us(ts) // 86400000000 AS day
+             |           FROM events),
+             |l AS (SELECT event_type, us,
+             |        CASE WHEN MAX(us) OVER w > us THEN MAX(us) OVER w - us END AS late
+             |      FROM e
+             |      WINDOW w AS (PARTITION BY event_type, day ORDER BY arr, event_id
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |st AS (SELECT event_type, COUNT(*) AS n_events,
+             |         CAST(SUM(CASE WHEN late IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS n_late
+             |       FROM l GROUP BY 1),
+             |p AS (SELECT event_type,
+             |        ROUND(quantile_cont(late, 0.50), 4) AS p50_late_us,
+             |        ROUND(quantile_cont(late, 0.99), 4) AS p99_late_us
+             |      FROM l WHERE late IS NOT NULL GROUP BY 1)
+             |SELECT st.event_type, st.n_events, st.n_late,
+             |  CAST(st.n_late * 10000 // st.n_events AS BIGINT) AS late_bp,
+             |  p.p50_late_us, p.p99_late_us
+             |FROM st LEFT JOIN p USING (event_type)""".stripMargin)
+    ),
+
     // INTER-ARRIVAL gap percentiles per event type (p50/p90/p99) — the
     // latency-style tail view `events_inter_arrival`'s mean/cv summary
     // can't show. Gaps are exact integer microseconds from one lag over

@@ -697,6 +697,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("disorder profile never buffers values; media gates are join-free") {
+    assert(!plan("events_disorder_profile").contains("percentile"),
+      "lateness quantiles must come from the histogram-bisect two-pass")
+    assert(!plan("mm_audio_snr").contains("Join"))
+    assert(!plan("mm_image_quantize_palette").contains("Join"))
+  }
+
   test("xyz classes broadcast the part dim, gap percentiles never buffer values") {
     val px = plan("part_xyz_class")
     assert(px.contains("BroadcastHashJoin") && !px.contains("SortMergeJoin"))

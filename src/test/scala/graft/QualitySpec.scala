@@ -471,6 +471,26 @@ class QualitySpec extends AnyFunSuite {
       rows.map(r => s"${r.getString(0)}=${r.getLong(2)}").mkString(","))
   }
 
+  test("palette coverage is at least uniform share; SNR ordering holds; lateness sane") {
+    val pal = SparkEntry.queries("mm_image_quantize_palette")(spark, sf)
+      .select(col("dominant_pk").cast("long"), col("coverage_bp").cast("long")).collect()
+    assert(pal.nonEmpty)
+    assert(pal.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 7))
+    // the dominant entry of an 8-way partition covers >= ceil(1/8)
+    assert(pal.forall(_.getLong(1) >= 1250))
+    val snr = SparkEntry.queries("mm_audio_snr")(spark, sf)
+      .select(col("e10").cast("long"), col("e90").cast("long"), col("snr_db")).collect()
+    assert(snr.nonEmpty)
+    assert(snr.forall(r => r.getLong(1) >= r.getLong(0)))
+    assert(snr.forall(_.getDouble(2) >= 0.0))
+    val dis = SparkEntry.queries("events_disorder_profile")(spark, sf)
+      .select(col("late_bp").cast("long"), col("p50_late_us"), col("p99_late_us")).collect()
+    assert(dis.nonEmpty)
+    assert(dis.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 10000))
+    assert(dis.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .forall(r => r.getDouble(2) >= r.getDouble(1)))
+  }
+
   test("hubness histogram mass equals the kNN edge count plus isolated vectors") {
     val edges = SparkEntry.queries("vec_knn_graph")(spark, sf).count()
     val hist = SparkEntry.queries("vec_knn_hubness")(spark, sf)
