@@ -587,6 +587,82 @@ object Analytics3 {
              |FROM st LEFT JOIN p USING (event_type)""".stripMargin)
     ),
 
+    // HASH-DETERMINISTIC POISSON BOOTSTRAP CI for the mean order value —
+    // the way a warehouse actually bootstraps 100 TB (Poisson/online
+    // bootstrap: no resample materialization, each row carries a
+    // per-resample multiplicity): B=16 resamples ride ONE exploded
+    // literal; each row's weight in resample b is Binomial(4, 1/4)
+    // (mean 1 — the documented Poisson(1) stand-in) from salted md5
+    // draws, so both engines replay the identical resampling. Each
+    // resample mean is an exact-integer weighted sum; the nearest-rank
+    // p5/p95 of the 16 means (indexes 1 and 15) bound the CI. One
+    // map-side-combinable 16-group shuffle — the 16x row fan-out is
+    // the entire cost, at any scale.
+    "agg_bootstrap_ci" -> Query(
+      (s, d) => {
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        val stats = base.agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+        val w = base
+          .select(col("o_orderkey"), col("cents"),
+            explode(sequence(lit(0), lit(15))).as("b"))
+          .withColumn("w", (0 until 4).map { j =>
+            (graft.functions.Hashing.md5Long60(concat(lit(s"bs${j}_"),
+              col("b").cast("string"), lit("_"), col("o_orderkey").cast("string")))
+              % 4 === 0).cast("long")
+          }.reduce(_ + _))
+        val m = w.groupBy(col("b"))
+          .agg((sum(col("w") * col("cents")).cast("double") / 100.0 / sum(col("w")))
+            .as("mb"))
+        val g = m.agg(sort_array(collect_list(col("mb"))).as("ms"))
+        stats.crossJoin(g).select(col("n"),
+          round(col("sc").cast("double") / 100.0 / col("n"), 4).as("mean"),
+          round(element_at(col("ms"), 1), 4).as("ci_lo"),
+          round(element_at(col("ms"), 15), 4).as("ci_hi"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM orders),
+             |bb AS (SELECT unnest(generate_series(0, 15)) AS b),
+             |w AS (SELECT b, cents,
+             |    CAST(CAST('0x' || substr(md5('bs0_' || CAST(b AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0 AS INT)
+             |  + CAST(CAST('0x' || substr(md5('bs1_' || CAST(b AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0 AS INT)
+             |  + CAST(CAST('0x' || substr(md5('bs2_' || CAST(b AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0 AS INT)
+             |  + CAST(CAST('0x' || substr(md5('bs3_' || CAST(b AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0 AS INT)
+             |    AS w
+             |  FROM base CROSS JOIN bb),
+             |m AS (SELECT b, CAST(SUM(w * cents) AS DOUBLE) / 100.0
+             |               / CAST(SUM(w) AS BIGINT) AS mb
+             |      FROM w GROUP BY 1),
+             |g AS (SELECT list(mb ORDER BY mb) AS ms FROM m),
+             |s AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS DOUBLE) / 100.0 / COUNT(*) AS mean
+             |      FROM base)
+             |SELECT s.n, ROUND(s.mean, 4) AS mean,
+             |  ROUND(g.ms[1], 4) AS ci_lo, ROUND(g.ms[15], 4) AS ci_hi
+             |FROM s CROSS JOIN g""".stripMargin)
+    ),
+
+    // CUME_DIST completeness — the one rank-family member the other
+    // window ops don't cover: the fraction of peers at or below each
+    // value band, ties sharing the last-peer rank. The ratio is an
+    // exact int/int division (identical bits both engines), rounded
+    // only against ulp paranoia. Status-partitioned window, no global
+    // sort.
+    "window_cume_dist" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("band"))
+        Tables.orders(s, d)
+          .withColumn("band", floor(col("o_totalprice") / 10000).cast("long"))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("band"),
+            round(cume_dist().over(w), 6).as("cd"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, band,
+             |  ROUND(CUME_DIST() OVER (PARTITION BY o_orderstatus ORDER BY band), 6) AS cd
+             |FROM (SELECT *, CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS band
+             |      FROM orders)""".stripMargin)
+    ),
+
     // INTER-ARRIVAL gap percentiles per event type (p50/p90/p99) — the
     // latency-style tail view `events_inter_arrival`'s mean/cv summary
     // can't show. Gaps are exact integer microseconds from one lag over

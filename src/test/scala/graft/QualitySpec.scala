@@ -491,6 +491,16 @@ class QualitySpec extends AnyFunSuite {
       .forall(r => r.getDouble(2) >= r.getDouble(1)))
   }
 
+  test("bootstrap CI brackets the point estimate with ordered bounds") {
+    val r = SparkEntry.queries("agg_bootstrap_ci")(spark, sf).collect().head
+    val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo <= hi)
+    assert(lo <= mean && mean <= hi,
+      s"deterministic resampling puts the mean inside the CI here: $lo $mean $hi")
+    // resample noise should be small relative to the mean (n is large)
+    assert((hi - lo) / mean < 0.05)
+  }
+
   test("hubness histogram mass equals the kNN edge count plus isolated vectors") {
     val edges = SparkEntry.queries("vec_knn_graph")(spark, sf).count()
     val hist = SparkEntry.queries("vec_knn_hubness")(spark, sf)
