@@ -663,6 +663,136 @@ object Analytics3 {
              |      FROM orders)""".stripMargin)
     ),
 
+    // POSITION-BASED (U-shaped) multi-touch attribution — the 40/20/40
+    // credit model next to events_attribution's last-touch: every click
+    // in the 7-day lookback of a purchase gets basis-point credit by
+    // PATH POSITION (first 4000, last 4000, middles split 2000 by
+    // integer division; solo touch 10000, pair 5000/5000). Channels
+    // derive deterministically from the props payload (k mod 4). The
+    // click-purchase join is user-keyed with the lookback bounding the
+    // fanout; the position windows partition per purchase (lookback-
+    // bounded frames). All credits are exact integers.
+    "events_attribution_position" -> Query(
+      (s, d) => {
+        val lookbackUs = 7L * 86400 * 1000000
+        val ev = Tables.events(s, d)
+        val cl = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            expr("ts div 1000").as("cus"),
+            concat(lit("ch"),
+              (get_json_object(col("props"), "$.k").cast("long") % 4)
+                .cast("string")).as("ch"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            expr("ts div 1000").as("pus"))
+        val j = cl.join(pu, Seq("user_id"))
+          .filter(col("cus") < col("pus") &&
+            col("pus") - col("cus") <= lookbackUs)
+        val wc = Window.partitionBy(col("purchase_id"))
+        val wr = Window.partitionBy(col("purchase_id"))
+          .orderBy(col("cus"), col("click_id"))
+        val t = j.withColumn("k", count(lit(1)).over(wc))
+          .withColumn("rn", row_number().over(wr).cast("long"))
+          .withColumn("credit_bp",
+            when(col("k") === 1, 10000L)
+              .when(col("k") === 2, 5000L)
+              .when(col("rn") === 1 || col("rn") === col("k"), 4000L)
+              .otherwise(expr("2000 div (k - 2)")))
+        t.groupBy(col("ch"))
+          .agg(count(lit(1)).as("n_touches"),
+            sum(col("credit_bp")).as("credit_total_bp"),
+            countDistinct(col("purchase_id")).as("n_conversions"))
+      },
+      Some("""WITH cl AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus,
+             |        'ch' || CAST(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 4
+             |                     AS VARCHAR) AS ch
+             |      FROM events WHERE event_type = 'click'),
+             |pu AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+             |       FROM events WHERE event_type = 'purchase'),
+             |j AS (SELECT cl.*, pu.purchase_id
+             |      FROM cl JOIN pu ON pu.user_id = cl.user_id
+             |      WHERE cl.cus < pu.pus AND pu.pus - cl.cus <= 604800000000),
+             |t AS (SELECT ch, purchase_id,
+             |        COUNT(*) OVER (PARTITION BY purchase_id) AS k,
+             |        ROW_NUMBER() OVER (PARTITION BY purchase_id
+             |                           ORDER BY cus, click_id) AS rn
+             |      FROM j),
+             |c AS (SELECT ch, purchase_id,
+             |        CASE WHEN k = 1 THEN 10000
+             |             WHEN k = 2 THEN 5000
+             |             WHEN rn = 1 OR rn = k THEN 4000
+             |             ELSE 2000 // (k - 2) END AS credit_bp
+             |      FROM t)
+             |SELECT ch, COUNT(*) AS n_touches,
+             |  CAST(SUM(credit_bp) AS BIGINT) AS credit_total_bp,
+             |  COUNT(DISTINCT purchase_id) AS n_conversions
+             |FROM c GROUP BY 1""".stripMargin)
+    ),
+
+    // WILCOXON SIGNED-RANK — the PAIRED companion to agg_mannwhitney:
+    // does each part's demand differ between even and odd calendar
+    // months (a seasonality screen robust to outlier parts)? The
+    // paired difference per part folds to |d|-value level first, so
+    // the rank window is value-distinct-sized; tie-averaged ranks ride
+    // the same 2x-integer trick (W+ exact), zero differences drop per
+    // the standard procedure, and the tie-corrected normal z is the
+    // terminal double. cnt^3 through DECIMAL(38)/HUGEINT.
+    "agg_wilcoxon_signed" -> Query(
+      (s, d) => {
+        val monthly = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(sum(when(month(col("l_shipdate")) % 2 === 0,
+              floor(col("l_quantity") + 0.5).cast("long")).otherwise(0L)).as("qe"),
+            sum(when(month(col("l_shipdate")) % 2 === 1,
+              floor(col("l_quantity") + 0.5).cast("long")).otherwise(0L)).as("qo"))
+          .select((col("qe") - col("qo")).as("dd"))
+          .filter(col("dd") =!= 0)
+        val v = monthly.groupBy(abs(col("dd")).as("ad"))
+          .agg(count(lit(1)).as("cnt"),
+            sum((col("dd") > 0).cast("long")).as("cpos"))
+        val wo = Window.orderBy(col("ad"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = v.withColumn("cumlo",
+          coalesce(sum(col("cnt")).over(wo), lit(0L)))
+        val g = ranked.agg(
+          sum(col("cnt")).as("n"),
+          sum(col("cpos") * (lit(2) * col("cumlo") + col("cnt") + 1)).as("wp2"),
+          sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
+            - col("cnt")).cast("double").as("ties"))
+        // E[2W+] = n(n+1)/2; Var[W+] = n(n+1)(2n+1)/24 - ties/48
+        g.select(col("n"), col("wp2"),
+            round((col("wp2") - col("n") * (col("n") + 1) / 2).cast("double") /
+              (lit(2.0) * sqrt(
+                col("n").cast("double") * (col("n") + 1) * (col("n") * 2 + 1) / 24.0 -
+                  col("ties") / 48.0)), 4).as("z"))
+          .withColumn("significant", (abs(col("z")) > 1.96).cast("long"))
+      },
+      Some("""WITH m AS (SELECT l_partkey,
+             |    SUM(CASE WHEN month(l_shipdate) % 2 = 0
+             |             THEN CAST(floor(l_quantity + 0.5) AS BIGINT) ELSE 0 END)
+             |  - SUM(CASE WHEN month(l_shipdate) % 2 = 1
+             |             THEN CAST(floor(l_quantity + 0.5) AS BIGINT) ELSE 0 END) AS dd
+             |  FROM lineitem GROUP BY 1),
+             |nz AS (SELECT dd FROM m WHERE dd <> 0),
+             |v AS (SELECT abs(dd) AS ad, COUNT(*) AS cnt,
+             |        CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+             |      FROM nz GROUP BY 1),
+             |r AS (SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY ad
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumlo
+             |      FROM v),
+             |g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             |        CAST(SUM(cpos * (2*cumlo + cnt + 1)) AS BIGINT) AS wp2,
+             |        CAST(SUM(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS DOUBLE) AS ties
+             |      FROM r)
+             |SELECT n, wp2,
+             |  ROUND(CAST(wp2 - n*(n+1)/2 AS DOUBLE)
+             |    / (2.0 * sqrt(CAST(n AS DOUBLE)*(n+1)*(2*n+1)/24.0 - ties/48.0)), 4) AS z,
+             |  CAST(abs(ROUND(CAST(wp2 - n*(n+1)/2 AS DOUBLE)
+             |    / (2.0 * sqrt(CAST(n AS DOUBLE)*(n+1)*(2*n+1)/24.0 - ties/48.0)), 4))
+             |    > 1.96 AS BIGINT) AS significant
+             |FROM g""".stripMargin)
+    ),
+
     // INTER-ARRIVAL gap percentiles per event type (p50/p90/p99) — the
     // latency-style tail view `events_inter_arrival`'s mean/cv summary
     // can't show. Gaps are exact integer microseconds from one lag over
