@@ -606,10 +606,12 @@ object Analytics3 {
         val w = base
           .select(col("o_orderkey"), col("cents"),
             explode(sequence(lit(0), lit(15))).as("b"))
+          .withColumn("h", graft.functions.Hashing.md5Long60(concat(lit("bs_"),
+            col("b").cast("string"), lit("_"), col("o_orderkey").cast("string"))))
+          // 4 Bernoulli(1/4) draws from disjoint bit pairs of ONE hash
+          // (4 md5s/row measured 4x the whole query's cost)
           .withColumn("w", (0 until 4).map { j =>
-            (graft.functions.Hashing.md5Long60(concat(lit(s"bs${j}_"),
-              col("b").cast("string"), lit("_"), col("o_orderkey").cast("string")))
-              % 4 === 0).cast("long")
+            (shiftright(col("h"), 2 * j).bitwiseAND(3) === 0).cast("long")
           }.reduce(_ + _))
         val m = w.groupBy(col("b"))
           .agg((sum(col("w") * col("cents")).cast("double") / 100.0 / sum(col("w")))
@@ -624,13 +626,13 @@ object Analytics3 {
              |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
              |  FROM orders),
              |bb AS (SELECT unnest(generate_series(0, 15)) AS b),
-             |w AS (SELECT b, cents,
-             |    CAST(CAST('0x' || substr(md5('bs0_' || CAST(b AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0 AS INT)
-             |  + CAST(CAST('0x' || substr(md5('bs1_' || CAST(b AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0 AS INT)
-             |  + CAST(CAST('0x' || substr(md5('bs2_' || CAST(b AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0 AS INT)
-             |  + CAST(CAST('0x' || substr(md5('bs3_' || CAST(b AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0 AS INT)
-             |    AS w
+             |hh AS (SELECT b, cents,
+             |    CAST('0x' || substr(md5('bs_' || CAST(b AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
              |  FROM base CROSS JOIN bb),
+             |w AS (SELECT b, cents,
+             |    CAST((h // 1) % 4 = 0 AS INT) + CAST((h // 4) % 4 = 0 AS INT)
+             |  + CAST((h // 16) % 4 = 0 AS INT) + CAST((h // 64) % 4 = 0 AS INT) AS w
+             |  FROM hh),
              |m AS (SELECT b, CAST(SUM(w * cents) AS DOUBLE) / 100.0
              |               / CAST(SUM(w) AS BIGINT) AS mb
              |      FROM w GROUP BY 1),
@@ -791,6 +793,140 @@ object Analytics3 {
              |    / (2.0 * sqrt(CAST(n AS DOUBLE)*(n+1)*(2*n+1)/24.0 - ties/48.0)), 4))
              |    > 1.96 AS BIGINT) AS significant
              |FROM g""".stripMargin)
+    ),
+
+    // SPEARMAN rank correlation of quantity vs discount — the
+    // robust-correlation companion to agg_corr (Pearson): tie-averaged
+    // midranks for BOTH variables come from the marginals of one
+    // (qk, dk) cell fold (~550 cells), so the whole computation after
+    // the first partial agg runs over a constant-size contingency
+    // table at any fact size. Midranks ride the 2x-integer trick
+    // (rank doubling cancels in the correlation), every weighted
+    // power sum is an exact DECIMAL(38)/HUGEINT, and the Pearson
+    // formula over midranks is the one terminal double.
+    "agg_spearman_corr" -> Query(
+      (s, d) => {
+        val cells = Tables.lineitem(s, d)
+          .groupBy(floor(col("l_quantity") + 0.5).cast("long").as("qk"),
+            floor(col("l_discount") * 100 + 0.5).cast("long").as("dk"))
+          .agg(count(lit(1)).as("w"))
+        def midranks(key: String, rname: String) = {
+          val wo = Window.orderBy(col(key))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          cells.groupBy(col(key)).agg(sum(col("w")).as("c"))
+            .withColumn("cumlo", coalesce(sum(col("c")).over(wo), lit(0L)))
+            .select(col(key), (lit(2) * col("cumlo") + col("c") + 1).as(rname))
+        }
+        val t = cells
+          .join(broadcast(midranks("qk", "rq")), Seq("qk"))
+          .join(broadcast(midranks("dk", "rd")), Seq("dk"))
+        val g = t.agg(
+          sum(col("w")).as("n"),
+          sum(col("w").cast("decimal(38,0)") * col("rq")).as("sa"),
+          sum(col("w").cast("decimal(38,0)") * col("rd")).as("sb"),
+          sum(col("w").cast("decimal(38,0)") * col("rq") * col("rd")).as("sab"),
+          sum(col("w").cast("decimal(38,0)") * col("rq") * col("rq")).as("saa"),
+          sum(col("w").cast("decimal(38,0)") * col("rd") * col("rd")).as("sbb"))
+        g.select(col("n"),
+            round((col("n").cast("double") * col("sab").cast("double") -
+                col("sa").cast("double") * col("sb").cast("double")) /
+              sqrt((col("n").cast("double") * col("saa").cast("double") -
+                  col("sa").cast("double") * col("sa").cast("double")) *
+                (col("n").cast("double") * col("sbb").cast("double") -
+                  col("sb").cast("double") * col("sb").cast("double"))), 6)
+              .as("spearman"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS qk,
+             |    CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS dk,
+             |    COUNT(*) AS w
+             |  FROM lineitem GROUP BY 1, 2),
+             |mq AS (SELECT qk, 2*COALESCE(SUM(c) OVER (ORDER BY qk
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS rq
+             |       FROM (SELECT qk, SUM(w) AS c FROM cells GROUP BY 1)),
+             |md AS (SELECT dk, 2*COALESCE(SUM(c) OVER (ORDER BY dk
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS rd
+             |       FROM (SELECT dk, SUM(w) AS c FROM cells GROUP BY 1)),
+             |t AS (SELECT cells.w, mq.rq, md.rd
+             |      FROM cells JOIN mq USING (qk) JOIN md USING (dk)),
+             |g AS (SELECT SUM(w) AS n,
+             |        SUM(CAST(w AS HUGEINT) * rq) AS sa,
+             |        SUM(CAST(w AS HUGEINT) * rd) AS sb,
+             |        SUM(CAST(w AS HUGEINT) * rq * rd) AS sab,
+             |        SUM(CAST(w AS HUGEINT) * rq * rq) AS saa,
+             |        SUM(CAST(w AS HUGEINT) * rd * rd) AS sbb
+             |      FROM t)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+             |         - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+             |            - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+             |         * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+             |            - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS spearman
+             |FROM g""".stripMargin)
+    ),
+
+    // KENDALL tau-b of quantity vs discount — the pair-concordance
+    // view of the same association: concordant/discordant mass comes
+    // from the CELL-PAIR join of the ~550-cell contingency table
+    // (strictly-greater in both coordinates), so the O(cells^2) work
+    // is CONSTANT in the fact size — the reason engines compute tau
+    // from contingency cells and never from row pairs. Tie terms use
+    // the standard n0/n1/n2 closed forms; everything is exact
+    // DECIMAL(38)/HUGEINT until the terminal tau-b double.
+    "agg_kendall_tau" -> Query(
+      (s, d) => {
+        val cells = graft.Caches.scoped(Tables.lineitem(s, d)
+          .groupBy(floor(col("l_quantity") + 0.5).cast("long").as("qk"),
+            floor(col("l_discount") * 100 + 0.5).cast("long").as("dk"))
+          .agg(count(lit(1)).as("w")))
+        val b = cells.select(col("qk").as("qb"), col("dk").as("db"),
+          col("w").as("wb"))
+        val conc = cells.join(b, col("qb") > col("qk") && col("db") > col("dk"))
+          .agg(coalesce(sum(col("w").cast("decimal(38,0)") * col("wb")),
+            lit(0).cast("decimal(38,0)")).as("cc"))
+        val disc = cells.join(b, col("qb") > col("qk") && col("db") < col("dk"))
+          .agg(coalesce(sum(col("w").cast("decimal(38,0)") * col("wb")),
+            lit(0).cast("decimal(38,0)")).as("dd"))
+        val ties = cells.agg(sum(col("w")).as("n"))
+        val tq = cells.groupBy(col("qk")).agg(sum(col("w")).as("c"))
+          .agg(sum(col("c").cast("decimal(38,0)") * (col("c") - 1)).as("t1x2"))
+        val td = cells.groupBy(col("dk")).agg(sum(col("w")).as("c"))
+          .agg(sum(col("c").cast("decimal(38,0)") * (col("c") - 1)).as("t2x2"))
+        val g = ties.crossJoin(broadcast(conc)).crossJoin(broadcast(disc))
+          .crossJoin(broadcast(tq)).crossJoin(broadcast(td))
+        // n0, n1, n2 doubled (x2) so every term stays integral
+        g.select(col("n"), col("cc").cast("double").as("concordant"),
+            col("dd").cast("double").as("discordant"),
+            (col("n").cast("decimal(38,0)") * (col("n") - 1)).as("n0x2"),
+            col("t1x2"), col("t2x2"))
+          .select(col("n"),
+            round((col("concordant") - col("discordant")) /
+              sqrt((col("n0x2").cast("double") - col("t1x2").cast("double")) / 2.0 *
+                ((col("n0x2").cast("double") - col("t2x2").cast("double")) / 2.0)), 6)
+              .as("tau_b"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS qk,
+             |    CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS dk,
+             |    COUNT(*) AS w
+             |  FROM lineitem GROUP BY 1, 2),
+             |conc AS (SELECT COALESCE(SUM(CAST(a.w AS HUGEINT) * b.w), 0) AS cc
+             |         FROM cells a JOIN cells b ON b.qk > a.qk AND b.dk > a.dk),
+             |disc AS (SELECT COALESCE(SUM(CAST(a.w AS HUGEINT) * b.w), 0) AS dd
+             |         FROM cells a JOIN cells b ON b.qk > a.qk AND b.dk < a.dk),
+             |nn AS (SELECT SUM(w) AS n FROM cells),
+             |t1 AS (SELECT SUM(CAST(c AS HUGEINT) * (c - 1)) AS t1x2
+             |       FROM (SELECT qk, SUM(w) AS c FROM cells GROUP BY 1)),
+             |t2 AS (SELECT SUM(CAST(c AS HUGEINT) * (c - 1)) AS t2x2
+             |       FROM (SELECT dk, SUM(w) AS c FROM cells GROUP BY 1))
+             |SELECT CAST(nn.n AS BIGINT) AS n,
+             |  ROUND((CAST(conc.cc AS DOUBLE) - CAST(disc.dd AS DOUBLE))
+             |    / sqrt((CAST(CAST(nn.n AS HUGEINT) * (nn.n - 1) AS DOUBLE)
+             |            - CAST(t1.t1x2 AS DOUBLE)) / 2.0
+             |         * ((CAST(CAST(nn.n AS HUGEINT) * (nn.n - 1) AS DOUBLE)
+             |            - CAST(t2.t2x2 AS DOUBLE)) / 2.0)), 6) AS tau_b
+             |FROM nn CROSS JOIN conc CROSS JOIN disc CROSS JOIN t1 CROSS JOIN t2""".stripMargin)
     ),
 
     // INTER-ARRIVAL gap percentiles per event type (p50/p90/p99) — the

@@ -1655,7 +1655,10 @@ object SimilarityQueries {
               Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("vec_id"))))
             .filter(col("prn") === 1)
             .select(col("qid"), col("vec_id"), lit(r.toLong).as("step"), col("mmr"))
-          sel = sel.unionByName(pick)
+          // cache each round's cumulative picks: without this, union
+          // branch r re-executes every prior round's join chain (the
+          // greedy recurrence makes the naive plan quadratic in k)
+          sel = graft.Caches.scoped(sel.unionByName(pick))
         }
         sel
       },

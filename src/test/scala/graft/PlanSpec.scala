@@ -704,6 +704,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("mm_image_quantize_palette").contains("Join"))
   }
 
+  test("rank correlations run on the cell fold: midranks broadcast, pair join bounded") {
+    windowFedByAggregate("agg_spearman_corr")
+    val p = plan("agg_kendall_tau")
+    // the concordance join is an inequality join over the ~550-cell
+    // contingency — a nested loop over CELLS is constant-size at any
+    // fact volume; what must never appear is a join over raw rows
+    assert(p.contains("HashAggregate"), "cells must fold before the pair join")
+  }
+
   test("xyz classes broadcast the part dim, gap percentiles never buffer values") {
     val px = plan("part_xyz_class")
     assert(px.contains("BroadcastHashJoin") && !px.contains("SortMergeJoin"))

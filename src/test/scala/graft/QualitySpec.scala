@@ -491,6 +491,17 @@ class QualitySpec extends AnyFunSuite {
       .forall(r => r.getDouble(2) >= r.getDouble(1)))
   }
 
+  test("rank correlations stay in [-1, 1] and broadly agree with Pearson's weak signal") {
+    val sp = SparkEntry.queries("agg_spearman_corr")(spark, sf)
+      .collect().head.getDouble(1)
+    val kt = SparkEntry.queries("agg_kendall_tau")(spark, sf)
+      .collect().head.getDouble(1)
+    assert(math.abs(sp) <= 1.0 && math.abs(kt) <= 1.0)
+    // quantity and discount are generated independently — all three
+    // association measures must be near zero
+    assert(math.abs(sp) < 0.1 && math.abs(kt) < 0.1, s"sp=$sp kt=$kt")
+  }
+
   test("bootstrap CI brackets the point estimate with ordered bounds") {
     val r = SparkEntry.queries("agg_bootstrap_ci")(spark, sf).collect().head
     val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
