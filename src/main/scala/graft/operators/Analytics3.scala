@@ -929,6 +929,112 @@ object Analytics3 {
              |FROM nn CROSS JOIN conc CROSS JOIN disc CROSS JOIN t1 CROSS JOIN t2""".stripMargin)
     ),
 
+    // WINDOW FUNNEL (the ClickHouse windowFunnel shape): deepest
+    // view -> click -> purchase chain completed within 3 DAYS of the
+    // STARTING view, chains greedy-earliest per start. Differs from
+    // events_funnel (first-ever chain, unbounded) in both the sliding
+    // deadline and the per-start maximization. Each stage is a
+    // user-keyed join whose fanout the window bounds; depth rolls up
+    // to a histogram. No data-sized windows, no unkeyed joins.
+    "events_window_funnel" -> Query(
+      (s, d) => {
+        val winUs = 3L * 86400 * 1000000
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("tus").as("v_us"))
+        val c2 = v.join(ev.filter(col("event_type") === "click")
+              .select(col("user_id"), col("tus").as("c_us")), Seq("user_id"))
+          .filter(col("c_us") > col("v_us") && col("c_us") <= col("v_us") + winUs)
+          .groupBy(col("user_id"), col("v_us")).agg(min(col("c_us")).as("c_us"))
+        val c3 = c2.join(ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("tus").as("p_us")), Seq("user_id"))
+          .filter(col("p_us") > col("c_us") && col("p_us") <= col("v_us") + winUs)
+          .groupBy(col("user_id"), col("v_us")).agg(min(col("p_us")).as("p_us"))
+        val depth = v.select(col("user_id"), lit(1L).as("dep"))
+          .unionByName(c2.select(col("user_id"), lit(2L).as("dep")))
+          .unionByName(c3.select(col("user_id"), lit(3L).as("dep")))
+          .groupBy(col("user_id")).agg(max(col("dep")).as("depth"))
+        depth.groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+             |v AS (SELECT user_id, tus AS v_us FROM ev WHERE event_type = 'view'),
+             |c2 AS (SELECT v.user_id, v.v_us, MIN(e.tus) AS c_us
+             |       FROM v JOIN ev e ON e.user_id = v.user_id
+             |       WHERE e.event_type = 'click' AND e.tus > v.v_us
+             |         AND e.tus <= v.v_us + 259200000000
+             |       GROUP BY 1, 2),
+             |c3 AS (SELECT c2.user_id, c2.v_us, MIN(e.tus) AS p_us
+             |       FROM c2 JOIN ev e ON e.user_id = c2.user_id
+             |       WHERE e.event_type = 'purchase' AND e.tus > c2.c_us
+             |         AND e.tus <= c2.v_us + 259200000000
+             |       GROUP BY 1, 2),
+             |depth AS (SELECT user_id, MAX(dep) AS depth FROM (
+             |    SELECT user_id, 1 AS dep FROM v
+             |    UNION ALL SELECT user_id, 2 FROM c2
+             |    UNION ALL SELECT user_id, 3 FROM c3)
+             |  GROUP BY 1)
+             |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_users
+             |FROM depth GROUP BY 1""".stripMargin)
+    ),
+
+    // RATIO-METRIC delta-method CI — how experimentation platforms put
+    // error bars on "revenue per purchase"-style ratios where both
+    // numerator and denominator are per-user random sums: R = Σx/Σy,
+    // Var(R) ≈ (Var x - 2R Cov(x,y) + R² Var y) / (n ȳ²). All five
+    // moment sums are exact DECIMALs from ONE user-level fold; the
+    // delta formula is terminal double arithmetic, identical in the
+    // oracle.
+    "agg_ratio_delta_method" -> Query(
+      (s, d) => {
+        val u = Tables.events(s, d).filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(col("value").cast("decimal(18,6)")).as("x"),
+            count(lit(1)).as("y"))
+        val g = u.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"),
+          sum((col("x") * col("y")).cast("decimal(38,6)")).cast("double").as("sxy"))
+        val n = col("n").cast("double")
+        val r = col("sx") / col("sy")
+        val vx = col("sxx") / n - (col("sx") / n) * (col("sx") / n)
+        val vy = col("syy") / n - (col("sy") / n) * (col("sy") / n)
+        val cxy = col("sxy") / n - (col("sx") / n) * (col("sy") / n)
+        val ybar = col("sy") / n
+        val se = sqrt((vx - lit(2.0) * r * cxy + r * r * vy) / n) / ybar
+        g.select(col("n"), round(r, 6).as("ratio"), round(se, 6).as("se"),
+          round(r - lit(1.96) * se, 6).as("ci_lo"),
+          round(r + lit(1.96) * se, 6).as("ci_hi"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    SUM(CAST(value AS DECIMAL(18,6))) AS x, COUNT(*) AS y
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |g AS (SELECT COUNT(*) AS n,
+             |    CAST(SUM(x) AS DOUBLE) AS sx,
+             |    CAST(SUM(y) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+             |  FROM u),
+             |f AS (SELECT n, sx, sy, sxx, syy, sxy,
+             |    CAST(n AS DOUBLE) AS nd, sx / sy AS r, sy / CAST(n AS DOUBLE) AS ybar
+             |  FROM g)
+             |SELECT n, ROUND(r, 6) AS ratio,
+             |  ROUND(sqrt((sxx/nd - (sx/nd)*(sx/nd)
+             |              - 2.0 * r * (sxy/nd - (sx/nd)*(sy/nd))
+             |              + r * r * (syy/nd - (sy/nd)*(sy/nd))) / nd) / ybar, 6) AS se,
+             |  ROUND(r - 1.96 * (sqrt((sxx/nd - (sx/nd)*(sx/nd)
+             |              - 2.0 * r * (sxy/nd - (sx/nd)*(sy/nd))
+             |              + r * r * (syy/nd - (sy/nd)*(sy/nd))) / nd) / ybar), 6) AS ci_lo,
+             |  ROUND(r + 1.96 * (sqrt((sxx/nd - (sx/nd)*(sx/nd)
+             |              - 2.0 * r * (sxy/nd - (sx/nd)*(sy/nd))
+             |              + r * r * (syy/nd - (sy/nd)*(sy/nd))) / nd) / ybar), 6) AS ci_hi
+             |FROM f""".stripMargin)
+    ),
+
     // INTER-ARRIVAL gap percentiles per event type (p50/p90/p99) — the
     // latency-style tail view `events_inter_arrival`'s mean/cv summary
     // can't show. Gaps are exact integer microseconds from one lag over

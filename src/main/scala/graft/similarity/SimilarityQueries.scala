@@ -1606,6 +1606,56 @@ object SimilarityQueries {
              |FROM c GROUP BY 1, 2""".stripMargin)
     ),
 
+    // LABEL PRECISION@5 — the two-tower-style retrieval eval when true
+    // neighbors are unknown but class labels exist: for each probe, the
+    // share of its exact top-5 sharing the probe's label, against the
+    // label's base rate in the rest of the corpus (lift > 1 means the
+    // embedding geometry encodes the label). All integers in basis
+    // points; label counts broadcast; the scoring pass is the same
+    // broadcast-probe shape as the brute-force reference.
+    "ann_label_precision" -> Query(
+      (s, d) => {
+        val e = corpus(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("nrm").as("qnrm"), col("label").cast("long").as("qlabel"))
+        val top5 = topK(e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qlabel"), col("vec_id"),
+            col("label").cast("long").as("nlabel"),
+            pairCos(col("qv"), col("qnrm")).as("cos")), 5)
+        val per = top5.groupBy(col("qid"), col("qlabel"))
+          .agg(sum((col("nlabel") === col("qlabel")).cast("long")).as("hits5"))
+        val lc = e.groupBy(col("label").cast("long").as("qlabel"))
+          .agg(count(lit(1)).as("cnt"))
+        val n = e.agg(count(lit(1)).as("ntot"))
+        per.join(broadcast(lc), Seq("qlabel")).crossJoin(broadcast(n))
+          .select(col("qid"), col("qlabel").as("label"), col("hits5"),
+            (col("hits5") * 2000).as("p_bp"),
+            expr("(cnt - 1) * 10000 div (ntot - 1)").as("base_bp"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+             |        CAST(label AS BIGINT) AS qlabel
+             |      FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT q.qid, q.qlabel, e.vec_id,
+             |        CAST(e.label AS BIGINT) AS nlabel, $cosSql AS cos
+             |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+             |r AS (SELECT qid, qlabel, nlabel,
+             |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |      FROM c),
+             |per AS (SELECT qid, qlabel,
+             |          CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             |            AS hits5
+             |        FROM r WHERE rn <= 5 GROUP BY 1, 2),
+             |lc AS (SELECT CAST(label AS BIGINT) AS qlabel, COUNT(*) AS cnt
+             |       FROM embeddings GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS ntot FROM embeddings)
+             |SELECT per.qid, per.qlabel AS label, per.hits5,
+             |  CAST(per.hits5 * 2000 AS BIGINT) AS p_bp,
+             |  CAST((lc.cnt - 1) * 10000 // (n.ntot - 1) AS BIGINT) AS base_bp
+             |FROM per JOIN lc USING (qlabel) CROSS JOIN n""".stripMargin)
+    ),
+
     // MMR (maximal marginal relevance) diversified top-k — what a RAG
     // retriever runs when the plain top-5 is five near-duplicates:
     // greedily pick k=5 from a 20-candidate shortlist, each step

@@ -713,6 +713,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "cells must fold before the pair join")
   }
 
+  test("window funnel stages join on the user key, ratio CI is pure aggregation") {
+    val p = plan("events_window_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "funnel stages must stay user-keyed equi-joins")
+    assert(!plan("agg_ratio_delta_method").contains("Join"))
+  }
+
   test("xyz classes broadcast the part dim, gap percentiles never buffer values") {
     val px = plan("part_xyz_class")
     assert(px.contains("BroadcastHashJoin") && !px.contains("SortMergeJoin"))

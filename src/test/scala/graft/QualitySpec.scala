@@ -502,6 +502,22 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(sp) < 0.1 && math.abs(kt) < 0.1, s"sp=$sp kt=$kt")
   }
 
+  test("label precision stays in range and window-funnel depths nest") {
+    val lp = SparkEntry.queries("ann_label_precision")(spark, sf)
+      .select(col("hits5").cast("long"), col("base_bp").cast("long")).collect()
+    assert(lp.length === 10)
+    assert(lp.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 5))
+    assert(lp.forall(r => r.getLong(1) > 0 && r.getLong(1) < 10000))
+    // windowFunnel can never beat the unbounded funnel: users at
+    // window-depth >= 2 are a subset of events_funnel's step-2 users
+    val wf = SparkEntry.queries("events_window_funnel")(spark, sf)
+      .select(col("depth").cast("long"), col("n_users").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unbounded2 = SparkEntry.queries("events_funnel")(spark, sf)
+      .filter(col("steps_completed") >= 2).count()
+    assert(wf.filter(_._1 >= 2).values.sum <= unbounded2)
+  }
+
   test("bootstrap CI brackets the point estimate with ordered bounds") {
     val r = SparkEntry.queries("agg_bootstrap_ci")(spark, sf).collect().head
     val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
