@@ -1035,6 +1035,48 @@ object Analytics3 {
              |FROM f""".stripMargin)
     ),
 
+    // NET REVENUE RETENTION by first-order-year cohort — the
+    // revenue-weighted complement of orders_repeat_cohort's count
+    // rates: each cohort's year-k revenue against its year-(k-1)
+    // revenue, in exact integer cents with a bp ratio. Two user-keyed
+    // partial aggs (cohort assignment, cohort-year revenue) and a lag
+    // window over the ≤|years| rows per cohort.
+    "orders_cohort_nrr" -> Query(
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        val cohort = o.groupBy(col("o_custkey")).agg(min(col("yr")).as("cohort"))
+        val cy = o.join(cohort, Seq("o_custkey"))
+          .groupBy(col("cohort"), col("yr"))
+          .agg(sum(col("cents")).as("rev_c"),
+            countDistinct(col("o_custkey")).as("n_active"))
+        val w = Window.partitionBy(col("cohort")).orderBy(col("yr"))
+        cy.withColumn("prev_rev_c", lag(col("rev_c"), 1).over(w))
+          .withColumn("prev_yr", lag(col("yr"), 1).over(w))
+          .filter(col("prev_rev_c").isNotNull && col("prev_yr") === col("yr") - 1)
+          .select(col("cohort"), col("yr"), col("n_active"), col("rev_c"),
+            col("prev_rev_c"),
+            expr("rev_c * 10000 div prev_rev_c").as("nrr_bp"))
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+             |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM orders),
+             |ch AS (SELECT o_custkey, MIN(yr) AS cohort FROM o GROUP BY 1),
+             |cy AS (SELECT ch.cohort, o.yr,
+             |         CAST(SUM(o.cents) AS BIGINT) AS rev_c,
+             |         COUNT(DISTINCT o.o_custkey) AS n_active
+             |       FROM o JOIN ch USING (o_custkey) GROUP BY 1, 2),
+             |lg AS (SELECT *,
+             |         LAG(rev_c) OVER (PARTITION BY cohort ORDER BY yr) AS prev_rev_c,
+             |         LAG(yr) OVER (PARTITION BY cohort ORDER BY yr) AS prev_yr
+             |       FROM cy)
+             |SELECT cohort, yr, n_active, rev_c, prev_rev_c,
+             |  CAST(rev_c * 10000 // prev_rev_c AS BIGINT) AS nrr_bp
+             |FROM lg WHERE prev_rev_c IS NOT NULL AND prev_yr = yr - 1""".stripMargin)
+    ),
+
     // INTER-ARRIVAL gap percentiles per event type (p50/p90/p99) — the
     // latency-style tail view `events_inter_arrival`'s mean/cv summary
     // can't show. Gaps are exact integer microseconds from one lag over

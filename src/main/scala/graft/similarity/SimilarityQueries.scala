@@ -1656,6 +1656,50 @@ object SimilarityQueries {
              |FROM per JOIN lc USING (qlabel) CROSS JOIN n""".stripMargin)
     ),
 
+    // OOD SCORE via quantizer distance — the embedding-drift gate a
+    // retrieval deployment runs on incoming vectors: distance to the
+    // assigned trained-quantizer centroid, flagged when above the
+    // corpus's own p99 (the "far from every prototype" definition of
+    // out-of-distribution). Assignment is the zero-shuffle literal-
+    // centroid argmin; the distance re-fold joins a BROADCAST (cid ->
+    // centroid) table; the p99 threshold comes from GroupedPercentile
+    // (no value buffer) and broadcasts back onto the scores. Scores
+    // ship as floor(dist + 0.5) integers; the flag compares the raw
+    // double against the identically-derived threshold both engines.
+    "vec_ood_centroid_dist" -> Query(
+      (s, d) => {
+        val cents = trainedCentroids(s, d)
+        val centDf = broadcast(s.createDataFrame(cents.map { case (cid, cv) =>
+          (cid, cv) }).toDF("cid", "cv"))
+        val asg = quantizedVecs(s, d)
+          .withColumn("cid", centroidRanks(cents, 1).getItem(0))
+          .join(centDf, Seq("cid"))
+          .withColumn("dist", aggregate(
+            zip_with(col("qv"), col("cv"),
+              (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+            lit(0.0), (acc, x) => acc + x))
+          .select(col("vec_id"), col("cid"), col("dist"))
+        val thr = graft.operators.GroupedPercentile.exact(
+            asg.select(lit(1L).as("g"), col("dist")), "g", "dist",
+            Seq(("p99", 0.99)), floor(col("dist") / 1e6), c => c)
+          .select(col("res").as("thr"))
+        asg.crossJoin(broadcast(thr))
+          .select(col("vec_id"), col("cid"),
+            floor(col("dist") + 0.5).cast("long").as("dist_i"),
+            (col("dist") > col("thr")).cast("long").as("ood"))
+      },
+      Some(s"""WITH $kmeansCteSql,
+             |asg AS (SELECT vec_id, cid, dist FROM (
+             |          SELECT vec_id, cid, dist,
+             |            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+             |          FROM d1) WHERE rn = 1),
+             |thr AS (SELECT quantile_cont(dist, 0.99) AS thr FROM asg)
+             |SELECT vec_id, CAST(cid AS BIGINT) AS cid,
+             |  CAST(floor(dist + 0.5) AS BIGINT) AS dist_i,
+             |  CAST(dist > thr AS BIGINT) AS ood
+             |FROM asg CROSS JOIN thr""".stripMargin)
+    ),
+
     // MMR (maximal marginal relevance) diversified top-k — what a RAG
     // retriever runs when the plain top-5 is five near-duplicates:
     // greedily pick k=5 from a 20-candidate shortlist, each step

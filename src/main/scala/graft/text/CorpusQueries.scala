@@ -423,6 +423,64 @@ object CorpusQueries {
              |FROM g""".stripMargin)
     ),
 
+    // CORPUS CARD — the per-source datasheet row ("datasheets for
+    // datasets") a training-data release ships: volume (docs, tokens),
+    // declared-language share, exact-duplicate rate (1 - distinct
+    // content hashes / docs), and mean quality. Every float-born
+    // signal (the quality composite) quantizes to integer basis points
+    // PER DOC before any aggregation, so the rollup sums longs — no
+    // double-summation order nondeterminism anywhere. One scan, one
+    // partial agg per source (the distinct-hash count is the only
+    // extra shuffle, keyed on source).
+    "pipeline_corpus_card" -> Query(
+      (s, d) => {
+        val q_bp = floor(TextFunctions.qualityScore(col("text")) * 10000 + 0.5)
+          .cast("long")
+        Tables.documents(s, d)
+          .select(col("source"), col("lang"), col("text"),
+            size(lowToks).cast("long").as("ntok"), q_bp.as("q_bp"),
+            md5(col("text")).as("h"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("n_tokens"),
+            countDistinct(col("h")).as("n_uniq"),
+            sum((col("lang") === "en").cast("long")).as("n_en"),
+            sum(col("q_bp")).as("qsum"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            expr("n_tokens div n_docs").as("mean_tokens"),
+            expr("n_en * 10000 div n_docs").as("en_bp"),
+            expr("(n_docs - n_uniq) * 10000 div n_docs").as("dup_bp"),
+            expr("qsum div n_docs").as("mean_quality_bp"))
+      },
+      Some {
+        val enStops = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
+        s"""WITH c AS (
+           |  SELECT source, lang, md5(text) AS h,
+           |    CAST(len($lowToksSql) AS BIGINT) AS ntok,
+           |    CASE WHEN length(text) > 0
+           |      THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)
+           |      ELSE 0.0 END AS pr,
+           |    CASE WHEN len($lowToksSql) > 0
+           |      THEN CAST(len(list_filter($lowToksSql, x -> list_contains([$enStops], x))) AS DOUBLE)
+           |           / len($lowToksSql)
+           |      ELSE 0.0 END AS sr,
+           |    length(text) AS n_chars_m
+           |  FROM documents),
+           |qq AS (SELECT source, lang, h, ntok,
+           |    CAST(floor((LEAST(n_chars_m/500.0, 1.0) * 0.4
+           |         + GREATEST(1.0 - pr * 5, 0.0) * 0.4
+           |         + LEAST(sr * 5, 1.0) * 0.2) * 10000 + 0.5) AS BIGINT) AS q_bp
+           |  FROM c)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(ntok) // COUNT(*) AS BIGINT) AS mean_tokens,
+           |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS en_bp,
+           |  CAST((COUNT(*) - COUNT(DISTINCT h)) * 10000 // COUNT(*) AS BIGINT) AS dup_bp,
+           |  CAST(SUM(q_bp) // COUNT(*) AS BIGINT) AS mean_quality_bp
+           |FROM qq GROUP BY 1""".stripMargin
+      }
+    ),
+
     // PER-SOURCE length GINI — does one crawl source owe its token
     // count to a handful of giant documents? The inequality audit a
     // mixture plan reads next to the source caps. Unlike the global

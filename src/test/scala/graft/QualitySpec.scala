@@ -518,6 +518,21 @@ class QualitySpec extends AnyFunSuite {
     assert(wf.filter(_._1 >= 2).values.sum <= unbounded2)
   }
 
+  test("ood flags ~1% of vectors; corpus card shares stay in bp range") {
+    val ood = SparkEntry.queries("vec_ood_centroid_dist")(spark, sf)
+      .select(col("ood").cast("long")).collect().map(_.getLong(0))
+    val n = ood.length
+    val flagged = ood.sum
+    // p99 threshold => at most ~1% above it (ties/interpolation allow 0)
+    assert(flagged <= math.max(1, n / 50), s"$flagged of $n flagged")
+    val card = SparkEntry.queries("pipeline_corpus_card")(spark, sf)
+      .select(col("en_bp").cast("long"), col("dup_bp").cast("long"),
+        col("mean_quality_bp").cast("long")).collect()
+    assert(card.nonEmpty)
+    assert(card.forall(r => (0 to 2).forall(i =>
+      r.getLong(i) >= 0 && r.getLong(i) <= 10000)))
+  }
+
   test("bootstrap CI brackets the point estimate with ordered bounds") {
     val r = SparkEntry.queries("agg_bootstrap_ci")(spark, sf).collect().head
     val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
