@@ -1077,6 +1077,93 @@ object Analytics3 {
              |FROM lg WHERE prev_rev_c IS NOT NULL AND prev_yr = yr - 1""".stripMargin)
     ),
 
+    // GENERALIZED-ESD multiple-outlier screen (Rosner) on daily event
+    // counts — the multi-anomaly upgrade of the single-pass z-score:
+    // THREE rounds per type, each re-estimating mean/sd WITHOUT the
+    // previously removed day (a masked outlier only surfaces once the
+    // bigger one is out). Every round's candidate ships with its
+    // round-4 z and a rejected flag vs the (simplified, documented)
+    // constant lambda=2.0, so the audit trail is complete even on a
+    // clean series. Moments come from exact integer/DECIMAL sums; the
+    // per-round tables are |types| x |days| — calendar-bounded.
+    "events_anomaly_esd" -> Query(
+      (s, d) => {
+        val series = graft.Caches.scoped(Tables.events(s, d)
+          .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("c")))
+        def zscored(rem: org.apache.spark.sql.DataFrame) = {
+          val st = rem.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+              sum(col("c") * col("c")).as("s2"))
+          rem.join(broadcast(st), Seq("event_type"))
+            .withColumn("z", round(
+              abs(col("c").cast("double") - col("s1").cast("double") / col("n")) /
+                sqrt(greatest(col("s2").cast("double") / col("n") -
+                  (col("s1").cast("double") / col("n")) *
+                    (col("s1").cast("double") / col("n")), lit(1e-12))), 4))
+        }
+        def pick(rem: org.apache.spark.sql.DataFrame, r: Int) =
+          zscored(rem)
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("event_type"))
+                .orderBy(col("z").desc, col("day"))))
+            .filter(col("rn") === 1)
+            .select(col("event_type"), col("day"), col("c"),
+              lit(r.toLong).as("round"), col("z"),
+              (col("z") > 2.0).cast("long").as("rejected"))
+        val p1 = graft.Caches.scoped(pick(series, 1))
+        val rem2 = series.join(p1.select(col("event_type"), col("day")),
+          Seq("event_type", "day"), "left_anti")
+        val p2 = graft.Caches.scoped(pick(rem2, 2))
+        val rem3 = rem2.join(p2.select(col("event_type"), col("day")),
+          Seq("event_type", "day"), "left_anti")
+        val p3 = pick(rem3, 3)
+        p1.unionByName(p2).unionByName(p3)
+      },
+      Some("""WITH series AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |z1 AS (SELECT s.*, ROUND(abs(CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE)/n)
+             |         / sqrt(GREATEST(CAST(s2 AS DOUBLE)/n
+             |             - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 1e-12)), 4) AS z
+             |       FROM series s JOIN (
+             |         SELECT event_type, COUNT(*) AS n, SUM(c) AS s1, SUM(c*c) AS s2
+             |         FROM series GROUP BY 1) g USING (event_type)),
+             |p1 AS (SELECT event_type, day, c, CAST(1 AS BIGINT) AS round, z,
+             |         CAST(z > 2.0 AS BIGINT) AS rejected
+             |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             |               ORDER BY z DESC, day) AS rn FROM z1) WHERE rn = 1),
+             |r2 AS (SELECT s.* FROM series s
+             |       WHERE NOT EXISTS (SELECT 1 FROM p1
+             |         WHERE p1.event_type = s.event_type AND p1.day = s.day)),
+             |z2 AS (SELECT s.*, ROUND(abs(CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE)/n)
+             |         / sqrt(GREATEST(CAST(s2 AS DOUBLE)/n
+             |             - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 1e-12)), 4) AS z
+             |       FROM r2 s JOIN (
+             |         SELECT event_type, COUNT(*) AS n, SUM(c) AS s1, SUM(c*c) AS s2
+             |         FROM r2 GROUP BY 1) g USING (event_type)),
+             |p2 AS (SELECT event_type, day, c, CAST(2 AS BIGINT) AS round, z,
+             |         CAST(z > 2.0 AS BIGINT) AS rejected
+             |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             |               ORDER BY z DESC, day) AS rn FROM z2) WHERE rn = 1),
+             |r3 AS (SELECT s.* FROM r2 s
+             |       WHERE NOT EXISTS (SELECT 1 FROM p2
+             |         WHERE p2.event_type = s.event_type AND p2.day = s.day)),
+             |z3 AS (SELECT s.*, ROUND(abs(CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE)/n)
+             |         / sqrt(GREATEST(CAST(s2 AS DOUBLE)/n
+             |             - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 1e-12)), 4) AS z
+             |       FROM r3 s JOIN (
+             |         SELECT event_type, COUNT(*) AS n, SUM(c) AS s1, SUM(c*c) AS s2
+             |         FROM r3 GROUP BY 1) g USING (event_type)),
+             |p3 AS (SELECT event_type, day, c, CAST(3 AS BIGINT) AS round, z,
+             |         CAST(z > 2.0 AS BIGINT) AS rejected
+             |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             |               ORDER BY z DESC, day) AS rn FROM z3) WHERE rn = 1)
+             |SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3"""
+        .stripMargin)
+    ),
+
     // INTER-ARRIVAL gap percentiles per event type (p50/p90/p99) — the
     // latency-style tail view `events_inter_arrival`'s mean/cv summary
     // can't show. Gaps are exact integer microseconds from one lag over

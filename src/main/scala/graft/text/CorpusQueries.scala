@@ -481,6 +481,69 @@ object CorpusQueries {
       }
     ),
 
+    // T5-STYLE SPAN-CORRUPTION budget plan — the seq2seq pretraining
+    // data-prep step that decides, per document, how long the encoder
+    // and decoder sequences will be after masking: deterministic
+    // salted-md5 span starts (5% of positions, span length 3, clipped
+    // at the doc end), overlapping spans merged by the gaps-and-islands
+    // rank trick (a contiguous masked run is one sentinel), then
+    // enc_len = n_tokens - n_masked + n_spans and dec_len = n_masked +
+    // n_spans. Everything is integer and doc-local: the only windows
+    // partition by doc_id over that doc's masked positions.
+    "text_span_corruption_plan" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), size(lowToks).cast("long").as("n_tokens"))
+          .filter(col("n_tokens") > 0)
+        val pos = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(lowToks).as(Seq("p", "tok")))
+          .select(col("doc_id"), col("p").cast("long").as("p"))
+        val starts = pos.filter(
+          Hashing.md5Long60(concat(lit("span_"), col("doc_id").cast("string"),
+            lit("_"), col("p").cast("string"))) % 20 === 0)
+        val masked = starts.join(docs, Seq("doc_id"))
+          .select(col("doc_id"),
+            explode(sequence(col("p"),
+              least(col("p") + 2, col("n_tokens") - 1))).as("m"))
+          .distinct()
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("m"))
+        val spans = masked
+          .withColumn("grp", col("m") - row_number().over(w))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_masked"),
+            countDistinct(col("grp")).as("n_spans"))
+        docs.join(spans, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+          .withColumn("enc_len",
+            col("n_tokens") - col("n_masked") + col("n_spans"))
+          .withColumn("dec_len", col("n_masked") + col("n_spans"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, CAST(len($lowToksSql) AS BIGINT) AS n_tokens
+             |             FROM documents WHERE len($lowToksSql) > 0),
+             |pos AS (SELECT doc_id, CAST(unnest(generate_series(0, len($lowToksSql) - 1)) AS BIGINT) AS p
+             |        FROM documents WHERE len($lowToksSql) > 0),
+             |st AS (SELECT doc_id, p FROM pos
+             |       WHERE CAST('0x' || substr(md5('span_' || CAST(doc_id AS VARCHAR) || '_' || CAST(p AS VARCHAR)), 1, 15) AS BIGINT) % 20 = 0),
+             |mk AS (SELECT DISTINCT st.doc_id,
+             |         CAST(unnest(generate_series(st.p, LEAST(st.p + 2, d.n_tokens - 1))) AS BIGINT) AS m
+             |       FROM st JOIN docs d USING (doc_id)),
+             |sp AS (SELECT doc_id, COUNT(*) AS n_masked,
+             |         COUNT(DISTINCT m - rn) AS n_spans
+             |       FROM (SELECT doc_id, m,
+             |               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY m) AS rn
+             |             FROM mk)
+             |       GROUP BY 1)
+             |SELECT d.doc_id, d.n_tokens,
+             |  CAST(COALESCE(sp.n_masked, 0) AS BIGINT) AS n_masked,
+             |  CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans,
+             |  CAST(d.n_tokens - COALESCE(sp.n_masked, 0) + COALESCE(sp.n_spans, 0) AS BIGINT) AS enc_len,
+             |  CAST(COALESCE(sp.n_masked, 0) + COALESCE(sp.n_spans, 0) AS BIGINT) AS dec_len
+             |FROM docs d LEFT JOIN sp USING (doc_id)""".stripMargin)
+    ),
+
     // PER-SOURCE length GINI — does one crawl source owe its token
     // count to a handful of giant documents? The inequality audit a
     // mixture plan reads next to the source caps. Unlike the global

@@ -533,6 +533,24 @@ class QualitySpec extends AnyFunSuite {
       r.getLong(i) >= 0 && r.getLong(i) <= 10000)))
   }
 
+  test("span-corruption budgets reconcile and ESD rounds are complete") {
+    val sc = SparkEntry.queries("text_span_corruption_plan")(spark, sf)
+      .select(col("n_tokens").cast("long"), col("n_masked").cast("long"),
+        col("n_spans").cast("long"), col("enc_len").cast("long"),
+        col("dec_len").cast("long")).collect()
+    assert(sc.nonEmpty)
+    assert(sc.forall(r => r.getLong(1) <= r.getLong(0)))
+    assert(sc.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(sc.forall(r => r.getLong(3) === r.getLong(0) - r.getLong(1) + r.getLong(2)))
+    assert(sc.forall(r => r.getLong(4) === r.getLong(1) + r.getLong(2)))
+    // masked share should be near 15% corpus-wide (5% starts x len 3)
+    val share = sc.map(_.getLong(1)).sum.toDouble / sc.map(_.getLong(0)).sum
+    assert(share > 0.08 && share < 0.22, s"masked share $share")
+    val esd = SparkEntry.queries("events_anomaly_esd")(spark, sf)
+      .select(col("event_type"), col("round").cast("long")).collect()
+    assert(esd.length === 15, "3 rounds x 5 types, audit trail always complete")
+  }
+
   test("bootstrap CI brackets the point estimate with ordered bounds") {
     val r = SparkEntry.queries("agg_bootstrap_ci")(spark, sf).collect().head
     val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
