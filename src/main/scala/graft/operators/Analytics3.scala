@@ -1164,6 +1164,155 @@ object Analytics3 {
         .stripMargin)
     ),
 
+    // FEATURE-LEAKAGE audit (training-serving skew) — the ML-ops gate
+    // that catches "trained on tomorrow's feature": for every purchase
+    // (the label event), compare the POINT-IN-TIME feature value (the
+    // user's last view-event value strictly before the purchase — the
+    // as-of last(ignoreNulls) idiom over one user-keyed sort) with the
+    // user's CURRENT value (what naive training joins would leak).
+    // Reported per label month: sample count, how many samples would
+    // silently train on a different value than serving saw, and the
+    // mean absolute drift — the mismatch share IS the leakage risk.
+    // Diffs quantize to integer cents before summation.
+    "etl_feature_leakage_audit" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"), col("event_id"), col("value"),
+            expr("ts div 1000").as("tus"),
+            (col("event_type") === "purchase").cast("int").as("tag"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("tag"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pit = ev
+          .withColumn("pit_v",
+            last(when(col("tag") === 0, col("value")), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1 && col("pit_v").isNotNull)
+          .select(col("user_id"), col("tus"), col("pit_v"))
+        val cur = ev.filter(col("tag") === 0)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("tus"), col("event_id"), col("value"))).as("m"))
+          .select(col("user_id"), col("m.value").as("cur_v"))
+        pit.join(cur, Seq("user_id"))
+          .select(date_format(expr("cast((tus div 1000000) as timestamp)"), "yyyy-MM")
+              .as("label_month"),
+            (col("pit_v") =!= col("cur_v")).cast("long").as("leaky"),
+            floor(abs(col("pit_v") - col("cur_v")) * 100 + 0.5).cast("long")
+              .as("drift_c"))
+          .groupBy(col("label_month"))
+          .agg(count(lit(1)).as("n_samples"),
+            sum(col("leaky")).as("n_leaky"),
+            sum(col("drift_c")).as("drift_sum_c"))
+          .select(col("label_month"), col("n_samples"), col("n_leaky"),
+            expr("n_leaky * 10000 div n_samples").as("leak_bp"),
+            expr("drift_sum_c div n_samples").as("mean_drift_c"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag
+             |  FROM events WHERE event_type IN ('view', 'purchase')),
+             |p AS (SELECT user_id, tus, pit_v FROM (
+             |    SELECT *, last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY tus, tag, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pit_v
+             |    FROM e)
+             |  WHERE tag = 1 AND pit_v IS NOT NULL),
+             |c AS (SELECT user_id, cur_v FROM (
+             |        SELECT user_id, value AS cur_v,
+             |          ROW_NUMBER() OVER (PARTITION BY user_id
+             |                             ORDER BY tus DESC, event_id DESC) AS rn
+             |        FROM e WHERE tag = 0) WHERE rn = 1),
+             |j AS (SELECT strftime(make_timestamp(p.tus), '%Y-%m') AS label_month,
+             |        CAST(p.pit_v <> c.cur_v AS BIGINT) AS leaky,
+             |        CAST(floor(abs(p.pit_v - c.cur_v) * 100 + 0.5) AS BIGINT) AS drift_c
+             |      FROM p JOIN c USING (user_id))
+             |SELECT label_month, COUNT(*) AS n_samples,
+             |  CAST(SUM(leaky) AS BIGINT) AS n_leaky,
+             |  CAST(SUM(leaky) * 10000 // COUNT(*) AS BIGINT) AS leak_bp,
+             |  CAST(SUM(drift_c) // COUNT(*) AS BIGINT) AS mean_drift_c
+             |FROM j GROUP BY 1""".stripMargin)
+    ),
+
+    // STRATIFIED A/B comparison (post-stratification) — the
+    // controlled-for-activity estimate next to events_ab_lift's raw
+    // difference: users bucket into MEAN-RELATIVE activity strata
+    // (below 0.9x / within / above 1.1x of the average events-per-user
+    // — the rfm_migration threshold idiom: scale-free, one broadcast
+    // scalar, integer cross-multiplied, no global rank), conversion
+    // gaps are computed within each stratum, and the pooled estimate
+    // weights the per-stratum gaps by stratum mass. The standard
+    // answer to "arm A just has heavier users". All integer bp; one
+    // user fold + a 3-row rollup. Arms ride the same md5 hash as the
+    // other A/B ops.
+    "events_propensity_strata" -> Query(
+      (s, d) => {
+        val armA = (expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)")
+          % 2 === 0)
+        val ua = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("activity"),
+            sum((col("event_type") === "purchase").cast("long")).as("np"))
+        val tot = ua.agg(sum(col("activity")).as("te"),
+          sum(col("np")).as("tp"), count(lit(1)).as("nu"))
+        // outcome: ABOVE-AVERAGE purchaser (events_ab_power's baseline
+        // definition) — "any purchase" saturates on this event mix
+        val u = ua.crossJoin(broadcast(tot))
+          .select(when(armA, "A").otherwise("B").as("arm"),
+            when(col("activity") * col("nu") * 10 < col("te") * 9, 0L)
+              .when(col("activity") * col("nu") * 10 > col("te") * 11, 2L)
+              .otherwise(1L).as("stratum"),
+            (col("np") * col("nu") > col("tp")).cast("long").as("conv"))
+        val st = u.groupBy(col("stratum")).agg(
+          sum((col("arm") === "A").cast("long")).as("na"),
+          sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("ca"),
+          sum((col("arm") === "B").cast("long")).as("nb"),
+          sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("cb"))
+        val per = st.select(col("stratum").cast("string").as("stratum"),
+          col("na"), col("ca"), col("nb"), col("cb"),
+          (expr("ca * 10000 div na") - expr("cb * 10000 div nb")).as("diff_bp"))
+        val pooled = st.agg(
+            sum(col("na")).as("na"), sum(col("ca")).as("ca"),
+            sum(col("nb")).as("nb"), sum(col("cb")).as("cb"),
+            sum((col("na") + col("nb")) *
+              (expr("ca * 10000 div na") - expr("cb * 10000 div nb"))).as("wd"),
+            sum(col("na") + col("nb")).as("nt"))
+          .select(lit("pooled").as("stratum"), col("na"), col("ca"),
+            col("nb"), col("cb"), expr("wd div nt").as("diff_bp"))
+        per.unionByName(pooled)
+      },
+      Some("""WITH ua AS (SELECT user_id, COUNT(*) AS activity,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
+             |  FROM events GROUP BY user_id),
+             |tot AS (SELECT CAST(SUM(activity) AS BIGINT) AS te,
+             |               CAST(SUM(np) AS BIGINT) AS tp, COUNT(*) AS nu FROM ua),
+             |u AS (SELECT
+             |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+             |         THEN 'A' ELSE 'B' END AS arm,
+             |    CASE WHEN activity * nu * 10 < te * 9 THEN 0
+             |         WHEN activity * nu * 10 > te * 11 THEN 2
+             |         ELSE 1 END AS stratum,
+             |    CAST(np * nu > tp AS BIGINT) AS conv
+             |  FROM ua CROSS JOIN tot),
+             |st AS (SELECT stratum,
+             |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             |    CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             |    CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS cb
+             |  FROM u GROUP BY 1),
+             |per AS (SELECT CAST(stratum AS VARCHAR) AS stratum, na, ca, nb, cb,
+             |          ca * 10000 // na - cb * 10000 // nb AS diff_bp
+             |        FROM st),
+             |pooled AS (SELECT 'pooled' AS stratum,
+             |    CAST(SUM(na) AS BIGINT) AS na, CAST(SUM(ca) AS BIGINT) AS ca,
+             |    CAST(SUM(nb) AS BIGINT) AS nb, CAST(SUM(cb) AS BIGINT) AS cb,
+             |    CAST(SUM((na + nb) * (ca * 10000 // na - cb * 10000 // nb))
+             |         // SUM(na + nb) AS BIGINT) AS diff_bp
+             |  FROM st)
+             |SELECT stratum, na, ca, nb, cb, CAST(diff_bp AS BIGINT) AS diff_bp
+             |FROM per
+             |UNION ALL
+             |SELECT stratum, na, ca, nb, cb, diff_bp FROM pooled""".stripMargin)
+    ),
+
     // INTER-ARRIVAL gap percentiles per event type (p50/p90/p99) — the
     // latency-style tail view `events_inter_arrival`'s mean/cv summary
     // can't show. Gaps are exact integer microseconds from one lag over

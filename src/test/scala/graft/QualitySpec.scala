@@ -551,6 +551,20 @@ class QualitySpec extends AnyFunSuite {
     assert(esd.length === 15, "3 rounds x 5 types, audit trail always complete")
   }
 
+  test("pooled stratified diff lies within the stratum range; leakage audit sane") {
+    val rows = SparkEntry.queries("events_propensity_strata")(spark, sf)
+      .select(col("stratum"), col("diff_bp").cast("long")).collect()
+    val per = rows.filter(_.getString(0) != "pooled").map(_.getLong(1))
+    val pooled = rows.filter(_.getString(0) == "pooled").map(_.getLong(1)).head
+    assert(per.length === 3, "three mean-relative strata must all be populated")
+    // a mass-weighted mean (up to integer-division slack) stays inside
+    // the per-stratum envelope
+    assert(pooled >= per.min - 1 && pooled <= per.max + 1)
+    val leak = SparkEntry.queries("etl_feature_leakage_audit")(spark, sf)
+      .select(col("leak_bp").cast("long"), col("n_samples").cast("long")).collect()
+    assert(leak.nonEmpty && leak.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 10000))
+  }
+
   test("bootstrap CI brackets the point estimate with ordered bounds") {
     val r = SparkEntry.queries("agg_bootstrap_ci")(spark, sf).collect().head
     val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
