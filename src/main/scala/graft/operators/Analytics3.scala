@@ -1261,11 +1261,14 @@ object Analytics3 {
               .when(col("activity") * col("nu") * 10 > col("te") * 11, 2L)
               .otherwise(1L).as("stratum"),
             (col("np") * col("nu") > col("tp")).cast("long").as("conv"))
+        // a stratum missing an arm entirely carries no comparison
+        // (and would divide by zero) — drop it from both views
         val st = u.groupBy(col("stratum")).agg(
-          sum((col("arm") === "A").cast("long")).as("na"),
-          sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("ca"),
-          sum((col("arm") === "B").cast("long")).as("nb"),
-          sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("cb"))
+            sum((col("arm") === "A").cast("long")).as("na"),
+            sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("ca"),
+            sum((col("arm") === "B").cast("long")).as("nb"),
+            sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("cb"))
+          .filter(col("na") > 0 && col("nb") > 0)
         val per = st.select(col("stratum").cast("string").as("stratum"),
           col("na"), col("ca"), col("nb"), col("cb"),
           (expr("ca * 10000 div na") - expr("cb * 10000 div nb")).as("diff_bp"))
@@ -1292,12 +1295,12 @@ object Analytics3 {
              |         ELSE 1 END AS stratum,
              |    CAST(np * nu > tp AS BIGINT) AS conv
              |  FROM ua CROSS JOIN tot),
-             |st AS (SELECT stratum,
+             |st AS (SELECT * FROM (SELECT stratum,
              |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
              |    CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS ca,
              |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
              |    CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS cb
-             |  FROM u GROUP BY 1),
+             |  FROM u GROUP BY 1) WHERE na > 0 AND nb > 0),
              |per AS (SELECT CAST(stratum AS VARCHAR) AS stratum, na, ca, nb, cb,
              |          ca * 10000 // na - cb * 10000 // nb AS diff_bp
              |        FROM st),
