@@ -990,6 +990,43 @@ object MultimodalQueries {
              |FROM g""".stripMargin)
     ),
 
+    // REAL GIF89a round trip — the third genuine container codec next
+    // to PNG and WAV: each document's head bytes become an 8-bit
+    // grayscale GIF (256-entry global color table, variable-width
+    // LSB-first LZW with clear/EOI, 255-byte sub-blocks), and
+    // GifCodec.GifDecoder walks it back: header/table validation,
+    // sub-block reassembly, full LZW decode (KwKwK + 4096 clear).
+    // Decoded pixels must equal the original bytes, so the oracle
+    // pins the WHOLE LZW round trip from raw byte arithmetic — the
+    // px_md5 pins values and order; a bit-packing or code-width
+    // lockstep bug diverges immediately. mapPartitions is confined to
+    // the codec walk; the plan is one scan, zero shuffle.
+    "mm_gif_decode" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val imgs = Tables.documents(s, d)
+          .filter(length(bin) >= 16)
+          .select(col("doc_id"),
+            expr("substring(cast(text as binary), 1, " +
+              "16 * (length(cast(text as binary)) div 16))").as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        GifCodec.roundtrip(imgs, 16).toDF()
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |                  octet_length(encode(text)) // 16 AS h
+             |           FROM documents WHERE octet_length(encode(text)) >= 16),
+             |b AS (SELECT doc_id, h, i, substr(hx, i*2 + 1, 2) AS bh,
+             |             CAST('0x' || substr(hx, i*2 + 1, 2) AS BIGINT) AS v
+             |      FROM (SELECT doc_id, hx, h,
+             |              unnest(generate_series(0, h*16 - 1)) AS i FROM d))
+             |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(16*h AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS sum_px,
+             |  CAST(MIN(v) AS BIGINT) AS min_px, CAST(MAX(v) AS BIGINT) AS max_px,
+             |  md5(string_agg(bh, '' ORDER BY i)) AS px_md5
+             |FROM b GROUP BY doc_id, h""".stripMargin)
+    ),
+
     // PCM frame SNR proxy — the clipping gate's dynamic-range partner:
     // per-frame energies (16 signed LE samples each), then the
     // p90/p10 energy ratio in dB. A near-flat ratio means dead air or

@@ -153,4 +153,50 @@ class MultimodalSpec extends AnyFunSuite {
     val stats = new PngCodec.PngDecoder().decode(2L, PngCodec.encode(px, 16))
     assert(stats.height === 1L && stats.sum_px === px.map(b => (b & 0xff).toLong).sum)
   }
+
+  test("GifCodec round-trips pixels exactly, including KwKwK runs") {
+    // leading run of identical bytes forces the KwKwK decoder path
+    val px = (Array.fill(40)(7.toByte) ++
+      Array.tabulate(120)(i => ((i * 53 + 5) % 256).toByte))
+    val gif = GifCodec.encode(px, 16)
+    assert(new String(gif, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+      === "GIF89a")
+    assert((gif(gif.length - 1) & 0xff) === 0x3b, "trailer byte")
+    val stats = new GifCodec.GifDecoder().decode(7L, gif)
+    assert(stats.width === 16L && stats.height === 10L && stats.n_px === 160L)
+    assert(stats.sum_px === px.map(b => (b & 0xff).toLong).sum)
+    val hexpx = px.map(b => f"${b & 0xff}%02x").mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(hexpx.getBytes("US-ASCII")).map(b => f"${b & 0xff}%02x").mkString
+    assert(stats.px_md5 === md)
+  }
+
+  test("GifCodec round-trips every length 16..1600 (pins widen-boundary stream ends)") {
+    // the r9 bug class: a stream ENDING exactly when the width
+    // schedule crosses 2^codeSize made the encoder write EOI one bit
+    // narrower than the decoder read it — only specific lengths hit
+    // the boundary, so sweep them all
+    var len = 16
+    while (len <= 1600) {
+      val px = Array.tabulate(len)(i => (((i * 89) ^ (len + (i >> 2))) % 256).toByte)
+      val stats = new GifCodec.GifDecoder().decode(len.toLong, GifCodec.encode(px, 16))
+      assert(stats.sum_px === px.map(b => (b & 0xff).toLong).sum, s"len $len")
+      len += 16
+    }
+  }
+
+  test("GifCodec survives a dictionary-full clear/reset on a long varied stream") {
+    // ~12k low-repetition bytes push the LZW dictionary past 4096
+    // entries -> the encoder must emit CLEAR and both sides must
+    // resynchronize at 9-bit codes
+    val px = Array.tabulate(12000 - 12000 % 16)(i =>
+      (((i * 131) ^ (i >> 3)) % 256).toByte)
+    val stats = new GifCodec.GifDecoder().decode(9L, GifCodec.encode(px, 16))
+    assert(stats.n_px === px.length.toLong)
+    assert(stats.sum_px === px.map(b => (b & 0xff).toLong).sum)
+    val hexpx = px.map(b => f"${b & 0xff}%02x").mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(hexpx.getBytes("US-ASCII")).map(b => f"${b & 0xff}%02x").mkString
+    assert(stats.px_md5 === md)
+  }
 }
