@@ -581,6 +581,33 @@ object DedupQueries {
       Some(embPairsSql)
     ),
 
+    // BITEXT MINING — the cross-lingual twin of dedup_embedding: the
+    // same hyperplane-LSH candidate pairs, kept only when the two
+    // documents carry DIFFERENT language tags. In a multilingual
+    // embedding space these are translation-pair candidates (the
+    // CCMatrix/LASER mining shape); in a dedup pipeline they are the
+    // cross-language near-dups a monolingual content hash can never
+    // see. Candidates stay the O(L*n) bucket equi-join; the language
+    // attach is two keyed joins on the pair ids.
+    "text_bitext_mine" -> Query(
+      (s, d) => {
+        val lang = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        embeddingPairs(s, d)
+          .join(lang.select(col("doc_id").as("va"), col("lang").as("lang_a")),
+            Seq("va"))
+          .join(lang.select(col("doc_id").as("vb"), col("lang").as("lang_b")),
+            Seq("vb"))
+          .filter(col("lang_a") =!= col("lang_b"))
+          .select(col("va"), col("vb"), col("lang_a"), col("lang_b"), col("cos"))
+      },
+      Some(s"""WITH pairs AS ($embPairsSql)
+             |SELECT p.va, p.vb, la.lang AS lang_a, lb.lang AS lang_b, p.cos
+             |FROM pairs p
+             |JOIN documents la ON la.doc_id = p.va
+             |JOIN documents lb ON lb.doc_id = p.vb
+             |WHERE la.lang <> lb.lang""".stripMargin)
+    ),
+
     // EMBEDDING-SPACE near-dup families: connected components over the
     // hyperplane-LSH cosine pairs above — the cluster view of
     // dedup_embedding (pick one survivor per family, or route whole

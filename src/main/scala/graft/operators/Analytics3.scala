@@ -1316,6 +1316,120 @@ object Analytics3 {
              |SELECT stratum, na, ca, nb, cb, diff_bp FROM pooled""".stripMargin)
     ),
 
+    // WALD-WOLFOWITZ RUNS test — is the daily revenue series random
+    // around its own median, or does it trend/cycle? Days above and
+    // below the exact interpolated median (GroupedPercentile, no value
+    // buffer; equal-to-median days drop per the standard procedure)
+    // form a +/- sequence; the run count folds from one lag over the
+    // calendar-bounded day series, and the normal approximation
+    // z = (R - mu)/sigma is the terminal double. A |z| > 1.96 verdict
+    // means the series is NOT random (trend, seasonality, or regime).
+    "agg_runs_test" -> Query(
+      (s, d) => {
+        val daily = graft.Caches.scoped(Tables.lineitem(s, d)
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+          .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("v")))
+        val med = graft.operators.GroupedPercentile.exact(
+            daily.select(lit(1L).as("g"), col("v")), "g", "v",
+            Seq(("p50", 0.50)), expr("v div 10000000"), _.cast("double"))
+          .select(col("res").as("med"))
+        val signs = daily.crossJoin(broadcast(med))
+          .filter(col("v").cast("double") =!= col("med"))
+          .select(col("day"), (col("v").cast("double") > col("med")).cast("long").as("s"))
+        val w = Window.orderBy(col("day"))
+        val g = signs
+          .withColumn("chg",
+            when(lag(col("s"), 1).over(w).isNull, 1L)
+              .when(lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+          .agg(sum(col("s")).as("n1"),
+            (count(lit(1)) - sum(col("s"))).as("n2"),
+            sum(col("chg")).as("runs"))
+        val n1 = col("n1").cast("double")
+        val n2 = col("n2").cast("double")
+        val mu = lit(2.0) * n1 * n2 / (n1 + n2) + 1.0
+        val vr = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2)) /
+          ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+        g.select(col("n1"), col("n2"), col("runs"),
+            round((col("runs").cast("double") - mu) / sqrt(vr), 4).as("z"))
+          .withColumn("random", (abs(col("z")) <= 1.96).cast("long"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+             |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS v
+             |  FROM lineitem GROUP BY 1),
+             |med AS (SELECT quantile_cont(CAST(v AS DOUBLE), 0.50) AS med FROM daily),
+             |signs AS (SELECT day, CAST(CAST(v AS DOUBLE) > med AS BIGINT) AS s
+             |          FROM daily CROSS JOIN med WHERE CAST(v AS DOUBLE) <> med),
+             |ch AS (SELECT s, CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL THEN 1
+             |                      WHEN LAG(s) OVER (ORDER BY day) <> s THEN 1
+             |                      ELSE 0 END AS chg
+             |       FROM signs),
+             |g AS (SELECT CAST(SUM(s) AS BIGINT) AS n1,
+             |        CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2,
+             |        CAST(SUM(chg) AS BIGINT) AS runs
+             |      FROM ch),
+             |f AS (SELECT n1, n2, runs,
+             |        CAST(n1 AS DOUBLE) AS d1, CAST(n2 AS DOUBLE) AS d2
+             |      FROM g)
+             |SELECT n1, n2, runs,
+             |  ROUND((CAST(runs AS DOUBLE) - (2.0*d1*d2/(d1 + d2) + 1.0))
+             |    / sqrt((2.0*d1*d2*(2.0*d1*d2 - d1 - d2))
+             |           / ((d1 + d2)*(d1 + d2)*(d1 + d2 - 1.0))), 4) AS z,
+             |  CAST(abs(ROUND((CAST(runs AS DOUBLE) - (2.0*d1*d2/(d1 + d2) + 1.0))
+             |    / sqrt((2.0*d1*d2*(2.0*d1*d2 - d1 - d2))
+             |           / ((d1 + d2)*(d1 + d2)*(d1 + d2 - 1.0))), 4)) <= 1.96
+             |    AS BIGINT) AS random
+             |FROM f""".stripMargin)
+    ),
+
+    // THEIL-SEN robust trend of monthly revenue — the slope estimator
+    // one outlier month can't drag: the median of ALL pairwise slopes
+    // over the month series. The pair join is bounded by the CALENDAR
+    // (~84 months -> ~3.5k pairs at any fact size — the fact table
+    // folds to months first), each slope is a ratio of exact integer
+    // dollar/month differences, and the median rides GroupedPercentile
+    // over coarse slope buckets. Engine-identical interpolation,
+    // rounded at 4dp.
+    "window_theil_sen" -> Query(
+      (s, d) => {
+        val monthly = graft.Caches.scoped(Tables.lineitem(s, d)
+          .groupBy((year(col("l_shipdate")) * 12 +
+            month(col("l_shipdate"))).cast("long").as("mi"))
+          .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("r")))
+        // the division sits behind a when(): the fused BNLJ stage may
+        // hoist projection expressions above its condition check, and
+        // under ANSI an ma == mb candidate row would then throw before
+        // being discarded — when() keeps the evaluation conditional
+        val pairs = monthly.select(col("mi").as("ma"), col("r").as("ra"))
+          .join(monthly.select(col("mi").as("mb"), col("r").as("rb")),
+            col("mb") > col("ma"))
+          .select(when(col("mb") > col("ma"),
+            ((col("rb") - col("ra")).cast("double") / 100.0) /
+              (col("mb") - col("ma")).cast("double")).as("slope"))
+          .filter(col("slope").isNotNull)
+        val med = graft.operators.GroupedPercentile.exact(
+            pairs.select(lit(1L).as("g"), col("slope")), "g", "slope",
+            Seq(("p50", 0.50)), floor(col("slope") / 1024.0), c => c)
+          .select(round(col("res"), 4).as("slope_med"))
+        val counts = monthly.agg(count(lit(1)).as("n_months"))
+          .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+        counts.crossJoin(broadcast(med))
+      },
+      Some("""WITH monthly AS (
+             |  SELECT CAST(year(l_shipdate)*12 + month(l_shipdate) AS BIGINT) AS mi,
+             |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT))
+             |         AS BIGINT) AS r
+             |  FROM lineitem GROUP BY 1),
+             |pairs AS (SELECT CAST(b.r - a.r AS DOUBLE) / 100.0
+             |            / CAST(b.mi - a.mi AS DOUBLE) AS slope
+             |          FROM monthly a JOIN monthly b ON b.mi > a.mi)
+             |SELECT (SELECT COUNT(*) FROM monthly) AS n_months,
+             |  (SELECT COUNT(*) FROM pairs) AS n_pairs,
+             |  ROUND((SELECT quantile_cont(slope, 0.50) FROM pairs), 4) AS slope_med""".stripMargin)
+    ),
+
     // INTER-ARRIVAL gap percentiles per event type (p50/p90/p99) — the
     // latency-style tail view `events_inter_arrival`'s mean/cv summary
     // can't show. Gaps are exact integer microseconds from one lag over
