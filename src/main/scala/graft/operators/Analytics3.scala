@@ -1430,6 +1430,154 @@ object Analytics3 {
              |  ROUND((SELECT quantile_cont(slope, 0.50) FROM pairs), 4) AS slope_med""".stripMargin)
     ),
 
+    // QUANTILE CALIBRATION audit — "is last month's p90 still the p90?":
+    // train the per-type p90 of event values on the FIRST half of the
+    // time span (GroupedPercentile, bounded memory), then measure what
+    // share of SECOND-half values it actually covers. A gap from 9000bp
+    // means the value distribution drifted and every SLO derived from
+    // the old quantile is mis-calibrated. Split uses the exact integer
+    // midpoint idiom; coverage is exact integer bp.
+    "events_quantile_calibration" -> Query(
+      (s, d) => {
+        val ev = graft.Caches.scoped(Tables.events(s, d)
+          .select(col("event_type"), col("value"), expr("(ts div 1000)").as("us")))
+        val mm = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        val sp = graft.Caches.scoped(ev.crossJoin(broadcast(mm))
+          .withColumn("h1", (col("us") * 2 <= col("lo") + col("hi")).cast("long")))
+        val thr = GroupedPercentile.exact(
+            sp.filter(col("h1") === 1).select(col("event_type"), col("value")),
+            "event_type", "value", Seq(("p90", 0.90)),
+            floor(col("value")), c => c)
+          .select(col("event_type"), col("res").as("thr"))
+        sp.filter(col("h1") === 0)
+          .join(broadcast(thr), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_test"),
+            sum((col("value") <= col("thr")).cast("long")).as("n_cov"),
+            round(max(col("thr")), 4).as("p90_trained"))
+          .select(col("event_type"), col("n_test"), col("p90_trained"),
+            expr("n_cov * 10000 div n_test").as("coverage_bp"),
+            abs(expr("n_cov * 10000 div n_test") - 9000).as("calib_gap_bp"))
+      },
+      Some("""WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+             |mm AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM e),
+             |sp AS (SELECT event_type, value,
+             |         CAST(us * 2 <= lo + hi AS BIGINT) AS h1
+             |       FROM e CROSS JOIN mm),
+             |thr AS (SELECT event_type, quantile_cont(value, 0.90) AS thr
+             |        FROM sp WHERE h1 = 1 GROUP BY 1)
+             |SELECT sp.event_type, COUNT(*) AS n_test,
+             |  ROUND(MAX(thr.thr), 4) AS p90_trained,
+             |  CAST(SUM(CAST(sp.value <= thr.thr AS BIGINT)) * 10000 // COUNT(*)
+             |    AS BIGINT) AS coverage_bp,
+             |  CAST(abs(SUM(CAST(sp.value <= thr.thr AS BIGINT)) * 10000 // COUNT(*)
+             |    - 9000) AS BIGINT) AS calib_gap_bp
+             |FROM sp JOIN thr USING (event_type)
+             |WHERE sp.h1 = 0
+             |GROUP BY 1""".stripMargin)
+    ),
+
+    // FANO FACTOR + burstiness coefficient per event type — the
+    // dispersion test behind "is this traffic Poisson or bursty":
+    // hourly counts (calendar-bounded series), then F = var/mean and
+    // B = (sd - mean)/(sd + mean) from exact integer power sums. F≈1
+    // is Poisson-like; F >> 1 means clumped arrivals (bots, retries,
+    // batch jobs). One fold per level, terminal doubles only.
+    "events_burstiness_fano" -> Query(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hr"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("c"))
+        val g = hourly.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("s1"),
+            sum(col("c") * col("c")).as("s2"))
+        val mean = col("s1").cast("double") / col("n_hours")
+        val vr = col("s2").cast("double") / col("n_hours") - mean * mean
+        g.select(col("event_type"), col("n_hours"),
+            round(mean, 4).as("mean_per_hour"),
+            round(vr / mean, 4).as("fano"),
+            round((sqrt(vr) - mean) / (sqrt(vr) + mean), 4).as("burstiness"))
+          .withColumn("bursty", (col("fano") > 1.5).cast("long"))
+      },
+      Some("""WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             |             COUNT(*) AS c
+             |           FROM events GROUP BY 1, 2),
+             |g AS (SELECT event_type, COUNT(*) AS n_hours,
+             |        CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c*c) AS BIGINT) AS s2
+             |      FROM h GROUP BY 1),
+             |f AS (SELECT event_type, n_hours,
+             |        CAST(s1 AS DOUBLE) / n_hours AS mean,
+             |        CAST(s2 AS DOUBLE) / n_hours
+             |          - (CAST(s1 AS DOUBLE) / n_hours) * (CAST(s1 AS DOUBLE) / n_hours) AS vr
+             |      FROM g)
+             |SELECT event_type, n_hours, ROUND(mean, 4) AS mean_per_hour,
+             |  ROUND(vr / mean, 4) AS fano,
+             |  ROUND((sqrt(vr) - mean) / (sqrt(vr) + mean), 4) AS burstiness,
+             |  CAST(ROUND(vr / mean, 4) > 1.5 AS BIGINT) AS bursty
+             |FROM f""".stripMargin)
+    ),
+
+    // GMV PRICE-VOLUME-MIX bridge per brand (1995 -> 1996) — the
+    // finance decomposition behind every "why did revenue move" review:
+    // ΔGMV = (Δprice)·q0 + (Δqty)·p0 + (Δprice)(Δqty), algebraically
+    // exact. Quantities and revenue-cents are exact integer sums from
+    // one fold; average prices are the only rationals and the three
+    // effects are terminal double formulas on exact operands (guarded
+    // behind when() so a brand absent in either year never divides).
+    "orders_gmv_mix" -> Query(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(year(col("l_shipdate")).isin(1995, 1996))
+          .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+            Seq("l_partkey"))
+        val g = li.groupBy(col("p_brand"))
+          .agg(
+            sum(when(year(col("l_shipdate")) === 1995,
+              floor(col("l_quantity") + 0.5).cast("long")).otherwise(0L)).as("q0"),
+            sum(when(year(col("l_shipdate")) === 1996,
+              floor(col("l_quantity") + 0.5).cast("long")).otherwise(0L)).as("q1"),
+            sum(when(year(col("l_shipdate")) === 1995,
+              (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+              .otherwise(0L)).as("r0"),
+            sum(when(year(col("l_shipdate")) === 1996,
+              (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+              .otherwise(0L)).as("r1"))
+          .filter(col("q0") > 0 && col("q1") > 0)
+        val p0 = col("r0").cast("double") / 100.0 / col("q0")
+        val p1 = col("r1").cast("double") / 100.0 / col("q1")
+        g.select(col("p_brand"), col("q0"), col("q1"), col("r0"), col("r1"),
+          round(when(col("q0") > 0 && col("q1") > 0, (p1 - p0) * col("q0")), 2)
+            .as("price_eff"),
+          round(when(col("q0") > 0 && col("q1") > 0,
+            (col("q1") - col("q0")).cast("double") * p0), 2).as("volume_eff"),
+          round(when(col("q0") > 0 && col("q1") > 0,
+            (p1 - p0) * (col("q1") - col("q0"))), 2).as("cross_eff"))
+      },
+      Some("""WITH li AS (
+             |  SELECT p.p_brand,
+             |    CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+             |    CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS qk,
+             |    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |  WHERE year(l.l_shipdate) IN (1995, 1996)),
+             |g AS (SELECT p_brand,
+             |    CAST(SUM(CASE WHEN yr = 1995 THEN qk ELSE 0 END) AS BIGINT) AS q0,
+             |    CAST(SUM(CASE WHEN yr = 1996 THEN qk ELSE 0 END) AS BIGINT) AS q1,
+             |    CAST(SUM(CASE WHEN yr = 1995 THEN cents ELSE 0 END) AS BIGINT) AS r0,
+             |    CAST(SUM(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS BIGINT) AS r1
+             |  FROM li GROUP BY 1),
+             |f AS (SELECT *, CAST(r0 AS DOUBLE)/100.0/q0 AS p0,
+             |        CAST(r1 AS DOUBLE)/100.0/q1 AS p1
+             |      FROM g WHERE q0 > 0 AND q1 > 0)
+             |SELECT p_brand, q0, q1, r0, r1,
+             |  ROUND((p1 - p0) * q0, 2) AS price_eff,
+             |  ROUND(CAST(q1 - q0 AS DOUBLE) * p0, 2) AS volume_eff,
+             |  ROUND((p1 - p0) * (q1 - q0), 2) AS cross_eff
+             |FROM f""".stripMargin)
+    ),
+
     // INTER-ARRIVAL gap percentiles per event type (p50/p90/p99) — the
     // latency-style tail view `events_inter_arrival`'s mean/cv summary
     // can't show. Gaps are exact integer microseconds from one lag over

@@ -565,6 +565,27 @@ class QualitySpec extends AnyFunSuite {
     assert(leak.nonEmpty && leak.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 10000))
   }
 
+  test("gmv bridge reconciles, calibration covers sanely, fano positive") {
+    val gmv = SparkEntry.queries("orders_gmv_mix")(spark, sf)
+      .select(col("r0").cast("long"), col("r1").cast("long"),
+        col("price_eff"), col("volume_eff"), col("cross_eff")).collect()
+    assert(gmv.nonEmpty)
+    // the three rounded effects must rebuild the exact delta to within
+    // rounding slack (3 x half-cent)
+    assert(gmv.forall { r =>
+      val delta = (r.getLong(1) - r.getLong(0)) / 100.0
+      math.abs(r.getDouble(2) + r.getDouble(3) + r.getDouble(4) - delta) < 0.02
+    })
+    val cal = SparkEntry.queries("events_quantile_calibration")(spark, sf)
+      .select(col("coverage_bp").cast("long")).collect().map(_.getLong(0))
+    assert(cal.nonEmpty)
+    // a stationary generator should keep p90 roughly calibrated
+    assert(cal.forall(c => c >= 8000 && c <= 9800), cal.mkString(","))
+    val fano = SparkEntry.queries("events_burstiness_fano")(spark, sf)
+      .select(col("fano")).collect().map(_.getDouble(0))
+    assert(fano.forall(_ > 0.0))
+  }
+
   test("bootstrap CI brackets the point estimate with ordered bounds") {
     val r = SparkEntry.queries("agg_bootstrap_ci")(spark, sf).collect().head
     val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
