@@ -40,6 +40,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("WindowedDistinctStream counts a user once per window across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val events = in.toDF().toDF("ts", "user")
+    val agg = WindowedDistinctStream(events, "ts", "user", "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("windistinct").start()
+    try {
+      // u1 appears three times (twice in batch 1, once in batch 2) in
+      // the same window — it must count ONCE; u2 once; the dedup state
+      // must carry across the batch boundary
+      in.addData((ts("2024-01-01 00:00:30"), "u1"),
+        (ts("2024-01-01 00:01:30"), "u1"),
+        (ts("2024-01-01 00:02:00"), "u2"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:03:00"), "u1"),
+        (ts("2024-01-01 00:06:00"), "u1"))
+      q.processAllAvailable()
+      val rows = spark.table("windistinct")
+        .select(col("win_start").cast("string"), col("n_distinct_users"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows === Set(
+        ("2024-01-01 00:00:00", 2L),   // u1 deduped across batches, u2
+        ("2024-01-01 00:05:00", 1L)))  // u1 counts again in a NEW window
+    } finally q.stop()
+  }
+
   test("WindowedAgg with a slide emits hopping windows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
