@@ -1578,6 +1578,75 @@ object Analytics3 {
              |FROM f""".stripMargin)
     ),
 
+    // ERROR-BUDGET BURN RATE (multiwindow SRE alerting) — the
+    // fast+slow window pair that pages only when both agree: daily
+    // error share against a 25% budget (the synthetic stream's error
+    // mix makes 2.5%-style budgets meaningless — the MACHINERY is the
+    // operator), burn = share/budget over the 1-day and trailing
+    // 7-day windows, alert when fast > 2x AND slow > 1x. Daily counts
+    // are exact integers; rolling sums are LONG windows over the
+    // calendar-day series; burns are terminal doubles rounded 4dp.
+    "events_error_budget_burn" -> Query(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(expr("(ts div 1000) div 86400000000").as("day"),
+            (col("event_type") === "error").cast("long").as("is_err"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("t"), sum(col("is_err")).as("e"))
+        val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+        daily
+          .withColumn("t7", sum(col("t")).over(w7))
+          .withColumn("e7", sum(col("e")).over(w7))
+          .select(col("day"), col("t"), col("e"),
+            round(col("e").cast("double") / col("t") / 0.25, 4).as("burn_1d"),
+            round(col("e7").cast("double") / col("t7") / 0.25, 4).as("burn_7d"))
+          .withColumn("alert",
+            (col("burn_1d") > 2.0 && col("burn_7d") > 1.0).cast("long"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS t,
+             |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT day, t, e,
+             |        SUM(t) OVER w AS t7, SUM(e) OVER w AS e7
+             |      FROM daily
+             |      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT CAST(day AS BIGINT) AS day, t, e,
+             |  ROUND(CAST(e AS DOUBLE) / t / 0.25, 4) AS burn_1d,
+             |  ROUND(CAST(e7 AS DOUBLE) / t7 / 0.25, 4) AS burn_7d,
+             |  CAST(ROUND(CAST(e AS DOUBLE) / t / 0.25, 4) > 2.0
+             |    AND ROUND(CAST(e7 AS DOUBLE) / t7 / 0.25, 4) > 1.0 AS BIGINT) AS alert
+             |FROM r""".stripMargin)
+    ),
+
+    // SINGLE-SOURCE supplier risk — the supply-chain fragility audit
+    // next to supplier_hhi's concentration index: parts whose entire
+    // observed volume ships from ONE supplier, rolled up by brand.
+    // One distinct-supplier fold per part + a broadcast dim join.
+    "supplier_single_source" -> Query(
+      (s, d) => {
+        val per = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+        per.join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+            Seq("l_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum((col("n_supp") === 1).cast("long")).as("n_single"))
+          .select(col("p_brand"), col("n_parts"), col("n_single"),
+            expr("n_single * 10000 div n_parts").as("single_bp"))
+      },
+      Some("""WITH per AS (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_supp
+             |             FROM lineitem GROUP BY 1)
+             |SELECT p.p_brand, COUNT(*) AS n_parts,
+             |  CAST(SUM(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single,
+             |  CAST(SUM(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+             |    AS BIGINT) AS single_bp
+             |FROM per JOIN part p ON p.p_partkey = per.l_partkey
+             |GROUP BY 1""".stripMargin)
+    ),
+
     // INTER-ARRIVAL gap percentiles per event type (p50/p90/p99) — the
     // latency-style tail view `events_inter_arrival`'s mean/cv summary
     // can't show. Gaps are exact integer microseconds from one lag over
