@@ -1647,6 +1647,51 @@ object Analytics3 {
              |GROUP BY 1""".stripMargin)
     ),
 
+    // TRIMMED MEAN (5%-95%) per event type — the drop-the-tails
+    // companion of agg_winsorized_mean's clamp-the-tails: thresholds
+    // from the same bounded-memory GroupedPercentile two-pass, kept
+    // mass summed as exact DECIMAL, one terminal division. The pair
+    // (trimmed vs winsorized vs raw) is the standard robust-location
+    // triptych on a dirty metric stream.
+    "agg_trimmed_mean" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+        val evc = graft.Caches.scoped(ev.select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc")))
+        val pct = GroupedPercentile.exact(evc, "event_type", "vc",
+            Seq(("p05", 0.05), ("p95", 0.95)),
+            expr("vc div 1000"), _.cast("double") / lit(100.0))
+          .groupBy(col("event_type"))
+          .agg(max(when(col("pname") === "p05", col("res"))).as("p05"),
+            max(when(col("pname") === "p95", col("res"))).as("p95"))
+        val kept = col("value") >= col("p05") && col("value") <= col("p95")
+        ev.join(broadcast(pct), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(kept.cast("long")).as("n_kept"),
+            round(sum(when(kept, col("value").cast("decimal(18,6)"))
+                .otherwise(lit(0).cast("decimal(18,6)"))).cast("double")
+              / sum(kept.cast("long")), 6).as("trimmed_mean"),
+            round(sum(col("value").cast("decimal(18,6)")).cast("double")
+              / count(lit(1)), 6).as("raw_mean"))
+      },
+      Some("""WITH p AS (SELECT event_type,
+             |             quantile_cont("value", 0.05) AS p05,
+             |             quantile_cont("value", 0.95) AS p95
+             |           FROM events GROUP BY 1),
+             |w AS (SELECT e.event_type, e."value" AS v,
+             |        CAST(e."value" >= p.p05 AND e."value" <= p.p95 AS BIGINT) AS kp
+             |      FROM events e JOIN p USING (event_type))
+             |SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(kp) AS BIGINT) AS n_kept,
+             |  ROUND(CAST(SUM(CASE WHEN kp = 1 THEN CAST(v AS DECIMAL(18,6))
+             |                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             |    / CAST(SUM(kp) AS BIGINT), 6) AS trimmed_mean,
+             |  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             |    AS raw_mean
+             |FROM w GROUP BY event_type""".stripMargin)
+    ),
+
     // INTER-ARRIVAL gap percentiles per event type (p50/p90/p99) — the
     // latency-style tail view `events_inter_arrival`'s mean/cv summary
     // can't show. Gaps are exact integer microseconds from one lag over
