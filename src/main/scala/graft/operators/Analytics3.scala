@@ -1692,6 +1692,64 @@ object Analytics3 {
              |FROM w GROUP BY event_type""".stripMargin)
     ),
 
+    // MANN-KENDALL trend test on monthly average order value — the
+    // significance companion to window_theil_sen's slope: S sums the
+    // pairwise signs over the calendar-bounded month series (AOV is an
+    // exact integer cents-per-order division, so sign ties are real
+    // ties), the variance carries the tied-group correction, and the
+    // sign-dependent continuity correction feeds the terminal z. All
+    // integers until z.
+    "orders_trend_mann_kendall" -> Query(
+      (s, d) => {
+        val monthly = graft.Caches.scoped(Tables.orders(s, d)
+          .groupBy((year(col("o_orderdate")) * 12 +
+            month(col("o_orderdate"))).cast("long").as("mi"))
+          .agg(expr("sum(cast(cast(o_totalprice as decimal(18,2))*100 as long)) div count(1)")
+            .as("aov")))
+        val sAgg = monthly.select(col("mi").as("ma"), col("aov").as("va"))
+          .join(monthly.select(col("mi").as("mb"), col("aov").as("vb")),
+            col("mb") > col("ma"))
+          .agg(coalesce(sum(signum((col("vb") - col("va")).cast("double"))
+            .cast("long")), lit(0L)).as("s_stat"))
+        val ties = monthly.groupBy(col("aov")).agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
+            lit(0L)).as("tcorr"))
+        val nM = monthly.agg(count(lit(1)).as("n"))
+        val g = nM.crossJoin(broadcast(sAgg)).crossJoin(broadcast(ties))
+        val vr = (col("n").cast("double") * (col("n") - 1) * (col("n") * 2 + 5) -
+          col("tcorr").cast("double")) / 18.0
+        val z = when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") / sqrt(vr))
+          .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") / sqrt(vr))
+          .otherwise(0.0)
+        g.select(col("n").as("n_months"), col("s_stat"),
+            round(z, 4).as("z"))
+          .withColumn("trending", (abs(col("z")) > 1.96).cast("long"))
+      },
+      Some("""WITH monthly AS (
+             |  SELECT CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) AS mi,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT))
+             |         // COUNT(*) AS BIGINT) AS aov
+             |  FROM orders GROUP BY 1),
+             |sA AS (SELECT COALESCE(CAST(SUM(CAST(sign(CAST(b.aov - a.aov AS DOUBLE))
+             |           AS BIGINT)) AS BIGINT), 0) AS s_stat
+             |       FROM monthly a JOIN monthly b ON b.mi > a.mi),
+             |ties AS (SELECT COALESCE(CAST(SUM(t * (t - 1) * (2*t + 5)) AS BIGINT), 0) AS tcorr
+             |         FROM (SELECT aov, COUNT(*) AS t FROM monthly GROUP BY 1)),
+             |nn AS (SELECT COUNT(*) AS n FROM monthly),
+             |f AS (SELECT nn.n, sA.s_stat, ties.tcorr,
+             |        (CAST(nn.n AS DOUBLE) * (nn.n - 1) * (nn.n * 2 + 5)
+             |         - CAST(ties.tcorr AS DOUBLE)) / 18.0 AS vr
+             |      FROM nn CROSS JOIN sA CROSS JOIN ties)
+             |SELECT n AS n_months, s_stat,
+             |  ROUND(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(vr)
+             |             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(vr)
+             |             ELSE 0.0 END, 4) AS z,
+             |  CAST(abs(ROUND(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(vr)
+             |             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(vr)
+             |             ELSE 0.0 END, 4)) > 1.96 AS BIGINT) AS trending
+             |FROM f""".stripMargin)
+    ),
+
     // INTER-ARRIVAL gap percentiles per event type (p50/p90/p99) — the
     // latency-style tail view `events_inter_arrival`'s mean/cv summary
     // can't show. Gaps are exact integer microseconds from one lag over
