@@ -491,6 +491,37 @@ class QualitySpec extends AnyFunSuite {
       .forall(r => r.getDouble(2) >= r.getDouble(1)))
   }
 
+  test("the hypothesis-test battery agrees the generator's columns are unrelated") {
+    // quantity, discount, and return flags are generated independently,
+    // so every association/location test must sit near its null — a
+    // big statistic in ANY of them means that test's machinery broke,
+    // caught here as a family-level cross-check on top of the per-op
+    // oracle hashes
+    val mwZ = SparkEntry.queries("agg_mannwhitney")(spark, sf)
+      .select(col("z")).collect().head.getDouble(0)
+    assert(math.abs(mwZ) < 3.0, s"Mann-Whitney z=$mwZ")
+    val ksD = SparkEntry.queries("agg_ks_test")(spark, sf)
+      .select(col("d")).collect().head.getDouble(0)
+    assert(ksD < 0.03, s"KS D=$ksD")
+    val wx = SparkEntry.queries("agg_wilcoxon_signed")(spark, sf)
+      .select(col("z")).collect().head.getDouble(0)
+    assert(math.abs(wx) < 3.0, s"Wilcoxon z=$wx")
+    val cv = SparkEntry.queries("agg_chisq_independence")(spark, sf)
+      .select(col("cramers_v")).collect().head.getDouble(0)
+    assert(cv < 0.05, s"Cramer's V=$cv")
+    val runsZ = SparkEntry.queries("agg_runs_test")(spark, sf)
+      .select(col("z")).collect().head.getDouble(0)
+    assert(math.abs(runsZ) < 3.0, s"runs z=$runsZ")
+  }
+
+  test("gap percentiles are monotone per event type") {
+    val rows = SparkEntry.queries("events_gap_percentiles")(spark, sf)
+      .select(col("p50_us"), col("p90_us"), col("p99_us")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getDouble(0) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(2)))
+  }
+
   test("rank correlations stay in [-1, 1] and broadly agree with Pearson's weak signal") {
     val sp = SparkEntry.queries("agg_spearman_corr")(spark, sf)
       .collect().head.getDouble(1)
