@@ -720,6 +720,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("agg_ratio_delta_method").contains("Join"))
   }
 
+  test("late-wave ops keep the shared shapes: no value buffers, no stray pair joins") {
+    assert(!plan("text_bitext_mine").contains("CartesianProduct"),
+      "bitext candidates must come from the LSH bucket equi-join")
+    for (q <- Seq("agg_runs_test", "events_quantile_calibration", "agg_trimmed_mean"))
+      assert(!plan(q).contains("percentile"),
+        s"$q: quantiles must come from the histogram-bisect two-pass")
+    for (q <- Seq("orders_gmv_mix", "supplier_single_source")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+        s"$q: the part dim must broadcast")
+    }
+    windowFedByAggregate("events_error_budget_burn")
+    assert(plan("orders_trend_mann_kendall").contains("HashAggregate"),
+      "months must fold before the pairwise-sign join")
+  }
+
   test("xyz classes broadcast the part dim, gap percentiles never buffer values") {
     val px = plan("part_xyz_class")
     assert(px.contains("BroadcastHashJoin") && !px.contains("SortMergeJoin"))
