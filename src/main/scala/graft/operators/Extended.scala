@@ -503,24 +503,16 @@ object Extended {
     ),
 
     // Market-basket pair mining (a-priori support counting): part pairs
-    // that co-occur in >= 2 orders. The self-join keys on l_orderkey —
-    // an equi-join whose fan-out is bounded by per-order line count
-    // (~7), so candidate volume is O(orders * lines²/order), never a
-    // corpus cross product; the distinct() guards against duplicate
-    // (order, part) lines double-counting support. pa < pb halves the
-    // pair space and makes the pair canonical.
+    // that co-occur in >= 2 orders. The derivation (l_orderkey
+    // equi-self-join, fan-out bounded by per-order line count ~7, so
+    // candidate volume is O(orders * lines²/order), never a corpus
+    // cross product; distinct() guards against duplicate (order, part)
+    // lines double-counting support; pa < pb makes the pair canonical)
+    // lives in GraphEdges — this query IS the shared co-purchase index
+    // the whole graph family amortizes, read from its materialization.
     "basket_pairs" -> Query(
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        li.as("a")
-          .join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 2)
-      },
+      (s, d) => GraphEdges.pairs(s, d)
+        .select(col("pa"), col("pb"), col("sup").as("support")),
       Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
              |SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
              |FROM li a JOIN li b
@@ -540,13 +532,10 @@ object Extended {
       (s, d) => {
         val li = graft.Caches.scoped(Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_partkey")).distinct())
-        val pairs = li.as("a")
-          .join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-          .agg(count(lit(1)).as("sup_ab"))
-          .filter(col("sup_ab") >= 2)
+        // pair supports come from the shared materialized co-purchase
+        // index; only the per-item supports and basket count rescan li
+        val pairs = GraphEdges.pairs(s, d)
+          .select(col("pa"), col("pb"), col("sup").as("sup_ab"))
         val item = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("sup"))
         val n = li.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
         pairs

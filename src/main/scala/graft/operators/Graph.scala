@@ -8,15 +8,19 @@ import org.apache.spark.sql.functions._
   *
   * The graph is the part CO-PURCHASE graph (nodes = parts, undirected
   * edges = pairs bought together in >= 2 orders — basket_pairs'
-  * candidate machinery), and the ranks answer "which products anchor
-  * the catalog". Two damped power iterations with ALL arithmetic in
-  * scaled integers — rank quantum 1e-12 of total mass — so every
-  * engine computes bit-identical ranks: contribution = r div deg,
-  * damping = (85·Σ) div 100, teleport = (15·(Q div n)) div 100. The
-  * driver holds only two scalars (n, and the constants derived from
-  * it, kmeans-style); each iteration is one edges⋈ranks equi-join +
-  * one partial agg on the destination key — the Pregel message-passing
-  * shape in vanilla DataFrame ops.
+  * candidate machinery), read from the SHARED materialized edge index
+  * ([[GraphEdges]]) every query in the family amortizes: the lineitem
+  * self-join is paid once per data dir, not once per query. The ranks
+  * answer "which products anchor the catalog". Two damped power
+  * iterations with ALL arithmetic in scaled integers — rank quantum
+  * 1e-12 of total mass — so every engine computes bit-identical ranks:
+  * contribution = r div deg, damping = (85·Σ) div 100, teleport =
+  * (15·(Q div n)) div 100. The scalars (n and the constants derived
+  * from it) ride the DAG as a broadcast 1-row frame
+  * ([[GraphEdges.withScalars]]) — no separate driver-side count job;
+  * each iteration is one edges⋈ranks equi-join + one partial agg on
+  * the destination key — the Pregel message-passing shape in vanilla
+  * DataFrame ops.
   */
 object Graph {
 
@@ -26,32 +30,26 @@ object Graph {
 
     "graph_pagerank" -> Query(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val pairs = li.as("a")
-          .join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-          .agg(count(lit(1)).as("sup"))
-          .filter(col("sup") >= 2)
-        val edges = graft.Caches.scoped(
-          pairs.select(col("pa").as("u"), col("pb").as("v"))
-            .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v"))))
+        val edges = graft.Caches.scoped(GraphEdges.sym(s, d))
         val deg = graft.Caches.scoped(
           edges.groupBy(col("u")).agg(count(lit(1)).as("deg")))
-        val n = deg.count()
-        val r0 = Q / n
-        val base = (15L * r0) / 100L
-        var ranks = deg.select(col("u").as("node"), col("deg"), lit(r0).as("r"))
+        // n and the teleport constants fold into the DAG as a 1-row
+        // broadcast — the query is ONE job, no scalar-probe action
+        val k = deg.agg(count(lit(1)).as("n"))
+          .select(expr(s"${Q}L div n").as("r0"),
+            expr(s"(15L * (${Q}L div n)) div 100L").as("base"))
+        var ranks = GraphEdges.withScalars(
+            deg.select(col("u").as("node"), col("deg")), k)
+          .select(col("node"), col("deg"), col("r0").as("r"))
         (1 to 2).foreach { _ =>
           val contrib = ranks.select(col("node").as("u"), expr("r div deg").as("c"))
           val inSum = edges.join(contrib, Seq("u"))
             .groupBy(col("v")).agg(sum(col("c")).as("sum_c"))
-          ranks = deg.select(col("u").as("node"), col("deg"))
-            .join(inSum, col("node") === col("v"), "left_outer")
+          ranks = GraphEdges.withScalars(
+              deg.select(col("u").as("node"), col("deg"))
+                .join(inSum, col("node") === col("v"), "left_outer"), k)
             .select(col("node"), col("deg"),
-              (lit(base) +
+              (col("base") +
                 expr("coalesce(sum_c, 0L) * 85 div 100")).as("r"))
         }
         ranks.select(col("node").as("part"), col("deg"), col("r").as("rank_q"))
@@ -96,17 +94,8 @@ object Graph {
     // orientation — same plan shape, one extra degree join.
     "graph_triangles" -> Query(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
         val edges = graft.Caches.scoped(
-          li.as("x")
-            .join(li.as("y"),
-              col("x.l_orderkey") === col("y.l_orderkey") &&
-                col("x.l_partkey") < col("y.l_partkey"))
-            .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-            .agg(count(lit(1)).as("sup"))
-            .filter(col("sup") >= 2)
-            .select(col("pa"), col("pb")))
+          GraphEdges.pairs(s, d).select(col("pa"), col("pb")))
         val wedges = edges.select(col("pa").as("a"), col("pb").as("b"))
           .join(edges.select(col("pa").as("b"), col("pb").as("c")), Seq("b"))
         wedges.join(edges.select(col("pa").as("a"), col("pb").as("c")),
@@ -135,17 +124,8 @@ object Graph {
     // the oracle boundary.
     "graph_link_predict" -> Query(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
         val edges = graft.Caches.scoped(
-          li.as("x")
-            .join(li.as("y"),
-              col("x.l_orderkey") === col("y.l_orderkey") &&
-                col("x.l_partkey") < col("y.l_partkey"))
-            .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-            .agg(count(lit(1)).as("sup"))
-            .filter(col("sup") >= 2)
-            .select(col("pa"), col("pb")))
+          GraphEdges.pairs(s, d).select(col("pa"), col("pb")))
         val sym = edges.select(col("pa").as("u"), col("pb").as("v"))
           .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
         val cn = sym.select(col("u").as("c"), col("v").as("a"))
@@ -191,18 +171,7 @@ object Graph {
     // set-semantics UNION, which bounds the DuckDB side the same way.
     "graph_bfs_khop" -> Query(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val pairs = li.as("x")
-          .join(li.as("y"),
-            col("x.l_orderkey") === col("y.l_orderkey") &&
-              col("x.l_partkey") < col("y.l_partkey"))
-          .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-          .agg(count(lit(1)).as("sup"))
-          .filter(col("sup") >= 2)
-        val edges = graft.Caches.scoped(
-          pairs.select(col("pa").as("u"), col("pb").as("v"))
-            .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v"))))
+        val edges = graft.Caches.scoped(GraphEdges.sym(s, d))
         var visited = graft.Caches.scoped(
           edges.select(col("u").as("node")).distinct()
             .filter(col("node") % 97 === 0)
@@ -243,18 +212,7 @@ object Graph {
     // per-node choice combines map-side.
     "graph_label_prop" -> Query(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val pairs = li.as("a")
-          .join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-          .agg(count(lit(1)).as("sup"))
-          .filter(col("sup") >= 2)
-        val edges = graft.Caches.scoped(
-          pairs.select(col("pa").as("u"), col("pb").as("v"))
-            .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v"))))
+        val edges = graft.Caches.scoped(GraphEdges.sym(s, d))
         var labels = edges.select(col("u").as("node")).distinct()
           .select(col("node"), col("node").as("lbl"))
         (1 to 2).foreach { _ =>
@@ -299,18 +257,7 @@ object Graph {
     // per round under AQE).
     "graph_kcore" -> Query(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val pairs = li.as("a")
-          .join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-          .agg(count(lit(1)).as("sup"))
-          .filter(col("sup") >= 2)
-        val edges = graft.Caches.scoped(
-          pairs.select(col("pa").as("u"), col("pb").as("v"))
-            .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v"))))
+        val edges = graft.Caches.scoped(GraphEdges.sym(s, d))
         // each round's survivor set feeds TWO semi-joins in the next
         // round — cache it, or round N recomputes rounds 1..N-1 twice
         // over (2^rounds blowup; measured 4.3s -> 2.5s at sf0.1)
@@ -353,16 +300,8 @@ object Graph {
     // canonical pair list + two map-side-combinable aggs.
     "graph_modularity" -> Query(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val pairs = graft.Caches.scoped(li.as("a")
-          .join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-          .agg(count(lit(1)).as("sup"))
-          .filter(col("sup") >= 2)
-          .select(col("pa"), col("pb")))
+        val pairs = graft.Caches.scoped(
+          GraphEdges.pairs(s, d).select(col("pa"), col("pb")))
         val edges = graft.Caches.scoped(
           pairs.select(col("pa").as("u"), col("pb").as("v"))
             .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v"))))
@@ -387,8 +326,8 @@ object Graph {
           .join(lab.select(col("node").as("u"), col("lbl")), Seq("u"))
           .groupBy(col("lbl").as("community"))
           .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
-        degMass.join(internal, Seq("community"), "left")
-          .crossJoin(broadcast(m))
+        GraphEdges.withScalars(
+            degMass.join(internal, Seq("community"), "left"), m)
           .select(col("community"), col("n_nodes"),
             coalesce(col("l_c"), lit(0L)).as("l_c"), col("d_c"),
             (lit(4L) * col("m") * coalesce(col("l_c"), lit(0L))
@@ -436,37 +375,28 @@ object Graph {
     // goes only to seed nodes (parts with id % 100 == 0), iterations
     // are the same edges-join-ranks + destination partial agg. Two
     // iterations, O(E) messages each — the plan a 100 TB walk runs.
+    // The seed count folds into the DAG as a broadcast scalar.
     "graph_ppr" -> Query(
       (s, d) => {
-        val Q = 1000000000000L
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val pairs = li.as("a")
-          .join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-          .agg(count(lit(1)).as("sup"))
-          .filter(col("sup") >= 2)
-        val edges = graft.Caches.scoped(
-          pairs.select(col("pa").as("u"), col("pb").as("v"))
-            .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v"))))
+        val edges = graft.Caches.scoped(GraphEdges.sym(s, d))
         val deg = graft.Caches.scoped(
           edges.groupBy(col("u")).agg(count(lit(1)).as("deg")))
-        val seeds = deg.filter(col("u") % 100 === 0)
-        val nSeeds = seeds.count()
-        val seedShare = Q / math.max(nSeeds, 1L)
-        val restart = (15L * seedShare) / 100L
-        var ranks = deg.select(col("u").as("node"), col("deg"),
-          when(col("node") % 100 === 0, lit(seedShare)).otherwise(lit(0L)).as("r"))
+        val k = deg.filter(col("u") % 100 === 0)
+          .agg(count(lit(1)).as("ns"))
+          .select(expr(s"${Q}L div greatest(ns, 1L)").as("ss"))
+          .select(col("ss"), expr("(15L * ss) div 100L").as("rst"))
+        var ranks = GraphEdges.withScalars(deg, k)
+          .select(col("u").as("node"), col("deg"),
+            when(col("u") % 100 === 0, col("ss")).otherwise(lit(0L)).as("r"))
         (1 to 2).foreach { _ =>
           val contrib = ranks.select(col("node").as("u"), expr("r div deg").as("c"))
           val inSum = edges.join(contrib, Seq("u"))
             .groupBy(col("v")).agg(sum(col("c")).as("sum_c"))
-          ranks = deg.select(col("u").as("node"), col("deg"))
-            .join(inSum, col("node") === col("v"), "left_outer")
+          ranks = GraphEdges.withScalars(
+              deg.select(col("u").as("node"), col("deg"))
+                .join(inSum, col("node") === col("v"), "left_outer"), k)
             .select(col("node"), col("deg"),
-              (when(col("node") % 100 === 0, lit(restart)).otherwise(lit(0L)) +
+              (when(col("node") % 100 === 0, col("rst")).otherwise(lit(0L)) +
                 expr("coalesce(sum_c, 0L) * 85 div 100")).as("r"))
         }
         ranks.select(col("node").as("part"), col("deg"), col("r").as("ppr_q"))
@@ -517,17 +447,8 @@ object Graph {
     // and are excluded identically by both engines.
     "graph_clustering_coeff" -> Query(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
         val edges = graft.Caches.scoped(
-          li.as("x")
-            .join(li.as("y"),
-              col("x.l_orderkey") === col("y.l_orderkey") &&
-                col("x.l_partkey") < col("y.l_partkey"))
-            .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-            .agg(count(lit(1)).as("sup"))
-            .filter(col("sup") >= 2)
-            .select(col("pa"), col("pb")))
+          GraphEdges.pairs(s, d).select(col("pa"), col("pb")))
         val wedges = edges.select(col("pa").as("a"), col("pb").as("b"))
           .join(edges.select(col("pa").as("b"), col("pb").as("c")), Seq("b"))
         val tri = wedges.join(edges.select(col("pa").as("a"), col("pb").as("c")),
@@ -575,18 +496,7 @@ object Graph {
     // discipline. Two broadcast degree attaches + one scalar agg.
     "graph_assortativity" -> Query(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val pairs = li.as("a")
-          .join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-          .agg(count(lit(1)).as("sup"))
-          .filter(col("sup") >= 2)
-        val sym = graft.Caches.scoped(
-          pairs.select(col("pa").as("u"), col("pb").as("v"))
-            .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v"))))
+        val sym = graft.Caches.scoped(GraphEdges.sym(s, d))
         val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         sym
           .join(deg.select(col("u"), col("deg").as("x")), Seq("u"))
@@ -628,15 +538,7 @@ object Graph {
     // between engines. One edge agg + one <=64-bucket rollup.
     "graph_degree_stats" -> Query(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val pairs = li.as("a")
-          .join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-          .agg(count(lit(1)).as("sup"))
-          .filter(col("sup") >= 2)
+        val pairs = GraphEdges.pairs(s, d)
         val edges = pairs.select(col("pa").as("u"))
           .unionAll(pairs.select(col("pb").as("u")))
         edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -668,29 +570,36 @@ object Graph {
     // greatest(S div Q, 1)) so magnitudes stay bounded at any corpus
     // size — no BIGINT overflow at 100x, no float drift. Per
     // iteration: one equi-join edges><scores + one partial agg, with
-    // the three mass totals crossing as broadcast scalars — O(E)
-    // messages, the same scale shape as graph_pagerank.
+    // the three mass totals AND the hub seed crossing as broadcast
+    // 1-row scalar joins — O(E) messages and ONE job, the same scale
+    // shape as graph_pagerank.
     "graph_hits" -> Query(
       (s, d) => {
-        val Q = 1000000000000L
-        val e = graft.Caches.scoped(Tables.lineitem(s, d)
+        // NOT persisted: the distinct ends in an Exchange, and all five
+        // consumers (k, a1, h1, a2, pdeg) carry the IDENTICAL subtree,
+        // so ReuseExchange materializes the shuffle once and every
+        // consumer re-reads it — cheaper than a cold cache that
+        // parallel stages race to populate
+        val e = Tables.lineitem(s, d)
           .select(col("l_suppkey").as("sup"), col("l_partkey").as("part"))
-          .distinct())
-        val nSup = e.select(col("sup")).distinct().count()
-        val hub0 = Q / math.max(nSup, 1L)
-        val a1 = e.groupBy(col("part")).agg((count(lit(1)) * hub0).as("a"))
+          .distinct()
+        val k = e.agg(count_distinct(col("sup")).as("ns"))
+          .select(expr(s"${Q}L div greatest(ns, 1L)").as("hub0"))
+        val a1 = GraphEdges.withScalars(
+            e.groupBy(col("part")).agg(count(lit(1)).as("cnt")), k)
+          .select(col("part"), (col("cnt") * col("hub0")).as("a"))
         val s1 = a1.agg(sum(col("a")).as("sa"))
-        val an1 = a1.crossJoin(broadcast(s1))
+        val an1 = GraphEdges.withScalars(a1, s1)
           .select(col("part"), expr(s"a div greatest(sa div ${Q}L, 1L)").as("a"))
         val h1 = e.join(an1, Seq("part"))
           .groupBy(col("sup")).agg(sum(col("a")).as("h"))
         val s2 = h1.agg(sum(col("h")).as("sh"))
-        val hn1 = h1.crossJoin(broadcast(s2))
+        val hn1 = GraphEdges.withScalars(h1, s2)
           .select(col("sup"), expr(s"h div greatest(sh div ${Q}L, 1L)").as("h"))
         val a2 = e.join(hn1, Seq("sup"))
           .groupBy(col("part")).agg(sum(col("h")).as("a"))
         val s3 = a2.agg(sum(col("a")).as("sa"))
-        a2.crossJoin(broadcast(s3))
+        GraphEdges.withScalars(a2, s3)
           .join(e.groupBy(col("part")).agg(count(lit(1)).as("pdeg")), Seq("part"))
           .select(col("part"), col("pdeg"),
             expr(s"a div greatest(sa div ${Q}L, 1L)").as("auth_q"))
@@ -724,17 +633,8 @@ object Graph {
     // neighbor always has deg >= 2, so ln(deg) > 0.
     "graph_adamic_adar" -> Query(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
         val edges = graft.Caches.scoped(
-          li.as("x")
-            .join(li.as("y"),
-              col("x.l_orderkey") === col("y.l_orderkey") &&
-                col("x.l_partkey") < col("y.l_partkey"))
-            .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-            .agg(count(lit(1)).as("sup"))
-            .filter(col("sup") >= 2)
-            .select(col("pa"), col("pb")))
+          GraphEdges.pairs(s, d).select(col("pa"), col("pb")))
         val sym = edges.select(col("pa").as("u"), col("pb").as("v"))
           .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
         val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Query, Tables}
+import graft.Query
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,21 +16,10 @@ object Graph2 {
 
   private val Q = 1000000000000L // rank quantum (graph_pagerank's)
 
-  /** Undirected co-purchase edges, one row per direction. */
-  private def sym(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = li.as("x")
-      .join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
-      .select(col("pa"), col("pb"))
-    edges.select(col("pa").as("u"), col("pb").as("v"))
-      .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
-  }
+  /** Undirected co-purchase edges, one row per direction — read from
+    * the shared materialized index ([[GraphEdges]]), not re-derived.
+    */
+  private def sym(s: SparkSession, d: String): DataFrame = GraphEdges.sym(s, d)
 
   private val symSql =
     """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -465,8 +465,17 @@ class PlanSpec extends AnyFunSuite {
 
   test("pagerank message passing is equi-join + partial agg, never all-pairs") {
     val p = plan("graph_pagerank")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       s"message passing must stay an equi-join:\n${p.take(2000)}")
+    // rank updates (edges ⋈ contrib, deg ⋈ inSum) must be equi-joins
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "rank updates must be equi-joins")
+    // the ONLY nested-loop joins are the 1-row teleport-constant
+    // attaches (GraphEdges.withScalars): initial ranks + one per
+    // iteration — constant work per probe row, NOT a pair explosion
+    val t = tree("graph_pagerank")
+    assert(t.count(_.contains("BroadcastNestedLoopJoin")) <= 3,
+      s"only 1-row scalar attaches may broadcast-nest:\n${t.mkString("\n")}")
   }
 
   test("media curation never degenerates to a cartesian candidate join") {
