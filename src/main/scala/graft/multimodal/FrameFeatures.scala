@@ -659,6 +659,101 @@ object FrameFeatures {
     }
   }
 
+  case class AudioSnr(doc_id: Long, n_frames: Long, e10: Long, e90: Long,
+                      snr_db: Double)
+
+  /** PCM frame-energy SNR proxy over a RAW little-endian int16 sample
+    * stream (no container — the payload IS the samples): per-16-sample
+    * frame energies in one walk, nearest-rank p10/p90 from one in-row
+    * sort (bounded by the PAYLOAD length, never the corpus), and the
+    * dB ratio rounded exactly as Spark's `round` (HALF_UP on the
+    * Double.toString decimal) so the value matches what the previous
+    * expression pipeline — and the DuckDB oracle — emit bit-for-bit.
+    * Replaces a per-sample explode + 2 hex conv per sample (~15× the
+    * walk's constant at sf0.1).
+    */
+  def audioSnr(pcm: Dataset[WavPayload]): Dataset[AudioSnr] = {
+    implicit val enc = Encoders.product[AudioSnr]
+    pcm.mapPartitions { it =>
+      val dec = new WavDecoder
+      it.map { w =>
+        val nSamp = w.payload.length / 2
+        val nFrames = nSamp / 16
+        val es = new Array[Long](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var e = 0L
+          var i = f * 16
+          val end = i + 16
+          while (i < end) {
+            val v = dec.s16(w.payload, 2 * i).toLong
+            e += v * v
+            i += 1
+          }
+          es(f) = e
+          f += 1
+        }
+        java.util.Arrays.sort(es)
+        val e10 = es(((nFrames - 1) * 10) / 100)
+        val e90 = es(((nFrames - 1) * 90) / 100)
+        val snr = 10.0 * math.log(e90.toDouble / math.max(e10, 1L).toDouble) /
+          math.log(10.0)
+        val snr4 = BigDecimal(java.math.BigDecimal.valueOf(snr))
+          .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        AudioSnr(w.doc_id, nFrames.toLong, e10, e90, snr4)
+      }
+    }
+  }
+
+  case class PaletteQuant(doc_id: Long, n_px: Long, dominant_pk: Long,
+                          coverage_bp: Long)
+
+  /** Palette quantization over a RAW BGR byte stream (3 bytes/pixel,
+    * h*16 pixels where h = len/48): every pixel snaps to the nearest of
+    * the 8 1-bit RGB corner colors (exact integer L2, ties to the
+    * smallest palette index), dominant entry and its coverage in exact
+    * basis points. One byte walk and 8 counters per image — replaces a
+    * per-pixel explode with 3 hex parses + an 8-way struct argmin per
+    * row.
+    */
+  def quantizePalette(imgs: Dataset[WavPayload]): Dataset[PaletteQuant] = {
+    implicit val enc = Encoders.product[PaletteQuant]
+    imgs.mapPartitions { it =>
+      it.map { w =>
+        val h = w.payload.length / 48
+        val nPx = h * 16
+        val counts = new Array[Long](8)
+        var i = 0
+        while (i < nPx) {
+          val b = w.payload(i * 3) & 0xff
+          val g = w.payload(i * 3 + 1) & 0xff
+          val r = w.payload(i * 3 + 2) & 0xff
+          var bestK = 0
+          var bestD = Long.MaxValue
+          var k = 0
+          while (k < 8) {
+            val db = (b - (k & 1) * 255).toLong
+            val dg = (g - ((k >> 1) & 1) * 255).toLong
+            val dr = (r - ((k >> 2) & 1) * 255).toLong
+            val dist = db * db + dg * dg + dr * dr
+            if (dist < bestD) { bestD = dist; bestK = k } // ties keep smaller k
+            k += 1
+          }
+          counts(bestK) += 1
+          i += 1
+        }
+        var dom = 0
+        var k = 1
+        while (k < 8) {
+          if (counts(k) > counts(dom)) dom = k // ties keep smaller pk
+          k += 1
+        }
+        PaletteQuant(w.doc_id, nPx.toLong, dom.toLong,
+          counts(dom) * 10000L / nPx)
+      }
+    }
+  }
+
   /** Distributed decode: one codec instance per partition, streamed. */
   def decodeWav(wavs: Dataset[WavPayload]): Dataset[WavFrame] = {
     implicit val enc = Encoders.product[WavFrame]

@@ -1031,38 +1031,21 @@ object MultimodalQueries {
     // per-frame energies (16 signed LE samples each), then the
     // p90/p10 energy ratio in dB. A near-flat ratio means dead air or
     // constant tone; a huge one means bursty speech-like content. The
-    // nearest-rank percentiles come from ONE in-row sort of the
-    // frame-energy list — bounded by the PAYLOAD length, never the
-    // corpus, so the collect is per-row constant-ish at any scale.
-    // Energies are exact integers; the dB value is 10*ln(r)/ln(10) on
-    // an exact integer ratio, written identically both engines.
+    // sample walk, per-frame energies, and the nearest-rank p10/p90
+    // (ONE in-row sort bounded by the PAYLOAD length, never the
+    // corpus) all run in the sanctioned codec-walk mapPartitions pass
+    // (FrameFeatures.audioSnr) — one scan, zero shuffle, no
+    // per-sample explode/hex parse. Energies are exact integers; the
+    // dB value is 10*ln(r)/ln(10) on an exact integer ratio, rounded
+    // HALF_UP identically in both engines.
     "mm_audio_snr" -> Query(
       (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
         val bin = col("text").cast("binary")
-        val d0 = Tables.documents(s, d).filter(length(bin) >= 32)
-          .select(col("doc_id"), lower(hex(bin)).as("hx"),
-            (length(bin) / 2).cast("long").as("n_samp"))
-        val samp = d0
-          .select(col("doc_id"), col("hx"), col("n_samp"),
-            explode(sequence(lit(0L), expr("(n_samp div 16) * 16 - 1"))).as("i"))
-          .select(col("doc_id"), expr("i div 16").as("f"),
-            conv(expr("substring(hx, i*4 + 3, 2) || substring(hx, i*4 + 1, 2)"),
-              16, 10).cast("long").as("v"))
-          .select(col("doc_id"), col("f"),
-            when(col("v") >= 32768, col("v") - 65536).otherwise(col("v")).as("samp"))
-        val fe = samp.groupBy(col("doc_id"), col("f"))
-          .agg(sum(col("samp") * col("samp")).as("energy"))
-        fe.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_frames"),
-            sort_array(collect_list(col("energy"))).as("es"))
-          .select(col("doc_id"), col("n_frames"),
-            element_at(col("es"),
-              (expr("((n_frames - 1) * 10) div 100") + 1).cast("int")).as("e10"),
-            element_at(col("es"),
-              (expr("((n_frames - 1) * 90) div 100") + 1).cast("int")).as("e90"))
-          .withColumn("snr_db",
-            round(lit(10.0) * log(col("e90").cast("double") /
-              greatest(col("e10"), lit(1L)).cast("double")) / log(lit(10.0)), 4))
+        val pcm = Tables.documents(s, d).filter(length(bin) >= 32)
+          .select(col("doc_id"), bin.as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        FrameFeatures.audioSnr(pcm).toDF()
       },
       Some("""WITH d AS (
              |  SELECT doc_id, lower(hex(encode(text))) AS hx,
@@ -1097,40 +1080,18 @@ object MultimodalQueries {
     // color-profile fingerprint media dashboards facet on (and a
     // poor-man's posterize). Distances are exact integer L2 over the
     // 8-entry literal palette (argmin with index tie-break), coverage
-    // is an exact bp ratio — row-local pixels + two partial aggs,
-    // zero joins.
+    // is an exact bp ratio. Pixel decode + assignment + the 8-counter
+    // fold run in the sanctioned codec-walk mapPartitions pass
+    // (FrameFeatures.quantizePalette) — one scan, zero shuffle, zero
+    // joins, no per-pixel explode/hex parse.
     "mm_image_quantize_palette" -> Query(
       (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
         val bin = col("text").cast("binary")
-        val d0 = Tables.documents(s, d).filter(length(bin) >= 48)
-          .select(col("doc_id"), lower(hex(bin)).as("hx"),
-            expr("length(cast(text as binary)) div 48").as("h"))
-        val px = d0
-          .select(col("doc_id"), col("hx"),
-            explode(sequence(lit(0L), expr("h * 16 - 1"))).as("i"))
-          .select(col("doc_id"),
-            conv(expr("substring(hx, i*6 + 1, 2)"), 16, 10).cast("long").as("b"),
-            conv(expr("substring(hx, i*6 + 3, 2)"), 16, 10).cast("long").as("g"),
-            conv(expr("substring(hx, i*6 + 5, 2)"), 16, 10).cast("long").as("r"))
-        // palette k: bit 0 = blue, bit 1 = green, bit 2 = red (0 or 255)
-        val dist = (k: Int) => {
-          val (pb, pg, pr) =
-            ((k & 1) * 255L, ((k >> 1) & 1) * 255L, ((k >> 2) & 1) * 255L)
-          struct(
-            ((col("b") - pb) * (col("b") - pb) + (col("g") - pg) * (col("g") - pg) +
-              (col("r") - pr) * (col("r") - pr)).as("d"),
-            lit(k.toLong).as("k"))
-        }
-        val assigned = px.select(col("doc_id"),
-          array_min(array((0 until 8).map(dist): _*)).getField("k").as("pk"))
-        val counts = assigned.groupBy(col("doc_id"), col("pk"))
-          .agg(count(lit(1)).as("c"))
-        counts.groupBy(col("doc_id"))
-          .agg(sum(col("c")).as("n_px"),
-            max(struct(col("c"), (-col("pk")).as("nk"))).as("top"))
-          .select(col("doc_id"), col("n_px"),
-            (-col("top.nk")).as("dominant_pk"),
-            expr("top.c * 10000 div n_px").as("coverage_bp"))
+        val imgs = Tables.documents(s, d).filter(length(bin) >= 48)
+          .select(col("doc_id"), bin.as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        FrameFeatures.quantizePalette(imgs).toDF()
       },
       Some("""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
              |                  octet_length(encode(text)) // 48 AS h
