@@ -175,6 +175,12 @@ object GifCodec {
 
   def encode(gray: Array[Byte], width: Int): Array[Byte] = {
     val h = gray.length / width
+    // the logical-screen / image-descriptor size fields are 16-bit:
+    // a payload >= 1 MiB at width 16 would overflow h past 65535 and
+    // silently truncate through le16, aborting the decoder downstream
+    // with an opaque size mismatch — fail loudly at the encode edge
+    require(width <= 0xffff && h <= 0xffff,
+      s"GIF size fields are 16-bit: ${width}x$h does not fit")
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     out.write(le16(width)); out.write(le16(h))

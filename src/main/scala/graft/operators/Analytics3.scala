@@ -45,7 +45,10 @@ object Analytics3 {
           .withColumn("colt", sum(col("cnt")).over(wc))
           .withColumn("tot", sum(col("cnt")).over(wt))
           .withColumn("num",
-            (col("cnt") * col("tot") - col("rowt") * col("colt")).cast("double"))
+            // decimal(38)/HUGEINT route for the n^2-scale products —
+            // past ~3e9 fact rows the raw long products wrap silently
+            (col("cnt").cast("decimal(38,0)") * col("tot")
+              - col("rowt").cast("decimal(38,0)") * col("colt")).cast("double"))
           .withColumn("den",
             (col("rowt").cast("decimal(38,0)") * col("colt") * col("tot"))
               .cast("double"))
@@ -81,8 +84,8 @@ object Analytics3 {
              |  SELECT CAST(MAX(tot) AS BIGINT) AS n,
              |    COUNT(DISTINCT l_returnflag) AS r,
              |    COUNT(DISTINCT l_linestatus) AS c,
-             |    ROUND(SUM(CAST(cnt*tot - rowt*colt AS DOUBLE)
-             |              * CAST(cnt*tot - rowt*colt AS DOUBLE)
+             |    ROUND(SUM(CAST(CAST(cnt AS HUGEINT)*tot - CAST(rowt AS HUGEINT)*colt AS DOUBLE)
+             |              * CAST(CAST(cnt AS HUGEINT)*tot - CAST(rowt AS HUGEINT)*colt AS DOUBLE)
              |              / CAST(CAST(rowt AS HUGEINT)*colt*tot AS DOUBLE)), 4)
              |      AS chi2
              |  FROM t)
@@ -121,7 +124,10 @@ object Analytics3 {
         val g = ranked.agg(
           sum(col("cnt")).as("n"),
           sum(col("cr")).as("n1"),
-          sum(col("cr") * (lit(2) * col("cumlo") + col("cnt") + 1)).as("rs2"),
+          // decimal(38) route for the n^2-scale rank-sum product (cast
+          // back to long: the emitted value is contract-capped anyway)
+          sum(col("cr").cast("decimal(38,0)")
+            * (lit(2) * col("cumlo") + col("cnt") + 1)).cast("long").as("rs2"),
           sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
             - col("cnt")).cast("double").as("ties"))
         g.select(col("n1"), (col("n") - col("n1")).as("n2"),
@@ -148,7 +154,7 @@ object Analytics3 {
              |        AS cumlo
              |      FROM v),
              |g AS (SELECT SUM(cnt) AS n, SUM(cr) AS n1,
-             |        SUM(cr * (2*cumlo + cnt + 1)) AS rs2,
+             |        SUM(CAST(cr AS HUGEINT) * (2*cumlo + cnt + 1)) AS rs2,
              |        CAST(SUM(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS DOUBLE)
              |          AS ties
              |      FROM r),
@@ -192,7 +198,9 @@ object Analytics3 {
           .withColumn("cc2", sum(col("c2")).over(wo))
           .withColumn("n1", sum(col("c1")).over(wt))
           .withColumn("n2", sum(col("c2")).over(wt))
-          .withColumn("num", abs(col("cc1") * col("n2") - col("cc2") * col("n1")))
+          // decimal(38)/HUGEINT route for the n^2-scale ECDF numerator
+          .withColumn("num", abs(col("cc1").cast("decimal(38,0)") * col("n2")
+            - col("cc2").cast("decimal(38,0)") * col("n1")))
         val g = cum.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
           max(col("num")).as("dnum"))
         g.select(col("n1"), col("n2"),
@@ -215,7 +223,7 @@ object Analytics3 {
              |  FROM v),
              |g AS (SELECT CAST(MAX(n1) AS BIGINT) AS n1,
              |        CAST(MAX(n2) AS BIGINT) AS n2,
-             |        MAX(abs(cc1*n2 - cc2*n1)) AS dnum
+             |        MAX(abs(CAST(cc1 AS HUGEINT)*n2 - CAST(cc2 AS HUGEINT)*n1)) AS dnum
              |      FROM cum)
              |SELECT n1, n2,
              |  ROUND(CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS d,
@@ -758,7 +766,9 @@ object Analytics3 {
           coalesce(sum(col("cnt")).over(wo), lit(0L)))
         val g = ranked.agg(
           sum(col("cnt")).as("n"),
-          sum(col("cpos") * (lit(2) * col("cumlo") + col("cnt") + 1)).as("wp2"),
+          // decimal(38) route for the n^2-scale signed-rank product
+          sum(col("cpos").cast("decimal(38,0)")
+            * (lit(2) * col("cumlo") + col("cnt") + 1)).cast("long").as("wp2"),
           sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
             - col("cnt")).cast("double").as("ties"))
         // E[2W+] = n(n+1)/2; Var[W+] = n(n+1)(2n+1)/24 - ties/48
@@ -783,7 +793,7 @@ object Analytics3 {
              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumlo
              |      FROM v),
              |g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
-             |        CAST(SUM(cpos * (2*cumlo + cnt + 1)) AS BIGINT) AS wp2,
+             |        CAST(SUM(CAST(cpos AS HUGEINT) * (2*cumlo + cnt + 1)) AS BIGINT) AS wp2,
              |        CAST(SUM(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS DOUBLE) AS ties
              |      FROM r)
              |SELECT n, wp2,
@@ -1653,6 +1663,14 @@ object Analytics3 {
     // mass summed as exact DECIMAL, one terminal division. The pair
     // (trimmed vs winsorized vs raw) is the standard robust-location
     // triptych on a dirty metric stream.
+    // CENT-PRECISION INVARIANT: the Spark side derives p05/p95 from
+    // cent-quantized values (floor(value*100 + 0.5), interpolated as
+    // vc/100) while the oracle's quantile_cont runs on raw `value` —
+    // these agree BECAUSE the generator emits events.value at exactly
+    // cent precision (the winsorized idiom's shared assumption, also
+    // exercised by every `floor(value*100 + 0.5)` key in this file).
+    // If the generator ever emits finer precision, quantize the oracle
+    // too: quantile_cont over floor(value*100 + 0.5)/100.
     "agg_trimmed_mean" -> Query(
       (s, d) => {
         val ev = Tables.events(s, d).select(col("event_type"), col("value"))
