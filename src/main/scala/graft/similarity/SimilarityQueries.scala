@@ -1704,12 +1704,17 @@ object SimilarityQueries {
     // retriever runs when the plain top-5 is five near-duplicates:
     // greedily pick k=5 from a 20-candidate shortlist, each step
     // maximizing 0.5*relevance - 0.5*max-similarity-to-already-picked.
-    // Greedy selection is sequential in k BY DEFINITION, so the loop
-    // unrolls to k fixed plan stages; every stage is set-parallel and
-    // everything downstream of the shortlist rank touches only
-    // |queries| * 20 rows (and the 20x20 pair table) — the corpus is
-    // scanned once, by the shortlist pass. Scores compare at 4dp with
-    // vec_id tie-breaks, so the greedy path is engine-deterministic.
+    // Greedy selection is sequential in k BY DEFINITION — but once the
+    // shortlist exists it is PER-PROBE LOCAL, so the recurrence runs
+    // over in-row arrays: the shortlist and its 20x20 pair-sim table
+    // fold to ONE row per qid (sorted candidate array + sims array),
+    // and the k picks unroll as higher-order-function rounds
+    // (filter/transform/aggregate) inside a single projection — no
+    // per-round join stages, no per-round caches, ~4 stages total
+    // regardless of k. The corpus is scanned once, by the shortlist
+    // pass; everything after it touches |queries| rows. Scores compare
+    // at 4dp with vec_id tie-breaks, so the greedy path is
+    // engine-deterministic.
     "ann_mmr_diversify" -> Query(
       (s, d) => {
         val scored = corpus(s, d).crossJoin(broadcast(queriesDf(s, d)))
@@ -1721,7 +1726,7 @@ object SimilarityQueries {
             Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
           .filter(col("rn") <= mmrShortlist)
           .select(col("qid"), col("vec_id"), col("embedding"), col("nrm"), col("cos")))
-        val sims = graft.Caches.scoped(short
+        val simsArr = short
           .select(col("qid"), col("vec_id").as("va"),
             col("embedding").as("ea"), col("nrm").as("na"))
           .join(short.select(col("qid"), col("vec_id").as("vb"),
@@ -1729,32 +1734,53 @@ object SimilarityQueries {
           .filter(col("va") =!= col("vb"))
           .select(col("qid"), col("va"), col("vb"),
             round(VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
-              .as("sim")))
-        val cand0 = short.select(col("qid"), col("vec_id"), col("cos"))
-        var sel = cand0
-          .withColumn("rn1", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
-          .filter(col("rn1") === 1)
-          .select(col("qid"), col("vec_id"), lit(1L).as("step"), col("cos").as("mmr"))
-        for (r <- 2 to mmrK) {
-          val cand = cand0.join(sel.select(col("qid"), col("vec_id")),
-            Seq("qid", "vec_id"), "left_anti")
-          val msim = sims
-            .join(sel.select(col("qid"), col("vec_id").as("vb")), Seq("qid", "vb"))
-            .groupBy(col("qid"), col("va")).agg(max(col("sim")).as("msim"))
-            .withColumnRenamed("va", "vec_id")
-          val pick = cand.join(msim, Seq("qid", "vec_id"))
-            .withColumn("mmr", round(lit(0.5) * col("cos") - lit(0.5) * col("msim"), 4))
-            .withColumn("prn", row_number().over(
-              Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("vec_id"))))
-            .filter(col("prn") === 1)
-            .select(col("qid"), col("vec_id"), lit(r.toLong).as("step"), col("mmr"))
-          // cache each round's cumulative picks: without this, union
-          // branch r re-executes every prior round's join chain (the
-          // greedy recurrence makes the naive plan quadratic in k)
-          sel = graft.Caches.scoped(sel.unionByName(pick))
-        }
-        sel
+              .as("sim"))
+          .groupBy(col("qid"))
+          .agg(collect_list(struct(col("va"), col("vb"), col("sim"))).as("sims"))
+        // candidate array sorted by (cos desc, vec_id): ascending
+        // struct sort on (-cos, vec_id) — Double.compare semantics
+        // match the window's desc ordering
+        val candArr = short.groupBy(col("qid"))
+          .agg(transform(
+            sort_array(collect_list(struct((-col("cos")).as("nc"),
+              col("vec_id").as("v"), col("cos").as("c")))),
+            x => struct(x.getField("v").as("v"), x.getField("c").as("m")))
+            .as("cands"))
+        // greedy fold over the in-row arrays: pick 1 is the top
+        // candidate (mmr = its cos); each later round filters the
+        // already-picked ids, scores the rest against the sims array,
+        // and appends the (mmr desc, vec_id) argmax. The k-1 rounds
+        // run as ONE `aggregate` over a dummy step sequence, so the
+        // round expression exists exactly once with the accumulator as
+        // a lambda variable — an unrolled k-deep nest overflows the
+        // analyzer fixpoint, and per-round withColumns get re-inlined
+        // by CollapseProject into the same pathological tree.
+        val picked = aggregate(
+          sequence(lit(2), lit(mmrK)),
+          slice(col("cands"), 1, 1),
+          (sel, _) => {
+            val ids = transform(sel, p => p.getField("v"))
+            val rest = filter(col("cands"),
+              x => !array_contains(ids, x.getField("v")))
+            val scoredRest = transform(rest, x => {
+              val msim = aggregate(
+                filter(col("sims"), sm => sm.getField("va") === x.getField("v") &&
+                  array_contains(ids, sm.getField("vb"))),
+                lit(-1e9), (acc, sm) => greatest(acc, sm.getField("sim")))
+              struct(x.getField("v").as("v"),
+                round(lit(0.5) * x.getField("m") - lit(0.5) * msim, 4).as("m"))
+            })
+            val best = aggregate(scoredRest,
+              struct(lit(Long.MaxValue).as("v"), lit(-1e9).as("m")),
+              (acc, x) => when(x.getField("m") > acc.getField("m") ||
+                (x.getField("m") === acc.getField("m") &&
+                  x.getField("v") < acc.getField("v")), x).otherwise(acc))
+            concat(sel, array(best))
+          })
+        candArr.join(simsArr, Seq("qid"))
+          .select(col("qid"), posexplode(picked).as(Seq("p0", "pk")))
+          .select(col("qid"), col("pk.v").as("vec_id"),
+            (col("p0") + 1).cast("long").as("step"), col("pk.m").as("mmr"))
       },
       Some(mmrOracleSql)
     ),
