@@ -859,6 +859,60 @@ object DedupQueries {
              |LEFT JOIN inter i ON i.da = e.da AND i.db = e.db
              |JOIN sz za ON za.doc_id = e.da
              |JOIN sz zb ON zb.doc_id = e.db""".stripMargin)
+    ),
+
+    // EXACT-SUBSTRING dedup (the Lee et al. 2022 "ExactSubstr" pass —
+    // the guarantee MinHash banding and winnowing only approximate):
+    // flag document pairs sharing a VERBATIM run of >= 12 tokens.
+    // Every 8-token window is hashed row-locally (the native
+    // ShingleHashes walk; posexplode keeps the window's start
+    // position), candidates come ONLY from the window-hash equi-join
+    // (O(n · windows/doc), never all-pairs), and a shared run of
+    // L >= 12 tokens shows up as L-7 CONSECUTIVE matching windows on
+    // one (da, db, pa-pb) alignment diagonal — the gaps-and-islands
+    // fold (pos − row_number per diagonal) turns those chains back
+    // into exact run lengths. At 100 TB the extra lever is dropping
+    // stop-windows (hashes present in >x docs) before the join —
+    // same plan shape, one frequency semi-join.
+    "dedup_substring" -> Query(
+      (s, d) => {
+        val win = graft.Caches.scoped(Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(graft.plans.TextExpressions.shingleHashes60(cleanToks, 8))
+              .as(Seq("pos", "wh"))))
+        val m = win.as("a")
+          .join(win.as("b"),
+            col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.pos").as("pa"), col("b.pos").as("pb"))
+        val wdg = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pb"))
+        val runs = m.withColumn("diag", col("pa") - col("pb"))
+          .withColumn("grp", col("pb") - row_number().over(wdg))
+          .groupBy(col("da"), col("db"), col("diag"), col("grp"))
+          .agg(count(lit(1)).as("nw"))
+          .select(col("da"), col("db"), (col("nw") + 7).as("run_tokens"))
+        runs.groupBy(col("da"), col("db"))
+          .agg(max(col("run_tokens")).as("max_run_tokens"),
+            sum((col("run_tokens") >= 12).cast("long")).as("n_runs"))
+          .filter(col("max_run_tokens") >= 12)
+      },
+      Some(s"""WITH $tokCte,
+             |w AS (SELECT doc_id, i - 1 AS pos,
+             |        CAST('0x' || substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+             |          tk[i+4], tk[i+5], tk[i+6], tk[i+7])), 1, 15) AS BIGINT) AS wh
+             |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+             |            FROM t WHERE len(tk) >= 8)),
+             |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+             |      FROM w a JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+             |g AS (SELECT da, db, pa - pb AS diag, pb,
+             |        pb - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pb) AS grp
+             |      FROM m),
+             |r AS (SELECT da, db, COUNT(*) + 7 AS run_tokens
+             |      FROM g GROUP BY da, db, diag, grp)
+             |SELECT da, db, CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens,
+             |  CAST(SUM(CASE WHEN run_tokens >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+             |FROM r GROUP BY 1, 2 HAVING MAX(run_tokens) >= 12""".stripMargin)
     )
   )
 }

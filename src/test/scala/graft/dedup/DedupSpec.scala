@@ -28,6 +28,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("dedup_substring finds a planted 12-token run and reports its exact length") {
+    // two synthetic docs sharing exactly one verbatim 13-token run,
+    // surrounded by disjoint text: the gaps-and-islands chain must
+    // recover the EXACT run length (13), one run, flagged once
+    import spark.implicits._
+    val shared = (1 to 13).map(i => s"run$i").mkString(" ")
+    val a = s"alpha beta gamma $shared tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8"
+    val b = s"zeta eta theta iota kappa $shared omega1 omega2 omega3 omega4 omega5 omega6"
+    val tmp = java.nio.file.Files.createTempDirectory("subdup").toString
+    Seq((1L, a, "en", "s1"), (2L, b, "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("dedup_substring")(spark, tmp)
+      .select(col("da"), col("db"), col("max_run_tokens"), col("n_runs"))
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 1L && out(0).getLong(1) === 2L)
+    assert(out(0).getLong(2) === 13L, s"run length ${out(0).getLong(2)}")
+    assert(out(0).getLong(3) === 1L)
+  }
+
   test("jaccard of a doc with itself is 1 via the shingle-set identity") {
     // identical shingle sets -> |∩| == |∪|; checked through the same
     // arithmetic the query uses
