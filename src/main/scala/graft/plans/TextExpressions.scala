@@ -67,6 +67,67 @@ object TextExpressions {
     */
   def editBandKeys(head: Column, nBands: Int): Column =
     ColumnBridge.column(EditBandKeys(ColumnBridge.expression(head), nBands))
+
+  /** BPE token count of a word under a trained merge list (sequential
+    * replay encoder — see graft.text.Bpe). Run on the DISTINCT word
+    * table (vocab-bounded), never the token stream.
+    */
+  def bpeSegmentCount(word: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeSegmentCount(ColumnBridge.expression(word), merges))
+}
+
+/** Sequential-replay BPE encoder: start from the word's characters and
+  * apply each trained merge IN RANK ORDER, each application merging
+  * all non-overlapping occurrences left-to-right — exactly the
+  * operation the trainer applied at that rank, so for any
+  * training-corpus word the result IS the training-time segmentation
+  * (and for OOV words, the standard apply-merges-in-order encoding).
+  * Returns the segment COUNT (the token-budget consumers only need
+  * counts; the segments themselves never materialize).
+  */
+case class BpeSegmentCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_segment_count expects string, got $t")
+  }
+
+  /** Row kernel — also the codegen body via addReferenceObj(this). */
+  def compute(w: UTF8String): Long = {
+    var syms: Array[String] = w.toString.map(_.toString).toArray
+    var r = 0
+    while (r < merges.length && syms.length > 1) {
+      val (a, b) = merges(r)
+      // apply only if the pair occurs — the common case skips the copy
+      var hit = false
+      var j = 0
+      while (!hit && j + 1 < syms.length) {
+        if (syms(j) == a && syms(j + 1) == b) hit = true
+        j += 1
+      }
+      if (hit) syms = graft.text.Bpe.applyMerge(syms, a, b)
+      r += 1
+    }
+    syms.length.toLong
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("bpeSegmentCount", this,
+        classOf[BpeSegmentCount].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegmentCount =
+    copy(child = newChild)
 }
 
 /** Bucket = first 8 md5 hex chars as a long (the exact value of

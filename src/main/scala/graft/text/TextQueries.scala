@@ -1113,33 +1113,84 @@ object TextQueries {
     ),
 
     // TOKENIZER FERTILITY per language — the subword-economics metric
-    // (BPE-ish tokens per whitespace word) that decides how a
+    // (REAL BPE tokens per whitespace word) that decides how a
     // multilingual mixture's token budget is really spent: languages
     // the tokenizer fragments (fertility >> 1) cost more context per
-    // word. Integer basis points from two exact count rollups on the
-    // same scan.
+    // word. Re-based (round 10) from the BPE-ish regex proxy onto the
+    // corpus-trained BPE tokenizer (graft.text.Bpe): distinct words
+    // encode once through the native replay encoder, counts broadcast
+    // back onto the token stream; the oracle replays the TRAINING loop
+    // in a recursive CTE, so the merge table never crosses as a
+    // literal.
     "text_tokenizer_fertility" -> Query(
-      (s, d) =>
-        Tables.documents(s, d)
-          .select(col("lang"),
-            size(cleanToks).cast("long").as("w"),
-            size(TextFunctions.bpeishTokens(col("text"))).cast("long").as("t"))
+      (s, d) => {
+        val tr = Bpe.trained(s, d)
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextFunctions.cleanTokens(lower(col("text")))).as("word"))
+        val words = toks.select(col("word")).distinct()
+          .select(col("word"),
+            graft.plans.TextExpressions.bpeSegmentCount(col("word"), tr.merges)
+              .as("nt"))
+        val perDoc = toks.join(broadcast(words), Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("w"), sum(col("nt")).as("t"))
+        Tables.documents(s, d).select(col("doc_id"), col("lang"))
+          .join(perDoc, Seq("doc_id"), "left")
           .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
-            sum(col("t")).as("n_bpeish"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("w"), lit(0L))).as("n_words"),
+            sum(coalesce(col("t"), lit(0L))).as("n_bpe"))
           .filter(col("n_words") > 0)
-          .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpeish"),
-            expr("n_bpeish * 10000 div n_words").as("fertility_bp")),
-      Some("""WITH c AS (SELECT lang,
-             |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w,
-             |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS t
-             |  FROM documents),
-             |g AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS n_words,
-             |        CAST(SUM(t) AS BIGINT) AS n_bpeish
-             |      FROM c GROUP BY 1)
-             |SELECT lang, n_docs, n_words, n_bpeish,
-             |  CAST(n_bpeish * 10000 // n_words AS BIGINT) AS fertility_bp
+          .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+            expr("n_bpe * 10000 div n_words").as("fertility_bp"))
+      },
+      Some(s"""WITH RECURSIVE ${Bpe.wordTokensCteSql},
+             |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             |                  x -> x <> '')) AS word FROM documents),
+             |pd AS (SELECT doc_id, COUNT(*) AS w, SUM(wt.nt) AS t
+             |       FROM dw JOIN wt USING (word) GROUP BY 1),
+             |g AS (SELECT lang, COUNT(*) AS n_docs,
+             |        CAST(SUM(COALESCE(pd.w, 0)) AS BIGINT) AS n_words,
+             |        CAST(SUM(COALESCE(pd.t, 0)) AS BIGINT) AS n_bpe
+             |      FROM documents LEFT JOIN pd USING (doc_id) GROUP BY 1)
+             |SELECT lang, n_docs, n_words, n_bpe,
+             |  CAST(n_bpe * 10000 // n_words AS BIGINT) AS fertility_bp
              |FROM g WHERE n_words > 0""".stripMargin)
+    ),
+
+    // REAL BPE TOKENIZATION per document: greedy-merge training over
+    // the corpus word-frequency table (Sennrich 2016; graft.text.Bpe,
+    // driver-side over the vocab-bounded word counts, memoized like
+    // the k-means centroids), then per-doc token budgets via the
+    // native sequential-replay encoder — each DISTINCT word encodes
+    // exactly once, the counts ride a broadcast back onto the token
+    // stream, so encoder cost is O(vocab), not O(corpus). The oracle
+    // replays the entire training loop in a recursive CTE over
+    // separator-framed word states (one `replace` per merge rank) —
+    // byte-identical segmentation, no interpolated merge table.
+    "text_bpe_tokenize" -> Query(
+      (s, d) => {
+        val tr = Bpe.trained(s, d)
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextFunctions.cleanTokens(lower(col("text")))).as("word"))
+        val words = toks.select(col("word")).distinct()
+          .select(col("word"),
+            graft.plans.TextExpressions.bpeSegmentCount(col("word"), tr.merges)
+              .as("nt"))
+        toks.join(broadcast(words), Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_bpe_tokens"))
+          .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+            expr("n_bpe_tokens * 10000 div n_words").as("fertility_bp"))
+      },
+      Some(s"""WITH RECURSIVE ${Bpe.wordTokensCteSql},
+             |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             |                  x -> x <> '')) AS word FROM documents)
+             |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(wt.nt) AS BIGINT) AS n_bpe_tokens,
+             |  CAST(SUM(wt.nt) * 10000 // COUNT(*) AS BIGINT) AS fertility_bp
+             |FROM dw JOIN wt USING (word) GROUP BY 1""".stripMargin)
     ),
 
     // RAKE keyword extraction — the classic unsupervised keyphrase
