@@ -117,6 +117,30 @@ object MultimodalQueries {
       row.zipWithIndex.map { case (c, x) => s"($u, $x, $c)" }
     }.mkString(", ")
 
+  /** The JPEG codec's integer tables as literal SQL rows — the exact
+    * longs JpegCodec multiplies/divides with, so the oracle's
+    * FDCT/quant/IDCT replay is literally the same arithmetic: the
+    * 8192-scaled DCT basis `bs`, the c(u) multipliers `cc`, and the
+    * Annex-K quant tables `ql`/`qc` in natural order.
+    */
+  private lazy val jpegTablesSql: String = {
+    // every numeric lands as BIGINT: the INT32 literals would overflow
+    // in the D*q / basis-product arithmetic
+    val ccVals = JpegCodec.cScale.zipWithIndex
+      .map { case (c, u) => s"($u, ${c}::BIGINT)" }.mkString(", ")
+    val qlVals = JpegCodec.qLuma.zipWithIndex
+      .map { case (q, i) => s"($i, ${q}::BIGINT)" }.mkString(", ")
+    val qcVals = JpegCodec.qChroma.zipWithIndex
+      .map { case (q, i) => s"($i, ${q}::BIGINT)" }.mkString(", ")
+    val bsVals = FrameFeatures.dctBasis.zipWithIndex.flatMap { case (row, u) =>
+      row.zipWithIndex.map { case (c, x) => s"($u, $x, ${c}::BIGINT)" }
+    }.mkString(", ")
+    s"""bs AS (SELECT * FROM (VALUES $bsVals) AS t(u, x, c)),
+       |cc AS (SELECT * FROM (VALUES $ccVals) AS t(u, c)),
+       |ql AS (SELECT * FROM (VALUES $qlVals) AS t(idx, q)),
+       |qc AS (SELECT * FROM (VALUES $qcVals) AS t(idx, q))""".stripMargin
+  }
+
   val entries: Seq[(String, Query)] = Seq(
 
     // REAL PNG round trip: each document's head bytes become an 8-bit
@@ -1120,6 +1144,128 @@ object MultimodalQueries {
              |SELECT t.doc_id, t.n_px, top.dominant_pk,
              |  CAST(top.c * 10000 // t.n_px AS BIGINT) AS coverage_bp
              |FROM t JOIN top USING (doc_id)""".stripMargin)
+    ),
+
+    // REAL BASELINE JPEG round trip: each doc's first 192 bytes become
+    // an 8x8 RGB image, JpegCodec.encode builds a genuine 4:2:0 JFIF
+    // (integer RGB->YCbCr, edge-padded 16x16 MCU, 8192-scaled integer
+    // FDCT, Annex-K quant + Huffman tables, zigzag RLE with byte
+    // stuffing, full marker structure), and the decoder re-parses the
+    // FILE (DQT/DHT/SOF0/SOS), Huffman-decodes the MCU, dequants,
+    // IDCTs, upsamples chroma and converts back to RGB. The oracle
+    // replays ONLY the lossy math (color transform, subsample,
+    // FDCT->quant->dequant->IDCT, all truncating integer arithmetic
+    // over the same literal basis/quant tables) from the raw payload
+    // bytes — the entropy/container layer is lossless, so px_md5
+    // matches exactly iff the Huffman/marker/stuffing round trip is
+    // bit-correct; one mis-parsed bit shifts the scan and diverges
+    // everything. mapPartitions is confined to the codec walk; the
+    // plan is one scan, zero shuffle.
+    "mm_jpeg_decode" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val imgs = Tables.documents(s, d)
+          .filter(length(bin) >= 192)
+          .select(col("doc_id"),
+            expr("substring(cast(text as binary), 1, 192)").as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        JpegCodec.roundtrip(imgs).toDF().drop("n_jpeg_bytes")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx
+             |           FROM documents WHERE octet_length(encode(text)) >= 192),
+             |px AS (SELECT doc_id, i, i % 8 AS x, i // 8 AS y,
+             |         CAST('0x' || substr(hx, i*6 + 1, 2) AS BIGINT) AS r,
+             |         CAST('0x' || substr(hx, i*6 + 3, 2) AS BIGINT) AS g,
+             |         CAST('0x' || substr(hx, i*6 + 5, 2) AS BIGINT) AS b
+             |       FROM (SELECT doc_id, hx, unnest(generate_series(0, 63)) AS i FROM d)),
+             |ycc AS (SELECT doc_id, x, y,
+             |         GREATEST(0, LEAST(255, (19595*r + 38470*g + 7471*b + 32768) // 65536)) AS yv,
+             |         GREATEST(0, LEAST(255, 128 + (-11056*r - 21712*g + 32768*b + 32768) // 65536)) AS cb,
+             |         GREATEST(0, LEAST(255, 128 + (32768*r - 27440*g - 5328*b + 32768) // 65536)) AS cr
+             |       FROM px),
+             |$jpegTablesSql,
+             |sub AS (SELECT s0.doc_id, s0.cx, s0.cy,
+             |          (pa.cb + pb2.cb + pc.cb + pd.cb + 2) // 4 AS cb,
+             |          (pa.cr + pb2.cr + pc.cr + pd.cr + 2) // 4 AS cr
+             |        FROM (SELECT doc_id, j % 8 AS cx, j // 8 AS cy
+             |              FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS j FROM d)) s0
+             |        JOIN ycc pa  ON pa.doc_id = s0.doc_id
+             |          AND pa.x = LEAST(2*s0.cx, 7)     AND pa.y = LEAST(2*s0.cy, 7)
+             |        JOIN ycc pb2 ON pb2.doc_id = s0.doc_id
+             |          AND pb2.x = LEAST(2*s0.cx + 1, 7) AND pb2.y = LEAST(2*s0.cy, 7)
+             |        JOIN ycc pc  ON pc.doc_id = s0.doc_id
+             |          AND pc.x = LEAST(2*s0.cx, 7)     AND pc.y = LEAST(2*s0.cy + 1, 7)
+             |        JOIN ycc pd  ON pd.doc_id = s0.doc_id
+             |          AND pd.x = LEAST(2*s0.cx + 1, 7) AND pd.y = LEAST(2*s0.cy + 1, 7)),
+             |fy AS (SELECT p.doc_id, bu.u AS u, bv.u AS v,
+             |         SUM((p.yv - 128) * bu.c * bv.c) AS t1
+             |       FROM ycc p JOIN bs bu ON bu.x = p.x JOIN bs bv ON bv.x = p.y
+             |       GROUP BY 1, 2, 3),
+             |fyq AS (SELECT doc_id, u, v, q,
+             |          (2*t3 + CASE WHEN t3 < 0 THEN -(268435456*q) ELSE 268435456*q END)
+             |            // (2*268435456*q) AS qv
+             |        FROM (SELECT f.doc_id, f.u, f.v, ql.q,
+             |                (((f.t1 * cu.c) // 8192) * cv.c) // 8192 AS t3
+             |              FROM fy f JOIN cc cu ON cu.u = f.u JOIN cc cv ON cv.u = f.v
+             |              JOIN ql ON ql.idx = f.v * 8 + f.u)),
+             |recy AS (SELECT doc_id, x, y,
+             |          GREATEST(0, LEAST(255,
+             |            (2*s + CASE WHEN s < 0 THEN -268435456 ELSE 268435456 END)
+             |              // 536870912 + 128)) AS yr
+             |        FROM (SELECT f.doc_id, bu.x AS x, bv.x AS y,
+             |                SUM((((((f.qv * f.q) * cu.c) // 8192) * cv.c) // 8192)
+             |                    * bu.c * bv.c) AS s
+             |              FROM fyq f
+             |              JOIN cc cu ON cu.u = f.u JOIN cc cv ON cv.u = f.v
+             |              JOIN bs bu ON bu.u = f.u JOIN bs bv ON bv.u = f.v
+             |              GROUP BY 1, 2, 3)),
+             |fc AS (SELECT p.doc_id, bu.u AS u, bv.u AS v,
+             |         SUM((p.cb - 128) * bu.c * bv.c) AS tcb,
+             |         SUM((p.cr - 128) * bu.c * bv.c) AS tcr
+             |       FROM sub p JOIN bs bu ON bu.x = p.cx JOIN bs bv ON bv.x = p.cy
+             |       GROUP BY 1, 2, 3),
+             |fcq AS (SELECT doc_id, u, v, q,
+             |          (2*t3b + CASE WHEN t3b < 0 THEN -(268435456*q) ELSE 268435456*q END)
+             |            // (2*268435456*q) AS qvb,
+             |          (2*t3r + CASE WHEN t3r < 0 THEN -(268435456*q) ELSE 268435456*q END)
+             |            // (2*268435456*q) AS qvr
+             |        FROM (SELECT f.doc_id, f.u, f.v, qc.q,
+             |                (((f.tcb * cu.c) // 8192) * cv.c) // 8192 AS t3b,
+             |                (((f.tcr * cu.c) // 8192) * cv.c) // 8192 AS t3r
+             |              FROM fc f JOIN cc cu ON cu.u = f.u JOIN cc cv ON cv.u = f.v
+             |              JOIN qc ON qc.idx = f.v * 8 + f.u)),
+             |recc AS (SELECT doc_id, cx, cy,
+             |          GREATEST(0, LEAST(255,
+             |            (2*sb + CASE WHEN sb < 0 THEN -268435456 ELSE 268435456 END)
+             |              // 536870912 + 128)) AS cbr,
+             |          GREATEST(0, LEAST(255,
+             |            (2*sr + CASE WHEN sr < 0 THEN -268435456 ELSE 268435456 END)
+             |              // 536870912 + 128)) AS crr
+             |        FROM (SELECT f.doc_id, bu.x AS cx, bv.x AS cy,
+             |                SUM((((((f.qvb * f.q) * cu.c) // 8192) * cv.c) // 8192)
+             |                    * bu.c * bv.c) AS sb,
+             |                SUM((((((f.qvr * f.q) * cu.c) // 8192) * cv.c) // 8192)
+             |                    * bu.c * bv.c) AS sr
+             |              FROM fcq f
+             |              JOIN cc cu ON cu.u = f.u JOIN cc cv ON cv.u = f.v
+             |              JOIN bs bu ON bu.u = f.u JOIN bs bv ON bv.u = f.v
+             |              WHERE bu.x <= 3 AND bv.x <= 3
+             |              GROUP BY 1, 2, 3)),
+             |rgb AS (SELECT yy.doc_id, yy.x, yy.y,
+             |          GREATEST(0, LEAST(255, yy.yr + (91881*(c.crr - 128) + 32768) // 65536)) AS r,
+             |          GREATEST(0, LEAST(255, yy.yr - (22554*(c.cbr - 128)
+             |            + 46802*(c.crr - 128) + 32768) // 65536)) AS g,
+             |          GREATEST(0, LEAST(255, yy.yr + (116130*(c.cbr - 128) + 32768) // 65536)) AS b
+             |        FROM recy yy JOIN recc c ON c.doc_id = yy.doc_id
+             |          AND c.cx = yy.x // 2 AND c.cy = yy.y // 2)
+             |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+             |  CAST(64 AS BIGINT) AS n_px,
+             |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+             |  CAST(SUM(b) AS BIGINT) AS sum_b,
+             |  md5(string_agg(printf('%02x%02x%02x', CAST(r AS BIGINT), CAST(g AS BIGINT),
+             |    CAST(b AS BIGINT)), '' ORDER BY y * 8 + x)) AS px_md5
+             |FROM rgb GROUP BY doc_id""".stripMargin)
     )
   )
 }

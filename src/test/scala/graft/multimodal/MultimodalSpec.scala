@@ -8,6 +8,79 @@ import org.scalatest.funsuite.AnyFunSuite
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("JpegCodec: decode(encode) equals the pure-math pipeline replay") {
+    // the exactness contract the oracle relies on: the container +
+    // entropy layer is lossless, so decoded pixels must equal the
+    // direct FDCT->quant->dequant->IDCT replay of the same source
+    val rgb = Array.tabulate(192)(i => ((i * 37 + 11) % 256).toByte)
+    val jpeg = JpegCodec.encode(rgb)
+    // container sanity: SOI/EOI markers, stuffed scan
+    assert((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8)
+    assert((jpeg(jpeg.length - 2) & 0xff) == 0xff &&
+      (jpeg(jpeg.length - 1) & 0xff) == 0xd9)
+    val stats = new JpegCodec.Decoder().decode(7L, jpeg)
+    assert(stats.width === 8L && stats.height === 8L && stats.n_px === 64L)
+
+    // replay the lossy math directly (no container)
+    def clamp(v: Long): Long = math.max(0L, math.min(255L, v))
+    val yv = new Array[Int](64); val cb = new Array[Int](64); val cr = new Array[Int](64)
+    (0 until 64).foreach { i =>
+      val r = rgb(i * 3) & 0xff; val g = rgb(i * 3 + 1) & 0xff; val b = rgb(i * 3 + 2) & 0xff
+      yv(i) = clamp((19595L * r + 38470L * g + 7471L * b + 32768L) / 65536L).toInt
+      cb(i) = clamp(128L + (-11056L * r - 21712L * g + 32768L * b + 32768L) / 65536L).toInt
+      cr(i) = clamp(128L + (32768L * r - 27440L * g - 5328L * b + 32768L) / 65536L).toInt
+    }
+    def sub(p: Array[Int])(cx: Int, cy: Int): Int = {
+      def at(x: Int, y: Int) = p(math.min(y, 7) * 8 + math.min(x, 7))
+      (at(2 * cx, 2 * cy) + at(2 * cx + 1, 2 * cy) +
+        at(2 * cx, 2 * cy + 1) + at(2 * cx + 1, 2 * cy + 1) + 2) / 4
+    }
+    val recY = JpegCodec.idct(JpegCodec.fdctQuant(yv, JpegCodec.qLuma), JpegCodec.qLuma)
+    val recCb = JpegCodec.idct(JpegCodec.fdctQuant(
+      Array.tabulate(64)(j => sub(cb)(j % 8, j / 8)), JpegCodec.qChroma), JpegCodec.qChroma)
+    val recCr = JpegCodec.idct(JpegCodec.fdctQuant(
+      Array.tabulate(64)(j => sub(cr)(j % 8, j / 8)), JpegCodec.qChroma), JpegCodec.qChroma)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    (0 until 64).foreach { i =>
+      val x = i % 8; val y = i / 8
+      val yy = recY(i).toLong
+      val cbv = recCb((y / 2) * 8 + x / 2).toLong - 128L
+      val crv = recCr((y / 2) * 8 + x / 2).toLong - 128L
+      sr += clamp(yy + (91881L * crv + 32768L) / 65536L)
+      sg += clamp(yy - (22554L * cbv + 46802L * crv + 32768L) / 65536L)
+      sb += clamp(yy + (116130L * cbv + 32768L) / 65536L)
+    }
+    assert(stats.sum_r === sr && stats.sum_g === sg && stats.sum_b === sb,
+      s"container round trip diverged from the math replay: " +
+        s"(${stats.sum_r},${stats.sum_g},${stats.sum_b}) vs ($sr,$sg,$sb)")
+  }
+
+  test("JpegCodec: a flat-color image decodes to itself (DC-only blocks)") {
+    // constant 8x8 color: every AC coefficient is zero, DC quantizes
+    // and reconstructs near-exactly; lossy error must be tiny
+    val rgb = Array.tabulate(192)(i =>
+      (Seq(200, 120, 40)(i % 3)).toByte)
+    // tolerance: +-10/px — the integer RGB->YCbCr->RGB round trip
+    // alone costs up to ~5/px, DC quantization (q=16/17) up to ~2 more
+    val stats = new JpegCodec.Decoder().decode(1L, JpegCodec.encode(rgb))
+    assert(math.abs(stats.sum_r - 64L * 200) <= 64 * 10, s"sum_r=${stats.sum_r}")
+    assert(math.abs(stats.sum_g - 64L * 120) <= 64 * 10, s"sum_g=${stats.sum_g}")
+    assert(math.abs(stats.sum_b - 64L * 40) <= 64 * 10, s"sum_b=${stats.sum_b}")
+  }
+
+  test("JpegCodec: byte stuffing survives an all-extremes image") {
+    // saturated checkerboard maximizes AC energy -> long Huffman runs
+    // and a realistic chance of 0xFF bytes in the scan
+    val rgb = Array.tabulate(192) { i =>
+      val px = i / 3
+      (if (((px % 8) + (px / 8)) % 2 == 0) 0xff else 0x00).toByte
+    }
+    val jpeg = JpegCodec.encode(rgb)
+    val stats = new JpegCodec.Decoder().decode(2L, jpeg)
+    assert(stats.n_px === 64L)
+    assert(stats.px_md5.length === 32)
+  }
+
   test("WavDecoder round-trips a hand-built PCM file exactly") {
     val samples = Array[Short](0, 1, -1, 32767, -32768, 100, -100, 12345)
     val frames = new WavDecoder().decode(7L, encodeWav(samples, 16000)).toSeq
