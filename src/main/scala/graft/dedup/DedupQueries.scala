@@ -24,6 +24,34 @@ object DedupQueries {
       |      FROM documents)""".stripMargin
   private def cleanToks: Column = TextFunctions.cleanTokens(col("text"))
 
+  /** Shared-run table of the exact-substring family: one row per
+    * maximal chain of consecutive aligned 8-token window-hash matches
+    * between an earlier doc `da` and a later doc `db` — (da, db,
+    * run_tokens, start) where `start` is the run's first token
+    * position IN db. Candidates come only from the window-hash
+    * equi-join; chains form by gaps-and-islands on the (da, db,
+    * pa−pb) alignment diagonal.
+    */
+  private def substringRuns(s: SparkSession, d: String): DataFrame = {
+    val win = graft.Caches.scoped(Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(graft.plans.TextExpressions.shingleHashes60(cleanToks, 8))
+          .as(Seq("pos", "wh"))))
+    val m = win.as("a")
+      .join(win.as("b"),
+        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val wdg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pb"))
+    m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pb") - row_number().over(wdg))
+      .groupBy(col("da"), col("db"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("nw"), min(col("pb")).as("start"))
+      .select(col("da"), col("db"), (col("nw") + 7).as("run_tokens"),
+        col("start"))
+  }
+
   /** Distinct (doc_id, 60-bit shingle hash) rows — the string-free
     * index jaccard/containment join on: the native ShingleHashes60
     * expression hashes every 3-gram window row-locally (no token
@@ -876,22 +904,7 @@ object DedupQueries {
     // same plan shape, one frequency semi-join.
     "dedup_substring" -> Query(
       (s, d) => {
-        val win = graft.Caches.scoped(Tables.documents(s, d)
-          .select(col("doc_id"),
-            posexplode(graft.plans.TextExpressions.shingleHashes60(cleanToks, 8))
-              .as(Seq("pos", "wh"))))
-        val m = win.as("a")
-          .join(win.as("b"),
-            col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-            col("a.pos").as("pa"), col("b.pos").as("pb"))
-        val wdg = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pb"))
-        val runs = m.withColumn("diag", col("pa") - col("pb"))
-          .withColumn("grp", col("pb") - row_number().over(wdg))
-          .groupBy(col("da"), col("db"), col("diag"), col("grp"))
-          .agg(count(lit(1)).as("nw"))
-          .select(col("da"), col("db"), (col("nw") + 7).as("run_tokens"))
+        val runs = substringRuns(s, d)
         runs.groupBy(col("da"), col("db"))
           .agg(max(col("run_tokens")).as("max_run_tokens"),
             sum((col("run_tokens") >= 12).cast("long")).as("n_runs"))
@@ -913,6 +926,82 @@ object DedupQueries {
              |SELECT da, db, CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens,
              |  CAST(SUM(CASE WHEN run_tokens >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
              |FROM r GROUP BY 1, 2 HAVING MAX(run_tokens) >= 12""".stripMargin)
+    ),
+
+    // EXACT-SUBSTRING COVERAGE MASK — the REMOVAL step of Lee et al.
+    // 2022: for each later doc sharing >= 12-token verbatim runs with
+    // earlier docs, how much of it is duplicated text? Qualifying runs
+    // become [start, end] token intervals in the later doc; the
+    // classic interval-union fold (running max-end over starts, new
+    // island when a start clears it) merges overlaps across ALL
+    // partners, so covered_tokens is the exact union size — the
+    // number a masking pass would delete, and covered_bp the
+    // drop-vs-trim decision signal. All windows partition by the
+    // flagged doc and run over its (bounded) interval list.
+    "dedup_substring_mask" -> Query(
+      (s, d) => {
+        val wI = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("start"), col("fin"))
+        val runs = graft.Caches.scoped(
+          substringRuns(s, d).filter(col("run_tokens") >= 12)
+            .select(col("db").as("doc_id"), col("da"), col("start"),
+              (col("start") + col("run_tokens") - 1).as("fin")))
+        val cov = runs
+          .withColumn("pmax", max(col("fin")).over(
+            wI.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+          .withColumn("new_isl",
+            (col("pmax").isNull || col("start") > col("pmax")).cast("long"))
+          .withColumn("isl", sum(col("new_isl")).over(wI))
+          .groupBy(col("doc_id"), col("isl"))
+          .agg(min(col("start")).as("s0"), max(col("fin")).as("e0"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("e0") - col("s0") + 1).as("covered_tokens"))
+        val prt = runs.groupBy(col("doc_id"))
+          .agg(countDistinct(col("da")).as("n_partners"))
+        val nt = Tables.documents(s, d)
+          .select(col("doc_id"), size(cleanToks).cast("long").as("n_tokens"))
+        cov.join(prt, Seq("doc_id")).join(nt, Seq("doc_id"))
+          .select(col("doc_id"), col("n_tokens"), col("n_partners"),
+            col("n_islands"), col("covered_tokens"),
+            expr("covered_tokens * 10000 div n_tokens").as("covered_bp"))
+      },
+      Some(s"""WITH $tokCte,
+             |w AS (SELECT doc_id, i - 1 AS pos,
+             |        CAST('0x' || substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+             |          tk[i+4], tk[i+5], tk[i+6], tk[i+7])), 1, 15) AS BIGINT) AS wh
+             |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+             |            FROM t WHERE len(tk) >= 8)),
+             |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+             |      FROM w a JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+             |g AS (SELECT da, db, pa - pb AS diag, pb,
+             |        pb - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pb) AS grp
+             |      FROM m),
+             |r AS (SELECT da, db, COUNT(*) + 7 AS run_tokens, MIN(pb) AS start
+             |      FROM g GROUP BY da, db, diag, grp),
+             |q AS (SELECT db AS doc_id, da, start, start + run_tokens - 1 AS fin
+             |      FROM r WHERE run_tokens >= 12),
+             |i1 AS (SELECT doc_id, start, fin,
+             |         MAX(fin) OVER (PARTITION BY doc_id ORDER BY start, fin
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |       FROM q),
+             |i2 AS (SELECT doc_id, start, fin,
+             |         SUM(CASE WHEN pmax IS NULL OR start > pmax THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY doc_id ORDER BY start, fin
+             |                 ROWS UNBOUNDED PRECEDING) AS isl
+             |       FROM i1),
+             |iv AS (SELECT doc_id, isl, MIN(start) AS s0, MAX(fin) AS e0
+             |       FROM i2 GROUP BY 1, 2),
+             |cov AS (SELECT doc_id, COUNT(*) AS n_islands,
+             |          CAST(SUM(e0 - s0 + 1) AS BIGINT) AS covered_tokens
+             |        FROM iv GROUP BY 1),
+             |prt AS (SELECT doc_id, COUNT(DISTINCT da) AS n_partners
+             |        FROM q GROUP BY 1),
+             |nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t)
+             |SELECT cov.doc_id, nt.n_tokens, prt.n_partners, cov.n_islands,
+             |  cov.covered_tokens,
+             |  CAST(cov.covered_tokens * 10000 // nt.n_tokens AS BIGINT) AS covered_bp
+             |FROM cov JOIN prt USING (doc_id) JOIN nt USING (doc_id)""".stripMargin)
     )
   )
 }

@@ -131,10 +131,10 @@ object Bpe {
        |           $sep || $sep AS s
        |       FROM wc),
        |tr AS (
-       |  SELECT 0 AS it, word, cnt, s FROM w0
+       |  SELECT 0 AS it, word, cnt, s, NULL::VARCHAR AS ma, NULL::VARCHAR AS mb FROM w0
        |  UNION ALL
        |  SELECT it + 1, word, cnt,
-       |    replace(s, $pat, $rep) AS s
+       |    replace(s, $pat, $rep) AS s, bpa AS ma, bpb AS mb
        |  FROM (
        |    SELECT it, word, cnt, s,
        |      (SELECT a FROM (

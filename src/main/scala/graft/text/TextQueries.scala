@@ -587,11 +587,18 @@ object TextQueries {
     // sub-shard, one per doc at worst). A doc longer than the budget
     // gets its own pack. The oracle replays the identical greedy
     // recurrence as a per-(source, sub-shard) recursive CTE.
+    // Token budgets are REAL BPE counts (round 10): the scan-local
+    // BpeTokenCountSum expression replays the corpus-trained merges
+    // over each doc's tokens in one native call — no distinct-word
+    // detour, so the pinned single-shuffle plan shape is untouched;
+    // the oracle derives the same ntok from the training-replay CTE.
     "text_pack_greedy" -> Query(
       (s, d) => {
         val budget = 256
         val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
-          size(cleanToks).cast("long").as("ntok"))
+          graft.plans.TextExpressions.bpeTokenCountSum(
+            TextFunctions.cleanTokens(lower(col("text"))),
+            Bpe.trained(s, d).merges).as("ntok"))
         val outTy = "array<struct<doc_id:bigint,ntok:bigint,pack_id:bigint,off:bigint>>"
         val packed = aggregate(
           col("ds"),
@@ -618,11 +625,16 @@ object TextQueries {
             (col("sub") * 4096 + col("p.pack_id")).as("pack_id"),
             col("p.off").as("off"))
       },
-      Some("""WITH RECURSIVE t AS (
+      Some(s"""WITH RECURSIVE ${graft.text.Bpe.wordTokensCteSql},
+             |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             |                  x -> x <> '')) AS word FROM documents),
+             |ntc AS (SELECT doc_id, CAST(SUM(wt.nt) AS BIGINT) AS ntok
+             |        FROM dw JOIN wt USING (word) GROUP BY 1),
+             |t AS (
              |  SELECT source, doc_id, doc_id // 4096 AS sub,
-             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS ntok,
+             |    COALESCE(ntc.ntok, 0) AS ntok,
              |    ROW_NUMBER() OVER (PARTITION BY source, doc_id // 4096 ORDER BY doc_id) AS rn
-             |  FROM documents),
+             |  FROM documents LEFT JOIN ntc USING (doc_id)),
              |r AS (
              |  SELECT source, sub, doc_id, ntok, rn,
              |    CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS off, ntok AS acc
@@ -1191,6 +1203,28 @@ object TextQueries {
              |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(wt.nt) AS BIGINT) AS n_bpe_tokens,
              |  CAST(SUM(wt.nt) * 10000 // COUNT(*) AS BIGINT) AS fertility_bp
              |FROM dw JOIN wt USING (word) GROUP BY 1""".stripMargin)
+    ),
+
+    // TOKENIZER VOCAB EXPORT — the trained merge table as a dataset:
+    // (rank, lhs, rhs, merged) per learned merge, the artifact a
+    // serving stack ships to every encoder. The Spark side emits the
+    // driver-trained model (a bounded artifact, like the k-means
+    // centroid export); the oracle re-derives the SAME table by
+    // replaying training in the recursive CTE and reading each
+    // iteration's chosen pair — so the gate cross-checks the full
+    // greedy trainer (pair counting, weighting, tie-breaks, stop
+    // rule) between the JVM and SQL implementations.
+    "text_bpe_vocab" -> Query(
+      (s, d) => {
+        val rows = Bpe.trained(s, d).merges.zipWithIndex.map {
+          case ((a, b), i) => ((i + 1).toLong, a, b, a + b)
+        }
+        s.createDataFrame(rows).toDF("rank", "lhs", "rhs", "merged")
+      },
+      Some(s"""WITH RECURSIVE ${Bpe.wordTokensCteSql}
+             |SELECT DISTINCT CAST(it AS BIGINT) AS rank, ma AS lhs, mb AS rhs,
+             |  ma || mb AS merged
+             |FROM tr WHERE it >= 1""".stripMargin)
     ),
 
     // RAKE keyword extraction — the classic unsupervised keyphrase
