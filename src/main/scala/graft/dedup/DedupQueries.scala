@@ -52,6 +52,32 @@ object DedupQueries {
         col("start"))
   }
 
+  /** Per-dir registry of materialized shared dedup indexes: the
+    * GraphEdges pattern. Both the shingle-hash index (4 consumer
+    * queries) and the MinHash band table (~9 consumers, through
+    * minhashPairs/incremental/decontaminate/ingest) re-derived the
+    * full corpus tokenize + md5 pass per query; production builds a
+    * corpus index ONCE per version and amortizes it, so each is now
+    * written one time per data dir as a bucketed managed table and
+    * every consumer reads the materialized buckets. Deterministic
+    * derivation => identical rows; the DuckDB oracles keep their
+    * self-contained CTE derivations, so the gate still checks the
+    * SEMANTICS, not the cache.
+    */
+  private val builtIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def materialized(s: SparkSession, d: String, kind: String,
+                           key: String, fresh: => DataFrame): DataFrame = {
+    val tbl = builtIdx.computeIfAbsent(s"$kind|$d", _ => {
+      val name = s"graft_${kind}_" +
+        new java.io.File(d).getName.replaceAll("\\W", "_")
+      graft.etl.Bucketing.writeBucketed(fresh, name, key, buckets = 8)
+      name
+    })
+    s.table(tbl)
+  }
+
   /** Distinct (doc_id, 60-bit shingle hash) rows — the string-free
     * index jaccard/containment join on: the native ShingleHashes60
     * expression hashes every 3-gram window row-locally (no token
@@ -59,13 +85,15 @@ object DedupQueries {
     * distinct dedups on the HASH. The oracle dedups on the hash too
     * (hashed-shingle-set semantics — what production MinHash stacks
     * actually compare), so cross-engine parity cannot hinge on
-    * string-vs-hash collision differences.
+    * string-vs-hash collision differences. Materialized once per dir
+    * (bucketed on the intersection-join key `shh`).
     */
   private[graft] def shingleHash60Rows(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(graft.plans.TextExpressions.shingleHashes60(cleanToks, 3)).as("shh"))
-      .distinct()
+    materialized(s, d, "shingles60", "shh",
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.plans.TextExpressions.shingleHashes60(cleanToks, 3)).as("shh"))
+        .distinct())
 
   /** DuckDB twin of `shingleHash60Rows`, ending in `shx0(doc_id, shh)`. */
   private val shingleHashCte =
@@ -143,18 +171,20 @@ object DedupQueries {
 
   /** MinHash band table `(doc_id, band_idx, bkey)`: 8 bands x 2
     * signature rows. The index every MinHash-based dedup variant
-    * (self-pair, clustering, incremental) joins on.
+    * (self-pair, clustering, incremental) joins on — materialized
+    * once per dir (bucketed on the band join key `bkey`).
     */
-  private[graft] def bandTable(s: SparkSession, d: String): DataFrame = {
-    val withSig = signatures(s, d)
-    val bandStructs = (0 until 8).map { b =>
-      struct(lit(b).as("band_idx"),
-        concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
-    }
-    withSig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey"))
-  }
+  private[graft] def bandTable(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "bands", "bkey", {
+      val withSig = signatures(s, d)
+      val bandStructs = (0 until 8).map { b =>
+        struct(lit(b).as("band_idx"),
+          concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey"))
+      }
+      withSig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+        .select(col("doc_id"), col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey"))
+    })
 
   /** MinHash+LSH candidate pairs (da < db) — the body of
     * `dedup_minhash_lsh`, shared with the clustering query. Candidates
