@@ -265,7 +265,15 @@ object DedupQueries {
     * multi-table hyperplane-LSH bucket equi-join (O(L·n) index rows,
     * never all-pairs); exact 4dp cosine confirms.
     */
-  private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+  /** Verified embedding near-dup pairs (va, vb, cos >= 0.3) from the
+    * multi-table hyperplane-LSH blocking — materialized once per dir
+    * (three consumers: dedup_embedding, text_bitext_mine,
+    * vec_cluster_components re-paid the LSH hashing + pair cosines).
+    */
+  private def embeddingPairs(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "embpairs", "va", embeddingPairsFresh(s, d))
+
+  private def embeddingPairsFresh(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions
     // norms precomputed per VECTOR (not per pair) — same arithmetic,
     // bit-identical cosine, 1/3 the per-pair flops
