@@ -698,6 +698,133 @@ object Analytics {
              |FROM w GROUP BY event_type""".stripMargin)
     ),
 
+    // COUNT-MIN SKETCH frequency estimation (Cormode/Muthukrishnan) —
+    // the mergeable heavy-hitter counter streaming systems keep when
+    // exact per-key counts don't fit: depth 4 x width 256 counters,
+    // row hashes salted md5 (deterministic), estimate = min over the
+    // key's 4 counters. UNLIKE the HLL-family entries this sketch is
+    // EXACTLY oracle-checked: both engines rebuild identical counter
+    // tables from the same md5 buckets, so the estimates (and the
+    // collision-driven overestimates, reported in bp against the
+    // exact counts of the top-20 keys) hash-match bit for bit. Plan:
+    // one map-side-combinable 1024-row counter agg + a TakeOrdered
+    // top-20 + a broadcast counter join — no all-pairs, no value
+    // buffers, counters re-aggregable across partitions/batches by
+    // construction.
+    "agg_count_min_sketch" -> Query(
+      (s, d) => {
+        val depth = 4
+        val width = 256
+        def buckets(key: org.apache.spark.sql.Column) =
+          array((0 until depth).map { i =>
+            struct(lit(i).as("r"),
+              (graft.functions.Hashing.md5Long32(
+                concat(lit(s"cms${i}_"), key.cast("string"))) % width).as("b"))
+          }: _*)
+        val li = Tables.lineitem(s, d).select(col("l_partkey"))
+        // value-level fold: counter(r,b) = Σ_key count(key) over keys
+        // hashing to b, so the sketch builds from the per-KEY count
+        // table — 4 hashes per DISTINCT key instead of per fact row
+        // (identical counters), and `truth` shares the same subtree
+        val keyCounts = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("kc"))
+        val counters = keyCounts
+          .select(col("kc"), explode(buckets(col("l_partkey"))).as("rb"))
+          .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+          .agg(sum(col("kc")).as("c"))
+        val truth = keyCounts
+          .select(col("l_partkey"), col("kc").as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("l_partkey")).limit(20)
+        truth
+          .select(col("l_partkey"), col("true_cnt"),
+            explode(buckets(col("l_partkey"))).as("rb"))
+          .select(col("l_partkey"), col("true_cnt"),
+            col("rb.r").as("r"), col("rb.b").as("b"))
+          .join(broadcast(counters), Seq("r", "b"))
+          .groupBy(col("l_partkey"), col("true_cnt"))
+          .agg(min(col("c")).as("est_cnt"))
+          .select(col("l_partkey").as("part"), col("true_cnt"), col("est_cnt"),
+            expr("(est_cnt - true_cnt) * 10000 div true_cnt").as("over_bp"))
+      },
+      Some("""WITH li AS (SELECT l_partkey FROM lineitem),
+             |rws AS (SELECT l_partkey, rr.r,
+             |          CAST('0x' || substr(md5('cms' || rr.r || '_'
+             |            || CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS b
+             |        FROM li CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) rr),
+             |counters AS (SELECT r, b, COUNT(*) AS c FROM rws GROUP BY 1, 2),
+             |truth AS (SELECT l_partkey, COUNT(*) AS true_cnt FROM li GROUP BY 1
+             |          ORDER BY true_cnt DESC, l_partkey LIMIT 20),
+             |est AS (SELECT t.l_partkey, t.true_cnt, MIN(c.c) AS est_cnt
+             |        FROM truth t
+             |        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) rr
+             |        JOIN counters c ON c.r = rr.r
+             |          AND c.b = CAST('0x' || substr(md5('cms' || rr.r || '_'
+             |            || CAST(t.l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 256
+             |        GROUP BY 1, 2)
+             |SELECT l_partkey AS part, true_cnt, est_cnt,
+             |  CAST((est_cnt - true_cnt) * 10000 // true_cnt AS BIGINT) AS over_bp
+             |FROM est""".stripMargin)
+    ),
+
+    // HOLT LINEAR-TREND smoothing (double exponential) per event-type
+    // daily series — the level+trend upgrade of the naive forecasts
+    // above, with the 7-day-ahead projection a capacity planner reads.
+    // Dyadic parameters (alpha = 1/2, beta = 1/4) keep every update a
+    // binary-exact double op: l_t = (y_t + l + b) / 2,
+    // b_t = (l_t - l_prev) / 4 + 3 b_prev / 4 — identical operand bits
+    // give identical IEEE results in both engines, so the fold is
+    // deterministic cross-engine with no integer scaling needed. The
+    // recursion is inherently sequential per series, so it runs as a
+    // row-local aggregate() fold over the (<=31-day) collected series
+    // — the events_survival_km discipline; the data-sized work is one
+    // map-side daily agg.
+    "window_holt_linear" -> Query(
+      (s, d) => {
+        val ser = dailyCounts(s, d)
+          .groupBy(col("event_type"))
+          .agg(sort_array(collect_list(struct(col("di"), col("x")))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+        val y = (i: Int) => element_at(col("ds"), i).getField("x").cast("double")
+        val folded = aggregate(
+          expr("slice(ds, 2, size(ds) - 1)"),
+          struct(y(1).as("l"), (y(2) - y(1)).as("b")),
+          (st, e) => {
+            val lNew = (e.getField("x").cast("double") +
+              st.getField("l") + st.getField("b")) / lit(2.0)
+            struct(lNew.as("l"),
+              ((lNew - st.getField("l")) / lit(4.0) +
+                lit(3.0) * st.getField("b") / lit(4.0)).as("b"))
+          })
+        ser.select(col("event_type"), size(col("ds")).cast("long").as("n_days"),
+            folded.getField("l").as("l"), folded.getField("b").as("b"))
+          .select(col("event_type"), col("n_days"),
+            round(col("l"), 6).as("level"), round(col("b"), 6).as("trend"),
+            round(col("l") + lit(7.0) * col("b"), 6).as("fc7"))
+      },
+      Some(s"""WITH RECURSIVE daily AS ($dailySql),
+             |t AS (SELECT event_type, di, x,
+             |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY di) AS rn,
+             |        COUNT(*) OVER (PARTITION BY event_type) AS n
+             |      FROM daily),
+             |r AS (
+             |  SELECT t1.event_type, t1.rn,
+             |    CAST(t1.x AS DOUBLE) AS l,
+             |    CAST(t2.x AS DOUBLE) - CAST(t1.x AS DOUBLE) AS b
+             |  FROM t t1 JOIN t t2 ON t2.event_type = t1.event_type AND t2.rn = 2
+             |  WHERE t1.rn = 1 AND t1.n >= 2
+             |  UNION ALL
+             |  SELECT t.event_type, t.rn,
+             |    (CAST(t.x AS DOUBLE) + r.l + r.b) / 2.0 AS l,
+             |    ((CAST(t.x AS DOUBLE) + r.l + r.b) / 2.0 - r.l) / 4.0
+             |      + 3.0 * r.b / 4.0 AS b
+             |  FROM r JOIN t ON t.event_type = r.event_type AND t.rn = r.rn + 1)
+             |SELECT r.event_type, CAST(mx.n AS BIGINT) AS n_days,
+             |  ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+             |  ROUND(r.l + 7.0 * r.b, 6) AS fc7
+             |FROM r
+             |JOIN (SELECT event_type, MAX(rn) AS n FROM t GROUP BY 1) mx
+             |  ON mx.event_type = r.event_type AND mx.n = r.rn""".stripMargin)
+    ),
+
     // Bot/burst detection — the traffic-hygiene gate run before any
     // behavioral analytics: per-user event volume, the hottest hour,
     // and the minimum inter-event gap (one partitioned window sort),
