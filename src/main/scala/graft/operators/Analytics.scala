@@ -765,6 +765,62 @@ object Analytics {
              |FROM est""".stripMargin)
     ),
 
+    // SINGLE-CHANGEPOINT detection per event-type daily series — the
+    // offline CUSUM argmax (the first split of binary segmentation):
+    // the changepoint is the prefix t maximizing |n·S_t − t·S_n|
+    // (equivalently the scaled gap between the prefix mean and the
+    // global mean), ties to the earliest day. All arithmetic is exact
+    // integers — prefix sums ride one partitioned window sort, the
+    // argmax is a struct max that combines map-side — and the verdict
+    // flags series whose normalized statistic clears a fixed
+    // threshold. The level-shift screen run before alerting/forecast
+    // work; pairs with events_page_hinkley's sequential detector.
+    "events_changepoint_cusum" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+        val wt = Window.partitionBy(col("event_type"))
+        val pre = dailyCounts(s, d)
+          .withColumn("t", row_number().over(w).cast("long"))
+          .withColumn("st", sum(col("x")).over(w))
+          .withColumn("n", count(lit(1)).over(wt))
+          .withColumn("sn", sum(col("x")).over(wt))
+          .filter(col("t") < col("n")) // a split needs both sides non-empty
+          .withColumn("g", abs(col("n") * col("st") - col("t") * col("sn")))
+        pre.groupBy(col("event_type"))
+          .agg(max(col("n")).as("n_days"), max(col("sn")).as("total"),
+            max(struct(col("g"), (-col("t")).as("nt"), col("di").as("cd"),
+              col("st").as("cs"))).as("best"))
+          .select(col("event_type"), col("n_days"), col("total"),
+            (-col("best.nt")).as("cp_t"), col("best.cd").as("cp_di"),
+            col("best.g").as("gap_num"),
+            // normalized gap in bp of the worst-case n*S_n scale
+            expr("best.g * 10000 div (n_days * total)").as("gap_bp"))
+          .withColumn("shifted", (col("gap_bp") >= 500).cast("long"))
+      },
+      Some(s"""WITH daily AS ($dailySql),
+             |p AS (SELECT event_type, di, x,
+             |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY di) AS t,
+             |        SUM(x) OVER (PARTITION BY event_type ORDER BY di
+             |          ROWS UNBOUNDED PRECEDING) AS st,
+             |        COUNT(*) OVER (PARTITION BY event_type) AS n,
+             |        SUM(x) OVER (PARTITION BY event_type) AS sn
+             |      FROM daily),
+             |g AS (SELECT event_type, t, di, st, n, sn,
+             |        abs(n * st - t * sn) AS gp
+             |      FROM p WHERE t < n),
+             |b AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+             |        CAST(MAX(sn) AS BIGINT) AS total,
+             |        MAX(struct_pack(g := gp, nt := -t, cd := di, cs := st)) AS best
+             |      FROM g GROUP BY 1)
+             |SELECT event_type, n_days, total,
+             |  CAST(-(best.nt) AS BIGINT) AS cp_t,
+             |  CAST(best.cd AS BIGINT) AS cp_di,
+             |  CAST(best.g AS BIGINT) AS gap_num,
+             |  CAST(best.g * 10000 // (n_days * total) AS BIGINT) AS gap_bp,
+             |  CAST(best.g * 10000 // (n_days * total) >= 500 AS BIGINT) AS shifted
+             |FROM b""".stripMargin)
+    ),
+
     // HOLT LINEAR-TREND smoothing (double exponential) per event-type
     // daily series — the level+trend upgrade of the naive forecasts
     // above, with the 7-day-ahead projection a capacity planner reads.
