@@ -96,7 +96,7 @@ object DedupQueries {
         .distinct())
 
   /** DuckDB twin of `shingleHash60Rows`, ending in `shx0(doc_id, shh)`. */
-  private val shingleHashCte =
+  private[graft] val shingleHashCte =
     tokCte + """,
       |td AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
       |shx0 AS (SELECT DISTINCT doc_id,

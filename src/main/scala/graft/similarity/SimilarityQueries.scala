@@ -812,6 +812,62 @@ object SimilarityQueries {
       Some(bruteOracleSql)
     ),
 
+    // MATRYOSHKA truncated-dimension recall — the MRL-era serving
+    // trade-off audit: rank by the 16-dim PREFIX of the embedding
+    // (what a memory-tight first-stage index stores) and measure
+    // recall@5 against the full-64-dim brute-force truth. Both passes
+    // are the broadcast-probe scan shape; prefix cosine renormalizes
+    // over the slice so the score is a true 16-dim cosine. Ties break
+    // on vec_id at 4dp both engines; recall ships in integer bp.
+    "vec_matryoshka_recall" -> Query(
+      (s, d) => {
+        val prefCos = round(
+          VectorFunctions.dot(slice(col("qv"), 1, 16), slice(col("embedding"), 1, 16)) /
+            (VectorFunctions.norm(slice(col("qv"), 1, 16)) *
+              VectorFunctions.norm(slice(col("embedding"), 1, 16))), 4)
+        val base = corpus(s, d).crossJoin(broadcast(queriesDf(s, d)))
+          .filter(col("vec_id") =!= col("qid"))
+        val truth = topK(base
+            .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos")), 5)
+          .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+        val pref = topK(base
+            .select(col("qid"), col("vec_id"), prefCos.as("cos")), 5)
+          .select(col("qid"), col("vec_id"))
+        pref.join(truth, Seq("qid", "vec_id"), "left")
+          .groupBy(col("qid"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("qid"), col("n_hit"),
+            expr("n_hit * 10000 div 5").as("recall_bp"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+             |cf AS (SELECT q.qid, e.vec_id, $cosSql AS cos
+             |       FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+             |rf AS (SELECT qid, vec_id FROM (
+             |         SELECT qid, vec_id,
+             |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |         FROM cf) WHERE rn <= 5),
+             |cp AS (SELECT q.qid, e.vec_id,
+             |         ROUND(
+             |           list_sum(list_transform(generate_series(1, 16),
+             |             i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+             |           (sqrt(list_sum(list_transform(generate_series(1, 16),
+             |             i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+             |            sqrt(list_sum(list_transform(generate_series(1, 16),
+             |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+             |         , 4) AS cos
+             |       FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+             |rp AS (SELECT qid, vec_id FROM (
+             |         SELECT qid, vec_id,
+             |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |         FROM cp) WHERE rn <= 5)
+             |SELECT rp.qid,
+             |  CAST(SUM(CASE WHEN rf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             |  CAST(SUM(CASE WHEN rf.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // 5
+             |    AS BIGINT) AS recall_bp
+             |FROM rp LEFT JOIN rf ON rf.qid = rp.qid AND rf.vec_id = rp.vec_id
+             |GROUP BY 1""".stripMargin)
+    ),
+
     // METADATA-FILTERED vector search — the retrieval pattern RAG and
     // dedup-by-domain actually run ("nearest neighbors WITHIN label
     // x"): the predicate applies BEFORE scoring, so the scan prunes

@@ -962,6 +962,35 @@ object TextQueries {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)
     ),
 
+    // CORPUS NOVELTY per document — what fraction of a doc's 3-gram
+    // shingles has NEVER appeared in an earlier doc (first-occurrence
+    // attribution by min doc_id over the shared shingle index): the
+    // ingestion-order novelty curve dedup-aware sampling reads — a
+    // crawl whose tail is all re-hashes of the head shows novelty
+    // collapsing to boilerplate-only. One groupBy over the
+    // materialized shingle index + one hash equi-join back; integer
+    // basis points.
+    "text_ngram_novelty" -> Query(
+      (s, d) => {
+        val sh = graft.Caches.scoped(
+          graft.dedup.DedupQueries.shingleHash60Rows(s, d))
+        val first = sh.groupBy(col("shh")).agg(min(col("doc_id")).as("fd"))
+        sh.join(first, Seq("shh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum((col("fd") === col("doc_id")).cast("long")).as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            expr("n_novel * 10000 div n_shingles").as("novel_bp"))
+      },
+      Some(s"""WITH ${graft.dedup.DedupQueries.shingleHashCte},
+             |fx AS (SELECT shh, MIN(doc_id) AS fd FROM shx0 GROUP BY 1)
+             |SELECT s.doc_id, COUNT(*) AS n_shingles,
+             |  CAST(SUM(CASE WHEN fx.fd = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  CAST(SUM(CASE WHEN fx.fd = s.doc_id THEN 1 ELSE 0 END) * 10000
+             |    // COUNT(*) AS BIGINT) AS novel_bp
+             |FROM shx0 s JOIN fx USING (shh) GROUP BY 1""".stripMargin)
+    ),
+
     // FUZZY benchmark decontamination — the near-duplicate completion
     // of text_decontaminate's exact 8-gram collision test: a training
     // doc that paraphrases an eval doc (reordered sentences, light
