@@ -765,6 +765,93 @@ object Analytics {
              |FROM est""".stripMargin)
     ),
 
+    // DIFFERENCE-IN-DIFFERENCES readout — the quasi-experimental
+    // causal estimate when randomization isn't available: treatment =
+    // odd user ids, post-period = days at or past the observed
+    // midpoint (derived in-plan from min/max day, broadcast as a
+    // 1-row scalar — no driver action), outcome = events per active
+    // user. The four cell rates ship in exact 1e-4 fixed point
+    // (ev·10000 div users) and the DiD estimate is pure integer
+    // arithmetic on them — the 2x2 table the analysis would publish,
+    // hash-exact. One distinct-user agg per cell + the scalar attach.
+    "events_did_estimator" -> Query(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("di"))
+        val mid = ev.agg(min(col("di")).as("mn"), max(col("di")).as("mx"))
+          .select(expr("(mn + mx + 1) div 2").as("mid"))
+        val cells = ev.crossJoin(broadcast(mid))
+          .select((col("user_id") % 2).as("treated"),
+            (col("di") >= col("mid")).cast("long").as("post"), col("user_id"))
+          .groupBy(col("treated"), col("post"))
+          .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+          .withColumn("rate_e4", expr("n_events * 10000 div n_users"))
+        cells.groupBy()
+          .agg(
+            sum(when(col("treated") === 1 && col("post") === 1, col("rate_e4"))).as("t_post"),
+            sum(when(col("treated") === 1 && col("post") === 0, col("rate_e4"))).as("t_pre"),
+            sum(when(col("treated") === 0 && col("post") === 1, col("rate_e4"))).as("c_post"),
+            sum(when(col("treated") === 0 && col("post") === 0, col("rate_e4"))).as("c_pre"))
+          .select(col("t_pre"), col("t_post"), col("c_pre"), col("c_post"),
+            ((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre"))).as("did_e4"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS di FROM events),
+             |k AS (SELECT (MIN(di) + MAX(di) + 1) // 2 AS mid FROM ev),
+             |cells AS (SELECT user_id % 2 AS treated,
+             |            CAST(di >= k.mid AS BIGINT) AS post,
+             |            COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+             |          FROM ev CROSS JOIN k GROUP BY 1, 2),
+             |r AS (SELECT treated, post, n_events * 10000 // n_users AS rate_e4 FROM cells)
+             |SELECT
+             |  CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN rate_e4 END) AS BIGINT) AS t_pre,
+             |  CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN rate_e4 END) AS BIGINT) AS t_post,
+             |  CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN rate_e4 END) AS BIGINT) AS c_pre,
+             |  CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN rate_e4 END) AS BIGINT) AS c_post,
+             |  CAST((SUM(CASE WHEN treated = 1 AND post = 1 THEN rate_e4 END)
+             |      - SUM(CASE WHEN treated = 1 AND post = 0 THEN rate_e4 END))
+             |     - (SUM(CASE WHEN treated = 0 AND post = 1 THEN rate_e4 END)
+             |      - SUM(CASE WHEN treated = 0 AND post = 0 THEN rate_e4 END)) AS BIGINT) AS did_e4
+             |FROM r""".stripMargin)
+    ),
+
+    // BOLLINGER BANDS breakout scan over each event type's daily
+    // series: 7-day rolling mean ± 2σ, with the breakout decision made
+    // in EXACT integer arithmetic — |n·x − S|² > 4·(n·SS − S²) is the
+    // cross-multiplied form of |x − mean| > 2σ, so no float threshold
+    // ever crosses the engine boundary (mean/σ ship rounded 4dp for
+    // the humans). Full windows only; one partitioned window sort.
+    "window_bollinger" -> Query(
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+          .rowsBetween(-6, 0)
+        val roll = dailyCounts(s, d)
+          .withColumn("nw", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("x")).over(w))
+          .withColumn("sxx", sum(col("x") * col("x")).over(w))
+          .filter(col("nw") === 7)
+        roll.select(col("event_type"), col("di"), col("x"),
+            round(col("sx").cast("double") / 7.0, 4).as("mean7"),
+            round(sqrt((lit(7) * col("sxx") - col("sx") * col("sx")).cast("double")) / 7.0, 4)
+              .as("sd7"),
+            ((lit(7) * col("x") - col("sx")) * (lit(7) * col("x") - col("sx")) >
+              lit(4) * (lit(7) * col("sxx") - col("sx") * col("sx")))
+              .cast("long").as("breakout"))
+      },
+      Some(s"""WITH daily AS ($dailySql),
+             |r AS (SELECT event_type, di, x,
+             |        COUNT(*) OVER w AS nw,
+             |        SUM(x) OVER w AS sx,
+             |        SUM(x*x) OVER w AS sxx
+             |      FROM daily
+             |      WINDOW w AS (PARTITION BY event_type ORDER BY di
+             |                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT event_type, di, x,
+             |  ROUND(CAST(sx AS DOUBLE) / 7.0, 4) AS mean7,
+             |  ROUND(sqrt(CAST(7*sxx - sx*sx AS DOUBLE)) / 7.0, 4) AS sd7,
+             |  CAST((7*x - sx) * (7*x - sx) > 4 * (7*sxx - sx*sx) AS BIGINT) AS breakout
+             |FROM r WHERE nw = 7""".stripMargin)
+    ),
+
     // SINGLE-CHANGEPOINT detection per event-type daily series — the
     // offline CUSUM argmax (the first split of binary segmentation):
     // the changepoint is the prefix t maximizing |n·S_t − t·S_n|
