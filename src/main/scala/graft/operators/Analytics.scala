@@ -700,7 +700,7 @@ object Analytics {
 
     // COUNT-MIN SKETCH frequency estimation (Cormode/Muthukrishnan) —
     // the mergeable heavy-hitter counter streaming systems keep when
-    // exact per-key counts don't fit: depth 4 x width 256 counters,
+    // exact per-key counts don't fit: depth 4 x width 1024 counters,
     // row hashes salted md5 (deterministic), estimate = min over the
     // key's 4 counters. UNLIKE the HLL-family entries this sketch is
     // EXACTLY oracle-checked: both engines rebuild identical counter
@@ -714,7 +714,7 @@ object Analytics {
     "agg_count_min_sketch" -> Query(
       (s, d) => {
         val depth = 4
-        val width = 256
+        val width = 1024
         def buckets(key: org.apache.spark.sql.Column) =
           array((0 until depth).map { i =>
             struct(lit(i).as("r"),
@@ -748,7 +748,7 @@ object Analytics {
       Some("""WITH li AS (SELECT l_partkey FROM lineitem),
              |rws AS (SELECT l_partkey, rr.r,
              |          CAST('0x' || substr(md5('cms' || rr.r || '_'
-             |            || CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS b
+             |            || CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 1024 AS b
              |        FROM li CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) rr),
              |counters AS (SELECT r, b, COUNT(*) AS c FROM rws GROUP BY 1, 2),
              |truth AS (SELECT l_partkey, COUNT(*) AS true_cnt FROM li GROUP BY 1
@@ -758,7 +758,7 @@ object Analytics {
              |        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) rr
              |        JOIN counters c ON c.r = rr.r
              |          AND c.b = CAST('0x' || substr(md5('cms' || rr.r || '_'
-             |            || CAST(t.l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 256
+             |            || CAST(t.l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 1024
              |        GROUP BY 1, 2)
              |SELECT l_partkey AS part, true_cnt, est_cnt,
              |  CAST((est_cnt - true_cnt) * 10000 // true_cnt AS BIGINT) AS over_bp

@@ -76,6 +76,26 @@ class PlanSpec extends AnyFunSuite {
       "pair generation must stay a cid-keyed equi-join, never all-pairs")
   }
 
+  test("graph family reads the materialized co-purchase index, not a fresh self-join") {
+    // the round-10 shared-index contract: the lineitem self-join is
+    // paid once per dir; every graph query scans the bucketed table
+    Seq("graph_pagerank", "graph_katz", "graph_triangles").foreach { q =>
+      assert(plan(q).contains("graft_copurchase"),
+        s"$q must read the materialized edge index")
+    }
+  }
+
+  test("minhash consumers read the materialized band table") {
+    // (cluster_components ends at a checkpointed RDD scan, so its
+    // final plan can't show the table — covered via minhash_lsh)
+    Seq("dedup_minhash_lsh", "dedup_source_matrix").foreach { q =>
+      assert(plan(q).contains("graft_bands"),
+        s"$q must read the materialized band index")
+    }
+    assert(plan("dedup_ngram_jaccard").contains("graft_shingles60"),
+      "jaccard must read the materialized shingle index")
+  }
+
   test("triangle and link-prediction joins never degenerate to nested loops") {
     Seq("graph_triangles", "graph_link_predict").foreach { q =>
       val p = plan(q)

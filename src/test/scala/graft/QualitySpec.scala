@@ -16,6 +16,56 @@ class QualitySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.01"
 
+  test("count-min sketch never underestimates and stays within the collision budget") {
+    // CMS one-sided error is a THEOREM (counters only ever add):
+    // est >= true for every key; and est - true <= 3N/width is the
+    // Markov bound at 3x the expected colliding mass (width 1024,
+    // depth 4 makes exceeding it on ALL four rows at once a
+    // degenerate-hash signal, not noise)
+    val rows = SparkEntry.queries("agg_count_min_sketch")(spark, sf)
+      .select(col("true_cnt").cast("long"), col("est_cnt").cast("long"),
+        col("over_bp").cast("long")).collect()
+    assert(rows.length === 20)
+    val n = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    val budget = 3L * n / 1024
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(0), s"CMS underestimated: $r")
+      assert(r.getLong(1) - r.getLong(0) <= budget,
+        s"overestimate ${r.getLong(1) - r.getLong(0)} beyond 3N/width=$budget")
+    }
+  }
+
+  test("holt linear smoothing recovers an exact linear trend") {
+    // on y_t = 10 + 3t the recursion's fixed point is level = y_t,
+    // trend = 3: feed a synthetic series through the SAME fold and
+    // check convergence to the true trend
+    val n = 20
+    // replay the query's arithmetic directly
+    var l = 10.0 + 3.0 * 1
+    var b = (10.0 + 3.0 * 2) - (10.0 + 3.0 * 1)
+    (2 to n).foreach { t =>
+      val y = 10.0 + 3.0 * t
+      val lNew = (y + l + b) / 2.0
+      b = (lNew - l) / 4.0 + 3.0 * b / 4.0
+      l = lNew
+    }
+    assert(math.abs(b - 3.0) < 1e-6, s"trend $b")
+    assert(math.abs(l - (10.0 + 3.0 * n)) < 1e-4, s"level $l")
+  }
+
+  test("cusum changepoint finds a planted level shift at the right day") {
+    // series: 14 days at 10 then 14 days at 50 -> split at t=14
+    val xs = Seq.fill(14)(10L) ++ Seq.fill(14)(50L)
+    val n = xs.length.toLong
+    val sn = xs.sum
+    val best = xs.indices.dropRight(1).map { i =>
+      val t = (i + 1).toLong
+      val st = xs.take(i + 1).sum
+      (math.abs(n * st - t * sn), -t)
+    }.max
+    assert(-best._2 === 14L, s"planted shift found at ${-best._2}")
+  }
+
   private def topkSets(name: String): Map[Long, Set[Long]] =
     SparkEntry.queries(name)(spark, sf)
       .select(col("qid").cast("long"), col("vec_id").cast("long"))
