@@ -705,6 +705,69 @@ object FrameFeatures {
     }
   }
 
+  /** Scaled-integer DFT basis for the 4-bin spectral profile:
+    * cos/sin(2π·k·j/64)·8192 rounded, k ∈ {1,2,4,8}, j ∈ 0..63 —
+    * shared verbatim with the DuckDB oracle (the dctBasis discipline).
+    */
+  val dftBins: Array[Int] = Array(1, 2, 4, 8)
+  val dftCos: Array[Array[Long]] = dftBins.map(k =>
+    Array.tabulate(64)(j => math.round(math.cos(2 * math.Pi * k * j / 64.0) * 8192.0)))
+  val dftSin: Array[Array[Long]] = dftBins.map(k =>
+    Array.tabulate(64)(j => math.round(math.sin(2 * math.Pi * k * j / 64.0) * 8192.0)))
+
+  case class SpectralProfile(doc_id: Long, n_frames: Long,
+                             e1: Long, e2: Long, e4: Long, e8: Long,
+                             dominant_k: Long)
+
+  /** 4-bin DFT spectral profile over a RAW little-endian int16 sample
+    * stream: per complete 64-sample frame and bin k, the energy
+    * (Σ s·cos)²+(Σ s·sin)² with both correlations scaled down by the
+    * basis factor (div 8192, truncating — the oracle's `//`) BEFORE
+    * squaring so every intermediate stays far inside a long; energies
+    * sum over frames. The dominant bin (ties → lowest k) is the
+    * tone-vs-noise gate: speech/music concentrates low bins, hiss is
+    * flat. One sample walk per doc, exact integers end to end.
+    */
+  def spectralProfile(pcm: Dataset[WavPayload]): Dataset[SpectralProfile] = {
+    implicit val enc = Encoders.product[SpectralProfile]
+    pcm.mapPartitions { it =>
+      val dec = new WavDecoder
+      it.map { w =>
+        val nSamp = w.payload.length / 2
+        val nFrames = nSamp / 64
+        val e = new Array[Long](4)
+        var f = 0
+        while (f < nFrames) {
+          var k = 0
+          while (k < 4) {
+            var c = 0L
+            var s = 0L
+            var j = 0
+            while (j < 64) {
+              val v = dec.s16(w.payload, 2 * (f * 64 + j)).toLong
+              c += v * dftCos(k)(j)
+              s += v * dftSin(k)(j)
+              j += 1
+            }
+            val cq = c / 8192L
+            val sq = s / 8192L
+            e(k) += cq * cq + sq * sq
+            k += 1
+          }
+          f += 1
+        }
+        var dom = 0
+        var k = 1
+        while (k < 4) {
+          if (e(k) > e(dom)) dom = k // ties keep the lower bin
+          k += 1
+        }
+        SpectralProfile(w.doc_id, nFrames.toLong, e(0), e(1), e(2), e(3),
+          dftBins(dom).toLong)
+      }
+    }
+  }
+
   case class PaletteQuant(doc_id: Long, n_px: Long, dominant_pk: Long,
                           coverage_bp: Long)
 

@@ -117,6 +117,16 @@ object MultimodalQueries {
       row.zipWithIndex.map { case (c, x) => s"($u, $x, $c)" }
     }.mkString(", ")
 
+  /** The 4-bin DFT basis as literal SQL rows `(k, j, c, sn)` — the
+    * same scaled longs FrameFeatures.spectralProfile multiplies with.
+    */
+  private lazy val dftValsSql: String =
+    FrameFeatures.dftBins.zipWithIndex.flatMap { case (k, ki) =>
+      (0 until 64).map { j =>
+        s"($k, $j, ${FrameFeatures.dftCos(ki)(j)}::BIGINT, ${FrameFeatures.dftSin(ki)(j)}::BIGINT)"
+      }
+    }.mkString(", ")
+
   /** The JPEG codec's integer tables as literal SQL rows — the exact
     * longs JpegCodec multiplies/divides with, so the oracle's
     * FDCT/quant/IDCT replay is literally the same arithmetic: the
@@ -1144,6 +1154,56 @@ object MultimodalQueries {
              |SELECT t.doc_id, t.n_px, top.dominant_pk,
              |  CAST(top.c * 10000 // t.n_px AS BIGINT) AS coverage_bp
              |FROM t JOIN top USING (doc_id)""".stripMargin)
+    ),
+
+    // 4-BIN DFT SPECTRAL PROFILE over the PCM stream — the
+    // tone-vs-noise frequency gate (speech/music concentrates low
+    // bins, hiss is flat): per complete 64-sample frame, bin energies
+    // (Σ s·cos)² + (Σ s·sin)² at k ∈ {1,2,4,8} cycles/frame over the
+    // 8192-scaled integer basis (interpolated verbatim into the
+    // oracle, the dctBasis discipline), correlations scaled down
+    // BEFORE squaring so everything stays in longs; energies sum over
+    // frames, dominant bin ties to the lowest k. One codec-walk pass
+    // per doc, exact integers end to end.
+    "mm_audio_spectral" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val pcm = Tables.documents(s, d).filter(length(bin) >= 128)
+          .select(col("doc_id"), bin.as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        FrameFeatures.spectralProfile(pcm).toDF()
+      },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |         octet_length(encode(text)) // 2 AS n_samp
+             |  FROM documents WHERE octet_length(encode(text)) >= 128),
+             |u AS (SELECT doc_id, hx,
+             |        unnest(generate_series(0, (n_samp // 64) * 64 - 1)) AS i
+             |      FROM d),
+             |sg AS (SELECT doc_id, i // 64 AS f, i % 64 AS j,
+             |         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS samp
+             |       FROM (SELECT doc_id, i,
+             |               CAST('0x' || substr(hx, i*4 + 3, 2)
+             |                    || substr(hx, i*4 + 1, 2) AS INT) AS v
+             |             FROM u)),
+             |bs AS (SELECT * FROM (VALUES $dftValsSql) AS t(k, j, c, sn)),
+             |corr AS (SELECT sg.doc_id, sg.f, bs.k,
+             |           SUM(samp * bs.c) // 8192 AS cq,
+             |           SUM(samp * bs.sn) // 8192 AS sq
+             |         FROM sg JOIN bs ON bs.j = sg.j
+             |         GROUP BY 1, 2, 3),
+             |en AS (SELECT doc_id, k, CAST(SUM(cq*cq + sq*sq) AS BIGINT) AS e
+             |       FROM corr GROUP BY 1, 2)
+             |SELECT en.doc_id,
+             |  CAST(MAX(d.n_samp) // 64 AS BIGINT) AS n_frames,
+             |  CAST(MAX(CASE WHEN k = 1 THEN e END) AS BIGINT) AS e1,
+             |  CAST(MAX(CASE WHEN k = 2 THEN e END) AS BIGINT) AS e2,
+             |  CAST(MAX(CASE WHEN k = 4 THEN e END) AS BIGINT) AS e4,
+             |  CAST(MAX(CASE WHEN k = 8 THEN e END) AS BIGINT) AS e8,
+             |  CAST(-((MAX(struct_pack(e := e, nk := -k))).nk) AS BIGINT) AS dominant_k
+             |FROM en JOIN d ON d.doc_id = en.doc_id
+             |GROUP BY 1""".stripMargin)
     ),
 
     // REAL BASELINE JPEG round trip: each doc's first 192 bytes become
