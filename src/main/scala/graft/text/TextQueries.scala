@@ -1234,6 +1234,44 @@ object TextQueries {
              |FROM dw JOIN wt USING (word) GROUP BY 1""".stripMargin)
     ),
 
+    // TOKENIZER HEALTH report per language — the dashboard a
+    // multilingual tokenizer ships with: fertility (BPE tokens per
+    // word) plus the UNCOMPRESSED share (word instances whose
+    // segmentation is still one token per character — the tokenizer
+    // did nothing for them; a high share flags a language the merges
+    // never learned). Same distinct-word native-encoder + broadcast
+    // shape as text_bpe_tokenize; char counts ride the same word
+    // table, so health adds zero extra scans.
+    "text_tokenizer_health" -> Query(
+      (s, d) => {
+        val tr = Bpe.trained(s, d)
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(TextFunctions.cleanTokens(lower(col("text")))).as("word"))
+        val words = toks.select(col("word")).distinct()
+          .select(col("word"),
+            graft.plans.TextExpressions.bpeSegmentCount(col("word"), tr.merges)
+              .as("nt"),
+            length(col("word")).cast("long").as("nc"))
+        toks.join(broadcast(words), Seq("word"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_bpe"),
+            sum((col("nt") === col("nc")).cast("long")).as("n_uncompressed"))
+          .filter(col("n_words") > 0)
+          .select(col("lang"), col("n_words"), col("n_bpe"),
+            expr("n_bpe * 10000 div n_words").as("fertility_bp"),
+            expr("n_uncompressed * 10000 div n_words").as("uncompressed_bp"))
+      },
+      Some(s"""WITH RECURSIVE ${Bpe.wordTokensCteSql},
+             |dw AS (SELECT lang, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             |                  x -> x <> '')) AS word FROM documents)
+             |SELECT lang, COUNT(*) AS n_words, CAST(SUM(wt.nt) AS BIGINT) AS n_bpe,
+             |  CAST(SUM(wt.nt) * 10000 // COUNT(*) AS BIGINT) AS fertility_bp,
+             |  CAST(SUM(CASE WHEN wt.nt = length(wt.word) THEN 1 ELSE 0 END) * 10000
+             |    // COUNT(*) AS BIGINT) AS uncompressed_bp
+             |FROM dw JOIN wt USING (word) GROUP BY 1""".stripMargin)
+    ),
+
     // TOKENIZER VOCAB EXPORT — the trained merge table as a dataset:
     // (rank, lhs, rhs, merged) per learned merge, the artifact a
     // serving stack ships to every encoder. The Spark side emits the
