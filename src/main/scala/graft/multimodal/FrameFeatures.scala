@@ -768,6 +768,48 @@ object FrameFeatures {
     }
   }
 
+  case class SobelStats(doc_id: Long, width: Long, height: Long,
+                        n_interior: Long, edge_energy: Long, n_edge_px: Long,
+                        edge_bp: Long)
+
+  /** Sobel gradient scan over a RAW byte stream viewed as a 16-wide
+    * 8-bit grayscale image (height = len/16): per interior pixel,
+    * |Gx| + |Gy| with the standard 3×3 kernels, summed to an exact
+    * edge-energy integer plus the count of pixels clearing the
+    * magnitude-128 edge threshold (density in bp). The texture/
+    * blankness gate a vision-ingest pipeline runs before anything
+    * expensive — one byte walk per image, integer-exact.
+    */
+  def sobelStats(imgs: Dataset[WavPayload]): Dataset[SobelStats] = {
+    implicit val enc = Encoders.product[SobelStats]
+    imgs.mapPartitions { it =>
+      it.map { w =>
+        val h = w.payload.length / 16
+        def p(x: Int, y: Int): Int = w.payload(y * 16 + x) & 0xff
+        var energy = 0L
+        var nEdge = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < 15) {
+            val gx = (p(x + 1, y - 1) + 2 * p(x + 1, y) + p(x + 1, y + 1)) -
+              (p(x - 1, y - 1) + 2 * p(x - 1, y) + p(x - 1, y + 1))
+            val gy = (p(x - 1, y + 1) + 2 * p(x, y + 1) + p(x + 1, y + 1)) -
+              (p(x - 1, y - 1) + 2 * p(x, y - 1) + p(x + 1, y - 1))
+            val m = math.abs(gx) + math.abs(gy)
+            energy += m
+            if (m > 128) nEdge += 1
+            x += 1
+          }
+          y += 1
+        }
+        val nInt = math.max((h - 2).toLong, 0L) * 14L
+        SobelStats(w.doc_id, 16L, h.toLong, nInt, energy, nEdge,
+          if (nInt > 0) nEdge * 10000L / nInt else 0L)
+      }
+    }
+  }
+
   case class PaletteQuant(doc_id: Long, n_px: Long, dominant_pk: Long,
                           coverage_bp: Long)
 

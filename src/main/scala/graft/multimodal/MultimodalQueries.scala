@@ -1156,6 +1156,56 @@ object MultimodalQueries {
              |FROM t JOIN top USING (doc_id)""".stripMargin)
     ),
 
+    // SOBEL EDGE SCAN over the 16-wide grayscale view of each doc's
+    // bytes — the texture/blankness gate vision ingest runs before
+    // anything expensive: per interior pixel |Gx| + |Gy| with the
+    // standard 3x3 kernels, exact integer edge energy, and the share
+    // of pixels clearing the magnitude-128 threshold in bp. One byte
+    // walk per image in the codec pass; the oracle computes every
+    // gradient by direct hex-offset arithmetic (no joins), so a
+    // kernel-orientation or stride bug diverges immediately.
+    "mm_image_sobel" -> Query(
+      (s, d) => {
+        import graft.multimodal.FrameFeatures.WavPayload
+        val bin = col("text").cast("binary")
+        val imgs = Tables.documents(s, d)
+          .filter(length(bin) >= 48) // >= 3 rows so interiors exist
+          .select(col("doc_id"),
+            expr("substring(cast(text as binary), 1, " +
+              "16 * (length(cast(text as binary)) div 16))").as("payload"))
+          .as[WavPayload](Encoders.product[WavPayload])
+        FrameFeatures.sobelStats(imgs).toDF()
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |                  octet_length(encode(text)) // 16 AS h
+             |           FROM documents WHERE octet_length(encode(text)) >= 48),
+             |px AS (SELECT doc_id, h, i % 14 + 1 AS x, i // 14 + 1 AS y, hx
+             |       FROM (SELECT doc_id, h, hx,
+             |               unnest(generate_series(0, (h - 2) * 14 - 1)) AS i FROM d)),
+             |g AS (SELECT doc_id, h,
+             |        abs((CAST('0x' || substr(hx, ((y-1)*16 + x+1)*2 + 1, 2) AS BIGINT)
+             |           + 2*CAST('0x' || substr(hx, (y*16 + x+1)*2 + 1, 2) AS BIGINT)
+             |           + CAST('0x' || substr(hx, ((y+1)*16 + x+1)*2 + 1, 2) AS BIGINT))
+             |          - (CAST('0x' || substr(hx, ((y-1)*16 + x-1)*2 + 1, 2) AS BIGINT)
+             |           + 2*CAST('0x' || substr(hx, (y*16 + x-1)*2 + 1, 2) AS BIGINT)
+             |           + CAST('0x' || substr(hx, ((y+1)*16 + x-1)*2 + 1, 2) AS BIGINT)))
+             |      + abs((CAST('0x' || substr(hx, ((y+1)*16 + x-1)*2 + 1, 2) AS BIGINT)
+             |           + 2*CAST('0x' || substr(hx, ((y+1)*16 + x)*2 + 1, 2) AS BIGINT)
+             |           + CAST('0x' || substr(hx, ((y+1)*16 + x+1)*2 + 1, 2) AS BIGINT))
+             |          - (CAST('0x' || substr(hx, ((y-1)*16 + x-1)*2 + 1, 2) AS BIGINT)
+             |           + 2*CAST('0x' || substr(hx, ((y-1)*16 + x)*2 + 1, 2) AS BIGINT)
+             |           + CAST('0x' || substr(hx, ((y-1)*16 + x+1)*2 + 1, 2) AS BIGINT)))
+             |        AS m
+             |      FROM px)
+             |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+             |  CAST((MAX(h) - 2) * 14 AS BIGINT) AS n_interior,
+             |  CAST(SUM(m) AS BIGINT) AS edge_energy,
+             |  CAST(SUM(CASE WHEN m > 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_edge_px,
+             |  CAST(SUM(CASE WHEN m > 128 THEN 1 ELSE 0 END) * 10000
+             |    // ((MAX(h) - 2) * 14) AS BIGINT) AS edge_bp
+             |FROM g GROUP BY 1""".stripMargin)
+    ),
+
     // 4-BIN DFT SPECTRAL PROFILE over the PCM stream — the
     // tone-vs-noise frequency gate (speech/music concentrates low
     // bins, hiss is flat): per complete 64-sample frame, bin energies
