@@ -966,6 +966,44 @@ object DedupQueries {
              |FROM r GROUP BY 1, 2 HAVING MAX(run_tokens) >= 12""".stripMargin)
     ),
 
+    // EXACT-SUBSTRING ATTRIBUTION — which earlier doc contributed the
+    // LONGEST verbatim run to each flagged doc (ties → smallest
+    // partner id): the provenance readout a curation audit pairs with
+    // the removal mask ("this page is a near-copy OF THAT one" rather
+    // than just "is duplicated"). One struct argmax over the shared
+    // run table, map-side combinable.
+    "dedup_substring_attribution" -> Query(
+      (s, d) => {
+        substringRuns(s, d).filter(col("run_tokens") >= 12)
+          .groupBy(col("db").as("doc_id"))
+          .agg(max(struct(col("run_tokens").as("rt"), (-col("da")).as("nda")))
+            .as("best"),
+            countDistinct(col("da")).as("n_partners"))
+          .select(col("doc_id"), (-col("best.nda")).as("copied_from"),
+            col("best.rt").as("longest_run_tokens"), col("n_partners"))
+      },
+      Some(s"""WITH $tokCte,
+             |w AS (SELECT doc_id, i - 1 AS pos,
+             |        CAST('0x' || substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+             |          tk[i+4], tk[i+5], tk[i+6], tk[i+7])), 1, 15) AS BIGINT) AS wh
+             |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+             |            FROM t WHERE len(tk) >= 8)),
+             |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+             |      FROM w a JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+             |g AS (SELECT da, db, pa - pb AS diag, pb,
+             |        pb - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pb) AS grp
+             |      FROM m),
+             |r AS (SELECT da, db, COUNT(*) + 7 AS run_tokens
+             |      FROM g GROUP BY da, db, diag, grp)
+             |SELECT db AS doc_id,
+             |  CAST(-((MAX(struct_pack(rt := run_tokens, nda := -da))).nda) AS BIGINT)
+             |    AS copied_from,
+             |  CAST((MAX(struct_pack(rt := run_tokens, nda := -da))).rt AS BIGINT)
+             |    AS longest_run_tokens,
+             |  CAST(COUNT(DISTINCT da) AS BIGINT) AS n_partners
+             |FROM r WHERE run_tokens >= 12 GROUP BY 1""".stripMargin)
+    ),
+
     // EXACT-SUBSTRING COVERAGE MASK — the REMOVAL step of Lee et al.
     // 2022: for each later doc sharing >= 12-token verbatim runs with
     // earlier docs, how much of it is duplicated text? Qualifying runs
