@@ -375,6 +375,67 @@ object Analytics3 {
     // integer-division mean cv_bp) is pure LONG arithmetic — no
     // double-summation order nondeterminism and no round-half edges. Two partial aggs (part-month, then part) + one
     // broadcast dim join + one small rollup.
+    // SAFETY-STOCK plan per brand — the inventory-planning readout on
+    // top of part_xyz_class's demand-variability machinery: per part,
+    // monthly demand mean/σ from exact integer power sums, safety
+    // stock = z·σ·√L (z = 1.645 service level, L = 2 months lead
+    // time), reorder point = L·mean + ss. Rolled to brand level as
+    // exact integer sums of per-part CEILED units (ceil keeps the
+    // plan integral and conservative, and makes the rollup
+    // order-independent) — parts with one observed month have no σ
+    // and are excluded identically by both engines.
+    "part_safety_stock" -> Query(
+      (s, d) => {
+        val monthly = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"),
+            date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("m"))
+          .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("q"))
+        val per = monthly.groupBy(col("l_partkey")).agg(
+          count(lit(1)).as("nm"),
+          sum(col("q")).as("s1"),
+          sum(col("q") * col("q")).as("s2"))
+          .filter(col("nm") >= 2)
+        val mean = col("s1").cast("double") / col("nm")
+        val sd = sqrt(greatest(
+          (col("nm") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("nm").cast("double") * (col("nm") - 1)), lit(0.0)))
+        val planned = per
+          .withColumn("ss_units",
+            ceil(lit(1.645) * sd * sqrt(lit(2.0))).cast("long"))
+          .withColumn("rop_units",
+            ceil(lit(2.0) * mean).cast("long") + col("ss_units"))
+        planned
+          .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+            Seq("l_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("ss_units")).as("ss_total"),
+            sum(col("rop_units")).as("rop_total"),
+            max(col("ss_units")).as("ss_max"))
+      },
+      Some("""WITH monthly AS (
+             |  SELECT l_partkey, strftime(date_trunc('month', l_shipdate), '%Y-%m') AS m,
+             |    SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS q
+             |  FROM lineitem GROUP BY 1, 2),
+             |per AS (SELECT l_partkey, COUNT(*) AS nm,
+             |          SUM(q) AS s1, SUM(q*q) AS s2
+             |        FROM monthly GROUP BY 1 HAVING COUNT(*) >= 2),
+             |pl AS (SELECT l_partkey,
+             |         CAST(ceil(1.645 * sqrt(GREATEST(
+             |           CAST(nm*s2 - s1*s1 AS DOUBLE) / (CAST(nm AS DOUBLE) * (nm - 1)),
+             |           0.0)) * sqrt(2.0)) AS BIGINT) AS ss_units,
+             |         CAST(ceil(2.0 * CAST(s1 AS DOUBLE) / nm) AS BIGINT) AS base_units
+             |       FROM per)
+             |SELECT p.p_brand,
+             |  COUNT(*) AS n_parts,
+             |  CAST(SUM(ss_units) AS BIGINT) AS ss_total,
+             |  CAST(SUM(base_units + ss_units) AS BIGINT) AS rop_total,
+             |  CAST(MAX(ss_units) AS BIGINT) AS ss_max
+             |FROM pl JOIN part p ON p.p_partkey = pl.l_partkey
+             |GROUP BY 1""".stripMargin)
+    ),
+
     "part_xyz_class" -> Query(
       (s, d) => {
         val monthly = Tables.lineitem(s, d)
