@@ -10,7 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private val modules: Seq[(String, Query)] =
+  /** Ordered registration list — exposed so QueriesSmokeSpec can prove
+    * NO key registers twice (a duplicate would silently shadow the
+    * earlier implementation when folded into the Map below).
+    */
+  private[graft] val modules: Seq[(String, Query)] =
     etl.EtlQueries.entries ++
       etl.IngestQueries.entries ++
       etl.GovernanceQueries.entries ++

@@ -68,15 +68,9 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def materialized(s: SparkSession, d: String, kind: String,
-                           key: String, fresh: => DataFrame): DataFrame = {
-    val tbl = builtIdx.computeIfAbsent(s"$kind|$d", _ => {
-      val name = s"graft_${kind}_" +
-        new java.io.File(d).getName.replaceAll("\\W", "_")
-      graft.etl.Bucketing.writeBucketed(fresh, name, key, buckets = 8)
-      name
-    })
-    s.table(tbl)
-  }
+                           key: String, fresh: => DataFrame): DataFrame =
+    graft.etl.Bucketing.memoBucketed(s, builtIdx, s"$kind|$d",
+      s"graft_${kind}_" + graft.etl.Bucketing.dirTag(d), key, buckets = 8)(fresh)
 
   /** Distinct (doc_id, 60-bit shingle hash) rows — the string-free
     * index jaccard/containment join on: the native ShingleHashes60
@@ -709,8 +703,7 @@ object DedupQueries {
         val bands = bandTable(s, d)
           .withColumn("bk", concat_ws("#", col("band_idx"), col("bkey")))
           .select(col("doc_id"), col("bk"))
-        val tbl = "graft_corpus_bands_" +
-          new java.io.File(d).getName.replaceAll("\\W", "_")
+        val tbl = "graft_corpus_bands_" + graft.etl.Bucketing.dirTag(d)
         // corpus index build — in production this runs once per corpus
         // version, amortized over every batch that joins against it.
         // 8 buckets at test scale; a real deployment sizes buckets so

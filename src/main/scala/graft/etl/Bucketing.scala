@@ -17,4 +17,38 @@ object Bucketing {
     val w = df.write.mode(SaveMode.Overwrite).bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
+
+  /** Unique managed-table suffix for a data dir: sanitized basename
+    * (readable) + first 8 md5 hex chars of the ABSOLUTE path (unique).
+    * Basename alone collides: two dirs with the same leaf name — or
+    * names differing only in non-word chars (`data-1` vs `data_1`) —
+    * would share a table, and the second build would silently serve
+    * the first dir's queries the second dir's rows.
+    */
+  def dirTag(d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    new java.io.File(d).getName.replaceAll("\\W", "_") + "_" +
+      digest.take(4).map(b => f"$b%02x").mkString
+  }
+
+  /** Memoized bucketed materialization with a PER-SESSION catalog
+    * guard: the memo map is JVM-global, but managed tables live in a
+    * SparkSession's catalog — a fresh session in the same JVM (new
+    * warehouse, new catalog) hits the memo yet lacks the table, so
+    * rebuild instead of failing with TABLE_OR_VIEW_NOT_FOUND (or
+    * silently reading a stale table from a prior warehouse).
+    */
+  def memoBucketed(s: org.apache.spark.sql.SparkSession,
+                   memo: java.util.concurrent.ConcurrentHashMap[String, String],
+                   memoKey: String, table: String, key: String,
+                   buckets: Int)(fresh: => DataFrame): DataFrame = {
+    val tbl = memo.computeIfAbsent(memoKey, _ => {
+      writeBucketed(fresh, table, key, buckets)
+      table
+    })
+    if (!s.catalog.tableExists(tbl)) writeBucketed(fresh, tbl, key, buckets)
+    s.table(tbl)
+  }
 }

@@ -312,7 +312,7 @@ object IngestQueries {
     // its join shuffle across the daily query load.
     "etl_bucketed_join" -> Query(
       (s, d) => {
-        val tag = new java.io.File(d).getName.replace('.', '_')
+        val tag = Bucketing.dirTag(d)
         val ot = s"g_bk_orders_$tag"; val lt = s"g_bk_lineitem_$tag"
         Bucketing.writeBucketed(Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_orderstatus")), ot, "o_orderkey", 8)

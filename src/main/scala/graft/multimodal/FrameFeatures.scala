@@ -693,14 +693,20 @@ object FrameFeatures {
           es(f) = e
           f += 1
         }
-        java.util.Arrays.sort(es)
-        val e10 = es(((nFrames - 1) * 10) / 100)
-        val e90 = es(((nFrames - 1) * 90) / 100)
-        val snr = 10.0 * math.log(e90.toDouble / math.max(e10, 1L).toDouble) /
-          math.log(10.0)
-        val snr4 = BigDecimal(java.math.BigDecimal.valueOf(snr))
-          .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-        AudioSnr(w.doc_id, nFrames.toLong, e10, e90, snr4)
+        // guard the short-payload case HERE (not only at the call
+        // site's length filter): a sub-frame payload gets a 0-frame
+        // row instead of an ArrayIndexOutOfBounds inside a task
+        if (nFrames == 0) AudioSnr(w.doc_id, 0L, 0L, 0L, 0.0)
+        else {
+          java.util.Arrays.sort(es)
+          val e10 = es(((nFrames - 1) * 10) / 100)
+          val e90 = es(((nFrames - 1) * 90) / 100)
+          val snr = 10.0 * math.log(e90.toDouble / math.max(e10, 1L).toDouble) /
+            math.log(10.0)
+          val snr4 = BigDecimal(java.math.BigDecimal.valueOf(snr))
+            .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+          AudioSnr(w.doc_id, nFrames.toLong, e10, e90, snr4)
+        }
       }
     }
   }
@@ -853,8 +859,10 @@ object FrameFeatures {
           if (counts(k) > counts(dom)) dom = k // ties keep smaller pk
           k += 1
         }
+        // sub-pixel payload -> 0-row stats, not ArithmeticException
+        // (the sobelStats nInt>0 discipline)
         PaletteQuant(w.doc_id, nPx.toLong, dom.toLong,
-          counts(dom) * 10000L / nPx)
+          if (nPx > 0) counts(dom) * 10000L / nPx else 0L)
       }
     }
   }

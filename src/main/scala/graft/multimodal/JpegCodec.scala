@@ -246,11 +246,19 @@ object JpegCodec {
     32 - Integer.numberOfLeadingZeros(math.abs(v))
 
   /** Huffman-encode one block (zigzag AC scan, DC diff) — returns new DC. */
+  /** Checked Huffman lookup: an out-of-range coefficient category (a
+    * quantizer/overflow bug upstream) names the missing symbol instead
+    * of surfacing as a bare NoSuchElementException from Map.apply.
+    */
+  private def code(tab: Map[Int, (Int, Int)], sym: Int): (Int, Int) =
+    tab.getOrElse(sym, throw new IllegalArgumentException(
+      f"huffman table lacks symbol 0x$sym%02x (coefficient category out of range)"))
+
   private def encodeBlock(w: BitWriter, coefs: Array[Int], prevDc: Int,
                           dc: Map[Int, (Int, Int)], ac: Map[Int, (Int, Int)]): Int = {
     val diff = coefs(0) - prevDc
     val t = category(diff)
-    val (c0, l0) = dc(t)
+    val (c0, l0) = code(dc, t)
     w.put(c0, l0)
     if (t > 0) w.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
     var run = 0
@@ -259,16 +267,16 @@ object JpegCodec {
       val v = coefs(zigzag(k))
       if (v == 0) run += 1
       else {
-        while (run >= 16) { val (cz, lz) = ac(0xf0); w.put(cz, lz); run -= 16 }
+        while (run >= 16) { val (cz, lz) = code(ac, 0xf0); w.put(cz, lz); run -= 16 }
         val s = category(v)
-        val (cs, ls) = ac((run << 4) | s)
+        val (cs, ls) = code(ac, (run << 4) | s)
         w.put(cs, ls)
         w.put(if (v >= 0) v else v + (1 << s) - 1, s)
         run = 0
       }
       k += 1
     }
-    if (run > 0) { val (ce, le) = ac(0x00); w.put(ce, le) }
+    if (run > 0) { val (ce, le) = code(ac, 0x00); w.put(ce, le) }
     coefs(0)
   }
 
@@ -498,6 +506,10 @@ object JpegCodec {
                   else if (rs == 0xf0) k += 16 // ZRL
                   else {
                     k += (rs >> 4)
+                    // a corrupt/truncated scan can emit a run that
+                    // overflows the block — fail with doc context, not
+                    // a bare ArrayIndexOutOfBoundsException
+                    require(k < 64, s"doc $docId: AC run overflows block at k=$k")
                     val s = rs & 0x0f
                     coefs(zigzag(k)) = extend(r.bits(s), s)
                     k += 1

@@ -814,87 +814,6 @@ object Analytics {
              |FROM r""".stripMargin)
     ),
 
-    // BOLLINGER BANDS breakout scan over each event type's daily
-    // series: 7-day rolling mean ± 2σ, with the breakout decision made
-    // in EXACT integer arithmetic — |n·x − S|² > 4·(n·SS − S²) is the
-    // cross-multiplied form of |x − mean| > 2σ, so no float threshold
-    // ever crosses the engine boundary (mean/σ ship rounded 4dp for
-    // the humans). Full windows only; one partitioned window sort.
-    "window_bollinger" -> Query(
-      (s, d) => {
-        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
-          .rowsBetween(-6, 0)
-        val roll = dailyCounts(s, d)
-          .withColumn("nw", count(lit(1)).over(w))
-          .withColumn("sx", sum(col("x")).over(w))
-          .withColumn("sxx", sum(col("x") * col("x")).over(w))
-          .filter(col("nw") === 7)
-        roll.select(col("event_type"), col("di"), col("x"),
-            round(col("sx").cast("double") / 7.0, 4).as("mean7"),
-            round(sqrt((lit(7) * col("sxx") - col("sx") * col("sx")).cast("double")) / 7.0, 4)
-              .as("sd7"),
-            ((lit(7) * col("x") - col("sx")) * (lit(7) * col("x") - col("sx")) >
-              lit(4) * (lit(7) * col("sxx") - col("sx") * col("sx")))
-              .cast("long").as("breakout"))
-      },
-      Some(s"""WITH daily AS ($dailySql),
-             |r AS (SELECT event_type, di, x,
-             |        COUNT(*) OVER w AS nw,
-             |        SUM(x) OVER w AS sx,
-             |        SUM(x*x) OVER w AS sxx
-             |      FROM daily
-             |      WINDOW w AS (PARTITION BY event_type ORDER BY di
-             |                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
-             |SELECT event_type, di, x,
-             |  ROUND(CAST(sx AS DOUBLE) / 7.0, 4) AS mean7,
-             |  ROUND(sqrt(CAST(7*sxx - sx*sx AS DOUBLE)) / 7.0, 4) AS sd7,
-             |  CAST((7*x - sx) * (7*x - sx) > 4 * (7*sxx - sx*sx) AS BIGINT) AS breakout
-             |FROM r WHERE nw = 7""".stripMargin)
-    ),
-
-    // RSI (relative strength index, cutler's simple-average form) over
-    // each event type's daily series — the momentum gauge completing
-    // the stochastic/ATR/Bollinger indicator family: day-over-day
-    // deltas split into gains/losses, 7-day trailing sums, and the
-    // index in EXACT integer basis points (G·10000 div (G+L) — no
-    // float division crosses engines; the all-flat window reports
-    // 5000). Full windows only; one partitioned window sort covers
-    // both the lag and the trailing sums.
-    "window_rsi" -> Query(
-      (s, d) => {
-        val wl = Window.partitionBy(col("event_type")).orderBy(col("di"))
-        val wr = wl.rowsBetween(-6, 0)
-        val diffs = dailyCounts(s, d)
-          .withColumn("dx", col("x") - lag(col("x"), 1).over(wl))
-          .filter(col("dx").isNotNull)
-        diffs
-          .withColumn("nw", count(lit(1)).over(wr))
-          .withColumn("g", sum(greatest(col("dx"), lit(0L))).over(wr))
-          .withColumn("l", sum(greatest(-col("dx"), lit(0L))).over(wr))
-          .filter(col("nw") === 7)
-          .select(col("event_type"), col("di"), col("g").as("gain7"),
-            col("l").as("loss7"),
-            when(col("g") + col("l") === 0, lit(5000L))
-              .otherwise(expr("g * 10000 div (g + l)")).as("rsi_bp"))
-      },
-      Some(s"""WITH daily AS ($dailySql),
-             |dd AS (SELECT event_type, di,
-             |         x - lag(x, 1) OVER (PARTITION BY event_type ORDER BY di) AS dx
-             |       FROM daily),
-             |r AS (SELECT event_type, di,
-             |        COUNT(*) OVER w AS nw,
-             |        SUM(GREATEST(dx, 0)) OVER w AS g,
-             |        SUM(GREATEST(-dx, 0)) OVER w AS l
-             |      FROM dd WHERE dx IS NOT NULL
-             |      WINDOW w AS (PARTITION BY event_type ORDER BY di
-             |                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
-             |SELECT event_type, di, CAST(g AS BIGINT) AS gain7,
-             |  CAST(l AS BIGINT) AS loss7,
-             |  CAST(CASE WHEN g + l = 0 THEN 5000
-             |       ELSE g * 10000 // (g + l) END AS BIGINT) AS rsi_bp
-             |FROM r WHERE nw = 7""".stripMargin)
-    ),
-
     // SINGLE-CHANGEPOINT detection per event-type daily series — the
     // offline CUSUM argmax (the first split of binary segmentation):
     // the changepoint is the prefix t maximizing |n·S_t − t·S_n|

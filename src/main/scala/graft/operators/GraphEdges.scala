@@ -35,27 +35,22 @@ object GraphEdges {
     * bucketed table; every later call (any graph query, any session on
     * this JVM's catalog) scans the materialized parquet buckets.
     */
-  def pairs(s: SparkSession, d: String): DataFrame = {
-    val tbl = built.computeIfAbsent(d, dir => {
-      val name = "graft_copurchase_" +
-        new java.io.File(dir).getName.replaceAll("\\W", "_")
-      val li = Tables.lineitem(s, dir)
+  def pairs(s: SparkSession, d: String): DataFrame =
+    graft.etl.Bucketing.memoBucketed(s, built, d,
+      "graft_copurchase_" + graft.etl.Bucketing.dirTag(d), "pa", buckets = 8) {
+      val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       // equi-join on the order key: fan-out bounded by per-order line
       // count (~7), so candidate volume is O(orders · lines²/order),
       // never a corpus cross product
-      val p = li.as("a")
+      li.as("a")
         .join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
         .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
         .agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= 2)
-      graft.etl.Bucketing.writeBucketed(p, name, "pa", buckets = 8)
-      name
-    })
-    s.table(tbl)
-  }
+    }
 
   /** Symmetric adjacency list: one row per direction, (u, v). */
   def sym(s: SparkSession, d: String): DataFrame = {

@@ -151,7 +151,8 @@ case class BpeSegmentCount(child: Expression, merges: Seq[(String, String)])
 
   /** Row kernel — also the codegen body via addReferenceObj(this). */
   def compute(w: UTF8String): Long = {
-    var syms: Array[String] = w.toString.map(_.toString).toArray
+    // code-point split — must mirror Bpe.train's symbol inventory
+    var syms: Array[String] = graft.text.Bpe.codePointSyms(w.toString)
     var r = 0
     while (r < merges.length && syms.length > 1) {
       val (a, b) = merges(r)

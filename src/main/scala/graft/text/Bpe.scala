@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
   *
   * Training is the classic loop: start from characters, repeatedly
   * merge the adjacent symbol pair with the highest corpus-weighted
-  * count (ties → lexicographically smallest pair), stop at
-  * [[Bpe.MaxMerges]] merges or when no pair occurs twice. It runs
-  * DRIVER-SIDE over the collected word-frequency table — the standard
-  * industry shape (HF trainers fold the corpus to word counts first):
-  * the collect is bounded by the corpus VOCABULARY (Heaps' law), not
-  * the corpus, and is memoized per data dir like the k-means
-  * centroids (a reusable model artifact; deterministic input =>
-  * identical merges, so the memo cannot change any output).
+  * count (ties → smallest pair under binary UTF-8 collation, matching
+  * DuckDB's default), stop at [[Bpe.MaxMerges]] merges or when no
+  * pair occurs twice. It runs DRIVER-SIDE over the collected
+  * word-frequency table — the standard industry shape (HF trainers
+  * fold the corpus to word counts first): the collect is bounded by
+  * the REPEATED vocabulary via the [[Bpe.MinFreq]] floor (not the
+  * corpus, and not the unbounded hapax tail), and is memoized per
+  * data dir like the k-means centroids (a reusable model artifact;
+  * deterministic input => identical merges, so the memo cannot change
+  * any output).
   *
   * Cross-engine exactness: encoding a training-corpus word by
   * replaying the merge list in order reproduces that word's
@@ -40,22 +42,44 @@ object Bpe {
     */
   val MaxMerges = 40
 
+  /** Training word-frequency floor (HF tokenizers' `min_frequency`):
+    * hapax legomena are EXCLUDED from the driver-side word-count
+    * collect. This is what bounds the collect at scale — Heaps' law
+    * bounds the vocabulary for clean corpora, but noisy web-scale text
+    * grows hapaxes ~O(N^0.7); the floor caps the collected table at
+    * the REPEATED vocabulary, which saturates. Encoding still covers
+    * every word (OOV words replay the merge list like any BPE
+    * encoder), so only the training statistics change — and only by
+    * dropping weight-1 words whose pairs rarely reach the >=2
+    * eligibility bar anyway. Mirrored in the oracle's `wc` CTE.
+    */
+  val MinFreq = 2L
+
   final case class Trained(merges: Seq[(String, String)],
                            wordTokens: Map[String, Int])
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Trained]()
 
-  /** Train (memoized per dir) over the corpus word-count table. */
+  /** Corpus word counts at a given frequency floor (the filter runs
+    * DISTRIBUTED, post-agg pre-collect, so the driver only ever holds
+    * the floored vocab). `minFreq = 1` gives the unfloored table —
+    * spec-only, for the floored-vs-unfloored merge-equality check.
+    */
+  private[graft] def wordCounts(s: SparkSession, dir: String,
+                                minFreq: Long = MinFreq): Seq[(String, Long)] =
+    Tables.documents(s, dir)
+      .select(explode(TextFunctions.cleanTokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minFreq)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1).toSeq
+
+  /** Train (memoized per dir) over the floored corpus word-count
+    * table — the collect is bounded by the REPEATED vocabulary.
+    */
   def trained(s: SparkSession, d: String): Trained =
-    cache.computeIfAbsent(d, dir => {
-      val wc = Tables.documents(s, dir)
-        .select(explode(TextFunctions.cleanTokens(lower(col("text")))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getString(0) -> r.getLong(1))
-        .sortBy(_._1).toSeq
-      train(wc)
-    })
+    cache.computeIfAbsent(d, dir => train(wordCounts(s, dir)))
 
   /** One left-to-right non-overlapping merge pass — the JVM twin of
     * the oracle's framed-string `replace` (and of the replay encoder).
@@ -76,11 +100,59 @@ object Bpe {
     out.toArray
   }
 
-  /** Greedy merge training over (word, count) rows. */
+  /** Split into CODE POINTS (not UTF-16 code units): a non-BMP
+    * codepoint is ONE initial symbol, matching the oracle's
+    * `string_split(word, '')` character semantics. (Combining marks
+    * are still separate code points on both sides.)
+    */
+  private[graft] def codePointSyms(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var k = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out(k) = w.substring(i, i + n)
+      k += 1
+      i += n
+    }
+    out
+  }
+
+  /** Binary UTF-8 order (== code-point order) — DuckDB's default
+    * collation for the oracle's `ORDER BY c DESC, a, b` tie-break.
+    * Plain Java String compareTo is UTF-16 order, which disagrees for
+    * non-BMP symbols vs BMP symbols >= U+E000.
+    */
+  private[graft] def utf8Compare(x: String, y: String): Int =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private val pairOrd: Ordering[((String, String), Long)] =
+    new Ordering[((String, String), Long)] {
+      def compare(p: ((String, String), Long), q: ((String, String), Long)): Int = {
+        val c = java.lang.Long.compare(q._2, p._2) // count DESC
+        if (c != 0) c
+        else {
+          val a = utf8Compare(p._1._1, q._1._1)
+          if (a != 0) a else utf8Compare(p._1._2, q._1._2)
+        }
+      }
+    }
+
+  /** Greedy merge training over (word, count) rows.
+    *
+    * Framing invariant: the oracle encodes word states as
+    * chr(31)-framed strings, so NO corpus word may contain U+001F —
+    * enforced here (loudly, at training time, over the vocab only)
+    * rather than discovered as a silent hash mismatch.
+    */
   def train(wordCounts: Seq[(String, Long)]): Trained = {
     var words: Array[(String, Array[String], Long)] =
       wordCounts.map { case (w, c) =>
-        (w, w.map(_.toString).toArray, c)
+        require(w.indexOf(0x1f) < 0,
+          s"corpus word contains the oracle framing char U+001F: '$w'")
+        (w, codePointSyms(w), c)
       }.toArray
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var go = true
@@ -97,7 +169,7 @@ object Bpe {
       val eligible = counts.filter(_._2 >= 2L)
       if (eligible.isEmpty) go = false
       else {
-        val (pair, _) = eligible.minBy { case ((a, b), c) => (-c, a, b) }
+        val (pair, _) = eligible.min(pairOrd)
         merges += pair
         words = words.map { case (w, syms, c) =>
           (w, applyMerge(syms, pair._1, pair._2), c)
@@ -109,22 +181,30 @@ object Bpe {
   }
 
   /** Shared DuckDB CTE chain replaying the training loop, ending in
-    * `wt(word, nt)` — per-word BPE token count. Expects a prior CTE
-    * (or the documents table) providing the same tokenization. The
-    * word state is a DOUBLE-separator-framed string
-    * (⟂⟂s1⟂⟂s2⟂⟂ with ⟂ = chr(31)): the merge of (a, b) is
+    * `wt(word, nt)` — per-word BPE token count for EVERY corpus word.
+    * Two recursive stages: `tr` replays TRAINING over the
+    * `cnt >= MinFreq` word table (mirroring the driver floor), then
+    * `enc` replays the learned merge list (`mg`) over ALL words — so
+    * sub-floor words get the standard OOV apply-merges-in-order
+    * encoding, exactly like the native replay encoder.
+    *
+    * The word state is a DOUBLE-separator-framed string
+    * (⟂⟂s1⟂⟂s2⟂⟂ with ⟂ = chr(31); corpus words must not contain
+    * U+001F — enforced by Bpe.train): the merge of (a, b) is
     * `replace(s, '⟂a⟂⟂b⟂', '⟂ab⟂')`, whose left-to-right
     * non-overlapping scan reproduces the trainer's pass exactly (each
     * match consumes one framing char from each neighbor, so adjacent
-    * matches still fire).
+    * matches still fire). BMP-only assumption: `string_split(word,'')`
+    * splits per character, mirrored by codePointSyms on the JVM side.
     */
   lazy val wordTokensCteSql: String = {
     val sep = "chr(31)"
     val pat = s"$sep || bpa || $sep || $sep || bpb || $sep"
     val rep = s"$sep || bpa || bpb || $sep"
-    s"""wc AS (SELECT tok AS word, COUNT(*) AS cnt FROM (
+    s"""aw AS (SELECT tok AS word, COUNT(*) AS cnt FROM (
        |    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
        |                  x -> x <> '')) AS tok FROM documents) GROUP BY 1),
+       |wc AS (SELECT word, cnt FROM aw WHERE cnt >= $MinFreq),
        |w0 AS (SELECT word, cnt,
        |         $sep || $sep ||
        |           array_to_string(string_split(word, ''), $sep || $sep) ||
@@ -151,9 +231,20 @@ object Bpe {
        |         ORDER BY c DESC, a, b LIMIT 1)) AS bpb
        |    FROM tr)
        |  WHERE it < $MaxMerges AND bpa IS NOT NULL),
-       |fin AS (SELECT word, s FROM tr WHERE it = (SELECT MAX(it) FROM tr)),
+       |mg AS (SELECT DISTINCT it, ma, mb FROM tr WHERE ma IS NOT NULL),
+       |enc AS (
+       |  SELECT 0 AS it, word,
+       |    $sep || $sep ||
+       |      array_to_string(string_split(word, ''), $sep || $sep) ||
+       |      $sep || $sep AS s
+       |  FROM aw
+       |  UNION ALL
+       |  SELECT m.it, e.word,
+       |    replace(e.s, $sep || m.ma || $sep || $sep || m.mb || $sep,
+       |            $sep || m.ma || m.mb || $sep) AS s
+       |  FROM enc e JOIN mg m ON m.it = e.it + 1),
        |wt AS (SELECT word,
        |         len(string_split(trim(s, $sep), $sep || $sep)) AS nt
-       |       FROM fin)""".stripMargin
+       |       FROM enc WHERE it = (SELECT COALESCE(MAX(it), 0) FROM mg))""".stripMargin
   }
 }

@@ -30,13 +30,27 @@ class QueriesSmokeSpec extends AnyFunSuite {
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
     val s2 = src.split("\n## ").find(_.startsWith("§2 ")).getOrElse(
       fail("SURVEY.md has no §2 section"))
-    val listed = "\\| `([a-zA-Z0-9_]+)` \\|".r.findAllMatchIn(s2)
-      .map(_.group(1)).toSet
+    val listedRows = "\\| `([a-zA-Z0-9_]+)` \\|".r.findAllMatchIn(s2)
+      .map(_.group(1)).toSeq
+    val listed = listedRows.toSet
+    // the equality below only sees the SET — duplicate prose rows would
+    // pass silently, so pin row-count == set-size too
+    val dupRows = listedRows.groupBy(identity).filter(_._2.size > 1).keys
+    assert(listedRows.size === listed.size, s"duplicate SURVEY §2 rows: $dupRows")
     val registered = SparkEntry.queries.keySet
     val unlisted = registered -- listed
     val phantom = listed -- registered
     assert(unlisted.isEmpty, s"registered but missing from SURVEY §2: $unlisted")
     assert(phantom.isEmpty, s"in SURVEY §2 but not registered: $phantom")
+  }
+
+  test("no query key registers twice (shadowed implementations fail the build)") {
+    // modules is the pre-Map Seq: a key registered in two places would
+    // silently resolve to whichever folds in last — exactly how two
+    // window_rsi/window_bollinger variants coexisted until round 11
+    val dup = SparkEntry.modules.map(_._1)
+      .groupBy(identity).filter(_._2.size > 1).keys
+    assert(dup.isEmpty, s"keys registered more than once: $dup")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -272,4 +272,18 @@ class MultimodalSpec extends AnyFunSuite {
       .digest(hexpx.getBytes("US-ASCII")).map(b => f"${b & 0xff}%02x").mkString
     assert(stats.px_md5 === md)
   }
+
+  test("audioSnr and quantizePalette emit 0-row stats on sub-frame payloads") {
+    // guards live in the functions themselves, not only behind the
+    // call sites' length(bin) filters — a short payload must not
+    // surface as ArrayIndexOutOfBounds/ArithmeticException in a task
+    import spark.implicits._
+    val short = Seq(
+      WavPayload(1L, Array[Byte](1, 2)),          // < one 16-sample frame
+      WavPayload(2L, Array.empty[Byte])).toDS()
+    val snr = graft.multimodal.FrameFeatures.audioSnr(short).collect()
+    assert(snr.forall(r => r.n_frames === 0L && r.snr_db === 0.0))
+    val pal = graft.multimodal.FrameFeatures.quantizePalette(short).collect()
+    assert(pal.forall(r => r.n_px === 0L && r.coverage_bp === 0L))
+  }
 }

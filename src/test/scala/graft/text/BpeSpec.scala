@@ -47,6 +47,29 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("MinFreq floor leaves the learned merges unchanged on the test corpus") {
+    // the scale guard (hapax words excluded from the driver collect)
+    // must be training-invisible here: sub-floor words carry weight 1,
+    // so the pairs they alone support rarely reach the >=2 bar
+    val floored = Bpe.train(Bpe.wordCounts(spark, sf))
+    val unfloored = Bpe.train(Bpe.wordCounts(spark, sf, minFreq = 1L))
+    assert(floored.merges === unfloored.merges)
+  }
+
+  test("symbols split on code points, tie-breaks use binary UTF-8 order") {
+    assert(Bpe.codePointSyms("ab").toSeq === Seq("a", "b"))
+    // non-BMP codepoint (surrogate pair) stays ONE symbol
+    val gclef = new String(Character.toChars(0x1d11e))
+    assert(Bpe.codePointSyms("a" + gclef + "b").toSeq === Seq("a", gclef, "b"))
+    // UTF-8 binary order == code-point order: U+1D11E sorts AFTER
+    // U+E000 (Java UTF-16 compareTo gets this backwards)
+    assert(Bpe.utf8Compare(gclef, "\ue000") > 0)
+    assert("\ue000".compareTo(gclef) > 0) // the trap being fixed
+    // encoder twin splits identically
+    val tr = Bpe.train(Seq(("a" + gclef, 2L)))
+    assert(tr.merges === Seq(("a", gclef)))
+  }
+
   test("fertility is non-degenerate: between 1 and the char count") {
     val tr = Bpe.trained(spark, sf)
     val (nt, nc) = tr.wordTokens.foldLeft((0L, 0L)) {
