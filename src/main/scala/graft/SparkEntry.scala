@@ -34,7 +34,8 @@ object SparkEntry {
       text.TextQueries.entries ++
       text.CorpusQueries.entries ++
       text.RetrievalQueries.entries ++
-      multimodal.MultimodalQueries.entries
+      multimodal.MultimodalQueries.entries ++
+      streaming.StreamTwinQueries.entries
 
   /** Flagship: the reference's project -> GroupByKey -> per-key sum+count
     * (dataflow_pipeline.py:187-206) on sf0.001; driver smoke-checks rows>0.

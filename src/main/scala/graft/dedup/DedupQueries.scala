@@ -32,13 +32,36 @@ object DedupQueries {
     * equi-join; chains form by gaps-and-islands on the (da, db,
     * pa−pb) alignment diagonal.
     */
+  /** Stop-window doc-frequency cap for the exact-substring family: a
+    * window hash present in MORE than this many documents is
+    * boilerplate (license headers, nav chrome, templated disclaimers),
+    * not plagiarism signal — and it is the scale killer: one window in
+    * 10^6 docs alone makes the self-join emit ~10^12 candidate rows.
+    * Dropping such windows before the join bounds per-hash fan-out at
+    * T² while leaving genuine pairwise runs (which live in few docs)
+    * untouched. Mirrored in the oracles' `f` CTE; the synthetic corpus
+    * never reaches the cap (max observed doc-frequency at sf0.01 is
+    * 3), so the gate checks the filtered DERIVATION on both engines
+    * while DedupSpec exercises the drop path on a planted corpus.
+    */
+  private[graft] val SubstringStopT = 64L
+
   private def substringRuns(s: SparkSession, d: String): DataFrame = {
     val win = graft.Caches.scoped(Tables.documents(s, d)
       .select(col("doc_id"),
         posexplode(graft.plans.TextExpressions.shingleHashes60(cleanToks, 8))
           .as(Seq("pos", "wh"))))
-    val m = win.as("a")
-      .join(win.as("b"),
+    // stop-window drop: semi-join against the <=T frequency table.
+    // The agg and the semi-join both hash-partition on wh — the same
+    // partitioning the self-join needs, so the filter rides the
+    // exchange the join pays anyway.
+    val keep = win.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") <= SubstringStopT)
+      .select(col("wh"))
+    val wf = graft.Caches.scoped(win.join(keep, Seq("wh"), "left_semi"))
+    val m = wf.as("a")
+      .join(wf.as("b"),
         col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
@@ -930,9 +953,9 @@ object DedupQueries {
     // L >= 12 tokens shows up as L-7 CONSECUTIVE matching windows on
     // one (da, db, pa-pb) alignment diagonal — the gaps-and-islands
     // fold (pos − row_number per diagonal) turns those chains back
-    // into exact run lengths. At 100 TB the extra lever is dropping
-    // stop-windows (hashes present in >x docs) before the join —
-    // same plan shape, one frequency semi-join.
+    // into exact run lengths. The stop-window frequency filter
+    // (SubstringStopT) drops boilerplate windows before the join —
+    // one frequency semi-join riding the join's own wh exchange.
     "dedup_substring" -> Query(
       (s, d) => {
         val runs = substringRuns(s, d)
@@ -947,8 +970,11 @@ object DedupQueries {
              |          tk[i+4], tk[i+5], tk[i+6], tk[i+7])), 1, 15) AS BIGINT) AS wh
              |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
              |            FROM t WHERE len(tk) >= 8)),
+             |f AS (SELECT wh FROM w GROUP BY wh
+             |      HAVING COUNT(DISTINCT doc_id) <= $SubstringStopT),
+             |wk AS (SELECT w.doc_id, w.pos, w.wh FROM w JOIN f USING (wh)),
              |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
-             |      FROM w a JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+             |      FROM wk a JOIN wk b ON a.wh = b.wh AND a.doc_id < b.doc_id),
              |g AS (SELECT da, db, pa - pb AS diag, pb,
              |        pb - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pb) AS grp
              |      FROM m),
@@ -981,8 +1007,11 @@ object DedupQueries {
              |          tk[i+4], tk[i+5], tk[i+6], tk[i+7])), 1, 15) AS BIGINT) AS wh
              |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
              |            FROM t WHERE len(tk) >= 8)),
+             |f AS (SELECT wh FROM w GROUP BY wh
+             |      HAVING COUNT(DISTINCT doc_id) <= $SubstringStopT),
+             |wk AS (SELECT w.doc_id, w.pos, w.wh FROM w JOIN f USING (wh)),
              |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
-             |      FROM w a JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+             |      FROM wk a JOIN wk b ON a.wh = b.wh AND a.doc_id < b.doc_id),
              |g AS (SELECT da, db, pa - pb AS diag, pb,
              |        pb - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pb) AS grp
              |      FROM m),
@@ -1041,8 +1070,11 @@ object DedupQueries {
              |          tk[i+4], tk[i+5], tk[i+6], tk[i+7])), 1, 15) AS BIGINT) AS wh
              |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
              |            FROM t WHERE len(tk) >= 8)),
+             |f AS (SELECT wh FROM w GROUP BY wh
+             |      HAVING COUNT(DISTINCT doc_id) <= $SubstringStopT),
+             |wk AS (SELECT w.doc_id, w.pos, w.wh FROM w JOIN f USING (wh)),
              |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
-             |      FROM w a JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+             |      FROM wk a JOIN wk b ON a.wh = b.wh AND a.doc_id < b.doc_id),
              |g AS (SELECT da, db, pa - pb AS diag, pb,
              |        pb - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pb) AS grp
              |      FROM m),

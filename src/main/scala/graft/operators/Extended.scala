@@ -241,16 +241,44 @@ object Extended {
     ),
 
     // Approximate percentiles — the sketch-based scale path for
-    // agg_percentiles (t-digest-style, engine-specific values => rows
-    // check only).
+    // agg_percentiles. The sketch values are engine-specific, so (the
+    // agg_approx_distinct pattern) the checked projection carries the
+    // EXACT interpolated percentiles (GroupedPercentile's histogram-
+    // bisect, the agg_percentiles machinery, 4dp) plus an in-plan
+    // within_bound verdict: the approx value must land within 5% of
+    // the exact one at both probed quantiles. The oracle recomputes
+    // the exact side and asserts within_bound = 1, so a degraded
+    // sketch fails the gate. (Exact columns are the yardstick;
+    // production keeps only the sketch side.)
     "agg_approx_percentiles" -> Query(
-      (s, d) =>
-        Tables.lineitem(s, d)
+      (s, d) => {
+        val approx = Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
-            approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
-            approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_approx")),
-      None
+            approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
+            approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000)).as("a99"))
+        val c = graft.Caches.scoped(Tables.lineitem(s, d).select(col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents")))
+        val exact = graft.operators.GroupedPercentile.exact(
+            c, "l_returnflag", "cents", Seq(("p50", 0.50), ("p99", 0.99)),
+            expr("cents div 1000000"), _.cast("double") / lit(100.0))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            max(when(col("pname") === "p50", col("res"))).as("e50"),
+            max(when(col("pname") === "p99", col("res"))).as("e99"))
+        exact.join(approx, Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            round(col("e50"), 4).as("p50_exact"),
+            round(col("e99"), 4).as("p99_exact"),
+            (abs(col("a50") - col("e50")) * 100 <= col("e50") * 5 &&
+              abs(col("a99") - col("e99")) * 100 <= col("e99") * 5)
+              .cast("long").as("within_bound"))
+      },
+      Some("""SELECT l_returnflag,
+             |  ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50_exact,
+             |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+             |  CAST(1 AS BIGINT) AS within_bound
+             |FROM lineitem GROUP BY 1""".stripMargin)
     ),
 
     // GROUPING SETS with mixed granularities (finer-grained than what
@@ -730,22 +758,42 @@ object Extended {
     // HLL sketch MERGE — the property that makes approx-distinct work
     // at warehouse scale: per-group sketches are REAGGREGATABLE, so a
     // rollup over precomputed sketches (hll_union_agg) replaces a
-    // second full scan of the raw data. Engine-specific sketch bytes =
-    // no DuckDB oracle (rows-only check); QualitySpec bounds both the
-    // per-group and the merged estimates against exact distincts.
+    // second full scan of the raw data. Sketch estimates are
+    // engine-specific, so (the agg_approx_distinct pattern) the
+    // checked projection carries the EXACT distincts per scope —
+    // including the "(all)" scope the UNION path estimates — plus an
+    // in-plan within_bound verdict at 5%. The oracle recomputes the
+    // exact side and asserts within_bound = 1, so a lossy merge now
+    // fails the gate instead of hiding behind a rows-only check.
     "agg_hll_union" -> Query(
       (s, d) => {
         val sk = graft.Caches.scoped(Tables.orders(s, d)
           .groupBy(col("o_orderpriority"))
-          .agg(hll_sketch_agg(col("o_custkey")).as("sk")))
+          .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+            countDistinct(col("o_custkey")).as("exact")))
         val per = sk.select(col("o_orderpriority").as("scope"),
-          hll_sketch_estimate(col("sk")).as("est_custkeys"))
+          hll_sketch_estimate(col("sk")).as("est"), col("exact"))
+        // the union scope's exact distinct needs the RAW key (exacts
+        // per group don't re-aggregate), one more pass over orders
+        val allExact = Tables.orders(s, d)
+          .agg(countDistinct(col("o_custkey")).as("exact"))
         val all = sk.agg(hll_union_agg(col("sk")).as("u"))
           .select(lit("(all)").as("scope"),
-            hll_sketch_estimate(col("u")).as("est_custkeys"))
+            hll_sketch_estimate(col("u")).as("est"))
+          .crossJoin(broadcast(allExact))
         per.unionAll(all)
+          .select(col("scope"), col("exact").as("exact_custkeys"),
+            (abs(col("est") - col("exact")) * 100 <= col("exact") * 5)
+              .cast("long").as("within_bound"))
       },
-      None
+      Some("""SELECT o_orderpriority AS scope,
+             |  COUNT(DISTINCT o_custkey) AS exact_custkeys,
+             |  CAST(1 AS BIGINT) AS within_bound
+             |FROM orders GROUP BY 1
+             |UNION ALL
+             |SELECT '(all)' AS scope, COUNT(DISTINCT o_custkey) AS exact_custkeys,
+             |  CAST(1 AS BIGINT) AS within_bound
+             |FROM orders""".stripMargin)
     ),
 
     // Deletion propagation (right-to-be-forgotten): a forget-list

@@ -360,20 +360,35 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     ),
 
-    // HLL approx distinct — the 100 TB path for agg_distinct. Sketch
-    // values are engine-specific, so this takes the rows-only check;
-    // QualitySpec asserts <=5% error vs the exact counts. rsd=0.02
-    // (vs the 0.05 default, which missed by 8.6% on l_orderkey): the
-    // sketch grows to ~32KB per group — noise at any group count worth
-    // sketching over — and the estimate lands within ~2%.
+    // HLL approx distinct — the 100 TB path for agg_distinct. The raw
+    // sketch estimates are engine-specific, so they stay OUT of the
+    // checked projection; instead the query emits the exact distincts
+    // (the oracle's yardstick) plus a within_bound verdict computed
+    // IN-PLAN: |approx − exact| ≤ 5% of exact, per group, both keys.
+    // The oracle asserts the exact counts hash-exact and
+    // within_bound = 1 — a drifting sketch now FAILS the gate instead
+    // of hiding behind a rows-only check. rsd=0.02 (the 0.05 default
+    // missed by 8.6% on l_orderkey): ~32KB per group, estimate lands
+    // within ~2%. (The exact columns are the gate's yardstick;
+    // production keeps only the sketch side.)
     "agg_approx_distinct" -> Query(
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
-            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")),
-      None
+            approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+            (abs(col("ap") - col("exact_parts")) * 100 <= col("exact_parts") * 5 &&
+              abs(col("ao") - col("exact_orders")) * 100 <= col("exact_orders") * 5)
+              .cast("long").as("within_bound")),
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS exact_parts,
+             |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+             |  CAST(1 AS BIGINT) AS within_bound
+             |FROM lineitem GROUP BY 1""".stripMargin)
     ),
 
     // ROLLUP hierarchy totals.

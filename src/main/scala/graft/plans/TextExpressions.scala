@@ -75,13 +75,6 @@ object TextExpressions {
   def bpeSegmentCount(word: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeSegmentCount(ColumnBridge.expression(word), merges))
 
-  /** Total BPE token count over a token ARRAY in one scan-local call —
-    * for consumers whose plan shape can't afford the distinct-word
-    * detour (text_pack_greedy's pinned single shuffle). Same replay
-    * encoder per element.
-    */
-  def bpeTokenCountSum(toks: Column, merges: Seq[(String, String)]): Column =
-    ColumnBridge.column(BpeTokenCountSum(ColumnBridge.expression(toks), merges))
 }
 
 /** Sequential-replay BPE encoder: start from the word's characters and
@@ -93,50 +86,6 @@ object TextExpressions {
   * Returns the segment COUNT (the token-budget consumers only need
   * counts; the segments themselves never materialize).
   */
-/** Σ BpeSegmentCount over an array<string> of tokens — one tight JVM
-  * loop per row, no per-element lambda frames, no extra plan nodes.
-  * Null elements count 0 (an upstream filter artifact, not a word).
-  */
-case class BpeTokenCountSum(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression {
-
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_bpe_token_count_sum expects array<string>, got $t")
-  }
-
-  private lazy val inner = BpeSegmentCount(child, merges)
-
-  /** Row kernel — also the codegen body via addReferenceObj(this). */
-  def compute(a: ArrayData): Long = {
-    var total = 0L
-    val n = a.numElements()
-    var i = 0
-    while (i < n) {
-      if (!a.isNullAt(i)) total += inner.compute(a.getUTF8String(i))
-      i += 1
-    }
-    total
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    compute(input.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val ref = ctx.addReferenceObj("bpeTokenCountSum", this,
-        classOf[BpeTokenCountSum].getName)
-      s"${ev.value} = $ref.compute($a);"
-    })
-
-  override protected def withNewChildInternal(newChild: Expression): BpeTokenCountSum =
-    copy(child = newChild)
-}
-
 case class BpeSegmentCount(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
 

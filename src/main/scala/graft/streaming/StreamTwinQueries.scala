@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.Query
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+
+/** The streaming BATCH-TWIN gate: three §2.8 components run as REAL
+  * Structured Streaming queries (readStream parquet source →
+  * watermarked stateful operators → sink) in Trigger.AvailableNow over
+  * the driver's events table, and the flushed sink contents register
+  * as ordinary query entries with DuckDB oracles. This closes the
+  * "spec-proven only" asterisk on the streaming family: the specs pin
+  * per-batch semantics with MemoryStream; these entries prove the SAME
+  * component, end-to-end through the streaming engine, produces the
+  * batch answer on real data — the Dataflow/Beam batch-streaming
+  * unification contract (reference: local_directrunner_pipeline.py
+  * runs one pipeline in either mode).
+  *
+  * Output-mode discipline: single-aggregation components run COMPLETE
+  * mode (the final state table equals the batch answer exactly); the
+  * dedup→agg chain (WindowedDistinctStream) runs APPEND — its contract
+  * is "emit each window once, when the watermark passes it", so the
+  * oracle mirrors the finalized-window cut: windows whose end exceeds
+  * the final watermark (max event time at delay 0) are EXPECTED
+  * absent. Both modes are scale-honest: state is per-open-window, the
+  * parquet source streams files incrementally, and nothing here
+  * collects to the driver.
+  */
+object StreamTwinQueries {
+
+  private val seq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Streaming read of the events table with the SAME ts normalization
+    * contract as graft.Tables.events (int64 UTC nanos), plus an
+    * event-time TIMESTAMP column `ts_t` (µs grain — hour/day windows
+    * land on identical boundaries in either unit) for
+    * watermark/window assignment.
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    // the streaming file source lists a DIRECTORY (or glob) — the
+    // single-file layout streams via a char-class glob on the filename
+    val raw = s.readStream.schema(schema).parquet(s"$d/events.parque[t]")
+    val nanos = schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn(
+        "ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+    nanos.withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run `out` as a streaming query into an in-memory sink, block
+    * until AvailableNow drains the source, return the sink table.
+    */
+  private def runToTable(s: SparkSession, out: DataFrame,
+                         mode: String): DataFrame = {
+    val name = "graft_stream_twin_" + seq.incrementAndGet()
+    val ckpt = java.nio.file.Files.createTempDirectory(name).toString
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val entries: Seq[(String, Query)] = Seq(
+
+    // WindowedAgg end-to-end: 1h tumbling count+sum per event type —
+    // the streaming twin of window_tumbling, checked against the SAME
+    // oracle shape. Complete mode: the sink table is the full window
+    // state, which for a drained finite source IS the batch answer.
+    "stream_window_tumbling" -> Query(
+      (s, d) => {
+        val out = WindowedAgg(eventsStream(s, d), "ts_t", "1 hour", "0 seconds")
+        runToTable(s, out, "complete")
+          .select(unix_micros(col("win_start")).*(1000L).as("win_start_ns"),
+            col("event_type"), col("n"), col("sum_value"))
+      },
+      Some("""SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS win_start_ns, event_type,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // OhlcStream end-to-end: daily OHLC bars per event type through
+    // the streaming min_by/max_by windowed aggregate — the streaming
+    // twin of window_ohlc (minus the turnover column, which the
+    // streaming bar intentionally omits: six scalars of state per
+    // bar). Complete mode, day index from the window start.
+    "stream_window_ohlc" -> Query(
+      (s, d) => {
+        val ev = eventsStream(s, d)
+          .select(col("ts_t").as("ts"), col("event_type").as("key"),
+            col("event_id").as("id"), col("value"))
+        val out = OhlcStream(ev, "1 day", "0 seconds")
+        runToTable(s, out, "complete")
+          .select(col("key").as("event_type"),
+            expr("unix_micros(win_start) div 86400000000").as("day"),
+            col("open"), col("high"), col("low"), col("close"), col("volume"))
+      },
+      Some("""WITH ev AS (SELECT event_type, "value" AS v, ts, event_id,
+             |             epoch_us(ts) // 86400000000 AS di FROM events),
+             |r AS (SELECT event_type, di, v,
+             |        ROW_NUMBER() OVER (PARTITION BY event_type, di ORDER BY ts, event_id) AS rna,
+             |        ROW_NUMBER() OVER (PARTITION BY event_type, di ORDER BY ts DESC, event_id DESC) AS rnd
+             |      FROM ev)
+             |SELECT event_type, di AS day,
+             |  MAX(CASE WHEN rna = 1 THEN v END) AS open,
+             |  MAX(v) AS high, MIN(v) AS low,
+             |  MAX(CASE WHEN rnd = 1 THEN v END) AS close,
+             |  COUNT(*) AS volume
+             |FROM r GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // WindowedDistinctStream end-to-end: exact hourly distinct users
+    // through the dedup→agg two-stateful-operator chain. APPEND mode
+    // (complete does not cover streaming dedup): each window emits
+    // once when the watermark passes its end, so the final watermark —
+    // max event time at delay 0 — cuts the last open window(s); the
+    // oracle applies the identical finalized-window condition, making
+    // the append contract ITSELF part of what the gate checks.
+    "stream_window_distinct" -> Query(
+      (s, d) => {
+        val out = WindowedDistinctStream(
+          eventsStream(s, d), "ts_t", "user_id", "1 hour", "0 seconds")
+        runToTable(s, out, "append")
+          .select(unix_micros(col("win_start")).*(1000L).as("win_start_ns"),
+            col("n_distinct_users"))
+      },
+      Some("""WITH mx AS (SELECT MAX(epoch_us(ts)) AS wm FROM events),
+             |w AS (SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS ws_us, user_id
+             |      FROM events)
+             |SELECT ws_us * 1000 AS win_start_ns,
+             |  COUNT(DISTINCT user_id) AS n_distinct_users
+             |FROM w, mx WHERE ws_us + 3600000000 <= mx.wm
+             |GROUP BY 1""".stripMargin)
+    )
+  )
+}

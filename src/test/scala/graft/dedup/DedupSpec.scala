@@ -49,6 +49,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0).getLong(3) === 1L)
   }
 
+  test("stop-window filter drops boilerplate runs but keeps genuine pairs") {
+    // a 13-token boilerplate block shared by MORE than SubstringStopT
+    // docs (every one of its 6 windows exceeds the doc-frequency cap)
+    // must produce NO flagged pairs — without the filter it would
+    // flag all C(66,2) = 2145 of them — while a 13-token run shared by
+    // exactly 2 docs survives
+    import spark.implicits._
+    val nBoiler = (DedupQueries.SubstringStopT + 2).toInt // 66 > T=64
+    val boiler = (1 to 13).map(i => s"bp$i").mkString(" ")
+    val genuine = (1 to 13).map(i => s"gx$i").mkString(" ")
+    val boilerDocs = (1 to nBoiler).map { i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c $boiler u${i}d u${i}e", "en", "s")
+    }
+    val pair = Seq(
+      (1000L, s"p1a p1b p1c $genuine p1d p1e", "en", "s"),
+      (1001L, s"p2a p2b p2c p2f $genuine p2d p2e", "en", "s"))
+    val tmp = java.nio.file.Files.createTempDirectory("stopwin").toString
+    (boilerDocs ++ pair).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("dedup_substring")(spark, tmp)
+      .select(col("da"), col("db"), col("max_run_tokens")).collect()
+    assert(out.length === 1, s"expected only the genuine pair, got ${out.length}")
+    assert(out(0).getLong(0) === 1000L && out(0).getLong(1) === 1001L)
+    assert(out(0).getLong(2) === 13L)
+  }
+
   test("jaccard of a doc with itself is 1 via the shingle-set identity") {
     // identical shingle sets -> |∩| == |∪|; checked through the same
     // arithmetic the query uses
