@@ -46,6 +46,18 @@ object DedupQueries {
     */
   private[graft] val SubstringStopT = 64L
 
+  /** Hot-block cap for the edit-distance blocking key (the same
+    * boilerplate-guard family as [[SubstringStopT]]): a (length
+    * bucket, first char, band, min-gram) block holding MORE than this
+    * many docs is template text, and capping it bounds the pair join
+    * at T² per block — on a saturated key space total candidate work
+    * is O(#keys·T²) instead of O(n²). Chosen above every block size
+    * the gate corpora produce (max 28 at sf0.1), so correctness
+    * results are unchanged at all test scales; the sf1 stress corpus
+    * is where it bites (1.92M → 0.66M candidates).
+    */
+  private[graft] val EditBlockCap = 32L
+
   private def substringRuns(s: SparkSession, d: String): DataFrame = {
     val win = graft.Caches.scoped(Tables.documents(s, d)
       .select(col("doc_id"),
@@ -768,6 +780,12 @@ object DedupQueries {
     // interpreted lambda + a 32-char string per (band, window)). Both
     // engines implement unit-cost Levenshtein and md5, so the banded
     // key, the distance, and the <= 15 verdict are all engine-exact.
+    // Hot-block cap (the sf1 stress finding): blocks larger than
+    // EditBlockCap drop via a semi-join before the pair join —
+    // a head fragment shared to min-gram level by 32+ docs is template
+    // boilerplate, and the cap bounds per-block cost at T² so a
+    // saturated key space costs O(#keys·T²), not O(n²). No-op at every
+    // gate scale (max observed block: 4 at sf0.01, 28 at sf0.1).
     "dedup_edit_distance" -> Query(
       (s, d) => {
         val nBands = 4
@@ -775,10 +793,15 @@ object DedupQueries {
           (col("n_chars") / 20).cast("long").as("lb"),
           substring(col("text"), 1, 1).as("c1"),
           substring(col("text"), 1, 60).as("head"))
-        val idx = docs
+        val idx0 = docs
           .select(col("doc_id"), col("lb"), col("c1"), col("head"),
             posexplode(graft.plans.TextExpressions.editBandKeys(col("head"), nBands))
               .as(Seq("j", "bkey")))
+        val keep = idx0.groupBy(col("lb"), col("c1"), col("j"), col("bkey"))
+          .agg(count(lit(1)).as("m")).filter(col("m") <= EditBlockCap)
+          .select(col("lb"), col("c1"), col("j"), col("bkey"))
+        val idx = graft.Caches.scoped(
+          idx0.join(keep, Seq("lb", "c1", "j", "bkey"), "left_semi"))
         idx.as("a").join(idx.as("b"),
             col("a.lb") === col("b.lb") && col("a.c1") === col("b.c1") &&
               col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey") &&
@@ -791,14 +814,17 @@ object DedupQueries {
           .filter(col("lev") <= 25)
           .withColumn("is_dup", (col("lev") <= 15).cast("long"))
       },
-      Some("""WITH d AS (SELECT doc_id, n_chars // 20 AS lb,
+      Some(s"""WITH d AS (SELECT doc_id, n_chars // 20 AS lb,
              |             substr(text, 1, 1) AS c1, substr(text, 1, 60) AS head
              |           FROM documents),
-             |bd AS (SELECT doc_id, lb, c1, head, j,
+             |bd0 AS (SELECT doc_id, lb, c1, head, j,
              |         list_min(list_transform(
              |           generate_series(1, greatest(length(head) - 3, 1)),
              |           i -> md5('b' || j || '|' || substr(head, i, 4)))) AS bkey
              |       FROM d CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+             |ks AS (SELECT lb, c1, j, bkey FROM bd0 GROUP BY 1, 2, 3, 4
+             |       HAVING COUNT(*) <= $EditBlockCap),
+             |bd AS (SELECT bd0.* FROM bd0 JOIN ks USING (lb, c1, j, bkey)),
              |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              |        a.head AS ha, b.head AS hb
              |      FROM bd a JOIN bd b

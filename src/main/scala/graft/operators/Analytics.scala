@@ -34,8 +34,10 @@ object Analytics {
     // sort key, per-partition running sums stay partition-local, and only
     // the <=32 per-partition TOTALS pass through a single-partition window
     // — no data ever funnels to one task, so the same plan cumulates 100 TB.
-    // Money stays integer (1e-4 units; the e4 scale keeps cum*10000 inside
-    // BIGINT up to ~sf100 — widen to DECIMAL(38) beyond that).
+    // Money stays integer (1e-4 units); the final share/cut products
+    // (cum*10000, cum*100 vs total*80) run in DECIMAL(38) — the sf1
+    // stress run proved cum*10000 overflows BIGINT already at ~6M
+    // lineitems, and DuckDB's window SUM is HUGEINT-wide natively.
     "abc_pareto" -> Query(
       (s, d) => {
         val rev = Tables.lineitem(s, d)
@@ -60,10 +62,12 @@ object Analytics {
           .join(broadcast(offs), Seq("pid"))
           .crossJoin(broadcast(totalDf))
           .withColumn("cum", col("off") + col("lcum"))
+          .withColumn("cumw", col("cum").cast("decimal(38,0)"))
+          .withColumn("totw", col("total").cast("decimal(38,0)"))
           .select(col("part"), col("rev_e4"),
-            expr("cum * 10000 div total").as("cum_bp"),
-            when(col("cum") * 100 <= col("total") * 80, "A")
-              .when(col("cum") * 100 <= col("total") * 95, "B")
+            expr("CAST(cumw * 10000 div totw AS BIGINT)").as("cum_bp"),
+            when(col("cumw") * 100 <= col("totw") * 80, "A")
+              .when(col("cumw") * 100 <= col("totw") * 95, "B")
               .otherwise("C").as("abc"))
       },
       Some("""WITH r AS (

@@ -767,16 +767,22 @@ object Extended {
     // fails the gate instead of hiding behind a rows-only check.
     "agg_hll_union" -> Query(
       (s, d) => {
-        val sk = graft.Caches.scoped(Tables.orders(s, d)
+        // exact twins from ONE distinct (priority, custkey) pass —
+        // per-scope exacts count it grouped, and the union scope's
+        // exact (per-group exacts don't re-aggregate) re-dedups the
+        // same small frame on custkey alone
+        val dk = graft.Caches.scoped(Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_custkey")).distinct())
+        val sk = Tables.orders(s, d)
           .groupBy(col("o_orderpriority"))
-          .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
-            countDistinct(col("o_custkey")).as("exact")))
-        val per = sk.select(col("o_orderpriority").as("scope"),
-          hll_sketch_estimate(col("sk")).as("est"), col("exact"))
-        // the union scope's exact distinct needs the RAW key (exacts
-        // per group don't re-aggregate), one more pass over orders
-        val allExact = Tables.orders(s, d)
-          .agg(countDistinct(col("o_custkey")).as("exact"))
+          .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        val exPer = dk.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("exact"))
+        val per = sk.join(exPer, Seq("o_orderpriority"))
+          .select(col("o_orderpriority").as("scope"),
+            hll_sketch_estimate(col("sk")).as("est"), col("exact"))
+        val allExact = dk.select(col("o_custkey")).distinct()
+          .agg(count(lit(1)).as("exact"))
         val all = sk.agg(hll_union_agg(col("sk")).as("u"))
           .select(lit("(all)").as("scope"),
             hll_sketch_estimate(col("u")).as("est"))
