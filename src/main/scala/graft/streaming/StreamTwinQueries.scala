@@ -114,6 +114,41 @@ object StreamTwinQueries {
              |FROM r GROUP BY 1, 2""".stripMargin)
     ),
 
+    // SessionizeStream end-to-end: 6h-gap sessionization through
+    // flatMapGroupsWithState — CUSTOM state (one open session per
+    // user), not a built-in windowed agg, so this twin proves the
+    // explicit-state path against the batch gaps-and-islands oracle.
+    // APPEND semantics with NoTimeout: a session emits when a LATER
+    // event closes it, so each user's final (still-open) session is
+    // EXPECTED absent — the oracle drops each user's last session,
+    // making the close-on-next-event contract itself gate-checked.
+    // sum_value stays out of the checked projection (the fold
+    // accumulates doubles in arrival order; Parity bans order-
+    // dependent double sums from hash gates).
+    "stream_sessionize" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val ev = eventsStream(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+          .as[SessionizeStream.Ev](Encoders.product[SessionizeStream.Ev])
+        val out = SessionizeStream(ev, 21600000000L)
+        runToTable(s, out.toDF(), "append")
+          .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+             |g AS (SELECT *, CASE WHEN tus - LAG(tus) OVER w > 21600000000
+             |                       OR LAG(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+             |sx AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM g),
+             |ses AS (SELECT user_id, sess_id, COUNT(*) AS n_events,
+             |          MIN(tus) AS start_us, MAX(tus) AS end_us
+             |        FROM sx GROUP BY 1, 2),
+             |mx AS (SELECT user_id, MAX(sess_id) AS last_sid FROM ses GROUP BY 1)
+             |SELECT ses.user_id, start_us, end_us, n_events
+             |FROM ses JOIN mx USING (user_id) WHERE ses.sess_id < mx.last_sid""".stripMargin)
+    ),
+
     // WindowedDistinctStream end-to-end: exact hourly distinct users
     // through the dedup→agg two-stateful-operator chain. APPEND mode
     // (complete does not cover streaming dedup): each window emits
