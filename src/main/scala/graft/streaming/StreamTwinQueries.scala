@@ -149,6 +149,57 @@ object StreamTwinQueries {
              |FROM ses JOIN mx USING (user_id) WHERE ses.sess_id < mx.last_sid""".stripMargin)
     ),
 
+    // EnrichStream end-to-end: the stream-static broadcast join —
+    // events stream enriched with the customer dimension (user_id is
+    // the generator's custkey space), rolled up per market segment in
+    // complete mode. Proves the stateless per-micro-batch join path:
+    // no watermark, no state, the dimension re-resolves per batch.
+    // left_outer keeps users without a customer row (segment NULL →
+    // the oracle's LEFT JOIN mirror), exact-decimal value sums.
+    "stream_enrich" -> Query(
+      (s, d) => {
+        val dim = s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        val enriched = EnrichStream(
+          eventsStream(s, d).select(col("user_id"), col("value")), dim, "user_id")
+        val out = enriched.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        runToTable(s, out, "complete")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events LEFT JOIN customer ON user_id = c_custkey
+             |GROUP BY 1""".stripMargin)
+    ),
+
+    // StreamingDedup end-to-end: exact content dedup through
+    // dropDuplicatesWithinWatermark over an ingest stream of the
+    // documents table (arrival clock = doc_id as µs — the monotone
+    // ingest order). The checked projection is the HASH SET: the
+    // streaming dedup keeps an arbitrary first-encountered row per
+    // key (task order), so survivor doc_ids are not deterministic,
+    // but one-row-per-distinct-content across micro-batches IS the
+    // contract — and is exactly what the oracle checks. The watermark
+    // delay (1h of synthetic clock) exceeds the corpus's whole doc_id
+    // span, so no hash state evicts mid-run: the twin is global
+    // first-wins dedup, the batch dedup_exact semantics.
+    "stream_dedup" -> Query(
+      (s, d) => {
+        val path = s"$d/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val docs = s.readStream.schema(schema)
+          .parquet(s"$d/documents.parque[t]")
+          // +1s offset: a clock starting AT epoch 0 puts the first doc
+          // exactly on the initial watermark and it is dropped as late
+          .withColumn("ts_t", timestamp_micros(col("doc_id") + 1000000L))
+        val out = StreamingDedup(docs, "ts_t", "text", "1 hour")
+          .select(col("content_hash").as("h"))
+        runToTable(s, out, "append")
+      },
+      Some("SELECT DISTINCT md5(text) AS h FROM documents")
+    ),
+
     // WindowedDistinctStream end-to-end: exact hourly distinct users
     // through the dedup→agg two-stateful-operator chain. APPEND mode
     // (complete does not cover streaming dedup): each window emits
