@@ -58,6 +58,18 @@ object DedupQueries {
     */
   private[graft] val EditBlockCap = 32L
 
+  /** Hot-bucket cap for SimHash banding (the LSH bucket-size cap every
+    * production LSH stack applies): a 15-bit band value shared by MORE
+    * than this many docs is a degenerate bucket (low-entropy
+    * near-constant documents), and capping it bounds the band join at
+    * T² per bucket. A true near-dup pair whose hamming fits the <= 20
+    * verdict still collides in its other, cooler bands unless ALL its
+    * agreeing bands are degenerate. No-op at the sf0.01 gate (max
+    * bucket 30); at the 10x stress corpus it cuts candidates 29x
+    * (26.9M -> 0.94M).
+    */
+  private[graft] val SimhashBandCap = 64L
+
   private def substringRuns(s: SparkSession, d: String): DataFrame = {
     val win = graft.Caches.scoped(Tables.documents(s, d)
       .select(col("doc_id"),
@@ -627,9 +639,16 @@ object DedupQueries {
         val bandStructs = (0 until 4).map { b =>
           struct(lit(b).as("band_idx"), Hashing.simHashBand(col("sim"), b).as("bkey"))
         }
-        val bands = graft.Caches.scoped(sims
+        val bands0 = graft.Caches.scoped(sims
           .select(col("doc_id"), col("sim"), explode(array(bandStructs: _*)).as("bd"))
           .select(col("doc_id"), col("sim"), col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey")))
+        // LSH bucket-size cap: degenerate band buckets drop before the
+        // pair join (semi-join rides the join's own band exchange)
+        val keep = bands0.groupBy(col("band_idx"), col("bkey"))
+          .agg(count(lit(1)).as("m")).filter(col("m") <= SimhashBandCap)
+          .select(col("band_idx"), col("bkey"))
+        val bands = graft.Caches.scoped(
+          bands0.join(keep, Seq("band_idx", "bkey"), "left_semi"))
         bands.as("a")
           .join(bands.as("b"),
             col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey") &&
@@ -650,8 +669,11 @@ object DedupQueries {
              |sh AS (SELECT doc_id,
              |         CAST(SUM(CASE WHEN vote >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sim
              |       FROM bitsum GROUP BY doc_id),
-             |bands AS (SELECT doc_id, sim, bb.b AS band_idx, (sim >> (15*bb.b)) & 32767 AS bkey
+             |bands0 AS (SELECT doc_id, sim, bb.b AS band_idx, (sim >> (15*bb.b)) & 32767 AS bkey
              |          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
+             |bk AS (SELECT band_idx, bkey FROM bands0 GROUP BY 1, 2
+             |       HAVING COUNT(*) <= $SimhashBandCap),
+             |bands AS (SELECT bands0.* FROM bands0 JOIN bk USING (band_idx, bkey)),
              |cand AS (SELECT DISTINCT a.doc_id AS da, a.sim AS sima, b.doc_id AS db, b.sim AS simb
              |         FROM bands a JOIN bands b
              |           ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id)

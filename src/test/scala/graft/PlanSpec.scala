@@ -104,6 +104,11 @@ class PlanSpec extends AnyFunSuite {
       assert(plan(q).contains("LeftSemi"),
         s"$q must semi-join the stop-window frequency table")
     }
+    // same guard family: edit-distance hot blocks, simhash hot buckets
+    Seq("dedup_edit_distance", "dedup_simhash").foreach { q =>
+      assert(plan(q).contains("LeftSemi"),
+        s"$q must semi-join its block/bucket-size cap table")
+    }
   }
 
   test("token-budget family reads the materialized per-doc ntok table") {
