@@ -71,7 +71,12 @@ object DedupQueries {
   private[graft] val SimhashBandCap = 64L
 
   private def substringRuns(s: SparkSession, d: String): DataFrame = {
+    // repartition first: the window-hash walk + self-join is CPU-bound
+    // and a compact parquet input is ~1 split — without the exchange
+    // the whole family runs on one core (the dedup_edit_distance
+    // finding; same rationale documented there)
     val win = graft.Caches.scoped(Tables.documents(s, d)
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         posexplode(graft.plans.TextExpressions.shingleHashes60(cleanToks, 8))
           .as(Seq("pos", "wh"))))
@@ -117,7 +122,7 @@ object DedupQueries {
   private def materialized(s: SparkSession, d: String, kind: String,
                            key: String, fresh: => DataFrame): DataFrame =
     graft.etl.Bucketing.memoBucketed(s, builtIdx, s"$kind|$d",
-      s"graft_${kind}_" + graft.etl.Bucketing.dirTag(d), key, buckets = 8)(fresh)
+      s"graft_${kind}_" + graft.etl.Bucketing.dirTag(d), key, buckets = 32)(fresh)
 
   /** Distinct (doc_id, 60-bit shingle hash) rows — the string-free
     * index jaccard/containment join on: the native ShingleHashes60
@@ -768,7 +773,7 @@ object DedupQueries {
         graft.etl.Bucketing.writeBucketed(
           bands.filter(col("doc_id") % 10 =!= 0)
             .select(col("doc_id").as("corpus_id"), col("bk")),
-          tbl, "bk", buckets = 8)
+          tbl, "bk", buckets = 32)
         val corpusIdx = s.table(tbl)
         // hint("merge") keeps the demonstration honest at test scale —
         // without it the tiny corpus side would broadcast and the
@@ -811,28 +816,42 @@ object DedupQueries {
     "dedup_edit_distance" -> Query(
       (s, d) => {
         val nBands = 4
-        val docs = Tables.documents(s, d).select(col("doc_id"),
-          (col("n_chars") / 20).cast("long").as("lb"),
-          substring(col("text"), 1, 1).as("c1"),
-          substring(col("text"), 1, 60).as("head"))
-        val idx0 = docs
+        // spread by doc_id FIRST: this family is CPU-bound (4x57 md5s
+        // per doc, then a Levenshtein DP per candidate), and a compact
+        // parquet input arrives as ~1 split — without the explicit
+        // repartition the whole pipeline (banding, join, DPs) runs on
+        // one core (measured 67 s -> 12 s at the 10x corpus). At real
+        // scale the scan has thousands of splits and this exchange is
+        // noise next to the work it parallelizes.
+        val docs = Tables.documents(s, d).repartition(col("doc_id"))
+          .select(col("doc_id"),
+            (col("n_chars") / 20).cast("long").as("lb"),
+            substring(col("text"), 1, 1).as("c1"),
+            substring(col("text"), 1, 60).as("head"))
+        // cache the exploded band index: the ~4x57 md5s per doc would
+        // otherwise run twice (once for the cap agg, once as the
+        // semi-join probe side)
+        val idx0 = graft.Caches.scoped(docs
           .select(col("doc_id"), col("lb"), col("c1"), col("head"),
             posexplode(graft.plans.TextExpressions.editBandKeys(col("head"), nBands))
-              .as(Seq("j", "bkey")))
+              .as(Seq("j", "bkey"))))
         val keep = idx0.groupBy(col("lb"), col("c1"), col("j"), col("bkey"))
           .agg(count(lit(1)).as("m")).filter(col("m") <= EditBlockCap)
           .select(col("lb"), col("c1"), col("j"), col("bkey"))
         val idx = graft.Caches.scoped(
           idx0.join(keep, Seq("lb", "c1", "j", "bkey"), "left_semi"))
+        // levenshtein runs IN the join projection — the join output is
+        // partitioned wide, while the distinct's post-shuffle output
+        // AQE-coalesces to ~one partition (583k pair DPs on one core
+        // cost ~50 s at the 10x corpus; here they fan across the
+        // cluster and the distinct dedups the cheap (id, id, lev) rows)
         idx.as("a").join(idx.as("b"),
             col("a.lb") === col("b.lb") && col("a.c1") === col("b.c1") &&
               col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            col("a.head").as("ha"), col("b.head").as("hb"))
+            levenshtein(col("a.head"), col("b.head")).cast("long").as("lev"))
           .distinct()
-          .select(col("id_a"), col("id_b"),
-            levenshtein(col("ha"), col("hb")).cast("long").as("lev"))
           .filter(col("lev") <= 25)
           .withColumn("is_dup", (col("lev") <= 15).cast("long"))
       },

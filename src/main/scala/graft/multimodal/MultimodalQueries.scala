@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   * document text's utf-8 bytes (deterministic fake) while the Spark-side
   * plumbing — binary columns, metadata extraction, frame slicing — is
   * real and oracle-checked where SQL-expressible.
+  *
+  * Codec walks deliberately stay ZERO-SHUFFLE (scan → mapPartitions):
+  * at corpus scale the payload bytes ARE the data volume, so a
+  * repartition would shuffle the whole corpus to save per-core decode
+  * time the scan's own splits already provide. The single-file test
+  * corpus therefore decodes on few cores — a test-layout artifact,
+  * accepted; the plan shape is the one that ships (PlanSpec pins it).
   */
 object MultimodalQueries {
 
@@ -993,6 +1000,7 @@ object MultimodalQueries {
     "mm_image_entropy" -> Query(
       (s, d) => {
         val hx = Tables.documents(s, d)
+          .repartition(col("doc_id")) // 384 conv/substring per doc — spread the scan
           .filter(length(col("text").cast("binary")) >= 384)
           .select(col("doc_id"),
             lower(hex(substring(col("text").cast("binary"), 1, 384))).as("hx"))

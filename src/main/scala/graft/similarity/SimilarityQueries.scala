@@ -1264,7 +1264,16 @@ object SimilarityQueries {
             VectorFunctions.hyperplaneLshBucket(col("embedding"), lshPlanes, 64,
               planeOffset = lshPlanes * t).as("bucket"))
         }
+        // repartition first: the L-table hashing + self-join + exact
+        // cosine re-scores are CPU-bound pair work, and a compact
+        // parquet input is ~1 scan split — without the exchange the
+        // narrow stretches run on one core (measured 24 s -> 4 s at
+        // the 10x corpus). The IVF family deliberately does NOT do
+        // this (its no-corpus-shuffle plan is the design, PlanSpec-
+        // pinned); this brute-pair family amortizes the small
+        // embedding shuffle against quadratic candidate math.
         val hashed = graft.Caches.scoped(corpus(s, d)
+          .repartition(col("vec_id"))
           .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
           .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
         val cand = hashed.as("a")

@@ -45,7 +45,10 @@ object VectorOps {
         .cast("double") - col("m")
       (diff * diff).cast("decimal(18,12)")
     }
-    Tables.embeddings(s, d)
+    // repartition first: n x |labels| x dims decimal terms off a ~1-split
+    // scan would otherwise run on one core (the round-11 narrow-scan
+    // finding; measured 8 s -> ~2 s at the 10x corpus)
+    Tables.embeddings(s, d).repartition(col("vec_id"))
       .crossJoin(broadcast(centroids(s, d)))
       .groupBy(col("vec_id"), col("label"), col("clabel"))
       .agg(sum(term).cast("double").as("d2"))
