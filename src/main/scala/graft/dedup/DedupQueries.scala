@@ -122,7 +122,7 @@ object DedupQueries {
   private def materialized(s: SparkSession, d: String, kind: String,
                            key: String, fresh: => DataFrame): DataFrame =
     graft.etl.Bucketing.memoBucketed(s, builtIdx, s"$kind|$d",
-      s"graft_${kind}_" + graft.etl.Bucketing.dirTag(d), key, buckets = 32)(fresh)
+      s"graft_${kind}_" + graft.etl.Bucketing.dirTag(d), key, buckets = 8)(fresh)
 
   /** Distinct (doc_id, 60-bit shingle hash) rows — the string-free
     * index jaccard/containment join on: the native ShingleHashes60
@@ -773,7 +773,7 @@ object DedupQueries {
         graft.etl.Bucketing.writeBucketed(
           bands.filter(col("doc_id") % 10 =!= 0)
             .select(col("doc_id").as("corpus_id"), col("bk")),
-          tbl, "bk", buckets = 32)
+          tbl, "bk", buckets = 8)
         val corpusIdx = s.table(tbl)
         // hint("merge") keeps the demonstration honest at test scale —
         // without it the tiny corpus side would broadcast and the

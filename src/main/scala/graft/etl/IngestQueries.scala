@@ -315,9 +315,9 @@ object IngestQueries {
         val tag = Bucketing.dirTag(d)
         val ot = s"g_bk_orders_$tag"; val lt = s"g_bk_lineitem_$tag"
         Bucketing.writeBucketed(Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderstatus")), ot, "o_orderkey", 32)
+          .select(col("o_orderkey"), col("o_orderstatus")), ot, "o_orderkey", 8)
         Bucketing.writeBucketed(Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_extendedprice")), lt, "l_orderkey", 32)
+          .select(col("l_orderkey"), col("l_extendedprice")), lt, "l_orderkey", 8)
         s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n_lines"),

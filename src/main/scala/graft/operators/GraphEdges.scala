@@ -37,7 +37,7 @@ object GraphEdges {
     */
   def pairs(s: SparkSession, d: String): DataFrame =
     graft.etl.Bucketing.memoBucketed(s, built, d,
-      "graft_copurchase_" + graft.etl.Bucketing.dirTag(d), "pa", buckets = 32) {
+      "graft_copurchase_" + graft.etl.Bucketing.dirTag(d), "pa", buckets = 8) {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       // equi-join on the order key: fan-out bounded by per-order line
