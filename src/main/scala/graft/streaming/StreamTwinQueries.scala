@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.LongType
 
-/** The streaming BATCH-TWIN gate: three §2.8 components run as REAL
+/** The streaming BATCH-TWIN gate: seven §2.8 components run as REAL
   * Structured Streaming queries (readStream parquet source →
-  * watermarked stateful operators → sink) in Trigger.AvailableNow over
-  * the driver's events table, and the flushed sink contents register
-  * as ordinary query entries with DuckDB oracles. This closes the
+  * stateful/stateless operators → sink) in Trigger.AvailableNow over
+  * the driver's tables, and the flushed sink contents register as
+  * ordinary query entries with DuckDB oracles — covering every major
+  * operator class: windowed agg, min_by/max_by bars, dedup→agg
+  * chains, flatMapGroupsWithState, dropDuplicatesWithinWatermark,
+  * stream-static joins, and watermarked stream-stream interval
+  * joins. This closes the
   * "spec-proven only" asterisk on the streaming family: the specs pin
   * per-batch semantics with MemoryStream; these entries prove the SAME
   * component, end-to-end through the streaming engine, produces the
@@ -171,6 +175,36 @@ object StreamTwinQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events LEFT JOIN customer ON user_id = c_custkey
              |GROUP BY 1""".stripMargin)
+    ),
+
+    // StreamStreamJoin end-to-end: the watermarked stream-stream
+    // interval join — every click matched to the same user's purchases
+    // within one hour AFTER it, both sides streaming. Inner interval
+    // joins emit matches as they are found (the watermark only bounds
+    // STATE, and the 3h delay far exceeds the 1h match window, so
+    // nothing evicts before it can match): the drained sink equals the
+    // batch interval join exactly, no emission cut needed.
+    "stream_stream_join" -> Query(
+      (s, d) => {
+        val ev = eventsStream(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts_t"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts_t"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_t"))
+        val out = StreamStreamJoin(clicks, buys, "user_id", "ts_t",
+            windowSec = 3600, watermarkDelay = "3 hours")
+          .select(col("l_key").as("user_id"),
+            col("l.event_id").as("click_id"), col("r.event_id").as("purchase_id"))
+        runToTable(s, out, "append")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+             |           WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+             |      WHERE event_type = 'purchase')
+             |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+             |FROM c JOIN p ON c.user_id = p.user_id
+             | AND p.tus >= c.tus AND p.tus <= c.tus + 3600000000""".stripMargin)
     ),
 
     // StreamingDedup end-to-end: exact content dedup through
