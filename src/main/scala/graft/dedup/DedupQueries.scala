@@ -297,46 +297,35 @@ object DedupQueries {
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
-  /** Multi-table hyperplane-LSH geometry for `dedup_embedding`. Plane
-    * family base 100 keeps these planes disjoint from the ANN index's
-    * (offsets 0..14 in SimilarityQueries). Declared BEFORE `entries` —
-    * the oracle SQL strings interpolate them at object init.
-    */
-  private val embLshTables = 6
-  private val embLshPlanes = 4
-  private val embPlaneBase = 100
-
-  /** Embedding near-dup pairs `(va, vb, cos)` — dedup_embedding's body,
-    * shared with the embedding-cluster view. Candidates come from the
-    * multi-table hyperplane-LSH bucket equi-join (O(L·n) index rows,
-    * never all-pairs); exact 4dp cosine confirms.
-    */
-  /** Verified embedding near-dup pairs (va, vb, cos >= 0.3) from the
-    * multi-table hyperplane-LSH blocking — materialized once per dir
-    * (three consumers: dedup_embedding, text_bitext_mine,
-    * vec_cluster_components re-paid the LSH hashing + pair cosines).
+  /** Verified embedding near-dup pairs (va, vb, cos >= 0.3) —
+    * dedup_embedding's body, materialized once per dir (three
+    * consumers: dedup_embedding, text_bitext_mine,
+    * vec_cluster_components re-paid the blocking + pair cosines).
+    *
+    * Round 12: candidates block on TRAINED IVF cells from the scaled
+    * quantizer (graft.similarity.Ivf.pairAssignments — cell count
+    * proportional to the corpus, ~4 vectors/cell, each vector under
+    * its 4 nearest cells), replacing the round-11 multi-table
+    * hyperplane-LSH whose FIXED 2^4-bucket-per-table key space made
+    * candidates ~L·n²/16 by construction. Cell co-membership keeps
+    * candidates O(n · cell_size · probe²) — linear in n — and exact
+    * 4dp cosine confirms each pair (QualitySpec: emitted pairs are a
+    * subset of true cos>=0.3 pairs, recall 0.80 vs the 0.5 floor).
     */
   private def embeddingPairs(s: SparkSession, d: String): DataFrame =
-    materialized(s, d, "embpairs", "va", embeddingPairsFresh(s, d))
+    materialized(s, d, "embpairs2", "va", embeddingPairsFresh(s, d))
 
   private def embeddingPairsFresh(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions
+    import graft.similarity.Ivf
     // norms precomputed per VECTOR (not per pair) — same arithmetic,
     // bit-identical cosine, 1/3 the per-pair flops
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       col("embedding"), VectorFunctions.norm(col("embedding")).as("nrm"))
-    val tableStructs = (0 until embLshTables).map { t =>
-      struct(lit(t).as("tbl"),
-        VectorFunctions.hyperplaneLshBucket(col("embedding"), embLshPlanes, 64,
-          planeOffset = embPlaneBase + embLshPlanes * t).as("bucket"))
-    }
-    val hashed = graft.Caches.scoped(
-      e.select(col("vec_id"), explode(array(tableStructs: _*)).as("tb"))
-        .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
-    val cand = hashed.as("a")
-      .join(hashed.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
+    val asg = graft.Caches.scoped(Ivf.pairAssignments(s, d))
+    val cand = asg.as("a")
+      .join(asg.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .distinct()
     cand
@@ -350,13 +339,10 @@ object DedupQueries {
 
   /** DuckDB mirror of `embeddingPairs`, ending in `(va, vb, cos)`. */
   private lazy val embPairsSql: String =
-    s"""WITH b AS (${(0 until embLshTables).map(t =>
-         s"SELECT vec_id, embedding, $t AS tbl, ${graft.functions.VectorFunctions
-           .lshBucketSql(embPlaneBase + embLshPlanes * t, embLshPlanes, 64)} AS bucket FROM embeddings")
-         .mkString("\n UNION ALL ")}),
+    s"""WITH ${graft.similarity.Ivf.pairAssignCteSql},
        |cand AS (SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
-       |         FROM b l JOIN b r
-       |           ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+       |         FROM pasg l JOIN pasg r
+       |           ON l.cid = r.cid AND l.vec_id < r.vec_id),
        |p AS (
        |  SELECT cand.va, cand.vb,
        |    ROUND(

@@ -142,121 +142,36 @@ object SimilarityQueries {
        |      FROM c)
        |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin
 
-  // ---- k-means machinery (kmeans_train + ann_ivf_trained) ----------
-  // Embeddings quantized to exact integers (floor(x*1000+0.5) is
-  // engine-identical where round() is not) — every k-means sum is then
-  // an exact BIGINT and every derived centroid an exact int/int
-  // division, so the whole training loop hash-matches DuckDB.
+  // ---- k-means machinery — moved to graft.similarity.Ivf (round 12:
+  // the kNN-graph/embedding-pair family now shares it), thin local
+  // aliases keep the many use sites below unchanged.
 
-  private def quantCol: Column =
-    transform(col("embedding"), x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
+  private def quantCol: Column = Ivf.quantCol
 
   private def quantizedVecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"), quantCol.as("qv"))
+    Ivf.quantizedVecs(s, d)
 
-  /** FIXED model size: k never scales with the corpus. Bigger corpora
-    * want a bigger constant (k≈4096 at 10^9 vectors) but it stays a
-    * CONFIG choice — the driver-side model (k*64 doubles, ~64 KB here)
-    * and the plan payload are bounded regardless of data volume, which
-    * is what makes the literal-centroid assignment below scale-safe.
-    */
-  private val kmeansK = 128
+  private val kmeansK = Ivf.kmeansK
+  private val ivfNprobe = Ivf.ivfNprobe
 
-  /** IVF probe width over the trained quantizer. nprobe scales with k
-    * (probe a roughly constant FRACTION of cells for a target recall),
-    * never with the corpus: the probe side stays |queries|*nprobe rows.
+  /** Probe width for the epsilon-ball search: wider than top-k's
+    * ivfNprobe (a ball wants the whole neighborhood). Still a constant
+    * cell FRACTION — candidates stay linear in the corpus.
     */
-  private val ivfNprobe = 16
+  private val rangeNprobe = 24
 
-  /** The row's `take` nearest centroids by (dist, cid): element 0 is
-    * the k-means assignment, the first nprobe are the IVF probe cells.
-    * No join, no shuffle — and since round 8 a NATIVE codegen'd
-    * expression (plans/PqExpressions.CentroidRanks): the HOF
-    * formulation it replaces (sort_array over transform of the
-    * centroid literal) never entered whole-stage codegen, costing 128
-    * interpreted lambda frames per row — 3x the whole quantizer
-    * family's bench time. The model still ships as one O(k*d) constant
-    * reference (k fixed by config). Beyond k≈4k, flip this to a
-    * broadcast centroid table + max_by aggregate (the ann_ivf_topk
-    * shape) — same corpus-side zero-shuffle property, k*d moves
-    * through a torrent broadcast instead of the serialized plan.
-    */
   private def centroidRanks(cents: Seq[(Long, Seq[Double])], take: Int): Column =
-    graft.plans.PqExpressions.centroidRanks(col("qv"), cents, take)
+    Ivf.centroidRanks(cents, take)
 
-  /** Exact per-(cid, dim) member sums of the assigned quantized vectors
-    * — one map-side-combinable shuffle of k*64 combined rows.
+  private def memberSums(assigned: DataFrame): DataFrame = Ivf.memberSums(assigned)
+
+  private def trainedCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
+    Ivf.trainedCentroids(s, d)
+
+  /** Shared oracle CTE chain (fixed k=128) ending in `d1` — the
+    * trained centroids the kmeans/IVF oracles replay.
     */
-  private def memberSums(assigned: DataFrame): DataFrame = assigned
-    .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
-    .groupBy(col("cid"), (col("pos") + 1).cast("long").as("dim"))
-    .agg(sum(col("v")).as("c_sum"), count(lit(1)).as("n_members"))
-
-  /** One Lloyd update from the deterministic seed sample: the MLlib
-    * broadcast-centroids loop — the driver holds k*64 exact (sum, n)
-    * pairs between iterations, never data.
-    *
-    * Memoized per data dir: the trained quantizer is a REUSABLE model
-    * artifact (production IVF trains once and assigns forever), so a
-    * session that runs both kmeans_train and ann_ivf_trained pays for
-    * training exactly once. Deterministic input => identical result,
-    * the memo cannot change any output.
-    */
-  private val centCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
-
-  private def trainedCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
-    val cached = centCache.get(d)
-    if (cached != null) return cached
-    val computed = trainCentroids(s, d)
-    centCache.put(d, computed)
-    computed
-  }
-
-  /** Seed sample: deterministic bottom-k by md5(vec_id) — a fixed-size
-    * uniform draw whose cost is one TakeOrdered over the corpus. Unlike
-    * the modulus seeding it replaces, the seed COUNT is k regardless of
-    * corpus size, so the collect is constant (k rows) at any scale.
-    */
-  private def trainCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
-    val q = quantizedVecs(s, d)
-    val c0 = q.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(kmeansK).collect().map { r =>
-      r.getLong(0) -> r.getSeq[Long](1).map(_.toDouble).toSeq
-    }.toSeq.sortBy(_._1)
-    memberSums(q.withColumn("cid", centroidRanks(c0, 1).getItem(0)))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (cid, rows) =>
-        cid -> rows.sortBy(_._2).map(t => t._3.toDouble / t._4).toSeq
-      }
-  }
-
-  /** Shared oracle CTE chain ending in `c1(cid, cv)` — the trained
-    * centroids both kmeans queries replay.
-    */
-  private val kmeansCteSql =
-    s"""q AS (SELECT vec_id, list_transform(embedding,
-      |        x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
-      |      FROM embeddings),
-      |c0 AS (SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
-      |       FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kmeansK),
-      |d0 AS (SELECT q.vec_id, q.qv, c.cid,
-      |         list_sum(list_transform(generate_series(1,64),
-      |           i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i]) * (CAST(q.qv[i] AS DOUBLE) - c.cv[i]))) AS dist
-      |       FROM q CROSS JOIN c0 c),
-      |a0 AS (SELECT vec_id, qv, cid FROM (
-      |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
-      |         FROM d0) WHERE rn = 1),
-      |ii AS (SELECT unnest(generate_series(1,64)) AS i),
-      |u1 AS (SELECT cid, i AS dim, SUM(qv[i]) AS s, COUNT(*) AS n
-      |       FROM a0 CROSS JOIN ii GROUP BY cid, i),
-      |c1 AS (SELECT cid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS cv FROM u1 GROUP BY cid),
-      |d1 AS (SELECT q.vec_id, q.qv, c.cid,
-      |         list_sum(list_transform(generate_series(1,64),
-      |           i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i]) * (CAST(q.qv[i] AS DOUBLE) - c.cv[i]))) AS dist
-      |       FROM q CROSS JOIN c1 c)""".stripMargin
+  private val kmeansCteSql = Ivf.kmeansCteSql()
 
   /** PQ geometry: 8 subspaces x 8 dims, 16 sub-centroids each (4-bit
     * code per subspace, 32-bit code per vector). The codebook is
@@ -1251,35 +1166,30 @@ object SimilarityQueries {
     // semantic dedup, HNSW-style index builds, and label propagation
     // over embeddings: top-3 cosine neighbors for EVERY corpus vector
     // (not just a probe set). Brute force is the one shape that cannot
-    // ship (n^2 pairs); candidates here come from the same L-table
-    // hyperplane-LSH band join the ANN queries use — the corpus joins
-    // ITSELF on (table, bucket), so candidate volume is O(n * bucket
-    // density * L), and every downstream op (dedup, exact cosine,
-    // per-source top-k) is partitioned by the source vector. The edge
-    // list is the deliverable: (src, dst, cos, rank).
+    // ship (n^2 pairs) — and round 11 flagged the previous hyperplane-
+    // LSH blocking as quadratic-with-a-constant-divisor too (5 tables
+    // x 3 planes = a FIXED 8-bucket key space, candidates ~5n²/8).
+    // Round 12: candidates now block on TRAINED IVF cells from the
+    // scaled quantizer (Ivf.graphK: cell count proportional to the
+    // corpus, cell size ~constant — the production coarse-quantizer
+    // sizing), each vector joining under its 4 nearest cells. The
+    // corpus joins ITSELF on cid, so candidate volume is
+    // O(n * cell_size * probe²) — LINEAR in n (measured 4.2x
+    // candidates for 4x vectors; recall@3 = 0.80 at the gate,
+    // QualitySpec floor 0.6). Exact cosine re-scores candidates;
+    // per-source top-k is partitioned by src. The edge list is the
+    // deliverable: (src, dst, cos, rank).
     "vec_knn_graph" -> Query(
       (s, d) => {
-        val tables = (0 until lshTables).map { t =>
-          struct(lit(t).as("tbl"),
-            VectorFunctions.hyperplaneLshBucket(col("embedding"), lshPlanes, 64,
-              planeOffset = lshPlanes * t).as("bucket"))
-        }
-        // repartition first: the L-table hashing + self-join + exact
-        // cosine re-scores are CPU-bound pair work, and a compact
-        // parquet input is ~1 scan split — without the exchange the
-        // narrow stretches run on one core (measured 24 s -> 4 s at
-        // the 10x corpus). The IVF family deliberately does NOT do
-        // this (its no-corpus-shuffle plan is the design, PlanSpec-
-        // pinned); this brute-pair family amortizes the small
-        // embedding shuffle against quadratic candidate math.
-        val hashed = graft.Caches.scoped(corpus(s, d)
-          .repartition(col("vec_id"))
-          .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
-          .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
-        val cand = hashed.as("a")
-          .join(hashed.as("b"),
-            col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-              col("a.vec_id") =!= col("b.vec_id"))
+        // Ivf.pairAssignments repartitions by vec_id first (the
+        // round-11 narrow-scan lesson: assignment + pair join + exact
+        // cosines are CPU-bound pair work and a compact parquet input
+        // is ~1 scan split; the probe-based IVF queries deliberately
+        // keep their no-corpus-shuffle plan instead).
+        val asg = graft.Caches.scoped(Ivf.pairAssignments(s, d))
+        val cand = asg.as("a")
+          .join(asg.as("b"),
+            col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
           .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
           .distinct()
         val scored = cand
@@ -1295,11 +1205,9 @@ object SimilarityQueries {
               .orderBy(col("cos").desc, col("dst"))).cast("long"))
           .filter(col("rn") <= 3)
       },
-      Some(s"""WITH b AS (${(0 until lshTables).map(t =>
-                 s"SELECT vec_id, $t AS tbl, ${lshBucketSql(lshPlanes * t)} AS bucket FROM embeddings")
-                 .mkString("\n UNION ALL ")}),
+      Some(s"""WITH ${Ivf.pairAssignCteSql},
              |cand AS (SELECT DISTINCT a.vec_id AS src, e.vec_id AS dst
-             |         FROM b a JOIN b e ON a.tbl = e.tbl AND a.bucket = e.bucket AND a.vec_id <> e.vec_id),
+             |         FROM pasg a JOIN pasg e ON a.cid = e.cid AND a.vec_id <> e.vec_id),
              |c AS (SELECT cand.src, cand.dst,
              |        ROUND(
              |          list_sum(list_transform(generate_series(1, 64),
@@ -1560,41 +1468,45 @@ object SimilarityQueries {
     // RADIUS (epsilon-ball) SEARCH — "everything within cosine >= tau
     // of each probe", the dedup/recall-sweep primitive where top-k's
     // fixed k is wrong: result size follows true neighborhood density.
-    // Candidates come from the SAME 5x3 banded hyperplane index as
-    // ann_lsh_topk (equi-join on (table, bucket) — O(L*n) index rows,
-    // never all-pairs), then the exact rounded cosine filters at the
-    // threshold. Deterministic: the oracle replays bucketing, dedup,
-    // and the 4dp-rounded comparison bit-for-bit.
+    // Round 12: candidates come from the TRAINED IVF quantizer (the
+    // ann_ivf_trained geometry — corpus assigned to its cell in the
+    // scan, zero corpus shuffle) with a WIDER probe list than top-k
+    // needs (nprobe=24 of k=128: a ball wants the whole neighborhood,
+    // not just the nearest cells; measured epsilon-ball recall 0.77 at
+    // the gate vs the 0.5 QualitySpec floor). Candidate volume is
+    // n * nprobe/k * |probes| — a constant fraction of one scan,
+    // LINEAR in n, vs the old 8-bucket hyperplane index whose bucket
+    // density made each probe's candidate set ~60% of the corpus.
+    // Exact rounded cosine filters at the threshold; the oracle
+    // replays training, assignment, and the 4dp compare bit-for-bit.
     "ann_range_search" -> Query(
       (s, d) => {
-        val tables = (0 until lshTables).map { t =>
-          struct(lit(t).as("tbl"),
-            VectorFunctions.hyperplaneLshBucket(col("embedding"), lshPlanes, 64,
-              planeOffset = lshPlanes * t).as("bucket"))
-        }
-        val hashed = corpus(s, d)
-          .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
-          .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-        val qh = hashed.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "qid")
-        val cand = hashed.join(broadcast(qh), Seq("tbl", "bucket"))
+        val cents = trainedCentroids(s, d)
+        val e = corpus(s, d).withColumn("qv", quantCol)
+        val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
+          centroidRanks(cents, 1).getItem(0).as("cid"))
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv2"),
+            col("nrm").as("qnrm"),
+            explode(centroidRanks(cents, rangeNprobe)).as("cid"))
+        assigned.join(broadcast(probes), Seq("cid"))
           .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id")).distinct()
-        cand.join(corpus(s, d), Seq("vec_id"))
-          .join(broadcast(queriesDf(s, d)), Seq("qid"))
-          .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos"))
+          .select(col("qid"), col("vec_id"),
+            pairCos(col("qv2"), col("qnrm")).as("cos"))
           .filter(col("cos") >= 0.25)
       },
-      Some(s"""WITH b AS (${(0 until lshTables).map(t =>
-               s"SELECT vec_id, embedding, $t AS tbl, ${lshBucketSql(lshPlanes * t)} AS bucket FROM embeddings")
-               .mkString("\n UNION ALL ")}),
-             |bq AS (SELECT vec_id AS qid, tbl, bucket FROM b WHERE vec_id < 10),
-             |cand AS (SELECT DISTINCT bq.qid, e.vec_id
-             |         FROM b e JOIN bq ON e.tbl = bq.tbl AND e.bucket = bq.bucket AND e.vec_id <> bq.qid),
-             |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
-             |c AS (SELECT cand.qid, cand.vec_id, $cosSql AS cos
-             |      FROM cand
-             |      JOIN embeddings e ON e.vec_id = cand.vec_id
-             |      JOIN q ON q.qid = cand.qid)
+      Some(s"""WITH $kmeansCteSql,
+             |asg AS (SELECT vec_id, cid FROM (
+             |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+             |          FROM d1) WHERE rn = 1),
+             |pr AS (SELECT vec_id AS qid, cid FROM (
+             |         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+             |         FROM d1 WHERE vec_id < 10) WHERE rn <= $rangeNprobe),
+             |c AS (SELECT pr.qid, a.vec_id, $cosSql AS cos
+             |      FROM asg a JOIN pr ON a.cid = pr.cid AND a.vec_id <> pr.qid
+             |      JOIN embeddings e ON e.vec_id = a.vec_id
+             |      JOIN (SELECT vec_id AS qid2, embedding AS qv FROM embeddings) q
+             |        ON q.qid2 = pr.qid)
              |SELECT qid, vec_id, cos FROM c WHERE cos >= 0.25""".stripMargin)
     ),
 

@@ -197,11 +197,11 @@ class PlanSpec extends AnyFunSuite {
       "vote counts must combine map-side")
   }
 
-  test("kNN graph candidates come from the banded self-join, never a cross product") {
+  test("kNN graph candidates come from the trained-cell self-join, never a cross product") {
     val t = tree("vec_knn_graph")
     assert(!t.exists(l => l.contains("CartesianProduct") ||
       l.contains("BroadcastNestedLoopJoin")),
-      "kNN graph must block on (table, bucket), not score all pairs")
+      "kNN graph must block on IVF cells, not score all pairs")
   }
 
   test("multi-probe LSH broadcasts the expanded probe set; corpus side never sorts") {
@@ -644,10 +644,10 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("events_page_hinkley").contains("windowspecdefinition(event_type"))
   }
 
-  test("knn hubness reuses the banded candidate join, no all-pairs") {
+  test("knn hubness reuses the trained-cell candidate join, no all-pairs") {
     val p = plan("vec_knn_hubness")
     assert(!p.contains("CartesianProduct"),
-      "candidates must come from the (table, bucket) equi-join")
+      "candidates must come from the IVF-cell equi-join")
   }
 
   test("ship-lag SLOs never buffer values: no Percentile aggregate in the plan") {
@@ -777,7 +777,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("late-wave ops keep the shared shapes: no value buffers, no stray pair joins") {
     assert(!plan("text_bitext_mine").contains("CartesianProduct"),
-      "bitext candidates must come from the LSH bucket equi-join")
+      "bitext candidates must come from the IVF-cell equi-join")
     for (q <- Seq("agg_runs_test", "events_quantile_calibration", "agg_trimmed_mean"))
       assert(!plan(q).contains("percentile"),
         s"$q: quantiles must come from the histogram-bisect two-pass")

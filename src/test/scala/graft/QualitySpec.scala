@@ -95,6 +95,32 @@ class QualitySpec extends AnyFunSuite {
     assert(mp >= 0.7, s"multiprobe mean recall@5 = $mp")
   }
 
+  test("vec_knn_graph recall@3 vs brute-force neighbors clears 0.6") {
+    // the round-12 scale path (trained-IVF-cell blocking, cells
+    // proportional to the corpus) must stay a usable kNN-graph
+    // constructor: measured 0.80 at sf0.01 (probe=4, ~4 vectors/cell)
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding"), VectorFunctions.norm(col("embedding")).as("nrm"))
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        round(VectorFunctions.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rn") <= 3)
+      .select(col("src").cast("long"), col("dst").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("vec_knn_graph")(spark, sf)
+      .select(col("src").cast("long"), col("dst").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caches.releaseAll()
+    assert(truth.nonEmpty)
+    val recall = truth.count(got).toDouble / truth.size
+    assert(recall >= 0.6, s"kNN-graph recall@3 = $recall")
+  }
+
   test("vec_knn_graph edges agree with brute-force neighbors where candidates exist") {
     // the LSH-blocked kNN graph is approximate by construction, but
     // every emitted edge must be a genuine high-cosine pair: each
