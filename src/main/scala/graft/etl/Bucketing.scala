@@ -44,11 +44,15 @@ object Bucketing {
                    memo: java.util.concurrent.ConcurrentHashMap[String, String],
                    memoKey: String, table: String, key: String,
                    buckets: Int)(fresh: => DataFrame): DataFrame = {
-    val tbl = memo.computeIfAbsent(memoKey, _ => {
-      writeBucketed(fresh, table, key, buckets)
+    // `compute` (not computeIfAbsent) so the catalog-existence check and
+    // any rebuild both run under the per-key map lock: two threads in a
+    // fresh session (memo hit, table absent) must not race concurrent
+    // Overwrite saveAsTable calls on the same table name.
+    val tbl = memo.compute(memoKey, (_, prev) => {
+      if (prev == null) writeBucketed(fresh, table, key, buckets)
+      else if (!s.catalog.tableExists(prev)) writeBucketed(fresh, prev, key, buckets)
       table
     })
-    if (!s.catalog.tableExists(tbl)) writeBucketed(fresh, tbl, key, buckets)
     s.table(tbl)
   }
 }

@@ -13,7 +13,17 @@ object TmpDirs {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-${ProcessHandle.current().pid()}")
     d.mkdirs()
+    // scratch is per-JVM by construction, so it is garbage the moment
+    // this JVM exits — reap it then, or repeated bench/verify runs grow
+    // /tmp by one warehouse per JVM forever
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(d)))
     d.getAbsolutePath
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   def dir(tag: String): String = s"$base/$tag"

@@ -24,6 +24,16 @@ object SessionizeStream {
   def foldUser(userId: Long, events: Seq[Ev], open: Option[OpenSession],
                gapUs: Long): (Seq[SessionOut], Option[OpenSession]) = {
     val sorted = events.sortBy(e => (e.ts_us, e.value))
+    // The sort repairs disorder only WITHIN a batch. An event older than
+    // the carried session's end would mean cross-batch disorder (a later
+    // micro-batch delivering earlier event time) — that would silently
+    // mis-sessionize, so fail loudly instead: the source must feed
+    // batches in event-time order (one-batch AvailableNow, or
+    // watermark-ordered ingestion).
+    for (s <- open; e <- sorted.headOption)
+      require(e.ts_us >= s.end_us,
+        s"cross-batch event-time disorder for user $userId: " +
+          s"event at ${e.ts_us} precedes open-session end ${s.end_us}")
     var cur = open
     val closed = Seq.newBuilder[SessionOut]
     sorted.foreach { e =>

@@ -36,6 +36,28 @@ object StreamTwinQueries {
 
   private val seq = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** ORDERING CONTRACT (shared by every flatMapGroupsWithState twin
+    * below): the fold components repair arrival order by sorting
+    * WITHIN a micro-batch, so the twins are exact batch equivalents
+    * only when the whole table arrives as ONE micro-batch. That holds
+    * here by construction — each table is a single parquet file and no
+    * maxFilesPerTrigger is set, so AvailableNow drains it in one batch
+    * (asserted for the engine generally by the checkpoint-restart
+    * spec, which DOES split batches and exercises cross-batch state
+    * carry). A multi-file production source needs the watermark-
+    * ordered ingestion the components' scaladocs describe; feeding
+    * disordered multi-batch input would mis-fold exactly like feeding
+    * a disordered file to the batch query.
+    */
+
+  /** Escape glob metacharacters in a literal path so the streaming
+    * file source treats it verbatim (the data dir itself may contain
+    * [, ], *, {) — then the trailing char-class glob on the FILENAME
+    * makes the source list the single file as a one-file directory.
+    */
+  private def globSafe(dir: String): String =
+    dir.replaceAll("([\\[\\]{}*?\\\\])", "\\\\$1")
+
   /** Streaming read of the events table with the SAME ts normalization
     * contract as graft.Tables.events (int64 UTC nanos), plus an
     * event-time TIMESTAMP column `ts_t` (µs grain — hour/day windows
@@ -46,7 +68,7 @@ object StreamTwinQueries {
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // the streaming file source lists a DIRECTORY (or glob) — the
     // single-file layout streams via a char-class glob on the filename
-    val raw = s.readStream.schema(schema).parquet(s"$d/events.parque[t]")
+    val raw = s.readStream.schema(schema).parquet(s"${globSafe(d)}/events.parque[t]")
     val nanos = schema("ts").dataType match {
       case LongType => raw
       case _ => raw.withColumn(
@@ -56,17 +78,35 @@ object StreamTwinQueries {
   }
 
   /** Run `out` as a streaming query into an in-memory sink, block
-    * until AvailableNow drains the source, return the sink table.
+    * until AvailableNow drains the source, return a DataFrame over the
+    * sink contents. Hygiene (round-12 ADVICE): the checkpoint dir
+    * lives under the per-JVM TmpDirs root and is deleted after the
+    * query terminates, and the memory-sink temp view is dropped as
+    * soon as the returned DataFrame has resolved against it — so a
+    * bench loop neither grows /tmp nor accumulates driver-memory sink
+    * tables beyond the one the caller still references.
     */
   private def runToTable(s: SparkSession, out: DataFrame,
                          mode: String): DataFrame = {
     val name = "graft_stream_twin_" + seq.incrementAndGet()
-    val ckpt = java.nio.file.Files.createTempDirectory(name).toString
+    val ckpt = graft.etl.TmpDirs.dir(name)
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(mode).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(name)
+    // Dataset creation analyzes eagerly, so the plan holds the sink
+    // relation itself; dropping the catalog name afterwards frees the
+    // name and lets the sink rows be GC'd once the caller lets go.
+    val df = s.table(name)
+    s.catalog.dropTempView(name)
+    deleteRecursively(new java.io.File(ckpt))
+    df
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   val entries: Seq[(String, Query)] = Seq(
@@ -223,7 +263,7 @@ object StreamTwinQueries {
         val path = s"$d/documents.parquet"
         val schema = s.read.parquet(path).schema
         val docs = s.readStream.schema(schema)
-          .parquet(s"$d/documents.parque[t]")
+          .parquet(s"${globSafe(d)}/documents.parque[t]")
           // +1s offset: a clock starting AT epoch 0 puts the first doc
           // exactly on the initial watermark and it is dropped as late
           .withColumn("ts_t", timestamp_micros(col("doc_id") + 1000000L))
@@ -256,6 +296,206 @@ object StreamTwinQueries {
              |  COUNT(DISTINCT user_id) AS n_distinct_users
              |FROM w, mx WHERE ws_us + 3600000000 <= mx.wm
              |GROUP BY 1""".stripMargin)
+    ),
+
+    // AttributionStream end-to-end: streaming last-touch attribution
+    // through flatMapGroupsWithState — ONE LastClick scalar of state
+    // per user. Every purchase emits (append) with the most recent
+    // click within the 7-day lookback, or unattributed; a click at the
+    // purchase's exact timestamp counts only when its event_id orders
+    // BEFORE the purchase (the fold's (ts, event_id) sequence order),
+    // which the oracle's tie predicate mirrors exactly.
+    "stream_attribution" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val ev = eventsStream(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"), col("event_type"))
+          .as[AttributionStream.Ev](Encoders.product[AttributionStream.Ev])
+        val out = AttributionStream(ev, 604800000000L)
+        runToTable(s, out.toDF(), "append")
+          .select(col("user_id"), col("purchase_id"), col("purchase_us"),
+            col("click_id"), col("delta_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+             |p AS (SELECT user_id, event_id AS purchase_id, tus AS p_us FROM e
+             |      WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, event_id AS click_id, tus AS c_us FROM e
+             |      WHERE event_type = 'click'),
+             |j AS (SELECT p.purchase_id, c.click_id, c.c_us,
+             |        ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+             |                           ORDER BY c.c_us DESC, c.click_id DESC) AS rn
+             |      FROM p JOIN c ON p.user_id = c.user_id
+             |       AND (c.c_us < p.p_us OR (c.c_us = p.p_us AND c.click_id < p.purchase_id))),
+             |best AS (SELECT purchase_id, click_id, c_us FROM j WHERE rn = 1)
+             |SELECT p.user_id, p.purchase_id, p.p_us AS purchase_us,
+             |  CASE WHEN p.p_us - b.c_us <= 604800000000 THEN b.click_id END AS click_id,
+             |  CASE WHEN p.p_us - b.c_us <= 604800000000 THEN p.p_us - b.c_us END AS delta_us
+             |FROM p LEFT JOIN best b USING (purchase_id)""".stripMargin)
+    ),
+
+    // CusumStream end-to-end: the reference-value CUSUM drift detector
+    // through flatMapGroupsWithState — THREE integer scalars of state
+    // per key (cumulative residual sum, its running minimum, last
+    // seq). Values quantize to integer units (floor(v+0.5)) so state
+    // and verdict are pure BIGINT arithmetic on both engines; the
+    // alarm statistic is cum - min(prefix cum), the recurrence-free
+    // max(0, S_t) re-expression the batch events_cusum pins.
+    "stream_cusum" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val pts = eventsStream(s, d)
+          .select(col("event_type").as("key"), expr("ts div 1000").as("seq_us"),
+            floor(col("value") + 0.5).cast("long").as("value"))
+          .as[CusumStream.Pt](Encoders.product[CusumStream.Pt])
+        val out = CusumStream(pts, target = 50L, threshold = 2000L)
+        runToTable(s, out.toDF(), "append")
+          .select(col("key"), col("seq_us"), col("stat"), col("cum"))
+      },
+      Some("""WITH e AS (SELECT event_type AS key, epoch_us(ts) AS seq_us,
+             |             CAST(floor("value" + 0.5) AS BIGINT) AS v, event_id FROM events),
+             |w AS (SELECT key, seq_us, v, event_id,
+             |        SUM(v - 50) OVER (PARTITION BY key ORDER BY seq_us, v, event_id
+             |          ROWS UNBOUNDED PRECEDING) AS cum FROM e),
+             |m AS (SELECT *, MIN(cum) OVER (PARTITION BY key ORDER BY seq_us, v, event_id
+             |          ROWS UNBOUNDED PRECEDING) AS mn FROM w)
+             |SELECT key, seq_us, CAST(cum - mn AS BIGINT) AS stat,
+             |  CAST(cum AS BIGINT) AS cum FROM m
+             |WHERE cum - mn > 2000""".stripMargin)
+    ),
+
+    // ZscoreStream end-to-end: the prior-moments 3-sigma detector
+    // through flatMapGroupsWithState — FOUR integer scalars of state
+    // per key; each point is judged against the moments of the points
+    // BEFORE it via the cross-multiplied integer test
+    // (n·x − s)² > 9(n·s2 − s²), so no float ever enters state or
+    // verdict on either engine.
+    "stream_zscore" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val pts = eventsStream(s, d)
+          .select(col("event_type").as("key"), expr("ts div 1000").as("seq_us"),
+            floor(col("value") + 0.5).cast("long").as("value"))
+          .as[ZscoreStream.Pt](Encoders.product[ZscoreStream.Pt])
+        val out = ZscoreStream(pts, minN = 5L)
+        runToTable(s, out.toDF(), "append")
+          .select(col("key"), col("seq_us"), col("value"), col("n_prior"))
+      },
+      Some("""WITH e AS (SELECT event_type AS key, epoch_us(ts) AS seq_us,
+             |             CAST(floor("value" + 0.5) AS BIGINT) AS v, event_id FROM events),
+             |w AS (SELECT key, seq_us, v,
+             |        COUNT(*) OVER wpre AS n,
+             |        COALESCE(SUM(v) OVER wpre, 0) AS s,
+             |        COALESCE(SUM(v*v) OVER wpre, 0) AS s2
+             |      FROM e WINDOW wpre AS (PARTITION BY key ORDER BY seq_us, v, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT key, seq_us, v AS value, n AS n_prior FROM w
+             |WHERE n >= 5 AND (n*v - s)*(n*v - s) > 9*(n*s2 - s*s)""".stripMargin)
+    ),
+
+    // RateLimitStream end-to-end: per-key fixed-window admission
+    // control on EVENT time (5 events per user per hour; excess emits
+    // dropped=1 decision rows) — TWO integer scalars of state per key.
+    // Because admission counts only admitted events, the first `limit`
+    // events of each (user, hour window) in (ts, event_id) order admit
+    // and everything after drops — exactly the oracle's ROW_NUMBER cut.
+    // The Pt.value slot carries event_id, making the fold's (seq,
+    // value) sort a total order on both engines.
+    "stream_rate_limit" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val pts = eventsStream(s, d)
+          .select(col("user_id").cast("string").as("key"),
+            expr("ts div 1000").as("seq_us"), col("event_id").as("value"))
+          .as[RateLimitStream.Pt](Encoders.product[RateLimitStream.Pt])
+        val out = RateLimitStream(pts, limit = 5L, windowUs = 3600000000L)
+        runToTable(s, out.toDF(), "append")
+          .select(col("key"), col("seq_us"), col("value").as("event_id"),
+            col("dropped"))
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS seq_us,
+             |             event_id FROM events),
+             |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY key, seq_us // 3600000000
+             |                                   ORDER BY seq_us, event_id) AS rn FROM e)
+             |SELECT key, seq_us, event_id, CAST(rn > 5 AS BIGINT) AS dropped
+             |FROM w""".stripMargin)
+    ),
+
+    // PatternDetectStream end-to-end: the CEP two-step pattern (a view
+    // FOLLOWED BY a purchase within 30 minutes, consume-on-match) —
+    // ONE long of state per user, no event buffering. The oracle
+    // replays the consume-chain with a recursive CTE: each match's
+    // successor is the FIRST later purchase with a re-arming view in
+    // [prev_match, purchase), which is exact because a FAILED purchase
+    // never mutates state (too-late arms only get later relative to
+    // later purchases) — so only matched purchases advance the scan.
+    "stream_pattern" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val ev = eventsStream(s, d)
+          .select(col("user_id").cast("string").as("user"),
+            expr("ts div 1000").as("seq_us"), col("event_type").as("etype"))
+          .as[PatternDetectStream.Ev](Encoders.product[PatternDetectStream.Ev])
+        val out = PatternDetectStream(ev, "view", "purchase", 1800000000L)
+        runToTable(s, out.toDF(), "append")
+          .select(col("user"), col("a_us"), col("b_us"), col("lag_us"))
+      },
+      Some("""WITH RECURSIVE
+             |v AS (SELECT CAST(user_id AS VARCHAR) AS u, epoch_us(ts) AS tus FROM events
+             |      WHERE event_type = 'view'),
+             |b AS (SELECT CAST(user_id AS VARCHAR) AS u, epoch_us(ts) AS tus FROM events
+             |      WHERE event_type = 'purchase'),
+             |m(u, b_ts, a_ts) AS (
+             |  SELECT u, b_ts, (SELECT MAX(v.tus) FROM v WHERE v.u = q.u AND v.tus < q.b_ts) AS a_ts
+             |  FROM (SELECT uu.u, (SELECT MIN(b.tus) FROM b WHERE b.u = uu.u AND EXISTS (
+             |          SELECT 1 FROM v WHERE v.u = uu.u
+             |           AND v.tus >= b.tus - 1800000000 AND v.tus < b.tus)) AS b_ts
+             |        FROM (SELECT DISTINCT u FROM b) uu) q
+             |  WHERE q.b_ts IS NOT NULL
+             |  UNION
+             |  SELECT u, b_ts, (SELECT MAX(v.tus) FROM v WHERE v.u = q.u
+             |                    AND v.tus >= q.prev_b AND v.tus < q.b_ts) AS a_ts
+             |  FROM (SELECT m.u, m.b_ts AS prev_b,
+             |          (SELECT MIN(b.tus) FROM b WHERE b.u = m.u AND b.tus > m.b_ts AND EXISTS (
+             |             SELECT 1 FROM v WHERE v.u = m.u
+             |              AND v.tus >= GREATEST(m.b_ts, b.tus - 1800000000) AND v.tus < b.tus)) AS b_ts
+             |        FROM m) q
+             |  WHERE q.b_ts IS NOT NULL
+             |)
+             |SELECT u AS "user", a_ts AS a_us, b_ts AS b_us, b_ts - a_ts AS lag_us FROM m""".stripMargin)
+    ),
+
+    // HeavyHittersStream end-to-end: trending event types per user
+    // shard through the space-saving sketch — state is exactly `cap`
+    // (item, count, err) slots per key, emitted as a ranked snapshot
+    // per micro-batch. The item domain here (5 event types) sits under
+    // cap=8, so the sketch runs in its EXACT regime at every sf and the
+    // oracle is the true ranked count table with count_min = count_max
+    // — what the gate checks is the end-to-end engine path plus the
+    // snapshot/rank/bound emission contract; the eviction semantics
+    // (min-slot replace, error inheritance, count_min < count_max) are
+    // StreamingSpec-pinned where the item domain exceeds cap.
+    "stream_heavy_hitters" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val evts = eventsStream(s, d)
+          .select((col("user_id") % 16).cast("string").as("key"),
+            expr("ts div 1000").as("seq_us"), col("event_type").as("item"))
+          .as[HeavyHittersStream.Evt](Encoders.product[HeavyHittersStream.Evt])
+        val out = HeavyHittersStream(evts, cap = 8, emitK = 3)
+        runToTable(s, out.toDF(), "append")
+          .select(col("key"), col("item"), col("count_max"), col("count_min"),
+            col("rank"), col("n_seen"), col("as_of_us"))
+      },
+      Some("""WITH e AS (SELECT CAST(user_id % 16 AS VARCHAR) AS key, event_type AS item,
+             |             epoch_us(ts) AS seq_us FROM events),
+             |cnt AS (SELECT key, item, COUNT(*) AS c FROM e GROUP BY 1, 2),
+             |tot AS (SELECT key, COUNT(*) AS n_seen, MAX(seq_us) AS as_of_us FROM e GROUP BY 1),
+             |r AS (SELECT key, item, c,
+             |        ROW_NUMBER() OVER (PARTITION BY key ORDER BY c DESC, item) AS rnk FROM cnt)
+             |SELECT r.key, r.item, r.c AS count_max, r.c AS count_min,
+             |  CAST(r.rnk AS BIGINT) AS rank, t.n_seen, t.as_of_us
+             |FROM r JOIN tot t USING (key) WHERE r.rnk <= 3""".stripMargin)
     )
   )
 }

@@ -42,9 +42,12 @@ object Bpe {
     */
   val MaxMerges = 40
 
-  /** Training word-frequency floor (HF tokenizers' `min_frequency`):
-    * hapax legomena are EXCLUDED from the driver-side word-count
-    * collect. This is what bounds the collect at scale — Heaps' law
+  /** Training word-frequency floor — APPROXIMATES (does not implement)
+    * HF tokenizers' `min_frequency`: upstream applies the floor to
+    * candidate PAIR merges, whereas this drops whole words from the
+    * training count table, so corpora where hapax words share frequent
+    * pairs can learn slightly different merges. Hapax legomena are
+    * EXCLUDED from the driver-side word-count collect. This is what bounds the collect at scale — Heaps' law
     * bounds the vocabulary for clean corpora, but noisy web-scale text
     * grows hapaxes ~O(N^0.7); the floor caps the collected table at
     * the REPEATED vocabulary, which saturates. Encoding still covers
