@@ -51,6 +51,68 @@ object IngestQueries {
       Some("SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars FROM documents")
     ),
 
+    // Dead-letter CSV ingestion — the reference's closest real-world
+    // failure mode (a malformed line inside ReadFromText's per-line
+    // parse, reference dataflow_pipeline.py:57-99) as an ORACLE-CHECKED
+    // path, not just a spec: customers re-serialize to CSV with a
+    // DETERMINISTIC corruption (keys ≡3 mod 97 get a non-numeric
+    // nationkey), CsvIngest.readWithCorrupt captures each failing line
+    // verbatim in _corrupt_record, and deadLetterSplit routes the two
+    // branches. The checked projection is per-branch counts, key sums
+    // (PERMISSIVE still parses the intact leading fields of a bad row,
+    // so the quarantine key_sum proves partial-parse capture), and an
+    // md5 digest of the exact line text — good rows digest their
+    // canonical re-serialization, quarantine rows digest the RAW
+    // captured line, so a parser that mangles, trims, or re-quotes the
+    // dead-letter payload fails the hash. One parse pass feeds both
+    // branches (deadLetterSplit caches); at 100 TB this is a splittable
+    // CSV scan + one 2-group partial agg, and the quarantine branch is
+    // exactly what a production pipeline ships to its review sink.
+    "etl_dead_letter" -> Query(
+      (s, d) => {
+        val dir = TmpDirs.dir(s"deadletter_${new java.io.File(d).getName}")
+        val line = concat(
+          col("c_custkey").cast("string"), lit(","),
+          col("c_name"), lit(","),
+          when(col("c_custkey") % 97 === 3, concat(lit("r"), col("c_nationkey").cast("string")))
+            .otherwise(col("c_nationkey").cast("string")))
+        Tables.customer(s, d).select(line.as("value"))
+          .write.mode("overwrite").text(dir)
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("custkey", org.apache.spark.sql.types.LongType)
+          .add("name", org.apache.spark.sql.types.StringType)
+          .add("nationkey", org.apache.spark.sql.types.LongType)
+        val (good, bad) = CsvIngest.deadLetterSplit(
+          CsvIngest.readWithCorrupt(s, dir, schema, header = false))
+        def digest(c: Column): Column =
+          sum(conv(substring(md5(c), 1, 8), 16, 10).cast("long")).cast("bigint")
+        val goodLine = concat(col("custkey").cast("string"), lit(","),
+          col("name"), lit(","), col("nationkey").cast("string"))
+        good.agg(count(lit(1)).as("n_rows"),
+            sum(col("custkey")).cast("bigint").as("key_sum"),
+            digest(goodLine).as("line_digest"))
+          .select(lit("good").as("branch"), col("n_rows"), col("key_sum"),
+            col("line_digest"))
+          .unionAll(
+            bad.agg(count(lit(1)).as("n_rows"),
+                sum(col("custkey")).cast("bigint").as("key_sum"),
+                digest(col("_corrupt_record")).as("line_digest"))
+              .select(lit("quarantine").as("branch"), col("n_rows"),
+                col("key_sum"), col("line_digest")))
+      },
+      Some("""WITH src AS (SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nk,
+             |               c_custkey % 97 = 3 AS bad FROM customer),
+             |l AS (SELECT k, bad,
+             |        concat(CAST(k AS VARCHAR), ',', nm, ',',
+             |               CASE WHEN bad THEN concat('r', CAST(nk AS VARCHAR))
+             |                    ELSE CAST(nk AS VARCHAR) END) AS line FROM src)
+             |SELECT CASE WHEN bad THEN 'quarantine' ELSE 'good' END AS branch,
+             |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS key_sum,
+             |  CAST(SUM(CAST('0x' || substr(md5(line), 1, 8) AS BIGINT)) AS BIGINT)
+             |    AS line_digest
+             |FROM l GROUP BY 1""".stripMargin)
+    ),
+
     // Snapshot RECONCILIATION diff: the added/removed/changed audit
     // between two table versions — what a warehouse runs after every
     // backfill or CDC replay to prove the delta is the intended one.
