@@ -92,45 +92,49 @@ object Bench {
     try SparkEntry.queries.get("q1_agg").foreach(run)
     catch { case _: Throwable => () }
 
-    // Each query runs twice; the headline number is the MIN of the two
-    // timings (the first execution of a new plan shape pays one-off
-    // JIT/codegen cost — measured at 5-12x on some queries — which is a
-    // property of the fresh JVM, not of the plan) but BOTH raw runs are
-    // recorded under "runs" and the policy is stated in the JSON, so the
-    // warm/cold split stays visible to anyone comparing against numbers
-    // timed under a different policy. clearCache + Caches.releaseAll
-    // between runs and queries releases the self-join indexes the dedup
-    // family persists, so no run reads another run's cache and no cache
-    // outlives its query.
+    // Each query runs SPARK_GRAFT_BENCH_RUNS times (default 2); the
+    // headline number is the MIN of the runs (the first execution of a
+    // new plan shape pays one-off JIT/codegen cost — measured at 5-12x
+    // on some queries — which is a property of the fresh JVM, not of the
+    // plan) but ALL raw runs are recorded under "runs" and the policy is
+    // stated in the JSON, so the warm/cold split stays visible to anyone
+    // comparing against numbers timed under a different policy. Local
+    // artifacts use 3 runs because min-of-2 demonstrably let another
+    // process's CPU steal through (round 11 recorded sf0.1 times ABOVE
+    // the same query's sf1 time — physically impossible); the driver's
+    // own environment is contention-sentineled, so its default stays 2.
+    // clearCache + Caches.releaseAll between runs and queries releases
+    // the self-join indexes the dedup family persists, so no run reads
+    // another run's cache and no cache outlives its query.
     // optional args: name prefixes — time only the matching queries
     // (local profiling; the driver passes no args and times everything)
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
+      .getOrElse(2).max(1).min(5)
     val only = Option(args).filter(_.nonEmpty).map(_.toSeq)
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
       val res =
-        try {
-          val t1 = run(fn); Caches.releaseAll(); spark.catalog.clearCache()
-          val t2 = run(fn)
-          Right((t1, t2))
-        }
+        try Right(Seq.fill(nRuns) {
+          val t = run(fn); Caches.releaseAll(); spark.catalog.clearCache(); t
+        })
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
       Caches.releaseAll()
       spark.catalog.clearCache()
       // stderr progress line per query (stdout stays the one JSON line)
       res match {
-        case Right((t1, t2)) => System.err.println(f"[bench] $name%-28s $t1%8.2f $t2%8.2f")
-        case Left(m)         => System.err.println(s"[bench] $name ERROR $m")
+        case Right(ts) => System.err.println(f"[bench] $name%-28s ${ts.map(t => f"$t%8.2f").mkString}")
+        case Left(m)   => System.err.println(s"[bench] $name ERROR $m")
       }
       name -> res
     }
 
-    val ok = timed.collect { case (n, Right((t1, t2))) => n -> (t1, t2) }
+    val ok = timed.collect { case (n, Right(ts)) => n -> ts }
     val errs = timed.collect { case (n, Left(m)) => n -> m }
-    val qs = ok.map { case (k, (t1, t2)) => s"${jstr(k)}:${math.min(t1, t2)}" }.mkString("{", ",", "}")
-    val rs = ok.map { case (k, (t1, t2)) => s"${jstr(k)}:[$t1,$t2]" }.mkString("{", ",", "}")
+    val qs = ok.map { case (k, ts) => s"${jstr(k)}:${ts.min}" }.mkString("{", ",", "}")
+    val rs = ok.map { case (k, ts) => s"${jstr(k)}:${ts.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = ok.map { case (_, (t1, t2)) => math.min(t1, t2) }.sum
+    val total = ok.map { case (_, ts) => ts.min }.sum
 
     // Sentinel readout: other-java counts at start/end plus this
     // process's cpu-vs-wall ratio. On a quiet local[32] box the ratio
@@ -147,7 +151,7 @@ object Bench {
       s""""other_spark_start":${contenders.size},"other_spark_end":${sparkContenders(javaEnd).size},""" +
       s""""wall_sec":$wallSec,"proc_cpu_sec":$cpuSec,"cpu_wall_ratio":$ratio}"""
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"min-of-2 runs, cache cleared between runs; raw pairs in runs","queries":$qs,"runs":$rs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},$sentinel,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","policy":"min-of-$nRuns runs, cache cleared between runs; raw timings in runs","queries":$qs,"runs":$rs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},$sentinel,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
