@@ -113,6 +113,66 @@ object IngestQueries {
              |FROM l GROUP BY 1""".stripMargin)
     ),
 
+    // Parquet LAYOUT audit — the round-12 scale lesson as a first-class
+    // operator. A parquet ROW GROUP is the scan-split unit: a
+    // single-row-group file caps every scan of it at ONE task no matter
+    // the cluster size (measured: the same 600k-row lineitem bytes
+    // re-chunked from 1 to 12 row groups ran scan-bound aggregations
+    // 2.1x faster on 32 cores; on 1000 executors the gap is the
+    // cluster). This audit reads ONLY footers — O(files) work, zero
+    // data pages — distributed one footer per task; at 100 TB the file
+    // list comes from the catalog and millions of footers fan out
+    // across the cluster. It is the preflight a lakehouse runs before
+    // blaming query plans for layout sins. comp_bytes sums the
+    // total_compressed_size footer field both engines read verbatim, so
+    // the hash pins byte-exact footer agreement; single_task_risk is
+    // the verdict column (one row group AND enough rows to matter).
+    // The oracle pins the correctness-gate dir (fixed by TESTDATA.md —
+    // the one oracle that cannot be expressed over the table views,
+    // because the subject is the FILES, not the rows); the Spark side
+    // audits whatever dir it is handed.
+    "etl_rowgroup_audit" -> Query(
+      (s, d) => {
+        import s.implicits._
+        val files = new java.io.File(d).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).toSeq.sorted
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
+        s.createDataset(files).repartition(files.size)
+          .mapPartitions { it =>
+            import scala.jdk.CollectionConverters._
+            it.map { f =>
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f), hconf.value)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try {
+                val blocks = r.getFooter.getBlocks.asScala.toSeq
+                val name = f.substring(f.lastIndexOf('/') + 1).stripSuffix(".parquet")
+                (name, blocks.size.toLong,
+                  blocks.map(_.getRowCount).sum,
+                  if (blocks.isEmpty) 0L else blocks.map(_.getRowCount).max,
+                  blocks.flatMap(_.getColumns.asScala).map(_.getTotalSize).sum)
+              } finally r.close()
+            }
+          }
+          .toDF("table_name", "n_row_groups", "n_rows", "max_rg_rows", "comp_bytes")
+          .withColumn("single_task_risk",
+            (col("n_row_groups") === 1L && col("n_rows") >= 50000L).cast("long"))
+      },
+      Some("""WITH m AS (SELECT regexp_extract(file_name, '([^/]+)[.]parquet$', 1) AS table_name,
+             |         row_group_id, ANY_VALUE(row_group_num_rows) AS rg_rows,
+             |         SUM(total_compressed_size) AS cb
+             |       FROM parquet_metadata('/root/testdata/sf0.01/*.parquet')
+             |       GROUP BY 1, 2)
+             |SELECT table_name, CAST(COUNT(*) AS BIGINT) AS n_row_groups,
+             |  CAST(SUM(rg_rows) AS BIGINT) AS n_rows,
+             |  CAST(MAX(rg_rows) AS BIGINT) AS max_rg_rows,
+             |  CAST(SUM(cb) AS BIGINT) AS comp_bytes,
+             |  CAST(COUNT(*) = 1 AND SUM(rg_rows) >= 50000 AS BIGINT) AS single_task_risk
+             |FROM m GROUP BY 1""".stripMargin)
+    ),
+
     // Snapshot RECONCILIATION diff: the added/removed/changed audit
     // between two table versions — what a warehouse runs after every
     // backfill or CDC replay to prove the delta is the intended one.
