@@ -22,6 +22,12 @@ object VectorOps {
     * double division — identical bits cross-engine.
     */
   private def centroids(s: SparkSession, d: String): DataFrame =
+    // deliberately NO repartition before the 64x posexplode: the partial
+    // aggregation collapses each scan split to <= |labels| x 64 rows
+    // BEFORE any exchange, so the only shuffle is a few hundred partial
+    // rows — a repartition here would shuffle the full embedding payload
+    // to speed up a single-small-file test artifact (measured flat
+    // locally, and strictly worse at scale)
     Tables.embeddings(s, d)
       .select(col("label").as("clabel"), posexplode(col("embedding")).as(Seq("p", "x")))
       .select(col("clabel"), (col("p") + 1).as("dim"), col("x"))
@@ -38,20 +44,28 @@ object VectorOps {
 
   /** Squared distance from every vector to every label centroid:
     * (vec_id, label, clabel, d2).
+    *
+    * The centroid table regroups to one 64-double array per clabel so
+    * the distance is ONE codegen'd loop per (vector, centroid) row
+    * (plans/VectorExpressions.SqDistToCentroid — decimal-exact, bit-
+    * matching the per-dim aggregate it replaced and the oracle's dist
+    * CTE). That collapses the former n x |labels| x 64 posexplode
+    * fan-out + decimal SUM (and the repartition that fan-out needed)
+    * to n x |labels| rows with no aggregation at this level — measured
+    * full-query 2.8 s -> 1.5 s at sf0.1 and 5.8 s -> 4.1 s at the 10x
+    * corpus (the residual is the shared posexplode centroid-TRAINING
+    * subtree, whose map-side partials are already the scale-correct
+    * shape — see centroids above).
     */
   private def centDists(s: SparkSession, d: String): DataFrame = {
-    val term = {
-      val diff = element_at(col("embedding"), col("dim").cast("int"))
-        .cast("double") - col("m")
-      (diff * diff).cast("decimal(18,12)")
-    }
-    // repartition first: n x |labels| x dims decimal terms off a ~1-split
-    // scan would otherwise run on one core (the round-11 narrow-scan
-    // finding; measured 8 s -> ~2 s at the 10x corpus)
-    Tables.embeddings(s, d).repartition(col("vec_id"))
-      .crossJoin(broadcast(centroids(s, d)))
-      .groupBy(col("vec_id"), col("label"), col("clabel"))
-      .agg(sum(term).cast("double").as("d2"))
+    val cents = centroids(s, d).groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x("m")).as("ms"))
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        graft.plans.VectorExpressions.sqDistToCentroid(
+          col("embedding"), col("ms")).as("d2"))
   }
 
   private val distSql =
