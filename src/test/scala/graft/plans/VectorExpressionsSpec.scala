@@ -164,4 +164,51 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage != null)
   }
+
+  test("SqDistToCentroid matches the per-dim decimal aggregate bit-for-bit") {
+    // the exact formulation SqDistToCentroid replaced in VectorOps:
+    // per dim, CAST((v[i]-m[i])^2 AS DECIMAL(18,12)), decimal SUM,
+    // CAST AS DOUBLE — compared on every (vector, real-centroid) pair
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = e
+      .select(col("label").as("clabel"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy(col("clabel"), col("p"))
+      .agg((sum(col("x").cast("double").cast("decimal(18,12)")).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+        x => x("m")).as("ms"))
+    val joined = e.crossJoin(broadcast(cents))
+    val agg = joined
+      .select(col("vec_id"), col("clabel"),
+        posexplode(col("embedding")).as(Seq("p", "x")),
+        col("ms"))
+      .select(col("vec_id"), col("clabel"),
+        ((col("x").cast("double") - element_at(col("ms"), col("p") + 1))
+          * (col("x").cast("double") - element_at(col("ms"), col("p") + 1)))
+          .cast("decimal(18,12)").as("term"))
+      .groupBy(col("vec_id"), col("clabel"))
+      .agg(sum(col("term")).cast("double").as("hof"))
+    val native = joined.select(col("vec_id"), col("clabel"),
+      VectorExpressions.sqDistToCentroid(col("embedding"), col("ms")).as("native"))
+    val mismatches = native.join(agg, Seq("vec_id", "clabel"))
+      .filter(!(col("native") <=> col("hof"))).count()
+    assert(mismatches === 0L)
+  }
+
+  test("SqDistToCentroid null semantics: length mismatch and null elements") {
+    def farr(xs: Any*) = array(xs.map {
+      case d: Double => lit(d.toFloat); case _ => lit(null).cast("float")
+    }: _*)
+    val row = spark.range(1).select(
+      VectorExpressions.sqDistToCentroid(
+        farr(1.0, 2.0), array(lit(3.0))).as("mismatch"),
+      VectorExpressions.sqDistToCentroid(
+        farr(1.0, null), array(lit(3.0), lit(4.0))).as("nullelem"),
+      VectorExpressions.sqDistToCentroid(
+        farr(1.0, 2.0), array(lit(3.0), lit(4.0))).as("ok")).collect()(0)
+    assert(row.isNullAt(0))
+    assert(row.isNullAt(1))
+    assert(row.getDouble(2) === 8.0)
+  }
 }
