@@ -18,22 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Per-(label, dim) centroid means: exact decimal sums, then one
-    * double division — identical bits cross-engine.
+  /** Per-label centroid mean VECTORS: exact decimal sums, then one
+    * double division per dim — identical bits cross-engine
+    * (functions.VecMeanAgg replicates the per-dim
+    * CAST(SUM(decimal(18,12)) AS DOUBLE)/COUNT(*) formulation as ONE
+    * array-accumulating aggregate, replacing the 64x posexplode +
+    * decimal hash agg + array regroup; the partial buffers are still
+    * map-side-combined, so the only shuffle stays |labels| rows).
     */
   private def centroids(s: SparkSession, d: String): DataFrame =
-    // deliberately NO repartition before the 64x posexplode: the partial
-    // aggregation collapses each scan split to <= |labels| x 64 rows
-    // BEFORE any exchange, so the only shuffle is a few hundred partial
-    // rows — a repartition here would shuffle the full embedding payload
-    // to speed up a single-small-file test artifact (measured flat
-    // locally, and strictly worse at scale)
     Tables.embeddings(s, d)
-      .select(col("label").as("clabel"), posexplode(col("embedding")).as(Seq("p", "x")))
-      .select(col("clabel"), (col("p") + 1).as("dim"), col("x"))
-      .groupBy(col("clabel"), col("dim"))
-      .agg((sum(col("x").cast("double").cast("decimal(18,12)")).cast("double")
-        / count(lit(1))).as("m"))
+      .groupBy(col("label").as("clabel"))
+      .agg(graft.functions.VecMeanAgg.vecMean(col("embedding")).as("ms"))
 
   private val centSql =
     """SELECT label AS clabel, i.i AS dim,
@@ -57,16 +53,17 @@ object VectorOps {
     * subtree, whose map-side partials are already the scale-correct
     * shape — see centroids above).
     */
-  private def centDists(s: SparkSession, d: String): DataFrame = {
-    val cents = centroids(s, d).groupBy(col("clabel"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-        x => x("m")).as("ms"))
-    Tables.embeddings(s, d)
-      .crossJoin(broadcast(cents))
+  private def centDists(s: SparkSession, d: String): DataFrame =
+    // repartition before the |labels|-way fan-out: the per-row work is
+    // |labels| decimal-exact 64-dim loops, and off a ~1-split scan the
+    // whole stretch would run on one core (the round-11 pair-family
+    // rule; event-log measured the single-task stage at 3.0 s of the
+    // 4.3 s total at sf1 before this exchange)
+    Tables.embeddings(s, d).repartition(col("vec_id"))
+      .crossJoin(broadcast(centroids(s, d)))
       .select(col("vec_id"), col("label"), col("clabel"),
         graft.plans.VectorExpressions.sqDistToCentroid(
           col("embedding"), col("ms")).as("d2"))
-  }
 
   private val distSql =
     s"""cent AS ($centSql),
@@ -124,12 +121,14 @@ object VectorOps {
     // the clabel tiebreak keeps the row set deterministic.
     "vec_centroid_confusion" -> Query(
       (s, d) => {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d2"), col("clabel"))
+        // rank-1 of (d2, clabel) per vector as min_by over the ordering
+        // struct — one map-side-combinable hash agg instead of a
+        // row_number window's exchange+sort; label is per-vec constant,
+        // so adding it to the keys changes nothing but keeps it selected
         val assigned = centDists(s, d)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("label"), col("clabel").as("assigned"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(min_by(col("clabel"), struct(col("d2"), col("clabel"))).as("assigned"))
+          .select(col("label"), col("assigned"))
         val tot = assigned.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
         assigned.groupBy(col("label"), col("assigned"))
           .agg(count(lit(1)).as("n"))
