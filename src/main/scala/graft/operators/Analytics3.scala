@@ -672,7 +672,14 @@ object Analytics3 {
         val base = Tables.orders(s, d).select(col("o_orderkey"),
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
         val stats = base.agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
-        val w = base
+        // repartition before the 16x explode: B*n md5 draws off a
+        // ~1-split scan would otherwise hash on one core (the pair-
+        // family rule — the small exchange is amortized by the fan-out).
+        // The partition count is EXPLICIT: the exchange's byte size is
+        // tiny relative to its downstream CPU, so AQE would coalesce a
+        // plain repartition(col) right back to ~1 task (round-11's
+        // AQE-compounding note; event-log measured it)
+        val w = base.repartition(s.sparkContext.defaultParallelism, col("o_orderkey"))
           .select(col("o_orderkey"), col("cents"),
             explode(sequence(lit(0), lit(15))).as("b"))
           .withColumn("h", graft.functions.Hashing.md5Long60(concat(lit("bs_"),
