@@ -266,7 +266,12 @@ object VectorOps {
     // of the 640-row centroid table: broadcast-scale everything.
     "vec_centroid_distance_matrix" -> Query(
       (s, d) => {
+        // re-explode the |labels| centroid mean vectors to (clabel, dim,
+        // m) — the matrix is |labels|^2 x 64 rows of MODEL data, so the
+        // explode touches a few hundred rows regardless of corpus size
         val c = centroids(s, d)
+          .select(col("clabel"), posexplode(col("ms")).as(Seq("p", "m")))
+          .select(col("clabel"), (col("p") + 1).as("dim"), col("m"))
         val a = c.select(col("clabel").as("label_a"), col("dim"),
           col("m").as("ma"))
         val b = c.select(col("clabel").as("label_b"), col("dim"),
