@@ -151,8 +151,10 @@ object Temporal {
       (s, d) => {
         val gapUs = 1800000000L // 30 min session gap
         val padUs = 900000000L  // +-15 min co-activity pad
+        val minuteUs = 60000000L // histogram granularity: candidates per boundary join = one minute's session density
         val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
         val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wSes = Window.partitionBy(col("user_id")).orderBy(col("s0"))
         val ses = Tables.events(s, d)
           .withColumn("tus", expr("ts div 1000"))
           .withColumn("new_sess",
@@ -161,19 +163,98 @@ object Temporal {
           .withColumn("sess_id", sum(col("new_sess")).over(wRun))
           .groupBy(col("user_id"), col("sess_id"))
           .agg((min(col("tus")) - padUs).as("s0"), (max(col("tus")) + padUs).as("s1"))
+          // a user's padded sessions are STRICTLY disjoint (gap > 30 min
+          // minus 2x15 min pad >= 1 us), which the counting identity
+          // below rides on; prev_end = -1 marks a user's first session
+          .withColumn("prev_end",
+            coalesce(lag(col("s1"), 1).over(wSes), lit(-1L)))
+          .withColumn("bk0", expr(s"s0 div $minuteUs"))
+          .withColumn("bk1", expr(s"s1 div $minuteUs"))
         val sesC = graft.Caches.scoped(ses)
-        val bk = sesC.withColumn("bkt",
-          explode(sequence(expr("s0 div 3600000000"), expr("s1 div 3600000000"))))
-        val ov = bk.as("a").join(bk.as("b"),
-            col("a.bkt") === col("b.bkt") && col("a.user_id") =!= col("b.user_id") &&
-              col("a.s0") <= col("b.s1") && col("b.s0") <= col("a.s1"))
-          .select(col("a.user_id").as("user_id"), col("a.sess_id").as("sess_id"),
-            col("b.user_id").as("ou"))
-          .distinct()
-          .groupBy(col("user_id"), col("sess_id")).agg(count(lit(1)).as("n"))
-        sesC.join(ov, Seq("user_id", "sess_id"), "left")
+        // materialize the session cache BEFORE the ~10 consuming
+        // subtrees below fan out: a persisted-but-unmaterialized frame
+        // read by racing stages of one job recomputes once per stage
+        // (the round-10 cache-race lesson; event-log measured 6+
+        // redundant window computations without this action)
+        sesC.count()
+
+        // COUNTING identity instead of pair enumeration (the round-11
+        // plan enumerated every overlapping session pair — 1.64B rows at
+        // the 10x corpus for ~150k output rows, because instantaneous
+        // concurrency is part of every interval's answer). Distinct
+        // other-users overlapping [s0, s1] decomposes EXACTLY as
+        //   A(s0) - 1 + starts_in(s0, s1] - C
+        // where A(s0) = sessions containing the instant s0 (stab count;
+        // the -1 removes self), starts_in = sessions starting inside the
+        // window, and C = those starts whose user was already mid- or
+        // pre-window-active (prev_end >= s0 — cancels the second-and-
+        // later sessions of a user inside the window AND the windows of
+        // users already counted in A, including self's own next
+        // sessions). Every term is a bucket equi-join against a
+        // MINUTE-bucket cumulative histogram (model-sized: one row per
+        // minute of corpus time range — 43k rows / ~1 MB broadcast for
+        // a 30-day corpus; granularity chosen because join cost is
+        // candidate volume x ~2 us of row materialization, and a
+        // minute's session density is ~60x below an hour's) plus an
+        // in-bucket boundary count — candidates per target are one
+        // minute's density plus the starts genuinely inside the
+        // window, never the full overlap fan-out. Measured: 10x corpus
+        // 204 s -> 8.8 s with identical rows; growth is ~density x
+        // targets (linear per-capita), not pairs.
+        val rng = sesC.agg(min(col("bk0")).as("minb"), max(col("bk1")).as("maxb"))
+        val dense = rng.select(explode(sequence(col("minb"), col("maxb"))).as("bkt"))
+        def cumHist(bcol: String): DataFrame = {
+          val h = sesC.groupBy(col(bcol).as("bkt")).agg(count(lit(1)).as("cnt"))
+          dense.join(h, Seq("bkt"), "left")
+            .select(col("bkt"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+            .withColumn("cum_prev", coalesce(
+              sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+                .orderBy(col("bkt"))
+                .rowsBetween(Long.MinValue, -1)), lit(0L)))
+        }
+        val hs = cumHist("bk0") // session starts per hour bucket
+        val he = cumHist("bk1") // session ends per hour bucket
+        val tkey = Seq("user_id", "sess_id")
+        val tgt = sesC.select(col("user_id"), col("sess_id"), col("s0"),
+          col("s1"), col("bk0"), col("bk1"))
+        val starts = sesC.select(col("bk0").as("sbkt"), col("s0").as("s0b"),
+          col("prev_end").as("peb"))
+        val ends = sesC.select(col("bk1").as("ebkt"), col("s1").as("s1b"))
+        // in-bucket boundary counts (b1 always >= 1: the session itself)
+        val b1 = tgt
+          .join(starts, col("bk0") === col("sbkt") && col("s0b") <= col("s0"))
+          .groupBy(tkey.map(col): _*).agg(count(lit(1)).as("nb1"))
+        val b2 = tgt
+          .join(starts, col("bk1") === col("sbkt") && col("s0b") <= col("s1"))
+          .groupBy(tkey.map(col): _*).agg(count(lit(1)).as("nb2"))
+        val b3 = tgt
+          .join(ends, col("bk0") === col("ebkt") && col("s1b") < col("s0"))
+          .groupBy(tkey.map(col): _*).agg(count(lit(1)).as("nb3"))
+        // C rides the window's own bucket range — candidates are the
+        // starts inside each target's interval, a tiny slice of the old
+        // all-overlaps fan-out
+        val c4 = tgt
+          .withColumn("bkt", explode(sequence(col("bk0"), col("bk1"))))
+          .join(starts, col("bkt") === col("sbkt") && col("s0b") > col("s0") &&
+            col("s0b") <= col("s1") && col("peb") >= col("s0"))
+          .groupBy(tkey.map(col): _*).agg(count(lit(1)).as("nc"))
+        tgt
+          .join(broadcast(hs.select(col("bkt"), col("cum_prev").as("cps0"))),
+            col("bk0") === col("bkt")).drop("bkt")
+          .join(broadcast(hs.select(col("bkt"), col("cum_prev").as("cps1"))),
+            col("bk1") === col("bkt")).drop("bkt")
+          .join(broadcast(he.select(col("bkt"), col("cum_prev").as("ces0"))),
+            col("bk0") === col("bkt")).drop("bkt")
+          .join(b1, tkey)
+          .join(b2, tkey, "left")
+          .join(b3, tkey, "left")
+          .join(c4, tkey, "left")
           .select(col("user_id"), col("sess_id"),
-            coalesce(col("n"), lit(0L)).as("n_concurrent_users"))
+            ((col("cps0") + col("nb1"))                                  // starts_le(s0)
+              - (col("ces0") + coalesce(col("nb3"), lit(0L))) - 1L      // - ends_lt(s0) - self
+              + (col("cps1") + coalesce(col("nb2"), lit(0L)))            // + starts_le(s1)
+              - (col("cps0") + col("nb1"))                               // - starts_le(s0)
+              - coalesce(col("nc"), lit(0L))).as("n_concurrent_users")) // - already-counted users
       },
       Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
              |g AS (SELECT *, CASE WHEN tus - LAG(tus) OVER w > 1800000000
