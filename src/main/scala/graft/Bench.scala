@@ -108,7 +108,9 @@ object Bench {
     // another run's cache and no cache outlives its query.
     // optional args: name prefixes — time only the matching queries
     // (local profiling; the driver passes no args and times everything)
-    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .map(v => scala.util.Try(v.trim.toInt).getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_RUNS must be an integer, got '$v'")))
       .getOrElse(2).max(1).min(5)
     val only = Option(args).filter(_.nonEmpty).map(_.toSeq)
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)

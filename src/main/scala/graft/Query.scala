@@ -30,6 +30,16 @@ final case class Query(
   *  - Anything order-sensitive (top-k, row_number) always carries a unique
   *    tiebreak key so the emitted ROW SET is deterministic.
   */
+/** The driver's correctness-gate data dir (TESTDATA.md: the harness runs
+  * Verify at sf=0.01). The ONE oracle that must name a filesystem path —
+  * etl_rowgroup_audit, whose subject is the parquet FILES, not the table
+  * rows — derives it from here instead of a scattered string literal, so
+  * pointing the gate elsewhere is a one-line change.
+  */
+object Gate {
+  val dir: String = "/root/testdata/sf0.01"
+}
+
 object Parity {
   /** Exact order-independent sum of a double column, emitted as double. */
   def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")

@@ -40,19 +40,32 @@ object Bucketing {
     * rebuild instead of failing with TABLE_OR_VIEW_NOT_FOUND (or
     * silently reading a stale table from a prior warehouse).
     */
+  // Per-memoKey lock objects. The Spark write must NOT run inside a
+  // ConcurrentHashMap.compute: the CHM contract requires computations
+  // to be short and to never re-enter the map, and a long saveAsTable
+  // job under a bin lock stalls unrelated keys (or deadlocks if the
+  // fresh-body ever touches the same memo). computeIfAbsent here only
+  // allocates a lock object — trivially short — and the whole
+  // check-then-write critical section runs under that per-key monitor.
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
   def memoBucketed(s: org.apache.spark.sql.SparkSession,
                    memo: java.util.concurrent.ConcurrentHashMap[String, String],
                    memoKey: String, table: String, key: String,
                    buckets: Int)(fresh: => DataFrame): DataFrame = {
-    // `compute` (not computeIfAbsent) so the catalog-existence check and
-    // any rebuild both run under the per-key map lock: two threads in a
-    // fresh session (memo hit, table absent) must not race concurrent
-    // Overwrite saveAsTable calls on the same table name.
-    val tbl = memo.compute(memoKey, (_, prev) => {
-      if (prev == null) writeBucketed(fresh, table, key, buckets)
-      else if (!s.catalog.tableExists(prev)) writeBucketed(fresh, prev, key, buckets)
-      table
-    })
+    val lock = locks.computeIfAbsent(memoKey, _ => new AnyRef)
+    // Two threads in a fresh session (memo hit, table absent) must not
+    // race concurrent Overwrite saveAsTable calls on the same table
+    // name, so existence check + write are one critical section.
+    val tbl = lock.synchronized {
+      val prev = memo.get(memoKey)
+      val target = if (prev == null) table else prev
+      if (prev == null || !s.catalog.tableExists(target))
+        writeBucketed(fresh, target, key, buckets)
+      memo.put(memoKey, target)
+      target
+    }
     s.table(tbl)
   }
 }

@@ -30,7 +30,7 @@ object EtlQueries {
     // projection — green iff the CSV round-trip is lossless and typed.
     "etl_ingest_schema" -> Query(
       (s, d) => {
-        val csvDir = TmpDirs.dir(s"ingest_${new java.io.File(d).getName}")
+        val csvDir = TmpDirs.dir(s"ingest_${Bucketing.dirTag(d)}")
         Tables.customer(s, d)
           .write.mode("overwrite").option("header", "true").csv(csvDir)
         CsvIngest.readWithJsonSchema(s, csvDir, customerSchemaJson)

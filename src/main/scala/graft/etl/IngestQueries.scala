@@ -24,7 +24,7 @@ object IngestQueries {
     // parquet projection.
     "etl_ingest_jsonl" -> Query(
       (s, d) => {
-        val dir = TmpDirs.dir(s"jsonl_${new java.io.File(d).getName}")
+        val dir = TmpDirs.dir(s"jsonl_${Bucketing.dirTag(d)}")
         Tables.documents(s, d).write.mode("overwrite").json(dir)
         graft.sources.Sources
           .jsonlWithJsonSchema(s, dir, documentsSchemaJson)
@@ -42,7 +42,7 @@ object IngestQueries {
     // oracle is the straight parquet projection.
     "etl_ingest_orc" -> Query(
       (s, d) => {
-        val dir = TmpDirs.dir(s"orc_${new java.io.File(d).getName}")
+        val dir = TmpDirs.dir(s"orc_${Bucketing.dirTag(d)}")
         Tables.documents(s, d).write.mode("overwrite").orc(dir)
         s.read.orc(dir)
           .select(col("doc_id"), md5(col("text")).as("text_md5"),
@@ -70,7 +70,10 @@ object IngestQueries {
     // exactly what a production pipeline ships to its review sink.
     "etl_dead_letter" -> Query(
       (s, d) => {
-        val dir = TmpDirs.dir(s"deadletter_${new java.io.File(d).getName}")
+        // dirTag (basename + abs-path hash), not the bare leaf: two
+        // same-leaf data dirs exercised concurrently in one JVM must not
+        // race on a shared overwrite dir
+        val dir = TmpDirs.dir(s"deadletter_${Bucketing.dirTag(d)}")
         val line = concat(
           col("c_custkey").cast("string"), lit(","),
           col("c_name"), lit(","),
@@ -134,9 +137,16 @@ object IngestQueries {
     "etl_rowgroup_audit" -> Query(
       (s, d) => {
         import s.implicits._
-        val files = new java.io.File(d).listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-          .map(_.getAbsolutePath).toSeq.sorted
+        // List through the Hadoop FS layer, not java.io.File: the audit's
+        // whole point is footer-only preflight on a LAKE path, and
+        // FileSystem.get resolves hdfs:// and s3a:// the same as file://
+        // (proven over an explicit file:-URI in IngestSpec).
+        val root = new org.apache.hadoop.fs.Path(d)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val files = fs.listStatus(root)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).toSeq.sorted
+        require(files.nonEmpty, s"etl_rowgroup_audit: no parquet files under $d")
         val hconf = new org.apache.spark.util.SerializableConfiguration(
           s.sparkContext.hadoopConfiguration)
         s.createDataset(files).repartition(files.size)
@@ -160,10 +170,10 @@ object IngestQueries {
           .withColumn("single_task_risk",
             (col("n_row_groups") === 1L && col("n_rows") >= 50000L).cast("long"))
       },
-      Some("""WITH m AS (SELECT regexp_extract(file_name, '([^/]+)[.]parquet$', 1) AS table_name,
+      Some(s"""WITH m AS (SELECT regexp_extract(file_name, '([^/]+)[.]parquet$$', 1) AS table_name,
              |         row_group_id, ANY_VALUE(row_group_num_rows) AS rg_rows,
              |         SUM(total_compressed_size) AS cb
-             |       FROM parquet_metadata('/root/testdata/sf0.01/*.parquet')
+             |       FROM parquet_metadata('${graft.Gate.dir}/*.parquet')
              |       GROUP BY 1, 2)
              |SELECT table_name, CAST(COUNT(*) AS BIGINT) AS n_row_groups,
              |  CAST(SUM(rg_rows) AS BIGINT) AS n_rows,
@@ -404,7 +414,7 @@ object IngestQueries {
     // Day arithmetic is integer epoch-µs division on both engines.
     "etl_partition_prune" -> Query(
       (s, d) => {
-        val dir = TmpDirs.dir(s"ppart_${new java.io.File(d).getName}")
+        val dir = TmpDirs.dir(s"ppart_${Bucketing.dirTag(d)}")
         Tables.events(s, d)
           .withColumn("di", expr("(ts div 1000) div 86400000000"))
           .write.mode("overwrite").partitionBy("di").parquet(dir)

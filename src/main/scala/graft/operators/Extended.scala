@@ -83,7 +83,7 @@ object Extended {
     // back, prove losslessness against the straight projection.
     "etl_sink_roundtrip" -> Query(
       (s, d) => {
-        val dir = graft.etl.TmpDirs.dir(s"sinkrt_${new java.io.File(d).getName}")
+        val dir = graft.etl.TmpDirs.dir(s"sinkrt_${graft.etl.Bucketing.dirTag(d)}")
         graft.etl.Sinks.parquet(
           Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("source")),
           dir, graft.etl.Sinks.Truncate, partitionBy = Seq("source"))
@@ -467,7 +467,7 @@ object Extended {
     // dir name; both engines emit it as BIGINT.
     "etl_schema_evolution" -> Query(
       (s, d) => {
-        val dir = graft.etl.TmpDirs.dir(s"schevo_${new java.io.File(d).getName}")
+        val dir = graft.etl.TmpDirs.dir(s"schevo_${graft.etl.Bucketing.dirTag(d)}")
         val o = Tables.orders(s, d)
         graft.etl.Sinks.parquet(
           o.filter(year(col("o_orderdate")) === 1995)

@@ -212,8 +212,8 @@ object Temporal {
                 .orderBy(col("bkt"))
                 .rowsBetween(Long.MinValue, -1)), lit(0L)))
         }
-        val hs = cumHist("bk0") // session starts per hour bucket
-        val he = cumHist("bk1") // session ends per hour bucket
+        val hs = cumHist("bk0") // session starts per minute bucket
+        val he = cumHist("bk1") // session ends per minute bucket
         val tkey = Seq("user_id", "sess_id")
         val tgt = sesC.select(col("user_id"), col("sess_id"), col("s0"),
           col("s1"), col("bk0"), col("bk1"))

@@ -218,6 +218,29 @@ class EtlSpec extends AnyFunSuite {
     assert(counts("clean") === 3 && counts("quarantine") === 2)
   }
 
+  test("etl_rowgroup_audit lists through the Hadoop FS layer (file: URI) and guards empty dirs") {
+    import spark.implicits._
+    val audit = IngestQueries.entries.toMap.apply("etl_rowgroup_audit").fn
+    val dir = TmpDirs.dir("rg_audit_uri")
+    Seq.tabulate(100)(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // the parquet "file" the gate dir holds is a directory of part files;
+    // mirror the testdata layout with one real .parquet FILE instead
+    val part = new java.io.File(s"$dir/part.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val flat = new java.io.File(dir, "tbl.parquet")
+    java.nio.file.Files.copy(part.toPath, flat.toPath)
+    // an explicit file:-scheme URI only resolves through FileSystem.get;
+    // java.io.File("file:/...").listFiles() would return null
+    val rows = audit(spark, s"file:$dir").collect()
+    val row = rows.find(_.getString(0) == "tbl").get
+    assert(row.getLong(2) === 100L)        // n_rows
+    assert(row.getLong(1) >= 1L)           // n_row_groups
+    val empty = TmpDirs.dir("rg_audit_empty")
+    new java.io.File(empty).mkdirs()
+    intercept[IllegalArgumentException] { audit(spark, empty) }
+  }
+
   test("Sinks.backfillPartitions rewrites only the touched partition") {
     import spark.implicits._
     val out = TmpDirs.dir("backfill")
