@@ -183,6 +183,75 @@ object IngestQueries {
              |FROM m GROUP BY 1""".stripMargin)
     ),
 
+    // COMPACTION executed through the oracle gate (round 13 — VERDICT
+    // r12 Next #5; the write-side half of the sink contract, previously
+    // ScalaTest-only): plant a fragmented table (32 small files — the
+    // debris a streaming/incremental append leaves), run Sinks.compact,
+    // and gate-check the survivors: row count, key sum and a
+    // per-row-text md5 digest of the COMPACTED files (so a compaction
+    // that drops, duplicates or mangles rows fails the hash), plus a
+    // files_merged verdict (32 -> 1) the oracle asserts as literal 1.
+    // The etl_dead_letter write-then-read recipe; rollback safety is
+    // EtlSpec's half (failed promote restores the original).
+    "etl_compact_exec" -> Query(
+      (s, d) => {
+        val dir = TmpDirs.dir(s"compact_${Bucketing.dirTag(d)}")
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"))
+          .repartition(32).write.mode("overwrite").parquet(dir)
+        val (before, after) = Sinks.compact(s, dir, maxRecordsPerFile = 10000000L)
+        s.read.parquet(dir)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).cast("bigint").as("key_sum"),
+            sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"),
+              col("source"))), 1, 8), 16, 10).cast("long")).cast("bigint")
+              .as("row_digest"))
+          .select(col("n_rows"), col("key_sum"), col("row_digest"),
+            lit(if (before == 32 && after == 1) 1L else 0L).as("files_merged"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS key_sum,
+             |  CAST(SUM(CAST('0x' || substr(md5(concat_ws('|',
+             |    CAST(doc_id AS VARCHAR), text, source)), 1, 8) AS BIGINT)) AS BIGINT)
+             |    AS row_digest,
+             |  CAST(1 AS BIGINT) AS files_merged
+             |FROM documents""".stripMargin)
+    ),
+
+    // PARTITION BACKFILL executed through the oracle gate (the second
+    // write-side half of Next #5): write documents partitioned by
+    // source, then backfill ONE partition with a transformed patch
+    // (n_chars + 1000) — TWICE, because the contract under test is
+    // idempotent reprocessing (dynamic partition overwrite: re-running
+    // yesterday's load must neither truncate the table nor
+    // double-count). The read-back aggregates per branch; an append
+    // bug doubles the patched branch's counts and a truncate bug
+    // empties the untouched one — either fails the hash.
+    "etl_backfill_exec" -> Query(
+      (s, d) => {
+        val dir = TmpDirs.dir(s"backfill_${Bucketing.dirTag(d)}")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"), col("source"))
+        Sinks.parquet(docs, dir, Sinks.Truncate, partitionBy = Seq("source"))
+        val patch = docs.filter(col("source") === "src3")
+          .withColumn("n_chars", col("n_chars") + 1000L)
+        Sinks.backfillPartitions(patch, dir, Seq("source"))
+        Sinks.backfillPartitions(patch, dir, Seq("source")) // idempotent re-run
+        s.read.parquet(dir)
+          .select(when(col("source") === "src3", "replaced")
+            .otherwise("untouched").as("branch"),
+            col("doc_id"), col("n_chars"))
+          .groupBy(col("branch"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).cast("bigint").as("key_sum"),
+            sum(col("n_chars")).cast("bigint").as("chars_sum"))
+      },
+      Some("""SELECT CASE WHEN source = 'src3' THEN 'replaced' ELSE 'untouched' END
+             |    AS branch,
+             |  COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS key_sum,
+             |  CAST(SUM(CASE WHEN source = 'src3' THEN n_chars + 1000
+             |                ELSE n_chars END) AS BIGINT) AS chars_sum
+             |FROM documents GROUP BY 1""".stripMargin)
+    ),
+
     // Snapshot RECONCILIATION diff: the added/removed/changed audit
     // between two table versions — what a warehouse runs after every
     // backfill or CDC replay to prove the delta is the intended one.

@@ -2,6 +2,7 @@ package graft.similarity
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shared trained-quantizer (k-means / IVF) machinery.
@@ -170,15 +171,38 @@ object Ivf {
       |           i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i]) * (CAST(q.qv[i] AS DOUBLE) - c.cv[i]))) AS dist
       |       FROM q CROSS JOIN c1 c)""".stripMargin
 
+  /** Hot-cell cap for the pair regime (round 13 — the IVF member of
+    * the frequency-guard family beside SimhashBandCap / EditBlockCap /
+    * SubstringStopT): a trained cell holding more than this many
+    * DISTINCT quantized vectors is a region the scaled quantizer
+    * under-resolved (clustered real corpora produce them; the
+    * near-uniform gate corpus cannot), and its pair join is O(cell²)
+    * locally. Cells above the cap drop from candidate generation —
+    * bounding per-cell join work at cap² — and a true pair survives
+    * unless ALL of its shared probe cells (4 per vector) are hot.
+    * Counting DISTINCT qv, not rows, matters: exact-duplicate spikes
+    * (boilerplate docs embed identically) inflate raw membership but
+    * collapse to one slot in the join (see `candidatePairs`), so they
+    * must not evict their own cell. No-op at every measured corpus
+    * (max distinct-qv cell: 87 gate sf0.1, 161 clustered stress 4x —
+    * tools/gen_clustered.py); mirrored in every consuming oracle.
+    */
+  val CellCap = 256L
+
   /** Pair-regime assignment CTE: the scaled-k chain plus
     * `pasg(vec_id, cid)` = each vector's `graphNprobe` nearest trained
-    * cells — the oracle twin of `pairAssignments`.
+    * cells, hot cells (> CellCap distinct qv) removed — the oracle
+    * twin of the capped cell exchange inside `candidatePairs`.
     */
   def pairAssignCteSql: String =
     s"""${kmeansCteSql(s"($graphKSql)")},
-      |pasg AS (SELECT vec_id, cid FROM (
+      |pasg0 AS (SELECT vec_id, cid FROM (
       |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
-      |          FROM d1) WHERE rn <= $graphNprobe)""".stripMargin
+      |          FROM d1) WHERE rn <= $graphNprobe),
+      |qg AS (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qv) AS gid FROM q),
+      |hotc AS (SELECT p.cid FROM pasg0 p JOIN qg g USING (vec_id)
+      |         GROUP BY p.cid HAVING COUNT(DISTINCT g.gid) > $CellCap),
+      |pasg AS (SELECT * FROM pasg0 WHERE cid NOT IN (SELECT cid FROM hotc))""".stripMargin
 
   /** Pair-regime cell assignments `(vec_id, cid)` — each vector under
     * its `graphNprobe` nearest scaled-k cells, REPARTITIONED by vec_id
@@ -195,5 +219,63 @@ object Ivf {
       .repartition(col("vec_id"))
       .withColumn("qv", quantCol)
       .select(col("vec_id"), explode(centroidRanks(cents, graphNprobe)).as("cid"))
+  }
+
+  /** Distinct undirected candidate pairs (va < vb) from trained-cell
+    * co-membership — the ONE pair generator behind the embedding-pair
+    * family (dedup_embedding / text_bitext_mine /
+    * vec_cluster_components via embeddingPairs, vec_knn_graph /
+    * vec_knn_hubness via its symmetric closure). Round 13 adds two
+    * scale guards, both measured on the clustered stress corpora
+    * (tools/gen_clustered.py):
+    *
+    *  1. EXACT-DUPLICATE COLLAPSE (output-preserving — no oracle
+    *     change): vectors with identical quantized `qv` have identical
+    *     probe cells, so the cell self-join runs over one
+    *     REPRESENTATIVE per qv group and member pairs are re-expanded
+    *     afterwards. The candidate SET is provably unchanged (equal qv
+    *     ⇒ equal cells), but an m-copy boilerplate spike costs m slots
+    *     → 1 slot in the join; the remaining m-proportional work is
+    *     expansion, which is output-shaped (every expanded pair IS a
+    *     candidate the semantics require scoring). Measured: the 10%
+    *     duplicate-spike corpus at 4x drops join slots 989k → 501k and
+    *     max cell 360 → 161.
+    *  2. CellCap (oracle-mirrored, see val doc): cells with more than
+    *     CellCap distinct qv drop before the rep self-join.
+    *
+    * Volume: O(cells · min(cell, cap)² + |output|) — linear in n under
+    * ~constant cell size, bounded per cell under the cap, and never
+    * worse than output-shaped for duplicates.
+    */
+  def candidatePairs(s: SparkSession, d: String,
+                     cap: Long = CellCap): DataFrame = {
+    val cents = trainedCentroids(s, d, graphK(s, d))
+    val q = Tables.embeddings(s, d)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), quantCol.as("qv"))
+    // gid = min vec_id per identical-qv group; one qv-keyed window
+    val grouped = q.withColumn("gid",
+      min(col("vec_id")).over(Window.partitionBy(col("qv"))))
+    val members = grouped.select(col("vec_id"), col("gid"))
+    val reps = grouped.filter(col("vec_id") === col("gid"))
+      .select(col("gid"), explode(centroidRanks(cents, graphNprobe)).as("cid"))
+    val keep = reps.groupBy(col("cid"))
+      .agg(count(lit(1)).as("m")).filter(col("m") <= cap)
+      .select(col("cid"))
+    val rk = reps.join(keep, Seq("cid"), "left_semi")
+    // rep-level co-membership: ga <= gb keeps within-group (ga = gb)
+    // pairs, whose expansion is the duplicate group's own clique
+    val repPairs = rk.as("a")
+      .join(rk.as("b"),
+        col("a.cid") === col("b.cid") && col("a.gid") <= col("b.gid"))
+      .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
+      .distinct()
+    repPairs
+      .join(members.select(col("gid").as("ga"), col("vec_id").as("va")), Seq("ga"))
+      .join(members.select(col("gid").as("gb"), col("vec_id").as("vb")), Seq("gb"))
+      .filter(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("va"),
+        greatest(col("va"), col("vb")).as("vb"))
+      .distinct()
   }
 }

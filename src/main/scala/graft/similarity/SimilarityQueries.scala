@@ -1181,17 +1181,14 @@ object SimilarityQueries {
     // deliverable: (src, dst, cos, rank).
     "vec_knn_graph" -> Query(
       (s, d) => {
-        // Ivf.pairAssignments repartitions by vec_id first (the
-        // round-11 narrow-scan lesson: assignment + pair join + exact
-        // cosines are CPU-bound pair work and a compact parquet input
-        // is ~1 scan split; the probe-based IVF queries deliberately
-        // keep their no-corpus-shuffle plan instead).
-        val asg = graft.Caches.scoped(Ivf.pairAssignments(s, d))
-        val cand = asg.as("a")
-          .join(asg.as("b"),
-            col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-          .distinct()
+        // round 13: candidates are the symmetric closure of the shared
+        // duplicate-collapsed, CellCap-guarded generator
+        // (Ivf.candidatePairs — candidate SET unchanged vs the direct
+        // cell self-join; see its doc). candidatePairs repartitions by
+        // vec_id internally (the round-11 narrow-scan lesson).
+        val candU = Ivf.candidatePairs(s, d)
+        val cand = candU.select(col("va").as("src"), col("vb").as("dst"))
+          .unionAll(candU.select(col("vb").as("src"), col("va").as("dst")))
         val scored = cand
           .join(corpus(s, d).select(col("vec_id").as("dst"),
             col("embedding").as("dv"), col("nrm").as("dnrm")), Seq("dst"))

@@ -465,7 +465,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     // materialize the partitioned layout once
     SparkEntry.queries("etl_sink_roundtrip")(spark, sf).queryExecution.toRdd.count()
-    val dir = etl.TmpDirs.dir("sinkrt_sf0.001")
+    val dir = etl.TmpDirs.dir(s"sinkrt_${etl.Bucketing.dirTag(sf)}")
     val p = spark.read.parquet(dir).filter(col("source") === "src3")
       .queryExecution.explainString(FormattedMode)
     assert(p.contains("PartitionFilters: [isnotnull(source"), p.take(1500))

@@ -99,6 +99,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(open2 === Some(OpenSession(5000, 5500, 2, 4.0)))
   }
 
+  test("SessionizeStream.foldUser fails loudly on cross-batch event-time disorder") {
+    import SessionizeStream._
+    // a later micro-batch delivering an event OLDER than the carried
+    // open session's end would silently mis-sessionize — the fold must
+    // throw instead (VERDICT r12: turn the one-batch assumption into a
+    // loud guard)
+    val open = Some(OpenSession(1000, 2000, 2, 5.0))
+    val ex = intercept[IllegalArgumentException] {
+      foldUser(1, Seq(Ev(1, 1500, 1.0)), open, 1000000L)
+    }
+    assert(ex.getMessage.contains("cross-batch event-time disorder"))
+    // the boundary case (event exactly at the open end) stays legal
+    val (_, o2) = foldUser(1, Seq(Ev(1, 2000, 1.0)), open, 1000000L)
+    assert(o2.exists(_.n_events == 3))
+  }
+
   test("StreamingDedup drops repeated content within the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
