@@ -77,6 +77,41 @@ object StreamTwinQueries {
     nanos.withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Events rewritten as 4 TIME-SLICED parquet files and read back as a
+    * MULTI-BATCH stream (maxFilesPerTrigger=1): slice i holds ts in
+    * [cut(i), cut(i+1)) on the global ts quartile cuts, so equal-ts
+    * events never straddle a boundary and every event in batch k+1 is
+    * strictly later than every event in batches <= k. Slice files get
+    * strictly ascending modification times — the streaming file source
+    * processes files in modTime order, so delivery IS chronological:
+    * the watermark-ordered ingestion the fold components' scaladocs
+    * prescribe, realized as code. Consequences the _mb twins ride on:
+    * fold state carries across micro-batches with the disorder guards
+    * staying armed (any delivery-order slip fails loudly), and a
+    * 0-delay watermark never drops a row (the watermark after batch k
+    * is below every batch-k+1 event by construction). Column contract
+    * matches eventsStream: int64 UTC-nanos `ts` + timestamp `ts_t`.
+    */
+  private[streaming] def timeSlicedEventsStream(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.etl.TmpDirs.dir(s"mbslice_${graft.etl.Bucketing.dirTag(d)}")
+    val evb = graft.Tables.events(s, d)
+    val cuts = evb.agg(expr("percentile(ts, array(0.25, 0.5, 0.75))"))
+      .first().getSeq[Double](0).map(_.toLong)
+    val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+    for (i <- 0 until 4) {
+      val sd = s"$dir/s$i"
+      evb.filter(col("ts") >= bounds(i) && col("ts") < bounds(i + 1))
+        .coalesce(1).write.mode("overwrite").parquet(sd)
+      val fs = new java.io.File(sd).listFiles()
+      if (fs != null)
+        fs.foreach(f => f.setLastModified(1600000000000L + i * 60000L): Unit)
+    }
+    val schema = s.read.parquet(s"$dir/s0").schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(globSafe(dir) + "/s*/*.parquet")
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Run `out` as a streaming query into an in-memory sink, block
     * until AvailableNow drains the source, return a DataFrame over the
     * sink contents. Hygiene (round-12 ADVICE): the checkpoint dir
@@ -227,6 +262,40 @@ object StreamTwinQueries {
              |FROM ses JOIN mx USING (user_id) WHERE ses.sess_id < mx.last_sid""".stripMargin)
     ),
 
+    // MULTI-BATCH sessionize twin (round 13): the EXPLICIT-STATE fold
+    // component (flatMapGroupsWithState) under cross-batch state
+    // carry — the hardest streaming contract in the registry. Source =
+    // timeSlicedEventsStream (4 chronological micro-batches); every
+    // user whose session spans a slice boundary carries open-session
+    // state across micro-batches, and the disorder guard
+    // (SessionizeStream.foldUser's require) turns any delivery-order
+    // slip into a loud failure instead of a silent mis-fold. Same
+    // oracle as the one-batch twin: cross-batch carry must be
+    // INVISIBLE in the answer.
+    "stream_sessionize_mb" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val ev = timeSlicedEventsStream(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+          .as[SessionizeStream.Ev](Encoders.product[SessionizeStream.Ev])
+        val out = SessionizeStream(ev, 21600000000L)
+        runToTable(s, out.toDF(), "append")
+          .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+             |g AS (SELECT *, CASE WHEN tus - LAG(tus) OVER w > 21600000000
+             |                       OR LAG(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+             |sx AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM g),
+             |ses AS (SELECT user_id, sess_id, COUNT(*) AS n_events,
+             |          MIN(tus) AS start_us, MAX(tus) AS end_us
+             |        FROM sx GROUP BY 1, 2),
+             |mx AS (SELECT user_id, MAX(sess_id) AS last_sid FROM ses GROUP BY 1)
+             |SELECT ses.user_id, start_us, end_us, n_events
+             |FROM ses JOIN mx USING (user_id) WHERE ses.sess_id < mx.last_sid""".stripMargin)
+    ),
+
     // EnrichStream end-to-end: the stream-static broadcast join —
     // events stream enriched with the customer dimension (user_id is
     // the generator's custkey space), rolled up per market segment in
@@ -332,6 +401,32 @@ object StreamTwinQueries {
              |GROUP BY 1""".stripMargin)
     ),
 
+    // MULTI-BATCH windowed-distinct twin (round 13): the WATERMARKED
+    // APPEND dedup→agg chain under cross-batch carry. With
+    // chronological slices and a 0-second delay, the watermark after
+    // batch k sits below every batch-k+1 event (no late drops by
+    // construction); an hour window straddling a slice cut holds both
+    // its dedup keys and its aggregate state across the boundary, and
+    // each finalized window still emits exactly once. The final
+    // watermark equals the one-batch run's, so the finalized-window
+    // oracle cut is IDENTICAL — cross-batch carry must be invisible.
+    "stream_window_distinct_mb" -> Query(
+      (s, d) => {
+        val out = WindowedDistinctStream(
+          timeSlicedEventsStream(s, d), "ts_t", "user_id", "1 hour", "0 seconds")
+        runToTable(s, out, "append")
+          .select(unix_micros(col("win_start")).*(1000L).as("win_start_ns"),
+            col("n_distinct_users"))
+      },
+      Some("""WITH mx AS (SELECT MAX(epoch_us(ts)) AS wm FROM events),
+             |w AS (SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS ws_us, user_id
+             |      FROM events)
+             |SELECT ws_us * 1000 AS win_start_ns,
+             |  COUNT(DISTINCT user_id) AS n_distinct_users
+             |FROM w, mx WHERE ws_us + 3600000000 <= mx.wm
+             |GROUP BY 1""".stripMargin)
+    ),
+
     // AttributionStream end-to-end: streaming last-touch attribution
     // through flatMapGroupsWithState — ONE LastClick scalar of state
     // per user. Every purchase emits (append) with the most recent
@@ -343,6 +438,42 @@ object StreamTwinQueries {
       (s, d) => {
         import org.apache.spark.sql.Encoders
         val ev = eventsStream(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"), col("event_type"))
+          .as[AttributionStream.Ev](Encoders.product[AttributionStream.Ev])
+        val out = AttributionStream(ev, 604800000000L)
+        runToTable(s, out.toDF(), "append")
+          .select(col("user_id"), col("purchase_id"), col("purchase_us"),
+            col("click_id"), col("delta_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+             |p AS (SELECT user_id, event_id AS purchase_id, tus AS p_us FROM e
+             |      WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, event_id AS click_id, tus AS c_us FROM e
+             |      WHERE event_type = 'click'),
+             |j AS (SELECT p.purchase_id, c.click_id, c.c_us,
+             |        ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+             |                           ORDER BY c.c_us DESC, c.click_id DESC) AS rn
+             |      FROM p JOIN c ON p.user_id = c.user_id
+             |       AND (c.c_us < p.p_us OR (c.c_us = p.p_us AND c.click_id < p.purchase_id))),
+             |best AS (SELECT purchase_id, click_id, c_us FROM j WHERE rn = 1)
+             |SELECT p.user_id, p.purchase_id, p.p_us AS purchase_us,
+             |  CASE WHEN p.p_us - b.c_us <= 604800000000 THEN b.click_id END AS click_id,
+             |  CASE WHEN p.p_us - b.c_us <= 604800000000 THEN p.p_us - b.c_us END AS delta_us
+             |FROM p LEFT JOIN best b USING (purchase_id)""".stripMargin)
+    ),
+
+    // MULTI-BATCH attribution twin (round 13): the LOOKBACK-state fold
+    // (one LastClick scalar per user) under cross-batch carry — a
+    // click in slice k must attribute a purchase in slice k+2 through
+    // two micro-batch boundaries. timeSlicedEventsStream delivers
+    // chronological batches, so the left fold over (ts, event_id)
+    // order composes across batches by prefix; the oracle is the
+    // one-batch twin's, unchanged.
+    "stream_attribution_mb" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val ev = timeSlicedEventsStream(s, d)
           .select(col("user_id"), expr("ts div 1000").as("ts_us"),
             col("event_id"), col("event_type"))
           .as[AttributionStream.Ev](Encoders.product[AttributionStream.Ev])
@@ -439,6 +570,33 @@ object StreamTwinQueries {
       (s, d) => {
         import org.apache.spark.sql.Encoders
         val pts = eventsStream(s, d)
+          .select(col("user_id").cast("string").as("key"),
+            expr("ts div 1000").as("seq_us"), col("event_id").as("value"))
+          .as[RateLimitStream.Pt](Encoders.product[RateLimitStream.Pt])
+        val out = RateLimitStream(pts, limit = 5L, windowUs = 3600000000L)
+        runToTable(s, out.toDF(), "append")
+          .select(col("key"), col("seq_us"), col("value").as("event_id"),
+            col("dropped"))
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS seq_us,
+             |             event_id FROM events),
+             |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY key, seq_us // 3600000000
+             |                                   ORDER BY seq_us, event_id) AS rn FROM e)
+             |SELECT key, seq_us, event_id, CAST(rn > 5 AS BIGINT) AS dropped
+             |FROM w""".stripMargin)
+    ),
+
+    // MULTI-BATCH rate-limit twin (round 13): the ADMISSION-counter
+    // fold (per-user tumbling-hour admit count) under cross-batch
+    // carry — an hour window straddling a slice cut must keep its
+    // admit count across the micro-batch boundary or rows 6+ of the
+    // hour would be re-admitted. Chronological delivery via
+    // timeSlicedEventsStream; oracle unchanged from the one-batch
+    // twin.
+    "stream_rate_limit_mb" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val pts = timeSlicedEventsStream(s, d)
           .select(col("user_id").cast("string").as("key"),
             expr("ts div 1000").as("seq_us"), col("event_id").as("value"))
           .as[RateLimitStream.Pt](Encoders.product[RateLimitStream.Pt])

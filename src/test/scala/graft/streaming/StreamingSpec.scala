@@ -548,4 +548,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows === Seq((100L, 0L), (200L, 0L), (300L, 1L), (1100L, 0L)))
     } finally q.stop()
   }
+
+  test("timeSlicedEventsStream delivers the whole table in >= 4 micro-batches") {
+    val d = "/root/testdata/sf0.001"
+    val ev = StreamTwinQueries.timeSlicedEventsStream(spark, d)
+    val name = "mbslice_probe"
+    val ckpt = graft.etl.TmpDirs.dir(name + "_ckpt")
+    val q = ev.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      // one slice file per micro-batch: the _mb twins' cross-batch
+      // claims are only claims if the engine actually saw >1 batch
+      val fed = q.recentProgress.filter(_.numInputRows > 0)
+      assert(fed.length >= 4, s"expected >= 4 fed micro-batches, got ${fed.length}")
+      // the slices partition the table exactly (no dropped/duplicated
+      // boundary rows), and ts stays the int64-nanos contract
+      val got = spark.table(name).count()
+      val want = graft.Tables.events(spark, d).count()
+      assert(got === want)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name): Unit
+    }
+  }
 }
