@@ -529,6 +529,35 @@ object StreamTwinQueries {
              |WHERE cum - mn > 2000""".stripMargin)
     ),
 
+    // MULTI-BATCH CUSUM twin (round 13): the drift detector's three
+    // integer scalars (cum, prefix-min, last seq) carried across
+    // micro-batch boundaries — an alarm whose cum crossed the
+    // threshold mid-corpus must fire identically when the prefix
+    // arrives in an earlier batch. Chronological slices, oracle
+    // unchanged.
+    "stream_cusum_mb" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val pts = timeSlicedEventsStream(s, d)
+          .select(col("event_type").as("key"), expr("ts div 1000").as("seq_us"),
+            floor(col("value") + 0.5).cast("long").as("value"))
+          .as[CusumStream.Pt](Encoders.product[CusumStream.Pt])
+        val out = CusumStream(pts, target = 50L, threshold = 2000L)
+        runToTable(s, out.toDF(), "append")
+          .select(col("key"), col("seq_us"), col("stat"), col("cum"))
+      },
+      Some("""WITH e AS (SELECT event_type AS key, epoch_us(ts) AS seq_us,
+             |             CAST(floor("value" + 0.5) AS BIGINT) AS v, event_id FROM events),
+             |w AS (SELECT key, seq_us, v, event_id,
+             |        SUM(v - 50) OVER (PARTITION BY key ORDER BY seq_us, v, event_id
+             |          ROWS UNBOUNDED PRECEDING) AS cum FROM e),
+             |m AS (SELECT *, MIN(cum) OVER (PARTITION BY key ORDER BY seq_us, v, event_id
+             |          ROWS UNBOUNDED PRECEDING) AS mn FROM w)
+             |SELECT key, seq_us, CAST(cum - mn AS BIGINT) AS stat,
+             |  CAST(cum AS BIGINT) AS cum FROM m
+             |WHERE cum - mn > 2000""".stripMargin)
+    ),
+
     // ZscoreStream end-to-end: the prior-moments 3-sigma detector
     // through flatMapGroupsWithState — FOUR integer scalars of state
     // per key; each point is judged against the moments of the points
@@ -539,6 +568,33 @@ object StreamTwinQueries {
       (s, d) => {
         import org.apache.spark.sql.Encoders
         val pts = eventsStream(s, d)
+          .select(col("event_type").as("key"), expr("ts div 1000").as("seq_us"),
+            floor(col("value") + 0.5).cast("long").as("value"))
+          .as[ZscoreStream.Pt](Encoders.product[ZscoreStream.Pt])
+        val out = ZscoreStream(pts, minN = 5L)
+        runToTable(s, out.toDF(), "append")
+          .select(col("key"), col("seq_us"), col("value"), col("n_prior"))
+      },
+      Some("""WITH e AS (SELECT event_type AS key, epoch_us(ts) AS seq_us,
+             |             CAST(floor("value" + 0.5) AS BIGINT) AS v, event_id FROM events),
+             |w AS (SELECT key, seq_us, v,
+             |        COUNT(*) OVER wpre AS n,
+             |        COALESCE(SUM(v) OVER wpre, 0) AS s,
+             |        COALESCE(SUM(v*v) OVER wpre, 0) AS s2
+             |      FROM e WINDOW wpre AS (PARTITION BY key ORDER BY seq_us, v, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT key, seq_us, v AS value, n AS n_prior FROM w
+             |WHERE n >= 5 AND (n*v - s)*(n*v - s) > 9*(n*s2 - s*s)""".stripMargin)
+    ),
+
+    // MULTI-BATCH z-score twin (round 13): the prior-moments state
+    // (n, sum, sum-of-squares, last seq) accumulated across batches —
+    // a point early in batch k+1 is judged against moments whose mass
+    // arrived in batches <= k. Chronological slices, oracle unchanged.
+    "stream_zscore_mb" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val pts = timeSlicedEventsStream(s, d)
           .select(col("event_type").as("key"), expr("ts div 1000").as("seq_us"),
             floor(col("value") + 0.5).cast("long").as("value"))
           .as[ZscoreStream.Pt](Encoders.product[ZscoreStream.Pt])
@@ -657,6 +713,48 @@ object StreamTwinQueries {
              |SELECT u AS "user", a_ts AS a_us, b_ts AS b_us, b_ts - a_ts AS lag_us FROM m""".stripMargin)
     ),
 
+    // MULTI-BATCH CEP twin (round 13): consume-on-match state across
+    // micro-batch boundaries — a view that arms in batch k must match
+    // (and be consumed by) a purchase in batch k+1, and a match must
+    // NOT re-fire later. StreamingSpec pins the carried-arm semantics
+    // with MemoryStream; this entry proves it end-to-end on real data.
+    // Chronological slices, recursive-CTE oracle unchanged.
+    "stream_pattern_mb" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val ev = timeSlicedEventsStream(s, d)
+          .select(col("user_id").cast("string").as("user"),
+            expr("ts div 1000").as("seq_us"), col("event_type").as("etype"))
+          .as[PatternDetectStream.Ev](Encoders.product[PatternDetectStream.Ev])
+        val out = PatternDetectStream(ev, "view", "purchase", 1800000000L)
+        runToTable(s, out.toDF(), "append")
+          .select(col("user"), col("a_us"), col("b_us"), col("lag_us"))
+      },
+      Some("""WITH RECURSIVE
+             |v AS (SELECT CAST(user_id AS VARCHAR) AS u, epoch_us(ts) AS tus FROM events
+             |      WHERE event_type = 'view'),
+             |b AS (SELECT CAST(user_id AS VARCHAR) AS u, epoch_us(ts) AS tus FROM events
+             |      WHERE event_type = 'purchase'),
+             |m(u, b_ts, a_ts) AS (
+             |  SELECT u, b_ts, (SELECT MAX(v.tus) FROM v WHERE v.u = q.u AND v.tus < q.b_ts) AS a_ts
+             |  FROM (SELECT uu.u, (SELECT MIN(b.tus) FROM b WHERE b.u = uu.u AND EXISTS (
+             |          SELECT 1 FROM v WHERE v.u = uu.u
+             |           AND v.tus >= b.tus - 1800000000 AND v.tus < b.tus)) AS b_ts
+             |        FROM (SELECT DISTINCT u FROM b) uu) q
+             |  WHERE q.b_ts IS NOT NULL
+             |  UNION
+             |  SELECT u, b_ts, (SELECT MAX(v.tus) FROM v WHERE v.u = q.u
+             |                    AND v.tus >= q.prev_b AND v.tus < q.b_ts) AS a_ts
+             |  FROM (SELECT m.u, m.b_ts AS prev_b,
+             |          (SELECT MIN(b.tus) FROM b WHERE b.u = m.u AND b.tus > m.b_ts AND EXISTS (
+             |             SELECT 1 FROM v WHERE v.u = m.u
+             |              AND v.tus >= GREATEST(m.b_ts, b.tus - 1800000000) AND v.tus < b.tus)) AS b_ts
+             |        FROM m) q
+             |  WHERE q.b_ts IS NOT NULL
+             |)
+             |SELECT u AS "user", a_ts AS a_us, b_ts AS b_us, b_ts - a_ts AS lag_us FROM m""".stripMargin)
+    ),
+
     // HeavyHittersStream end-to-end: trending event types per user
     // shard through the space-saving sketch — state is exactly `cap`
     // (item, count, err) slots per key, emitted as a ranked snapshot
@@ -676,6 +774,41 @@ object StreamTwinQueries {
           .as[HeavyHittersStream.Evt](Encoders.product[HeavyHittersStream.Evt])
         val out = HeavyHittersStream(evts, cap = 8, emitK = 3)
         runToTable(s, out.toDF(), "append")
+          .select(col("key"), col("item"), col("count_max"), col("count_min"),
+            col("rank"), col("n_seen"), col("as_of_us"))
+      },
+      Some("""WITH e AS (SELECT CAST(user_id % 16 AS VARCHAR) AS key, event_type AS item,
+             |             epoch_us(ts) AS seq_us FROM events),
+             |cnt AS (SELECT key, item, COUNT(*) AS c FROM e GROUP BY 1, 2),
+             |tot AS (SELECT key, COUNT(*) AS n_seen, MAX(seq_us) AS as_of_us FROM e GROUP BY 1),
+             |r AS (SELECT key, item, c,
+             |        ROW_NUMBER() OVER (PARTITION BY key ORDER BY c DESC, item) AS rnk FROM cnt)
+             |SELECT r.key, r.item, r.c AS count_max, r.c AS count_min,
+             |  CAST(r.rnk AS BIGINT) AS rank, t.n_seen, t.as_of_us
+             |FROM r JOIN tot t USING (key) WHERE r.rnk <= 3""".stripMargin)
+    ),
+
+    // MULTI-BATCH heavy-hitters twin (round 13): the space-saving
+    // sketch's snapshot-per-micro-batch contract under cross-batch
+    // accumulation. Four chronological batches emit four ranked
+    // snapshots per key; the checked projection keeps each key's
+    // LATEST snapshot (max as_of_us — strictly increasing across
+    // batches, and a key's last snapshot has seen all its events), so
+    // the answer equals the one-batch twin's oracle while the
+    // intermediate snapshots prove the sketch counts ACCUMULATED
+    // across batch boundaries instead of restarting per batch.
+    "stream_heavy_hitters_mb" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val evts = timeSlicedEventsStream(s, d)
+          .select((col("user_id") % 16).cast("string").as("key"),
+            expr("ts div 1000").as("seq_us"), col("event_type").as("item"))
+          .as[HeavyHittersStream.Evt](Encoders.product[HeavyHittersStream.Evt])
+        val out = HeavyHittersStream(evts, cap = 8, emitK = 3)
+        val snaps = runToTable(s, out.toDF(), "append")
+        val wk = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+        snaps.withColumn("final_us", max(col("as_of_us")).over(wk))
+          .filter(col("as_of_us") === col("final_us"))
           .select(col("key"), col("item"), col("count_max"), col("count_min"),
             col("rank"), col("n_seen"), col("as_of_us"))
       },
