@@ -475,15 +475,20 @@ object DedupQueries {
     // structure makes that set quadratic); this twin estimates Jaccard
     // from the EXISTING 16-perm MinHash signatures — per banded
     // candidate, est_bp = matching positions x 625, O(16) per pair —
-    // and keeps pairs with est >= 0.5. Exact shingle intersections are
-    // then computed ONLY for the selected near-dups (the audit's
-    // yardstick — a set ~output-sized, not candidate-sized), and the
-    // agg_approx_distinct discipline applies: the oracle replays both
-    // sides exactly AND asserts the in-plan bounded-error verdict
-    // (mean |est - exact| over selected pairs <= 1500 bp; measured 297
-    // at the sf0.01 gate, n=16 binomial sd at J=0.5 is 1250), so a
-    // drifting estimator FAILS the gate instead of hiding. The exact
-    // entries stay untouched as the yardstick.
+    // and keeps pairs with est >= 0.5. Exact shingle intersections run
+    // ONLY for a deterministic 1-in-8 hash sample of the selected
+    // pairs ((da*31+db) % 8 = 0 — round 13's second lesson: a FULL
+    // audit re-pays the intersection cost over the whole near-dup set
+    // and measured SLOWER than the exact query on the open-vocab
+    // corpus, defeating the twin's purpose; a sampled audit keeps the
+    // decision path O(16)/pair at any scale while still estimator-
+    // checking every corpus region). The agg_approx_distinct
+    // discipline applies to the sample: jac_bp is exact where audited
+    // (NULL elsewhere, both engines), and the oracle replays both
+    // sides AND asserts the in-plan bounded-error verdict (mean
+    // |est - exact| over audited pairs <= 1500 bp; n=16 binomial sd at
+    // J=0.5 is 1250), so a drifting estimator FAILS the gate instead
+    // of hiding. The exact entries stay untouched as the yardstick.
     "dedup_jaccard_approx" -> Query(
       (s, d) => {
         val pairs = graft.Caches.scoped(minhashPairs(s, d))
@@ -496,21 +501,24 @@ object DedupQueries {
           .join(sigs.as("sb"), col("db") === col("sb.doc_id"))
           .select(col("da"), col("db"), (matchCnt * 625L).as("est_bp"))
           .filter(col("est_bp") >= 5000))
+        val aud = sel.filter((col("da") * 31L + col("db")) % 8 === 0)
         val sr = graft.Caches.scoped(shingleRows(s, d))
         val szs = sr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = sel
+        val inter = aud
           .join(sr.as("x"), col("da") === col("x.doc_id"))
           .join(sr.as("y"),
             col("db") === col("y.doc_id") && col("x.sh") === col("y.sh"))
           .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-        val scored = sel
+        val audited = aud
           .join(inter, Seq("da", "db"), "left")
           .join(szs.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
           .join(szs.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
           .withColumn("i0", coalesce(col("inter"), lit(0L)))
-          .select(col("da"), col("db"), col("est_bp"),
+          .select(col("da"), col("db"),
             expr("i0 * 10000 div (na + nb - i0)").as("jac_bp"))
-        val verdict = scored
+        val scored = sel.join(audited, Seq("da", "db"), "left")
+          .select(col("da"), col("db"), col("est_bp"), col("jac_bp"))
+        val verdict = scored.filter(col("jac_bp").isNotNull)
           .agg(coalesce(sum(abs(col("est_bp") - col("jac_bp"))), lit(0L)).as("terr"),
             count(lit(1)).as("np"))
           .select((col("terr") <= col("np") * 1500L).cast("long").as("within_bound"))
@@ -530,21 +538,24 @@ object DedupQueries {
              |              i -> sa.sig[i] = sb.sig[i])) * 625 AS BIGINT) AS est_bp
              |          FROM pairs p JOIN sg sa ON sa.doc_id = p.da
              |          JOIN sg sb ON sb.doc_id = p.db) WHERE est_bp >= 5000),
+             |aud AS (SELECT * FROM sel WHERE (da * 31 + db) % 8 = 0),
              |sz AS (SELECT doc_id, len(sh) AS n FROM shl),
              |xs AS (SELECT doc_id, unnest(sh) AS s FROM shl),
              |inter AS (SELECT p.da, p.db, COUNT(*) AS inter
-             |          FROM sel p JOIN xs x ON x.doc_id = p.da
+             |          FROM aud p JOIN xs x ON x.doc_id = p.da
              |          JOIN xs y ON y.doc_id = p.db AND y.s = x.s
              |          GROUP BY 1, 2),
-             |scored AS (SELECT e.da, e.db, e.est_bp,
+             |audited AS (SELECT a.da, a.db,
              |    CAST(COALESCE(i.inter, 0) * 10000
              |      // (za.n + zb.n - COALESCE(i.inter, 0)) AS BIGINT) AS jac_bp
-             |  FROM sel e
-             |  LEFT JOIN inter i ON i.da = e.da AND i.db = e.db
-             |  JOIN sz za ON za.doc_id = e.da
-             |  JOIN sz zb ON zb.doc_id = e.db)
-             |SELECT da, db, est_bp, jac_bp, CAST(1 AS BIGINT) AS within_bound
-             |FROM scored""".stripMargin)
+             |  FROM aud a
+             |  LEFT JOIN inter i ON i.da = a.da AND i.db = a.db
+             |  JOIN sz za ON za.doc_id = a.da
+             |  JOIN sz zb ON zb.doc_id = a.db)
+             |SELECT e.da, e.db, e.est_bp, audited.jac_bp,
+             |  CAST(1 AS BIGINT) AS within_bound
+             |FROM sel e
+             |LEFT JOIN audited ON audited.da = e.da AND audited.db = e.db""".stripMargin)
     ),
 
     // MinHash (16 affine permutations over one md5 per shingle) + LSH
