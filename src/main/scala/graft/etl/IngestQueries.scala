@@ -190,7 +190,11 @@ object IngestQueries {
     // and gate-check the survivors: row count, key sum and a
     // per-row-text md5 digest of the COMPACTED files (so a compaction
     // that drops, duplicates or mangles rows fails the hash), plus a
-    // files_merged verdict (32 -> 1) the oracle asserts as literal 1.
+    // files_merged verdict the oracle asserts as literal 1: the plant
+    // actually fragmented (before > after) and compaction converged to
+    // ONE file (after == 1) — deliberately NOT `before == 32`, because
+    // the plant width is a write-path detail (round-robin repartition
+    // only writes non-empty tasks), not the contract under test.
     // The etl_dead_letter write-then-read recipe; rollback safety is
     // EtlSpec's half (failed promote restores the original).
     "etl_compact_exec" -> Query(
@@ -206,7 +210,7 @@ object IngestQueries {
               col("source"))), 1, 8), 16, 10).cast("long")).cast("bigint")
               .as("row_digest"))
           .select(col("n_rows"), col("key_sum"), col("row_digest"),
-            lit(if (before == 32 && after == 1) 1L else 0L).as("files_merged"))
+            lit(if (before > after && after == 1) 1L else 0L).as("files_merged"))
       },
       Some("""SELECT COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS key_sum,
              |  CAST(SUM(CAST('0x' || substr(md5(concat_ws('|',

@@ -84,23 +84,30 @@ object Graph {
 
     // TRIANGLE enumeration over the co-purchase graph — the clustering
     // signal (closed wedges) community detection and graph-quality
-    // audits start from. Edges are canonically oriented (pa < pb), so
-    // each triangle a<b<c is found exactly once: one equi-join builds
-    // the wedges (ab ⋈ bc on the shared middle vertex) and one
-    // left-semi equi-join closes them against the edge set — never a
-    // cross product, O(Σ deg²) wedge rows total. At 100 TB scale the
-    // refinement is orienting by (degree, id) instead of raw id, which
-    // bounds per-vertex wedge fan-out by the max out-degree of the
-    // orientation — same plan shape, one extra degree join.
+    // audits start from. Edges are oriented low→high by (degree, id) —
+    // the "forward" algorithm — so each triangle is found exactly once
+    // at its minimum-rank vertex: one equi-join builds the wedges (two
+    // out-edges of the same source), one left-semi equi-join closes
+    // them against the oriented edge set, and the output re-sorts each
+    // triple by id, so the result set is IDENTICAL to the id-oriented
+    // enumeration (oracle unchanged). The orientation is the hub
+    // guard: per-vertex wedge fan-out is the out-degree, which the
+    // (degree, id) order bounds at O(√|E|) for any graph — on the
+    // committed power-law corpus (tools/gen_powerlaw.py, hub degree
+    // 12.9k) the id-oriented wedge join pays Σ deg² = 388M rows where
+    // this one stays near-linear. Never a cross product.
     "graph_triangles" -> Query(
       (s, d) => {
-        val edges = graft.Caches.scoped(
-          GraphEdges.pairs(s, d).select(col("pa"), col("pb")))
-        val wedges = edges.select(col("pa").as("a"), col("pb").as("b"))
-          .join(edges.select(col("pa").as("b"), col("pb").as("c")), Seq("b"))
-        wedges.join(edges.select(col("pa").as("a"), col("pb").as("c")),
-            Seq("a", "c"), "left_semi")
-          .select(col("a"), col("b"), col("c"))
+        val fwd = graft.Caches.scoped(GraphEdges.fwdByDegree(s, d))
+        val wedges = fwd.select(col("s"), col("t").as("v1"), col("dt").as("d1"))
+          .join(fwd.select(col("s"), col("t").as("v2"), col("dt").as("d2")),
+            Seq("s"))
+          .filter(col("d1") < col("d2") ||
+            (col("d1") === col("d2") && col("v1") < col("v2")))
+        wedges.join(fwd.select(col("s").as("v1"), col("t").as("v2")),
+            Seq("v1", "v2"), "left_semi")
+          .select(array_sort(array(col("s"), col("v1"), col("v2"))).as("abc"))
+          .select(col("abc")(0).as("a"), col("abc")(1).as("b"), col("abc")(2).as("c"))
       },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
              |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
@@ -116,23 +123,30 @@ object Graph {
     // Jaccard for every existing edge — the similarity features
     // recommendation and graph-cleanup pipelines rank candidate links
     // by. Wedges come from ONE equi-join of the symmetric adjacency
-    // list on the shared center (O(Σ deg²) rows, never a cross
-    // product), collapse to per-pair counts in a map-side partial agg,
-    // and join back onto the edge list with broadcast-size degree
-    // tables riding along. The Jaccard ships in integer basis points
-    // ((10000·cn) div (deg_a + deg_b − cn)) so no float ever crosses
-    // the oracle boundary.
+    // list on the shared center, with centers capped at
+    // [[GraphEdges.HubCap]] (mirrored in the oracle SQL): a hub center
+    // explodes deg² pairs while carrying no discriminative signal (a
+    // part bought with everything predicts nothing), so the cap keeps
+    // wedge volume ≤ 64·2|E| — linear in edges, never a cross product
+    // (no-op at gate scale, max degree 6-13). Pair counts collapse in
+    // a map-side partial agg and join back onto the edge list with
+    // broadcast-size degree tables riding along. The Jaccard ships in
+    // integer basis points ((10000·cn) div (deg_a + deg_b − cn)) so no
+    // float ever crosses the oracle boundary.
     "graph_link_predict" -> Query(
       (s, d) => {
         val edges = graft.Caches.scoped(
           GraphEdges.pairs(s, d).select(col("pa"), col("pb")))
         val sym = edges.select(col("pa").as("u"), col("pb").as("v"))
           .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
-        val cn = sym.select(col("u").as("c"), col("v").as("a"))
-          .join(sym.select(col("u").as("c"), col("v").as("b")), Seq("c"))
+        val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        val ctr = sym.join(
+          deg.filter(col("deg") <= GraphEdges.HubCap).select(col("u")), Seq("u"),
+          "left_semi")
+        val cn = ctr.select(col("u").as("c"), col("v").as("a"))
+          .join(ctr.select(col("u").as("c"), col("v").as("b")), Seq("c"))
           .filter(col("a") < col("b"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
-        val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         edges
           .join(cn, col("pa") === col("a") && col("pb") === col("b"), "left_outer")
           .select(col("pa"), col("pb"), coalesce(col("cn"), lit(0L)).as("cn"))
@@ -141,16 +155,17 @@ object Graph {
           .select(col("pa"), col("pb"), col("cn"), col("deg_a"), col("deg_b"),
             expr("(cn * 10000) div (deg_a + deg_b - cn)").as("jacc_bp"))
       },
-      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      Some(s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
              |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
              |      FROM li a JOIN li b
              |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
              |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
              |sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+             |deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1),
              |cn AS (SELECT s1.v AS a, s2.v AS b, COUNT(*) AS cn
              |       FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
-             |       GROUP BY 1, 2),
-             |deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1)
+             |       JOIN deg dz ON dz.u = s1.u AND dz.deg <= ${GraphEdges.HubCap}
+             |       GROUP BY 1, 2)
              |SELECT e.pa, e.pb, COALESCE(cn.cn, 0) AS cn,
              |  da.deg AS deg_a, db.deg AS deg_b,
              |  (COALESCE(cn.cn, 0) * 10000) // (da.deg + db.deg - COALESCE(cn.cn, 0)) AS jacc_bp
@@ -440,25 +455,27 @@ object Graph {
     // each node's neighborhood is (cc = 2*tri/(deg*(deg-1))): the
     // structural audit that separates hub-and-spoke catalogs from
     // clustered ones before community detection is attempted. Per-node
-    // triangle counts come from the SAME oriented wedge join + semi-join
-    // close test as graph_triangles (O(sum deg^2), never all-pairs);
+    // triangle counts come from the SAME (degree, id)-oriented wedge
+    // join + semi-join close as graph_triangles (each triangle found
+    // once at its minimum-rank vertex, then exploded to all three
+    // corners — identical counts to the id orientation, so the oracle
+    // is unchanged, with the hub-guarded near-linear wedge volume);
     // the coefficient ships in integer basis points and rolls into a
     // <=11-bucket histogram. Nodes of degree < 2 have no defined cc
     // and are excluded identically by both engines.
     "graph_clustering_coeff" -> Query(
       (s, d) => {
-        val edges = graft.Caches.scoped(
-          GraphEdges.pairs(s, d).select(col("pa"), col("pb")))
-        val wedges = edges.select(col("pa").as("a"), col("pb").as("b"))
-          .join(edges.select(col("pa").as("b"), col("pb").as("c")), Seq("b"))
-        val tri = wedges.join(edges.select(col("pa").as("a"), col("pb").as("c")),
-            Seq("a", "c"), "left_semi")
-          .select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+        val fwd = graft.Caches.scoped(GraphEdges.fwdByDegree(s, d))
+        val wedges = fwd.select(col("s"), col("t").as("v1"), col("dt").as("d1"))
+          .join(fwd.select(col("s"), col("t").as("v2"), col("dt").as("d2")),
+            Seq("s"))
+          .filter(col("d1") < col("d2") ||
+            (col("d1") === col("d2") && col("v1") < col("v2")))
+        val tri = wedges.join(fwd.select(col("s").as("v1"), col("t").as("v2")),
+            Seq("v1", "v2"), "left_semi")
+          .select(explode(array(col("s"), col("v1"), col("v2"))).as("u"))
           .groupBy(col("u")).agg(count(lit(1)).as("tri"))
-        val deg = edges.select(col("pa").as("u"))
-          .unionAll(edges.select(col("pb").as("u")))
-          .groupBy(col("u")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= 2)
+        val deg = GraphEdges.deg(s, d).filter(col("deg") >= 2)
         deg.join(tri, Seq("u"), "left")
           .select(col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
           .select(expr("tri * 20000 div (deg * (deg - 1))").as("cc_bp"))
@@ -628,9 +645,15 @@ object Graph {
     // graph_link_predict's Jaccard (rare shared neighbors count more).
     // Each identical per-wedge double term is cast DECIMAL(18,12) so
     // the per-pair sum is exact and order-independent; existing edges
-    // are removed by an anti-join. Work is O(Σ deg²) wedges — the
-    // canonical scale shape, never an all-pairs product. A common
-    // neighbor always has deg >= 2, so ln(deg) > 0.
+    // are removed by an anti-join. Wedge CENTERS are capped at
+    // [[GraphEdges.HubCap]] (mirrored in the oracle SQL, the
+    // stop-shingle pattern): a hub center contributes deg² candidate
+    // pairs and near-zero AA mass each (1/ln(deg) → 0 is exactly WHY
+    // Adamic-Adar down-weights hubs), so the cap removes the quadratic
+    // blowup while keeping the high-signal scores — candidate work is
+    // Σ_{deg≤64} deg² ≤ 64·2|E|, linear in edges. No-op at gate scale
+    // (max degree 6-13). A common neighbor always has deg >= 2, so
+    // ln(deg) > 0.
     "graph_adamic_adar" -> Query(
       (s, d) => {
         val edges = graft.Caches.scoped(
@@ -638,10 +661,12 @@ object Graph {
         val sym = edges.select(col("pa").as("u"), col("pb").as("v"))
           .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
         val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-        val wed = sym.select(col("u").as("z"), col("v").as("a"))
+        val ctr = sym.join(
+          deg.filter(col("deg") <= GraphEdges.HubCap)
+            .select(col("u"), col("deg").as("degz")), Seq("u"))
+        val wed = ctr.select(col("u").as("z"), col("v").as("a"), col("degz"))
           .join(sym.select(col("u").as("z"), col("v").as("b")), Seq("z"))
           .filter(col("a") < col("b"))
-          .join(deg.select(col("u").as("z"), col("deg").as("degz")), Seq("z"))
         val scored = wed.groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("cn"),
             round(sum((lit(1.0) / log(col("degz").cast("double")))
@@ -650,19 +675,20 @@ object Graph {
             scored("a") === edges("pa") && scored("b") === edges("pb"),
             "left_anti")
       },
-      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      Some(s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
              |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
              |      FROM li a JOIN li b
              |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
              |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
              |sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
              |deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1),
-             |w AS (SELECT s1.v AS a, s2.v AS b, s1.u AS z
-             |      FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v),
+             |w AS (SELECT s1.v AS a, s2.v AS b, s1.u AS z, dz.deg AS degz
+             |      FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+             |      JOIN deg dz ON dz.u = s1.u AND dz.deg <= ${GraphEdges.HubCap}),
              |sc AS (SELECT w.a, w.b, COUNT(*) AS cn,
-             |        ROUND(CAST(SUM(CAST(1.0 / ln(CAST(deg.deg AS DOUBLE))
+             |        ROUND(CAST(SUM(CAST(1.0 / ln(CAST(w.degz AS DOUBLE))
              |          AS DECIMAL(18,12))) AS DOUBLE), 6) AS aa
-             |       FROM w JOIN deg ON deg.u = w.z GROUP BY 1, 2)
+             |       FROM w GROUP BY 1, 2)
              |SELECT a, b, cn, aa FROM sc
              |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = sc.a AND e.pb = sc.b)""".stripMargin)
     )

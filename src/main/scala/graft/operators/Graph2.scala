@@ -68,16 +68,24 @@ object Graph2 {
     ),
 
     // 2-HOP REACH: how many distinct nodes each node can touch within
-    // two hops (direct neighbors + friends-of-friends that are not
-    // already neighbors or self) — the influence-radius metric for
-    // seed selection. The wedge join is the O(sum deg^2) step every
-    // triangle/AA query already pays; dedup happens on (u, w) pairs,
-    // never on neighbor SETS in one buffer.
+    // two hops THROUGH NON-HUB intermediates (direct neighbors +
+    // friends-of-friends that are not already neighbors or self) — the
+    // influence-radius metric for seed selection. The middle vertex of
+    // the wedge join is capped at [[graft.operators.GraphEdges.HubCap]]
+    // (mirrored in the oracle SQL): reach THROUGH a hub is the hub's
+    // own reach, not the node's — and an uncapped hub middle explodes
+    // deg² (u, w) rows, measured 8.7× superlinear on the committed
+    // power-law corpus. Capped wedge volume is ≤ 64·2|E|, linear in
+    // edges; no-op at gate scale (max degree 6-13). Dedup happens on
+    // (u, w) pairs, never on neighbor SETS in one buffer.
     "graph_reach_2hop" -> Query(
       (s, d) => {
         val e = graft.Caches.scoped(sym(s, d))
         val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-        val two = e.select(col("u"), col("v").as("z"))
+        val mid = e.join(
+          deg.filter(col("deg") <= GraphEdges.HubCap)
+            .select(col("u").as("v")), Seq("v"), "left_semi")
+        val two = mid.select(col("u"), col("v").as("z"))
           .join(e.select(col("u").as("z"), col("v").as("w")), Seq("z"))
           .filter(col("u") =!= col("w"))
           .select(col("u"), col("w")).distinct()
@@ -94,6 +102,8 @@ object Graph2 {
              |two AS (SELECT t.u, COUNT(*) AS n2 FROM (
              |          SELECT DISTINCT s1.u, s2.v AS w
              |          FROM sym s1 JOIN sym s2 ON s2.u = s1.v
+             |          JOIN deg dz ON dz.u = s1.v
+             |            AND dz.deg <= ${GraphEdges.HubCap}
              |          WHERE s2.v <> s1.u) t
              |        WHERE NOT EXISTS (SELECT 1 FROM sym n
              |          WHERE n.u = t.u AND n.v = t.w)

@@ -28,6 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object GraphEdges {
 
+  /** Wedge-CENTER hub cap, mirrored in every consumer's oracle SQL
+    * (the SimhashBandCap/stop-shingle pattern): common-neighbor
+    * enumeration (graph_adamic_adar, graph_link_predict,
+    * graph_reach_2hop) explodes deg(z)² candidate pairs per center z,
+    * so one Zipf hub dominates the whole join — measured on the
+    * committed power-law corpus (tools/gen_powerlaw.py: hub degree
+    * 4.9k→12.9k, Σdeg² 44M→388M for 4× rows, 8.7× superlinear).
+    * Excluding centers with deg > 64 bounds wedge work at
+    * Σ_{deg≤64} deg² ≤ 64·2|E| — linear in edges — and drops exactly
+    * the centers that carry no signal (a part bought with everything
+    * discriminates nothing: the stop-shingle df>100 rationale).
+    * No-op on the gate corpus (max degree 6-13 across rounds, 5×+
+    * margin); on the stress corpus it binds on 91/328 hubs.
+    */
+  val HubCap = 64
+
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Canonical co-purchase pairs: (pa, pb, sup) with pa < pb, sup >= 2.
@@ -62,6 +78,30 @@ object GraphEdges {
   /** Node degrees over the symmetric adjacency list: (u, deg). */
   def deg(s: SparkSession, d: String): DataFrame =
     sym(s, d).groupBy(col("u")).agg(count(lit(1)).as("deg"))
+
+  /** Edges oriented low→high by (degree, id) — the "forward" triangle
+    * orientation: (s, t, dt) with rank(s) < rank(t), where rank is the
+    * strict total order (deg, id) and dt is t's degree. Per-source
+    * fan-out under this orientation is O(√|E|) for ANY degree
+    * distribution (a vertex's out-neighbors all have rank ≥ its own,
+    * so a degree-D hub keeps at most the few higher-ranked vertices),
+    * which is what keeps wedge enumeration alive on power-law graphs
+    * where the id orientation pays the hub's full deg².
+    */
+  def fwdByDegree(s: SparkSession, d: String): DataFrame = {
+    val p = pairs(s, d).select(col("pa"), col("pb"))
+    val dg = deg(s, d)
+    p.join(dg.select(col("u").as("pa"), col("deg").as("da")), Seq("pa"))
+      .join(dg.select(col("u").as("pb"), col("deg").as("db")), Seq("pb"))
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("pa") < col("pb")),
+          struct(col("pa").as("s"), col("pb").as("t"), col("db").as("dt")))
+          .otherwise(
+            struct(col("pb").as("s"), col("pa").as("t"), col("da").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+  }
 
   /** Attach a 1-row scalar frame to every row of `df` as a broadcast
     * cross join (a BroadcastNestedLoopJoin over exactly one build row —

@@ -194,14 +194,22 @@ object Ivf {
     * cells, hot cells (> CellCap distinct qv) removed — the oracle
     * twin of the capped cell exchange inside `candidatePairs`.
     */
-  def pairAssignCteSql: String =
+  def pairAssignCteSql: String = pairAssignCteSqlWithCap(CellCap)
+
+  /** [[pairAssignCteSql]] with an explicit cap — `vec_cellcap_pairs`
+    * runs this at cap=8 so the hotc/pasg branch (a no-op under the
+    * production CellCap on every gate corpus so far) is exercised
+    * against DuckDB every round instead of lying dormant until a
+    * hot-celled corpus arrives (round-13 ADVICE).
+    */
+  def pairAssignCteSqlWithCap(cap: Long): String =
     s"""${kmeansCteSql(s"($graphKSql)")},
       |pasg0 AS (SELECT vec_id, cid FROM (
       |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
       |          FROM d1) WHERE rn <= $graphNprobe),
       |qg AS (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qv) AS gid FROM q),
       |hotc AS (SELECT p.cid FROM pasg0 p JOIN qg g USING (vec_id)
-      |         GROUP BY p.cid HAVING COUNT(DISTINCT g.gid) > $CellCap),
+      |         GROUP BY p.cid HAVING COUNT(DISTINCT g.gid) > $cap),
       |pasg AS (SELECT * FROM pasg0 WHERE cid NOT IN (SELECT cid FROM hotc))""".stripMargin
 
   /** Pair-regime cell assignments `(vec_id, cid)` — each vector under

@@ -1222,6 +1222,26 @@ object SimilarityQueries {
              |  FROM c) WHERE rn <= 3""".stripMargin)
     ),
 
+    // CELL-CAP CANDIDATE PAIRS at a cap that BINDS at gate scale
+    // (cap=8 vs the production CellCap=256, which is a no-op on every
+    // measured gate corpus): the full capped candidate-pair set from
+    // the shared generator, hash-compared against the DuckDB mirror's
+    // hotc/pasg capped branch. This is the round-13-ADVICE falsifier
+    // made permanent — the oracle's hot-cell-drop CTE (previously dead
+    // code on every oracle-checked corpus, validated only against a
+    // Scala reimplementation in IvfCellCapSpec) now executes through
+    // the gate every round, so a drift between `candidatePairs`' cap
+    // semantics (distinct-qv count, rep collapse, clique re-expansion)
+    // and the SQL mirror surfaces HERE, not as an unexplained failure
+    // on some future hot-celled corpus. Same O(cells·cap² + output)
+    // volume bound as every candidatePairs consumer.
+    "vec_cellcap_pairs" -> Query(
+      (s, d) => Ivf.candidatePairs(s, d, cap = 8L),
+      Some(s"""WITH ${Ivf.pairAssignCteSqlWithCap(8L)}
+             |SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
+             |FROM pasg l JOIN pasg r ON l.cid = r.cid AND l.vec_id < r.vec_id""".stripMargin)
+    ),
+
     // ANN RECALL EVALUATION — the index-quality report as a QUERY, not
     // just a test: per probe, how many of the exact top-5 each
     // approximate index (LSH, IVF) recovered, with recall in integer

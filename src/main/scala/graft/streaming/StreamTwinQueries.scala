@@ -78,33 +78,42 @@ object StreamTwinQueries {
   }
 
   /** Events rewritten as 4 TIME-SLICED parquet files and read back as a
-    * MULTI-BATCH stream (maxFilesPerTrigger=1): slice i holds ts in
-    * [cut(i), cut(i+1)) on the global ts quartile cuts, so equal-ts
-    * events never straddle a boundary and every event in batch k+1 is
-    * strictly later than every event in batches <= k. Slice files get
-    * strictly ascending modification times — the streaming file source
-    * processes files in modTime order, so delivery IS chronological:
-    * the watermark-ordered ingestion the fold components' scaladocs
-    * prescribe, realized as code. Consequences the _mb twins ride on:
-    * fold state carries across micro-batches with the disorder guards
-    * staying armed (any delivery-order slip fails loudly), and a
-    * 0-delay watermark never drops a row (the watermark after batch k
-    * is below every batch-k+1 event by construction). Column contract
-    * matches eventsStream: int64 UTC-nanos `ts` + timestamp `ts_t`.
+    * MULTI-BATCH stream (maxFilesPerTrigger=1): slice i holds ts_us =
+    * ts div 1000 in [cut(i), cut(i+1)) on the global MICROSECOND
+    * quartile cuts — the µs grain is the one every fold component and
+    * oracle tie-breaks on, so events equal at µs can never straddle a
+    * boundary (even if a generator round writes sub-µs-distinct nanos)
+    * and every event in batch k+1 is strictly later AT µS GRAIN than
+    * every event in batches <= k. Slice files get strictly ascending
+    * modification times, planted through the Hadoop FS layer
+    * (FileSystem.setTimes — the etl_rowgroup_audit rule: fixture
+    * plumbing must not silently assume a POSIX local mount) — the
+    * streaming file source processes files in modTime order, so
+    * delivery IS chronological: the watermark-ordered ingestion the
+    * fold components' scaladocs prescribe, realized as code.
+    * Consequences the _mb twins ride on: fold state carries across
+    * micro-batches with the disorder guards staying armed (any
+    * delivery-order slip fails loudly), and a 0-delay watermark never
+    * drops a row (the watermark after batch k is below every batch-k+1
+    * event by construction). Column contract matches eventsStream:
+    * int64 UTC-nanos `ts` + timestamp `ts_t`.
     */
   private[streaming] def timeSlicedEventsStream(s: SparkSession, d: String): DataFrame = {
     val dir = graft.etl.TmpDirs.dir(s"mbslice_${graft.etl.Bucketing.dirTag(d)}")
     val evb = graft.Tables.events(s, d)
-    val cuts = evb.agg(expr("percentile(ts, array(0.25, 0.5, 0.75))"))
+    val cuts = evb.agg(expr("percentile(ts div 1000, array(0.25, 0.5, 0.75))"))
       .first().getSeq[Double](0).map(_.toLong)
     val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     for (i <- 0 until 4) {
       val sd = s"$dir/s$i"
-      evb.filter(col("ts") >= bounds(i) && col("ts") < bounds(i + 1))
+      evb.filter(expr("ts div 1000") >= bounds(i) &&
+          expr("ts div 1000") < bounds(i + 1))
         .coalesce(1).write.mode("overwrite").parquet(sd)
-      val fs = new java.io.File(sd).listFiles()
-      if (fs != null)
-        fs.foreach(f => f.setLastModified(1600000000000L + i * 60000L): Unit)
+      hfs.listStatus(new org.apache.hadoop.fs.Path(sd))
+        .filter(_.isFile)
+        .foreach(st => hfs.setTimes(st.getPath, 1600000000000L + i * 60000L, -1L))
     }
     val schema = s.read.parquet(s"$dir/s0").schema
     s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
@@ -792,9 +801,11 @@ object StreamTwinQueries {
     // sketch's snapshot-per-micro-batch contract under cross-batch
     // accumulation. Four chronological batches emit four ranked
     // snapshots per key; the checked projection keeps each key's
-    // LATEST snapshot (max as_of_us — strictly increasing across
-    // batches, and a key's last snapshot has seen all its events), so
-    // the answer equals the one-batch twin's oracle while the
+    // LATEST snapshot (max (as_of_us, n_seen) — as_of_us is strictly
+    // increasing across batches at the µs slice grain, and the n_seen
+    // tie-break makes the cut robust even against a hypothetical
+    // same-instant double snapshot: more-events-seen wins), so the
+    // answer equals the one-batch twin's oracle while the
     // intermediate snapshots prove the sketch counts ACCUMULATED
     // across batch boundaries instead of restarting per batch.
     "stream_heavy_hitters_mb" -> Query(
@@ -807,8 +818,10 @@ object StreamTwinQueries {
         val out = HeavyHittersStream(evts, cap = 8, emitK = 3)
         val snaps = runToTable(s, out.toDF(), "append")
         val wk = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
-        snaps.withColumn("final_us", max(col("as_of_us")).over(wk))
-          .filter(col("as_of_us") === col("final_us"))
+        snaps.withColumn("final_snap",
+            max(struct(col("as_of_us"), col("n_seen"))).over(wk))
+          .filter(col("as_of_us") === col("final_snap.as_of_us") &&
+            col("n_seen") === col("final_snap.n_seen"))
           .select(col("key"), col("item"), col("count_max"), col("count_min"),
             col("rank"), col("n_seen"), col("as_of_us"))
       },

@@ -44,6 +44,26 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(phantom.isEmpty, s"in SURVEY §2 but not registered: $phantom")
   }
 
+  test("README operator counts match the registry (round-13 verdict: README drifted)") {
+    // SURVEY↔registry equality is gated above, but README sits outside
+    // that triangle and went stale twice (r13: "396 operators" at 408).
+    // Pin the two counts README states: the registry size and the
+    // number of stream_* gate entries.
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val opCount = "\\((\\d+) operators\\)".r.findFirstMatchIn(readme)
+      .map(_.group(1).toInt)
+      .getOrElse(fail("README.md no longer states '(N operators)'"))
+    assert(opCount === SparkEntry.queries.size,
+      s"README says $opCount operators; registry has ${SparkEntry.queries.size}")
+    val twinCount = "\\((\\d+) of them".r.findFirstMatchIn(readme)
+      .map(_.group(1).toInt)
+      .getOrElse(fail("README.md no longer states '(N of them'"))
+    val streamEntries = SparkEntry.queries.keySet.count(_.startsWith("stream_"))
+    assert(twinCount === streamEntries,
+      s"README says $twinCount stream_* entries; registry has $streamEntries")
+  }
+
   test("no query key registers twice (shadowed implementations fail the build)") {
     // modules is the pre-Map Seq: a key registered in two places would
     // silently resolve to whichever folds in last — exactly how two

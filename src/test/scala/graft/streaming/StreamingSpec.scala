@@ -549,6 +549,111 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("SessionizeStream's open-session state survives a checkpointed kill-and-restart") {
+    // The multi-batch twin proves cross-BATCH carry inside one run;
+    // this proves cross-RUN carry: a session left OPEN when the first
+    // query stops must close correctly in a second query started on the
+    // same checkpoint — exactly-once for flatMapGroupsWithState state
+    // across a restart (round-13 verdict Next #4).
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Encoders
+    val root = Files.createTempDirectory("graft_sess_ckpt").toFile.getAbsolutePath
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(inDir).mkdirs()
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("value", DoubleType)))
+
+    def start() = {
+      val ev = spark.readStream.schema(schema).json(inDir)
+        .as[SessionizeStream.Ev](Encoders.product[SessionizeStream.Ev])
+      SessionizeStream(ev, gapUs = 60000000L).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+    }
+
+    // run 1: both users end the run with OPEN sessions (nothing emitted)
+    val _ = Files.writeString(java.nio.file.Paths.get(s"$inDir/b1.json"), Seq(
+      """{"user_id":1,"ts_us":0,"value":1.0}""",
+      """{"user_id":1,"ts_us":30000000,"value":2.0}""",
+      """{"user_id":2,"ts_us":0,"value":5.0}""").mkString("\n"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // run 2 (fresh query on the same checkpoint): user 1's first event
+    // EXTENDS the session opened in run 1 (20s < 60s gap) before a
+    // 150s gap closes it — the closed session mixes run-1 and run-2
+    // events, which only works if the open-session state was restored
+    // from the checkpoint; user 2's event closes the run-1 singleton.
+    val _ = Files.writeString(java.nio.file.Paths.get(s"$inDir/b2.json"), Seq(
+      """{"user_id":1,"ts_us":50000000,"value":3.0}""",
+      """{"user_id":1,"ts_us":200000000,"value":4.0}""",
+      """{"user_id":2,"ts_us":300000000,"value":6.0}""").mkString("\n"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = spark.read.parquet(outDir)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(rows === Seq((1L, 0L, 50000000L, 3L), (2L, 0L, 0L, 1L)))
+
+    // idle restart: checkpointed offsets re-read nothing, no duplicates
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.read.parquet(outDir).count() === 2)
+  }
+
+  test("AttributionStream's last-click state survives a checkpointed kill-and-restart") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Encoders
+    val root = Files.createTempDirectory("graft_attr_ckpt").toFile.getAbsolutePath
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(inDir).mkdirs()
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType)))
+
+    def start() = {
+      val ev = spark.readStream.schema(schema).json(inDir)
+        .as[AttributionStream.Ev](Encoders.product[AttributionStream.Ev])
+      AttributionStream(ev, lookbackUs = 100000000L).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+    }
+
+    // run 1: a click and nothing else — ALL signal is in the state
+    val _ = Files.writeString(java.nio.file.Paths.get(s"$inDir/b1.json"),
+      """{"user_id":1,"ts_us":0,"event_id":10,"event_type":"click"}""")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.schema(StructType(Seq(StructField("purchase_id", LongType))))
+      .parquet(outDir).count() === 0)
+
+    // run 2: the first purchase credits the RUN-1 click (state restored
+    // from the checkpoint — there is no other place it could come from),
+    // the second falls outside the lookback, the third credits a fresh
+    // run-2 click.
+    val _ = Files.writeString(java.nio.file.Paths.get(s"$inDir/b2.json"), Seq(
+      """{"user_id":1,"ts_us":50000000,"event_id":20,"event_type":"purchase"}""",
+      """{"user_id":1,"ts_us":150000000,"event_id":21,"event_type":"purchase"}""",
+      """{"user_id":1,"ts_us":160000000,"event_id":11,"event_type":"click"}""",
+      """{"user_id":1,"ts_us":170000000,"event_id":22,"event_type":"purchase"}""").mkString("\n"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = spark.read.parquet(outDir)
+      .select("purchase_id", "click_id", "delta_us")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq.sortBy(_._1)
+    assert(rows === Seq(
+      (20L, Some(10L), Some(50000000L)),
+      (21L, None, None),
+      (22L, Some(11L), Some(10000000L))))
+  }
+
   test("timeSlicedEventsStream delivers the whole table in >= 4 micro-batches") {
     val d = "/root/testdata/sf0.001"
     val ev = StreamTwinQueries.timeSlicedEventsStream(spark, d)
