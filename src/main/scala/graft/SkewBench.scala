@@ -16,15 +16,16 @@ import org.apache.spark.sql.functions._
   * straggler signature wall time can hide at low parallelism) and
   * total shuffle read bytes via a task-end listener.
   *
-  * Variants (joins run with the dim inflated ×2048 so it crosses the
-  * 10 MB broadcast threshold — a 5-row dim broadcasts and makes salting
-  * trivially pointless; the interesting regime is the shuffle join a
-  * big dim forces):
+  * Variants (the join keeps the registered query's 1-row-per-type dim;
+  * the shuffle regime a too-big-to-broadcast dim forces is reproduced
+  * by turning the broadcast threshold off, NOT by inflating the dim —
+  * replicating dim rows per key would multiply the join output and
+  * measure fan-out, not skew):
   *  - agg_plain / agg_salted: groupBy(user_id) sum/count, plain vs
   *    two-stage (user_id, salt) pre-aggregation.
   *  - join_plain_bcast: what the engine does unaided (broadcast).
   *  - join_plain_shuffle: broadcast off, AQE skew-join off — the naive
-  *    shuffle join a too-big dim degrades to.
+  *    shuffle join, where the 85% hot type lands on ONE reducer.
   *  - join_plain_aqeskew: broadcast off, AQE skew-join ON (the
   *    engine-native mitigation).
   *  - join_salted_shuffle: broadcast off, the salted plan.
@@ -60,12 +61,8 @@ object SkewBench {
 
     def events = Tables.events(spark, sfDir)
 
-    // the dim replicated past the broadcast threshold: 5 types × 2048
-    // synthetic attribute rows ≈ 10k rows of strings — with the
-    // broadcast threshold forced off it shuffles; type_code matches the
-    // registered join_skew_salted dim contract
-    def bigDim = events.select(col("event_type")).distinct()
-      .withColumn("rep", explode(sequence(lit(0), lit(2047))))
+    // the registered join_skew_salted dim contract: one row per type
+    def dim = events.select(col("event_type")).distinct()
       .withColumn("type_code", length(col("event_type")).cast("long"))
 
     val aggPlain = () => events
@@ -80,14 +77,14 @@ object SkewBench {
       .groupBy(col("user_id"))
       .agg(sum(col("pn")).as("n_events"),
         sum(col("pv")).cast("double").as("sum_value"))
-    val joinPlain = () => events.join(bigDim, Seq("event_type"))
+    val joinPlain = () => events.join(dim, Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), max(col("type_code")).as("type_code"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
     val joinSalted = () => {
-      val dim = bigDim.withColumn("salt", explode(sequence(lit(0), lit(7))))
+      val sdim = dim.withColumn("salt", explode(sequence(lit(0), lit(7))))
       events.withColumn("salt", (col("event_id") % 8).cast("int"))
-        .join(dim, Seq("event_type", "salt"))
+        .join(sdim, Seq("event_type", "salt"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), max(col("type_code")).as("type_code"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
