@@ -158,6 +158,33 @@ object Graph2 {
              |    THEN COALESCE(n_edges, 0) * 2 * 10000 // (n_nodes * (n_nodes - 1))
              |    ELSE 0 END AS BIGINT) AS density_bp
              |FROM nk LEFT JOIN ek ON ek.k = nk.k""".stripMargin)
+    ),
+
+    // CONNECTED COMPONENTS over the co-purchase graph — the exact
+    // connectivity primitive the approximate community entries (LPA,
+    // modularity) sit on top of, and the graph twin of
+    // vec_cluster_components: per-node minimum-reachable-id labels via
+    // the shared min-label-propagation + pointer-jumping fold
+    // (O(|E|·diameter-ish) messages with the jump squaring progress;
+    // converged-or-throw, never silently wrong). Reuses
+    // dedup.DedupQueries.connectedComponents — one implementation, two
+    // registered domains (embedding near-dup clusters / product graph).
+    // Oracle: recursive CTE with set-semantics UNION, bounded the same
+    // way BFS's is.
+    "graph_components" -> Query(
+      (s, d) => {
+        val p = GraphEdges.pairs(s, d)
+          .select(col("pa").as("da"), col("pb").as("db"))
+        graft.dedup.DedupQueries.connectedComponents(p)
+          .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
+      },
+      Some(s"""WITH RECURSIVE $symSql,
+             |nodes AS (SELECT DISTINCT u AS node FROM sym),
+             |walk(node, lbl) AS (
+             |  SELECT node, node FROM nodes
+             |  UNION
+             |  SELECT s.v, w.lbl FROM walk w JOIN sym s ON s.u = w.node)
+             |SELECT node, MIN(lbl) AS component_id FROM walk GROUP BY node""".stripMargin)
     )
   )
 }
