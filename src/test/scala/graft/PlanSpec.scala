@@ -130,6 +130,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("capped wedge family, cellcap pairs and components stay equi-join (r14 guards)") {
+    // the hub guards must not change the JOIN STRATEGY — wedge caps and
+    // the (degree,id) orientation are row filters/reorderings on top of
+    // the same equi-join shape, and the capped candidate generator at
+    // cap=8 runs the identical plan as the production-cap one
+    Seq("graph_adamic_adar", "graph_reach_2hop", "graph_clustering_coeff",
+      "vec_cellcap_pairs", "graph_components").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-join under the r14 guards")
+    }
+  }
+
   test("greedy packing shuffles once — on the shard key") {
     val t = tree("text_pack_greedy")
     assert(t.count(_.contains("Exchange hashpartitioning")) == 1,
