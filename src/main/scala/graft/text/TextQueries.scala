@@ -599,6 +599,76 @@ object TextQueries {
              |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin)
     ),
 
+    // Eval-side CONTAMINATION REPORT — the model-card leakage table:
+    // for every EVAL doc (text_decontaminate's held-out split), what
+    // fraction of its distinct 8-grams also appears in the TRAINING
+    // split, and how many training docs carry them. decontaminate
+    // answers "which training docs must go"; this answers "how burnt
+    // is each benchmark if we don't" — the number leakage studies
+    // actually publish per benchmark. Same relational shingle assembly
+    // and 60-bit hashes; the join direction flips: the eval index
+    // (tiny by construction — benchmarks, not corpus) BROADCASTS onto
+    // the training shingle stream, partial-aggs collapse map-side, and
+    // the only shuffle is eval-sized (one row per eval doc). leak_bp
+    // is integer basis points, zero-shingle eval docs come back via
+    // the left join with leak_bp 0.
+    "text_contamination_report" -> Query(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(TextFunctions.cleanTokens(lower(col("text")))).as(Seq("pos", "t")))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val leads = (1 until 8).map(i => lead(col("t"), i).over(wd))
+        val sh = tok
+          .select(col("doc_id"),
+            concat_ws(" ", (col("t") +: leads): _*).as("s"), leads.last.as("t7"))
+          .filter(col("t7").isNotNull)
+          .select(col("doc_id"), graft.functions.Hashing.md5Long60(col("s")).as("h"))
+          .distinct()
+        val ev = sh.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("eval_doc_id"), col("h"))
+        val tot = ev.groupBy(col("eval_doc_id")).agg(count(lit(1)).as("n_shingles"))
+        val hits = sh.filter(col("doc_id") % 20 =!= 0)
+          .join(broadcast(ev), Seq("h"))
+          .groupBy(col("eval_doc_id"))
+          .agg(count_distinct(col("h")).as("n_leaked"),
+            count_distinct(col("doc_id")).as("n_train_docs"))
+        Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("eval_doc_id"))
+          .join(tot, Seq("eval_doc_id"), "left")
+          .join(hits, Seq("eval_doc_id"), "left")
+          .select(col("eval_doc_id"),
+            coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+            coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+            when(coalesce(col("n_shingles"), lit(0L)) > 0,
+              expr("coalesce(n_leaked, 0L) * 10000 div n_shingles"))
+              .otherwise(lit(0L)).as("leak_bp"),
+            coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |            list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tk
+             |          FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS s
+             |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+             |             FROM t WHERE len(tk) >= 8)),
+             |ev AS (SELECT doc_id AS eval_doc_id, s FROM sh WHERE doc_id % 20 = 0),
+             |tot AS (SELECT eval_doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY 1),
+             |hits AS (SELECT ev.eval_doc_id, COUNT(DISTINCT ev.s) AS n_leaked,
+             |           COUNT(DISTINCT sh.doc_id) AS n_train_docs
+             |         FROM sh JOIN ev USING (s) WHERE sh.doc_id % 20 <> 0 GROUP BY 1)
+             |SELECT d.doc_id AS eval_doc_id,
+             |  COALESCE(tot.n_shingles, 0) AS n_shingles,
+             |  COALESCE(h.n_leaked, 0) AS n_leaked,
+             |  CAST(CASE WHEN COALESCE(tot.n_shingles, 0) > 0
+             |    THEN COALESCE(h.n_leaked, 0) * 10000 // tot.n_shingles
+             |    ELSE 0 END AS BIGINT) AS leak_bp,
+             |  COALESCE(h.n_train_docs, 0) AS n_train_docs
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+             |LEFT JOIN tot ON tot.eval_doc_id = d.doc_id
+             |LEFT JOIN hits h ON h.eval_doc_id = d.doc_id""".stripMargin)
+    ),
+
     // Context-window SEQUENCE PACKING: greedy first-fit of docs (in
     // doc_id order) into 256-token training sequences — the step that
     // turns a curated corpus into fixed-budget training rows without
