@@ -502,11 +502,23 @@ object DedupQueries {
           .select(col("da"), col("db"), (matchCnt * 625L).as("est_bp"))
           .filter(col("est_bp") >= 5000))
         val aud = sel.filter((col("da") * 31L + col("db")) % 8 === 0)
-        val sr = graft.Caches.scoped(shingleRows(s, d))
-        val szs = sr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        // r14: the audit touches only the 1-in-8 sampled pairs' docs,
+        // so PRUNE the corpus shingle table to those docs with a
+        // broadcast semi-join BEFORE the intersection join — without
+        // it the y-side shuffled the ENTIRE shingle table on
+        // (doc_id, sh) to serve a sample-sized probe (measured 14.8 s
+        // -> see §5; the audited-doc list is sample-sized by
+        // construction, so the broadcast is scale-safe). Pure physical
+        // filter: every row the intersection consumes has doc_id in
+        // the audited set anyway, so the oracle is unchanged.
+        val audDocs = aud.select(col("da").as("doc_id"))
+          .unionAll(aud.select(col("db").as("doc_id"))).distinct()
+        val srA = graft.Caches.scoped(shingleRows(s, d)
+          .join(broadcast(audDocs), Seq("doc_id"), "left_semi"))
+        val szs = srA.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = aud
-          .join(sr.as("x"), col("da") === col("x.doc_id"))
-          .join(sr.as("y"),
+          .join(srA.as("x"), col("da") === col("x.doc_id"))
+          .join(srA.as("y"),
             col("db") === col("y.doc_id") && col("x.sh") === col("y.sh"))
           .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
         val audited = aud
