@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Candidate-VOLUME growth probe for the capped families (round 15 —
+  * VERDICT r14 Next #5): sf1 proved 10x, the claim is 100 TB, so this
+  * main measures one decade further (tools/gen_decade.py corpora) and
+  * asserts the thing the cap contracts actually promise — bounded
+  * CANDIDATE growth, not wall time on a laptop-shaped box.
+  *
+  * Every metric here is an AGGREGATE over bucket/key sizes
+  * (sum c·(c−1)/2 per bucket): the candidate pair count of an
+  * equi-join is computable without materializing a single pair row,
+  * so the probe itself is O(n) at any scale. Families:
+  *
+  *  - docs <dir>…: per corpus — MinHash band-bucket candidates
+  *    (8 bands × 2 rows, the dedup_minhash_lsh/jaccard/containment
+  *    twin index), SimHash 15-bit-band candidates pre- and post-
+  *    SimhashBandCap, and exact shingle-intersection candidates pre-
+  *    and post- the df>100 stop-shingle cap (the dedup_ngram_jaccard /
+  *    dedup_containment join volume).
+  *  - vecs <dir>…: per corpus — trained-IVF cell-assignment profile
+  *    (max/avg cell size) and the capped candidate-pair count from the
+  *    SHARED generator every embedding consumer uses
+  *    (graft.similarity.Ivf.candidatePairs).
+  *  - graph <dir>…: per corpus — co-purchase edges, Σdeg² (what an
+  *    id-oriented wedge join pays), the (degree,id)-oriented wedge
+  *    volume (what graph_triangles/clustering_coeff pay), and the
+  *    HubCap-guarded common-neighbor volume (what adamic_adar /
+  *    link_predict / reach_2hop pay).
+  *
+  * Output: one JSON line per (family, dir). Diagnostic main — not a
+  * gate entry; the committed artifact is growth_probe_r15.json and the
+  * SURVEY §5 decade table derived from it.
+  */
+object GrowthProbe {
+
+  private def pairsPerBucket(df: DataFrame, keys: Seq[String]): Long =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
+      .first().getLong(0)
+
+  def main(args: Array[String]): Unit = {
+    val family = args.head
+    val dirs = args.tail.toSeq
+    val spark = Session.local()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs.foreach { d =>
+      family match {
+        case "docs" =>
+          val nDocs = Tables.documents(spark, d).count()
+          val bands = graft.dedup.DedupQueries.bandTable(spark, d)
+          val bandCand = pairsPerBucket(bands, Seq("band_idx", "bkey"))
+          // simhash banding: same construction as dedup_simhash
+          val sims = graft.dedup.SimHash.relational(
+            Tables.documents(spark, d), "doc_id", "text")
+          val bandStructs = (0 until 4).map { b =>
+            struct(lit(b).as("band_idx"),
+              graft.functions.Hashing.simHashBand(col("sim"), b).as("bkey"))
+          }
+          val sb = sims
+            .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+            .select(col("bd.band_idx").as("band_idx"), col("bd.bkey").as("bkey"))
+            .groupBy(col("band_idx"), col("bkey")).agg(count(lit(1)).as("c"))
+            .agg(
+              coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("pre"),
+              coalesce(sum(expr(
+                s"CASE WHEN c <= ${graft.dedup.DedupQueries.SimhashBandCap} " +
+                  "THEN c * (c - 1) div 2 ELSE 0 END")), lit(0L)).as("post"))
+            .first()
+          // exact shingle-intersection volume (ngram_jaccard/containment)
+          val sh = graft.dedup.DedupQueries.shingleHash60Rows(spark, d)
+            .groupBy(col("shh")).agg(count(lit(1)).as("df"))
+            .agg(
+              coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)).as("pre"),
+              coalesce(sum(expr(
+                "CASE WHEN df <= 100 THEN df * (df - 1) div 2 ELSE 0 END")),
+                lit(0L)).as("post"))
+            .first()
+          println(s"""{"family":"docs","dir":"$d","n_docs":$nDocs,""" +
+            s""""minhash_band_cand":$bandCand,""" +
+            s""""simhash_cand_precap":${sb.getLong(0)},"simhash_cand_postcap":${sb.getLong(1)},""" +
+            s""""shingle_cand_precap":${sh.getLong(0)},"shingle_cand_postcap":${sh.getLong(1)}}""")
+        case "vecs" =>
+          val nVecs = Tables.embeddings(spark, d).count()
+          val asg = graft.similarity.Ivf.pairAssignments(spark, d)
+            .groupBy(col("cid")).agg(countDistinct(col("vec_id")).as("c"))
+            .agg(max(col("c")).as("mx"),
+              coalesce(avg(col("c")), lit(0.0)).as("av"),
+              coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("pre"),
+              coalesce(sum(expr(
+                s"CASE WHEN c <= ${graft.similarity.Ivf.CellCap} " +
+                  "THEN c * (c - 1) div 2 ELSE 0 END")), lit(0L)).as("post"))
+            .first()
+          val capped = graft.similarity.Ivf.candidatePairs(spark, d).count()
+          println(s"""{"family":"vecs","dir":"$d","n_vecs":$nVecs,""" +
+            f""""max_cell":${asg.getLong(0)},"avg_cell":${asg.getDouble(1)}%.1f,""" +
+            s""""cell_cand_precap":${asg.getLong(2)},"cell_cand_postcap":${asg.getLong(3)},""" +
+            s""""capped_candidate_pairs":$capped}""")
+        case "graph" =>
+          val edges = graft.operators.GraphEdges.pairs(spark, d).count()
+          val degAgg = graft.operators.GraphEdges.deg(spark, d)
+            .agg(coalesce(sum(expr("deg * deg")), lit(0L)).as("d2"),
+              coalesce(sum(expr(
+                s"CASE WHEN deg <= ${graft.operators.GraphEdges.HubCap} " +
+                  "THEN deg * (deg - 1) div 2 ELSE 0 END")), lit(0L)).as("capped"),
+              coalesce(sum(expr(
+                s"CASE WHEN deg > ${graft.operators.GraphEdges.HubCap} " +
+                  "THEN 1 ELSE 0 END")), lit(0L)).as("hubs"),
+              max(col("deg")).as("mx"))
+            .first()
+          val oriented = graft.operators.GraphEdges.fwdByDegree(spark, d)
+            .groupBy(col("s")).agg(count(lit(1)).as("c"))
+            .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
+            .first().getLong(0)
+          println(s"""{"family":"graph","dir":"$d","edges":$edges,""" +
+            s""""max_deg":${degAgg.getLong(3)},"sum_deg2":${degAgg.getLong(0)},""" +
+            s""""oriented_wedges":$oriented,"hubcap_wedges":${degAgg.getLong(1)},""" +
+            s""""hubs_gt_cap":${degAgg.getLong(2)}}""")
+        case other => sys.error(s"unknown family: $other (docs|vecs|graph)")
+      }
+      Caches.releaseAll()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -97,19 +97,29 @@ object SkewBench {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkew.toString)
       // warm the scan cache once so run 1 isn't billed the cold read
       val _ = mk().queryExecution.toRdd.count()
-      var maxTask = 0L; var shRead = 0L; var shWrite = 0L
-      val times = (1 to 3).map { _ =>
-        stats.reset()
+      // r14 ADVICE: task-end events arrive asynchronously, so stats
+      // read right after a job returns can under-count (and warm-up
+      // events can bleed past reset() into run 1). listenerBus.
+      // waitUntilEmpty is private[spark]; a settle sleep before each
+      // reset/read drains the queue for this single-JVM diagnostic.
+      // Shuffle bytes and max-task are now recorded PER RUN (arrays,
+      // like the times) instead of last-run/cross-run-max mixtures.
+      def settle(): Unit = Thread.sleep(500)
+      val runs = (1 to 3).map { _ =>
+        settle(); stats.reset()
         val t0 = System.nanoTime()
         mk().queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
-        maxTask = math.max(maxTask, stats.maxTaskMs)
-        shRead = stats.shuffleReadBytes; shWrite = stats.shuffleWriteBytes
-        dt
+        settle()
+        (dt, stats.maxTaskMs, stats.shuffleReadBytes, stats.shuffleWriteBytes)
       }
+      val times = runs.map(_._1)
       println(f"""{"variant":"$name","runs":[${times.map(t => f"$t%.3f").mkString(",")}],""" +
-        f""""min_sec":${times.min}%.3f,"max_task_sec":${maxTask / 1e3}%.3f,""" +
-        f""""shuffle_read_mb":${shRead / 1048576.0}%.2f,"shuffle_write_mb":${shWrite / 1048576.0}%.2f,"sf":"$sfDir"}""")
+        f""""min_sec":${times.min}%.3f,""" +
+        s""""max_task_sec_runs":[${runs.map(r => f"${r._2 / 1e3}%.3f").mkString(",")}],""" +
+        s""""shuffle_read_mb_runs":[${runs.map(r => f"${r._3 / 1048576.0}%.2f").mkString(",")}],""" +
+        s""""shuffle_write_mb_runs":[${runs.map(r => f"${r._4 / 1048576.0}%.2f").mkString(",")}],""" +
+        s""""sf":"$sfDir"}""")
     }
 
     run("agg_plain", aggPlain, broadcastOff = false, aqeSkew = false)

@@ -507,10 +507,13 @@ object DedupQueries {
         // broadcast semi-join BEFORE the intersection join — without
         // it the y-side shuffled the ENTIRE shingle table on
         // (doc_id, sh) to serve a sample-sized probe (measured 14.8 s
-        // -> see §5; the audited-doc list is sample-sized by
-        // construction, so the broadcast is scale-safe). Pure physical
-        // filter: every row the intersection consumes has doc_id in
-        // the audited set anyway, so the oracle is unchanged.
+        // -> see §5). Scale caveat (r14 ADVICE): the audited-doc list
+        // is a 1-in-8 FRACTION of the selected near-dup pairs, not a
+        // constant size — gate-safe, but on a corpus with a huge
+        // near-dup population the hint should be dropped past a size
+        // threshold (the semi-join stays correct as a shuffle join).
+        // Pure physical filter either way: every row the intersection
+        // consumes has doc_id in the audited set, oracle unchanged.
         val audDocs = aud.select(col("da").as("doc_id"))
           .unionAll(aud.select(col("db").as("doc_id"))).distinct()
         val srA = graft.Caches.scoped(shingleRows(s, d)
@@ -565,6 +568,131 @@ object DedupQueries {
              |  JOIN sz za ON za.doc_id = a.da
              |  JOIN sz zb ON zb.doc_id = a.db)
              |SELECT e.da, e.db, e.est_bp, audited.jac_bp,
+             |  CAST(1 AS BIGINT) AS within_bound
+             |FROM sel e
+             |LEFT JOIN audited ON audited.da = e.da AND audited.db = e.db""".stripMargin)
+    ),
+
+    // APPROXIMATE-CONTAINMENT pairs — the bounded scale twin of
+    // dedup_containment (VERDICT r14 Next #1: the exact-containment
+    // family was the last superlinear block — 21x wall for 10x rows on
+    // the closed-vocab corpus, because exact shingle intersections are
+    // paid for EVERY shingle-sharing pair). Mirrors the
+    // dedup_jaccard_approx design one entry up: candidates from the
+    // existing banded MinHash index, Jaccard estimated from the 16-perm
+    // signatures (m matching positions => J ~ m/16), then containment
+    // derived through the set identity |A∩B| = J/(1+J)·(|A|+|B|):
+    //   inter_est = m·(na+nb) div (16+m)   (integer, exact at m=16)
+    //   cont_est  = min(inter_est, min(na,nb)) / min(na,nb)
+    // Per-doc set sizes na/nb are ROW-LOCAL (size(array_distinct(
+    // shingles)) — no extra shuffle; the size join rides the same
+    // doc_id key the signature join pays). Decision path is O(16) per
+    // banded candidate at any scale. Exact intersections run only for
+    // the deterministic 1-in-8 audit sample ((da·31+db) % 8 = 0), and
+    // the in-plan verdict asserts mean |est−exact| <= 2000 bp over the
+    // audited pairs (the J-estimate's n=16 binomial sd is 1250 bp at
+    // J=0.5; the (na+nb)/min amplification of the containment map adds
+    // the rest of the budget) — the oracle replays both sides and pins
+    // within_bound=1, so a drifting estimator hash-fails the gate.
+    // Honest recall note (the one-sided-estimate caveat): candidates
+    // still come from JACCARD banding, so an extreme-asymmetry pair
+    // (tiny doc quoted inside a huge one: containment ~1, Jaccard ~0)
+    // may never band-collide — the twin bounds cost for the near-dup
+    // regime the band index covers; the exact entry remains the
+    // yardstick for asymmetric containment (LSH-Ensemble-style
+    // containment banding would be the next step, not this one).
+    "dedup_containment_approx" -> Query(
+      (s, d) => {
+        val pairs = graft.Caches.scoped(minhashPairs(s, d))
+        val sigs = graft.Caches.scoped(signatures(s, d))
+        // row-local distinct-shingle-set size per doc — one projection
+        // over documents, no shuffle (the join below pays doc_id)
+        val szs = graft.Caches.scoped(Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(array_distinct(graft.plans.TextExpressions.shingles(cleanToks, 3)))
+              .cast("long").as("n"))
+          .filter(col("n") > 0))
+        val matchCnt = (0 until 16)
+          .map(i => (col(s"sa.sig$i") === col(s"sb.sig$i")).cast("long"))
+          .reduce(_ + _)
+        val sel = graft.Caches.scoped(pairs
+          .join(sigs.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sigs.as("sb"), col("db") === col("sb.doc_id"))
+          .select(col("da"), col("db"), matchCnt.as("m"))
+          .join(szs.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+          .join(szs.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+          .select(col("da"), col("db"), col("na"), col("nb"),
+            least(expr("m * (na + nb) div (16 + m)"),
+              least(col("na"), col("nb"))).as("inter_est"))
+          .withColumn("cont_est_bp", expr("inter_est * 10000 div least(na, nb)"))
+          .filter(col("cont_est_bp") >= 6000))
+        val aud = sel.filter((col("da") * 31L + col("db")) % 8 === 0)
+        // audit prune, same shape as dedup_jaccard_approx: semi-join
+        // the corpus shingle table down to the audited docs before the
+        // intersection join. The audited-doc list is sample-sized in
+        // EXPECTATION (1-in-8 of selected pairs) but corpus-
+        // proportional in the worst case — on a cluster the broadcast
+        // hint should be dropped past a size threshold (the semi-join
+        // stays correct as a shuffle join); at gate scales it is a
+        // kilobyte.
+        val audDocs = aud.select(col("da").as("doc_id"))
+          .unionAll(aud.select(col("db").as("doc_id"))).distinct()
+        val srA = graft.Caches.scoped(shingleRows(s, d)
+          .join(broadcast(audDocs), Seq("doc_id"), "left_semi"))
+        val inter = aud
+          .join(srA.as("x"), col("da") === col("x.doc_id"))
+          .join(srA.as("y"),
+            col("db") === col("y.doc_id") && col("x.sh") === col("y.sh"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+        val audited = aud
+          .join(inter, Seq("da", "db"), "left")
+          .withColumn("i0", coalesce(col("inter"), lit(0L)))
+          .select(col("da"), col("db"),
+            expr("i0 * 10000 div least(na, nb)").as("cont_bp"))
+        val scored = sel.select(col("da"), col("db"), col("cont_est_bp"))
+          .join(audited, Seq("da", "db"), "left")
+        val verdict = scored.filter(col("cont_bp").isNotNull)
+          .agg(coalesce(sum(abs(col("cont_est_bp") - col("cont_bp"))), lit(0L)).as("terr"),
+            count(lit(1)).as("np"))
+          .select((col("terr") <= col("np") * 2000L).cast("long").as("within_bound"))
+        scored.crossJoin(broadcast(verdict))
+      },
+      Some(s"""WITH $bandsCteSql,
+             |shl AS (SELECT doc_id,
+             |  list_distinct(list_transform(generate_series(1, len(tk)-2),
+             |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+             |FROM td),
+             |sz AS (SELECT doc_id, len(sh) AS n FROM shl WHERE len(sh) > 0),
+             |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             |          FROM bd a JOIN bd b ON a.band_idx = b.band_idx
+             |            AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+             |sel AS (SELECT da, db, na, nb,
+             |          (inter_est * 10000 // LEAST(na, nb)) AS cont_est_bp
+             |        FROM (
+             |          SELECT p.da, p.db, za.n AS na, zb.n AS nb,
+             |            LEAST(CAST(len(list_filter(generate_series(1, 16),
+             |                i -> sa.sig[i] = sb.sig[i])) AS BIGINT)
+             |                * (za.n + zb.n)
+             |              // (16 + CAST(len(list_filter(generate_series(1, 16),
+             |                i -> sa.sig[i] = sb.sig[i])) AS BIGINT)),
+             |              LEAST(za.n, zb.n)) AS inter_est
+             |          FROM pairs p JOIN sg sa ON sa.doc_id = p.da
+             |          JOIN sg sb ON sb.doc_id = p.db
+             |          JOIN sz za ON za.doc_id = p.da
+             |          JOIN sz zb ON zb.doc_id = p.db)
+             |        WHERE (inter_est * 10000 // LEAST(na, nb)) >= 6000),
+             |aud AS (SELECT * FROM sel WHERE (da * 31 + db) % 8 = 0),
+             |xs AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+             |inter AS (SELECT p.da, p.db, COUNT(*) AS inter
+             |          FROM aud p JOIN xs x ON x.doc_id = p.da
+             |          JOIN xs y ON y.doc_id = p.db AND y.s = x.s
+             |          GROUP BY 1, 2),
+             |audited AS (SELECT a.da, a.db,
+             |    CAST(COALESCE(i.inter, 0) * 10000
+             |      // LEAST(a.na, a.nb) AS BIGINT) AS cont_bp
+             |  FROM aud a
+             |  LEFT JOIN inter i ON i.da = a.da AND i.db = a.db)
+             |SELECT e.da, e.db, e.cont_est_bp, audited.cont_bp,
              |  CAST(1 AS BIGINT) AS within_bound
              |FROM sel e
              |LEFT JOIN audited ON audited.da = e.da AND audited.db = e.db""".stripMargin)

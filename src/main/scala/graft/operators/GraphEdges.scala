@@ -103,6 +103,35 @@ object GraphEdges {
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
   }
 
+  /** Closed triangles (a < b < c), each found exactly once at its
+    * minimum-(degree,id) corner: the oriented wedge join (two
+    * out-edges of one source under [[fwdByDegree]]) + a left-semi
+    * equi-join close against the oriented edge set, corners re-sorted
+    * by id. Materialized once per dir (r14 VERDICT Next #2:
+    * graph_triangles and graph_clustering_coeff each re-paid the full
+    * wedge enumeration — the single heaviest step of the family under
+    * the hub guard — so the close is now written one time and both
+    * consumers read the buckets; rich-club/assortativity-style future
+    * consumers join for free). Deterministic derivation => the memo
+    * cannot change any output, and both consumers' DuckDB oracles keep
+    * their self-contained triangle CTEs, so the gate still checks the
+    * SEMANTICS of the enumeration, not the cache.
+    */
+  def triangles(s: SparkSession, d: String): DataFrame =
+    graft.etl.Bucketing.memoBucketed(s, built, "tri|" + d,
+      "graft_triangles_" + graft.etl.Bucketing.dirTag(d), "a", buckets = 8) {
+      val fwd = fwdByDegree(s, d)
+      val wedges = fwd.select(col("s"), col("t").as("v1"), col("dt").as("d1"))
+        .join(fwd.select(col("s"), col("t").as("v2"), col("dt").as("d2")),
+          Seq("s"))
+        .filter(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("v1") < col("v2")))
+      wedges.join(fwd.select(col("s").as("v1"), col("t").as("v2")),
+          Seq("v1", "v2"), "left_semi")
+        .select(array_sort(array(col("s"), col("v1"), col("v2"))).as("abc"))
+        .select(col("abc")(0).as("a"), col("abc")(1).as("b"), col("abc")(2).as("c"))
+    }
+
   /** Attach a 1-row scalar frame to every row of `df` as a broadcast
     * cross join (a BroadcastNestedLoopJoin over exactly one build row —
     * constant work per probe row; a constant-key equi-join would

@@ -98,23 +98,38 @@ object StreamTwinQueries {
     * event by construction). Column contract matches eventsStream:
     * int64 UTC-nanos `ts` + timestamp `ts_t`.
     */
+  private val slicedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[streaming] def timeSlicedEventsStream(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.etl.TmpDirs.dir(s"mbslice_${graft.etl.Bucketing.dirTag(d)}")
-    val evb = graft.Tables.events(s, d)
-    val cuts = evb.agg(expr("percentile(ts div 1000, array(0.25, 0.5, 0.75))"))
-      .first().getSeq[Double](0).map(_.toLong)
-    val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
-    val hfs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    for (i <- 0 until 4) {
-      val sd = s"$dir/s$i"
-      evb.filter(expr("ts div 1000") >= bounds(i) &&
-          expr("ts div 1000") < bounds(i + 1))
-        .coalesce(1).write.mode("overwrite").parquet(sd)
-      hfs.listStatus(new org.apache.hadoop.fs.Path(sd))
-        .filter(_.isFile)
-        .foreach(st => hfs.setTimes(st.getPath, 1600000000000L + i * 60000L, -1L))
-    }
+    // r15 (VERDICT r14 Next #4): the slice FILES are deterministic per
+    // data dir but were rebuilt by every _mb twin — 11 twins x (one
+    // percentile job + 4 filtered writes) of pure fixture tax in each
+    // sweep. The build is now memoized per dir (computeIfAbsent gives
+    // once-per-JVM semantics; the GraphEdges/trainedCentroids
+    // precedent): each twin still gets a FRESH readStream over the
+    // shared slices, so engine execution — micro-batch cadence,
+    // watermark advance, state carry, checkpointing — is fully
+    // re-exercised per query; only the redundant re-write is gone.
+    val dir = slicedDirs.computeIfAbsent(d, _ => {
+      val out = graft.etl.TmpDirs.dir(s"mbslice_${graft.etl.Bucketing.dirTag(d)}")
+      val evb = graft.Tables.events(s, d)
+      val cuts = evb.agg(expr("percentile(ts div 1000, array(0.25, 0.5, 0.75))"))
+        .first().getSeq[Double](0).map(_.toLong)
+      val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+      val hfs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      for (i <- 0 until 4) {
+        val sd = s"$out/s$i"
+        evb.filter(expr("ts div 1000") >= bounds(i) &&
+            expr("ts div 1000") < bounds(i + 1))
+          .coalesce(1).write.mode("overwrite").parquet(sd)
+        hfs.listStatus(new org.apache.hadoop.fs.Path(sd))
+          .filter(_.isFile)
+          .foreach(st => hfs.setTimes(st.getPath, 1600000000000L + i * 60000L, -1L))
+      }
+      out
+    })
     val schema = s.read.parquet(s"$dir/s0").schema
     s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(globSafe(dir) + "/s*/*.parquet")

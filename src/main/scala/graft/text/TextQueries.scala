@@ -555,10 +555,14 @@ object TextQueries {
     // + 7 lead frames over ONE doc_id sort — the codegen'd shape shared
     // with dedup shingling), the eval index is distinct 60-bit shingle
     // hashes, and the flagging join is a hash equi-join: O(n_shingles)
-    // shuffle rows, never doc x doc. At 100 TB the eval index is tiny
-    // by construction (benchmarks, not corpus) — it BROADCASTS, so the
-    // corpus side never shuffles at all; zero-hit docs come back via
-    // the left join so the output is a verdict per training doc.
+    // shuffle rows, never doc x doc. Scale caveat (r14 ADVICE): this
+    // gate fixture's eval split is a FIXED FRACTION of the corpus
+    // (doc_id % 20), so the broadcast index grows with the corpus —
+    // gate-safe, but a production run swaps in real benchmark suites
+    // (truly constant-size) or drops the broadcast hint past a size
+    // threshold (the equi-join stays correct as a shuffle join);
+    // zero-hit docs come back via the left join so the output is a
+    // verdict per training doc.
     "text_decontaminate" -> Query(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -607,8 +611,11 @@ object TextQueries {
     // is each benchmark if we don't" — the number leakage studies
     // actually publish per benchmark. Same relational shingle assembly
     // and 60-bit hashes; the join direction flips: the eval index
-    // (tiny by construction — benchmarks, not corpus) BROADCASTS onto
-    // the training shingle stream, partial-aggs collapse map-side, and
+    // BROADCASTS onto the training shingle stream (same scale caveat
+    // as text_decontaminate: the doc_id % 20 eval split is corpus-
+    // proportional, not constant-size — real benchmark suites are;
+    // past a size threshold drop the hint and let it shuffle-join),
+    // partial-aggs collapse map-side, and
     // the only shuffle is eval-sized (one row per eval doc). leak_bp
     // is integer basis points, zero-shingle eval docs come back via
     // the left join with leak_bp 0.

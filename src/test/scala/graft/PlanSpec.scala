@@ -79,9 +79,22 @@ class PlanSpec extends AnyFunSuite {
   test("graph family reads the materialized co-purchase index, not a fresh self-join") {
     // the round-10 shared-index contract: the lineitem self-join is
     // paid once per dir; every graph query scans the bucketed table
-    Seq("graph_pagerank", "graph_katz", "graph_triangles").foreach { q =>
+    // (graph_triangles moved to the shared triangle frame in r15 —
+    // its edge-index read now happens inside that one-time build, so
+    // clustering_coeff, whose degree leg still reads edges, stands in)
+    Seq("graph_pagerank", "graph_katz", "graph_clustering_coeff").foreach { q =>
       assert(plan(q).contains("graft_copurchase"),
         s"$q must read the materialized edge index")
+    }
+  }
+
+  test("triangle frame is materialized and shared (r15: one wedge enumeration per dir)") {
+    // VERDICT r14 Next #2: graph_triangles and graph_clustering_coeff
+    // each re-ran the oriented wedge join + semi-join close; both must
+    // now read the bucketed graft_triangles table
+    Seq("graph_triangles", "graph_clustering_coeff").foreach { q =>
+      assert(plan(q).contains("graft_triangles"),
+        s"$q must read the shared materialized triangle frame")
     }
   }
 
@@ -94,6 +107,36 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(plan("dedup_ngram_jaccard").contains("graft_shingles60"),
       "jaccard must read the materialized shingle index")
+  }
+
+  test("containment twin decides on signatures and semi-join-prunes its audit (r15)") {
+    // the bounded scale twin's contract: candidates from the
+    // materialized band table (O(16) signature compare per pair), the
+    // exact intersection only over the 1-in-8 audited docs via a
+    // semi-join prune — never the full corpus shingle stream
+    val p = plan("dedup_containment_approx")
+    assert(p.contains("graft_bands"),
+      "candidates must come from the materialized band index")
+    assert(p.contains("LeftSemi"),
+      "the audit's shingle probe must be semi-join-pruned to audited docs")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin(condition"),
+      "no unkeyed joins in the twin")
+  }
+
+  test("salted mitigation operators really salt; audited plans stay broadcast (r15 decision pin)") {
+    // SURVEY §5 round-15 product decision: no registered query meets
+    // the measured salting trigger (shuffle join + unbroadcastable
+    // build + hot key + AQE silent), so the mitigation ships as the
+    // opt-in operators — pin BOTH that they actually implement it and
+    // that the audit's representative broadcast plans stay broadcast
+    assert(plan("join_skew_salted").contains("salt"),
+      "join_skew_salted must join on the salt key")
+    assert(plan("agg_salted_skew").contains("salt"),
+      "agg_salted_skew must pre-aggregate on the salt key")
+    Seq("q5_regional_join", "join_broadcast_dim").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q must keep its broadcast dims (the audit's qualifying shape)")
+    }
   }
 
   test("substring family filters stop-windows through a semi-join before the self-join") {

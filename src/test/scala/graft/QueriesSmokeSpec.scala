@@ -49,8 +49,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // that triangle and went stale twice (r13: "396 operators" at 408).
     // Pin the two counts README states: the registry size and the
     // number of stream_* gate entries.
-    val readme = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("README.md")), "UTF-8")
+    // resolve from a stable anchor (r14 ADVICE: a bare relative path
+    // fails confusingly if tests are launched outside the repo root) —
+    // sbt forks tests with user.dir at the project base, so anchor
+    // there and fall back to CWD for direct runners.
+    val base = java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
+    val readmePath = base.resolve("README.md")
+    assert(java.nio.file.Files.exists(readmePath),
+      s"README.md not found at $readmePath — launch tests from the repo root")
+    val readme = new String(java.nio.file.Files.readAllBytes(readmePath), "UTF-8")
     val opCount = "\\((\\d+) operators\\)".r.findFirstMatchIn(readme)
       .map(_.group(1).toInt)
       .getOrElse(fail("README.md no longer states '(N operators)'"))

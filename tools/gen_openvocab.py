@@ -8,6 +8,8 @@ Writes target/sfov0.1/documents.parquet (5k docs) and
 target/sfov1/documents.parquet (50k docs); symlink the remaining tables
 from /root/testdata/sf0.1 and target/sf1 respectively.
 """
+import os
+
 import numpy as np, pyarrow as pa, pyarrow.parquet as pq
 
 V = 50000
@@ -53,5 +55,6 @@ for N, out, seed in [(5000, '/root/repo/target/sfov0.1', 43),
     tbl = pa.table({'doc_id': pa.array(range(N), pa.int64()), 'text': texts,
                     'lang': lang_col, 'source': src_col,
                     'n_chars': pa.array([len(t) for t in texts], pa.int64())})
+    os.makedirs(out, exist_ok=True)
     pq.write_table(tbl, f'{out}/documents.parquet')
     print(out, N, 'distinct words used:', len(set(w for t in texts for w in t.split())))
