@@ -53,6 +53,16 @@ object GrowthProbe {
           val nDocs = Tables.documents(spark, d).count()
           val bands = graft.dedup.DedupQueries.bandTable(spark, d)
           val bandCand = pairsPerBucket(bands, Seq("band_idx", "bkey"))
+          // bucket profile: does candidate mass sit in a few DEGENERATE
+          // buckets (a band cap would fix it) or spread across small
+          // buckets (true near-dup structure — output-shaped)?
+          val bprof = bands.groupBy(col("band_idx"), col("bkey"))
+            .agg(count(lit(1)).as("c"))
+            .agg(max(col("c")).as("mx"),
+              coalesce(sum(expr(
+                "CASE WHEN c <= 64 THEN c * (c - 1) div 2 ELSE 0 END")),
+                lit(0L)).as("small"))
+            .first()
           // simhash banding: same construction as dedup_simhash
           val sims = graft.dedup.SimHash.relational(
             Tables.documents(spark, d), "doc_id", "text")
@@ -81,6 +91,7 @@ object GrowthProbe {
             .first()
           println(s"""{"family":"docs","dir":"$d","n_docs":$nDocs,""" +
             s""""minhash_band_cand":$bandCand,""" +
+            s""""minhash_max_bucket":${bprof.getLong(0)},"minhash_cand_le64":${bprof.getLong(1)},""" +
             s""""simhash_cand_precap":${sb.getLong(0)},"simhash_cand_postcap":${sb.getLong(1)},""" +
             s""""shingle_cand_precap":${sh.getLong(0)},"shingle_cand_postcap":${sh.getLong(1)}}""")
         case "vecs" =>

@@ -247,6 +247,32 @@ object DedupQueries {
       .distinct()
   }
 
+  /** STAR edges per LSH band bucket — the clustering-path twin of
+    * [[minhashPairs]] (r15, GrowthProbe finding): a band bucket of c
+    * docs emits c−1 edges (member → bucket-min) instead of the
+    * C(c,2) pair explosion, and the resulting graph has EXACTLY the
+    * same connected components (any two bucket members connect through
+    * the bucket min; cross-bucket connectivity through shared docs is
+    * untouched), so every component-consuming query keeps its oracle
+    * while candidate EDGE volume drops from Σc² to Σc. This is the
+    * 100 TB answer the decade probe demanded: at 500k open-vocab docs
+    * 74% of pair mass sat in transitive dup-chain buckets >64 deep
+    * (max 684 → 233k pairs from ONE bucket; the star emits 683).
+    * Pair-list queries (minhash_lsh, source_matrix, jaccard/containment
+    * twins) keep the pair join — their OUTPUT is the pair list, so
+    * they are output-shaped by contract.
+    * One window min over the band exchange the pair join paid anyway.
+    */
+  private def minhashStarEdges(s: SparkSession, d: String): DataFrame = {
+    val bands = graft.Caches.scoped(bandTable(s, d))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("bkey"))
+    bands.withColumn("m", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("da"), col("doc_id").as("db"))
+      .distinct()
+  }
+
   /** Connected components over an undirected candidate-pair edge list:
     * iterative min-label propagation (one equi-join + map-side-combinable
     * MIN per step — the Pregel step GraphX would run) plus a pointer jump
@@ -745,8 +771,11 @@ object DedupQueries {
     // only the changed-count scalar per iteration, never data. The cap
     // is a safety net. Oracle: DuckDB recursive CTE computing min
     // reachable doc_id per node over the same pairs.
+    // r15: components run over the per-bucket STAR edges — identical
+    // labels (see minhashStarEdges), edge volume Σc instead of Σc²;
+    // the oracle keeps its self-contained pairs-based derivation.
     "dedup_cluster_components" -> Query(
-      (s, d) => connectedComponents(minhashPairs(s, d)),
+      (s, d) => connectedComponents(minhashStarEdges(s, d)),
       Some(s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
              |edges AS (SELECT da AS src, db AS dst FROM pairs
              |          UNION ALL SELECT db, da FROM pairs),
@@ -815,7 +844,8 @@ object DedupQueries {
     // max_by, not a window.
     "dedup_cluster_survivors" -> Query(
       (s, d) => {
-        val cc = connectedComponents(minhashPairs(s, d))
+        // r15: star edges — identical components, Σc edge volume
+        val cc = connectedComponents(minhashStarEdges(s, d))
         cc.join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
           .groupBy(col("cluster_id"))
           .agg(
@@ -1098,7 +1128,8 @@ object DedupQueries {
     // rows.
     "dedup_cluster_stats" -> Query(
       (s, d) =>
-        connectedComponents(minhashPairs(s, d))
+        // r15: star edges — identical components, Σc edge volume
+        connectedComponents(minhashStarEdges(s, d))
           .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
           .groupBy(col("sz").as("cluster_size"))
           .agg(count(lit(1)).as("n_clusters"),

@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
   *    config constant — bigger corpora raise it as a deployment
   *    choice, nothing in the plan depends on data volume.
   *  - `graphK(s, d)` (cells PROPORTIONAL to the corpus, ~4 vectors
-  *    per cell, clamped to [128, 4096] in this test env): the
+  *    per cell, clamped to [128, 32768] in this test env — ceiling
+  *    raised a decade in r15 after the GrowthProbe ladder caught the
+  *    old 4096 bound binding at 80k vectors): the
   *    pair-generating regime. An all-corpus family (kNN graph,
   *    near-dup pairs) pays O(sum cell_i^2) for candidates, so the
   *    only way candidates stay LINEAR in n is constant cell SIZE —
@@ -90,18 +92,30 @@ object Ivf {
     * to the corpus (see class doc). Deterministic in the data (count
     * only), mirrored by `graphKSql` in every consuming oracle.
     * Memoized per dir — the count is one metadata-only parquet job.
+    *
+    * Ceiling raised 4096 → 32768 in r15: the GrowthProbe decade ladder
+    * (80k vectors, target/sfdx10) showed the old ceiling binding at
+    * n ≥ 16k — avg cell size grew 15.6 → 78 and cell-candidate volume
+    * went superlinear (31× for 10× vectors), exactly the quadratic
+    * regime the proportional-k design exists to prevent. The new
+    * ceiling keeps cells ~4 vectors out to n ≈ 128k; the trade is
+    * assignment cost (centroidRanks is O(k·dim) per row — flat IVF
+    * assignment; past this ceiling a production deployment goes
+    * hierarchical/two-level, not bigger-flat-k). No gate corpus comes
+    * near the ceiling (n=500 → k=128, n=2000 → k=512), so every
+    * oracle value is unchanged.
     */
   def graphK(s: SparkSession, d: String): Int =
     nCache.computeIfAbsent(d, _ => {
       val n = Tables.embeddings(s, d).count()
-      math.max(128, math.min(4096, 128 * math.round(n / 500.0).toInt))
+      math.max(128, math.min(32768, 128 * math.round(n / 500.0).toInt))
     })
 
   private val nCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
 
   /** DuckDB mirror of `graphK`: one row, column `k`. */
   val graphKSql: String =
-    "SELECT GREATEST(128, LEAST(4096, 128 * CAST(round(COUNT(*) / 500.0) AS BIGINT))) AS k FROM embeddings"
+    "SELECT GREATEST(128, LEAST(32768, 128 * CAST(round(COUNT(*) / 500.0) AS BIGINT))) AS k FROM embeddings"
 
   /** One Lloyd update from the deterministic seed sample: the MLlib
     * broadcast-centroids loop — the driver holds k*64 exact (sum, n)

@@ -7,6 +7,7 @@ exact dups). Bench-only input — never an oracle table.
 Writes target/sfov0.1/documents.parquet (5k docs) and
 target/sfov1/documents.parquet (50k docs); symlink the remaining tables
 from /root/testdata/sf0.1 and target/sf1 respectively.
+Round 15 adds target/sfov10 (500k docs) — the open-vocab decade probe.
 """
 import os
 
@@ -29,7 +30,13 @@ p = 1.0 / np.arange(1, V + 1) ** 1.05
 p /= p.sum()
 
 for N, out, seed in [(5000, '/root/repo/target/sfov0.1', 43),
-                     (50000, '/root/repo/target/sfov1', 44)]:
+                     (50000, '/root/repo/target/sfov1', 44),
+                     # round 15 (VERDICT r14 Next #5): one more decade —
+                     # the open-vocab ladder is the realistic LSH-growth
+                     # probe (the closed-vocab sfdx10 saturates its 27k
+                     # shingle space, so band candidates there are
+                     # output-shaped true near-dups, not index behavior)
+                     (500000, '/root/repo/target/sfov10', 45)]:
     rng = np.random.default_rng(seed)
     langs = ['en'] * 41 + ['zh'] * 15 + ['fr'] * 15 + ['es'] * 15 + ['de'] * 14
     doc_len = rng.integers(10, 101, N)
