@@ -70,6 +70,18 @@ object DedupQueries {
     */
   private[graft] val SimhashBandCap = 64L
 
+  /** Hot-bucket cap for the width-1 ensemble bands of
+    * dedup_containment_ensemble (the same guard family): a single
+    * signature position shared by MORE than this many docs means the
+    * position's minimum landed on a POPULAR shingle — boilerplate, the
+    * exact mass the stop-shingle df-cap drops on the verify side — and
+    * a width-1 band is loose enough that such buckets go quadratic
+    * first. Capping bounds the candidate join at T² per (pos, value)
+    * bucket; a genuinely-contained small doc whose minima are RARE
+    * shingles (the informative case) keeps all 16 collision chances.
+    */
+  private[graft] val EnsembleBandCap = 32L
+
   private def substringRuns(s: SparkSession, d: String): DataFrame = {
     // repartition first: the window-hash walk + self-join is CPU-bound
     // and a compact parquet input is ~1 split — without the exchange
@@ -265,9 +277,13 @@ object DedupQueries {
     */
   private def minhashStarEdges(s: SparkSession, d: String): DataFrame = {
     val bands = graft.Caches.scoped(bandTable(s, d))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_idx"), col("bkey"))
-    bands.withColumn("m", min(col("doc_id")).over(w))
+    // bucket-min via map-side-combinable agg + equi-join back (NOT a
+    // window: a window min sorts the whole band table per partition —
+    // measured +2 s on the sf1 sweep vs the hash-agg shape; both legs
+    // hash-partition on the same (band_idx, bkey) key)
+    val mins = bands.groupBy(col("band_idx"), col("bkey"))
+      .agg(min(col("doc_id")).as("m"))
+    bands.join(mins, Seq("band_idx", "bkey"))
       .filter(col("doc_id") =!= col("m"))
       .select(col("m").as("da"), col("doc_id").as("db"))
       .distinct()
@@ -722,6 +738,94 @@ object DedupQueries {
              |  CAST(1 AS BIGINT) AS within_bound
              |FROM sel e
              |LEFT JOIN audited ON audited.da = e.da AND audited.db = e.db""".stripMargin)
+    ),
+
+    // ASYMMETRIC-containment candidates, LSH-Ensemble style (r15 —
+    // closes the recall caveat dedup_containment_approx documents):
+    // the 8-band × 2-row Jaccard index structurally misses the
+    // excerpt case (tiny doc inside a huge one: containment ~1 but
+    // J = na/nb ~ 0, so no 2-row band agrees). WIDTH-1 bands fix the
+    // geometry: each of the 16 signature positions is its own band, so
+    // a pair collides with prob 1-(1-J)^16 — at J = 0.06 (a 16:1 size
+    // ratio at full containment) that is still 0.63, where the 2-row
+    // index is ~0. This is the banding direction LSH Ensemble
+    // (Zhu et al., VLDB'16) formalizes: looser bands + size-aware
+    // verification for containment search. Candidates are a (pos,
+    // value) equi-join over the EnsembleBandCap-guarded position
+    // table (popular-minimum buckets are boilerplate, see the cap
+    // doc); verification is the exact stop-shingle-capped hash-set
+    // intersection (the dedup_containment machinery) at containment
+    // >= 0.5, integer cross-multiplied. Emits the verified pair list
+    // with exact integer containment bp.
+    "dedup_containment_ensemble" -> Query(
+      (s, d) => {
+        val sigs = graft.Caches.scoped(signatures(s, d))
+        val posStructs = (0 until 16).map(i =>
+          struct(lit(i).as("p"), col(s"sig$i").as("v")))
+        val sb0 = graft.Caches.scoped(sigs
+          .select(col("doc_id"), explode(array(posStructs: _*)).as("b"))
+          .select(col("doc_id"), col("b.p").as("p"), col("b.v").as("v")))
+        val keep = sb0.groupBy(col("p"), col("v"))
+          .agg(count(lit(1)).as("m")).filter(col("m") <= EnsembleBandCap)
+          .select(col("p"), col("v"))
+        val sb = graft.Caches.scoped(sb0.join(keep, Seq("p", "v"), "left_semi"))
+        val cand = sb.as("a")
+          .join(sb.as("b"),
+            col("a.p") === col("b.p") && col("a.v") === col("b.v") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val raw = graft.Caches.scoped(shingleHash60Rows(s, d))
+        val hot = raw.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > 100).select(col("shh"))
+        val ex = graft.Caches.scoped(raw.join(broadcast(hot), Seq("shh"), "left_anti"))
+        val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        cand
+          .join(ex.as("x"), col("da") === col("x.doc_id"))
+          .join(ex.as("y"),
+            col("db") === col("y.doc_id") && col("x.shh") === col("y.shh"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+          .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+          .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+          .filter(col("inter") * 2 >= least(col("na"), col("nb")))
+          .select(col("da"), col("db"), col("inter"), col("na"), col("nb"),
+            expr("inter * 10000 div least(na, nb)").as("cont_bp"))
+      },
+      Some(s"""WITH $tokCte,
+             |td AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
+             |hsx AS (SELECT doc_id,
+             |  list_transform(generate_series(1, len(tk) - 2),
+             |    i -> CAST('0x' || substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 8) AS BIGINT)) AS hs
+             |FROM td),
+             |sg AS (SELECT doc_id, [${
+               (0 until 16).map { i =>
+                 val (a, b) = Hashing.minHashConsts(i)
+                 s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Hashing.minHashP}))"
+               }.mkString(", ")
+             }] AS sig FROM hsx),
+             |shx0 AS (SELECT DISTINCT doc_id,
+             |  CAST('0x' || substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15) AS BIGINT) AS shh
+             |FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-2)) AS i FROM td)),
+             |hot AS (SELECT shh FROM shx0 GROUP BY shh HAVING COUNT(*) > 100),
+             |shx AS (SELECT doc_id, shh FROM shx0 WHERE shh NOT IN (SELECT shh FROM hot)),
+             |sz AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+             |sb0 AS (SELECT doc_id, bb.p AS p, sig[bb.p + 1] AS v
+             |        FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) bb),
+             |bk AS (SELECT p, v FROM sb0 GROUP BY 1, 2
+             |       HAVING COUNT(*) <= $EnsembleBandCap),
+             |sb AS (SELECT sb0.* FROM sb0 JOIN bk USING (p, v)),
+             |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             |         FROM sb a JOIN sb b
+             |           ON a.p = b.p AND a.v = b.v AND a.doc_id < b.doc_id),
+             |iv AS (SELECT c.da, c.db, COUNT(*) AS inter
+             |       FROM cand c JOIN shx x ON x.doc_id = c.da
+             |       JOIN shx y ON y.doc_id = c.db AND y.shh = x.shh
+             |       GROUP BY 1, 2)
+             |SELECT i.da, i.db, i.inter, za.n AS na, zb.n AS nb,
+             |  CAST(i.inter * 10000 // LEAST(za.n, zb.n) AS BIGINT) AS cont_bp
+             |FROM iv i JOIN sz za ON za.doc_id = i.da
+             |JOIN sz zb ON zb.doc_id = i.db
+             |WHERE i.inter * 2 >= LEAST(za.n, zb.n)""".stripMargin)
     ),
 
     // MinHash (16 affine permutations over one md5 per shingle) + LSH
