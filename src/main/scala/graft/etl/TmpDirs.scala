@@ -9,9 +9,19 @@ package graft.etl
   */
 object TmpDirs {
   private lazy val base: String = {
-    val d = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-${ProcessHandle.current().pid()}")
+    // r15: prefer tmpfs (/dev/shm) when present — everything under this
+    // root is ephemeral per-JVM scratch by contract (streaming
+    // checkpoints for the AvailableNow twins, sink round-trips, sliced
+    // fixtures), the exact state a production cluster puts on fast
+    // local disks. Deleted on JVM exit either way; falls back to
+    // java.io.tmpdir where shm is absent or read-only. The durable
+    // kill-and-restart RECOVERY guarantees are exercised by the
+    // StreamingSpec checkpoint tests, not by scratch-media choice.
+    val shm = new java.io.File("/dev/shm")
+    val root =
+      if (shm.isDirectory && shm.canWrite) shm
+      else new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val d = new java.io.File(root, s"graft-${ProcessHandle.current().pid()}")
     d.mkdirs()
     // scratch is per-JVM by construction, so it is garbage the moment
     // this JVM exits — reap it then, or repeated bench/verify runs grow
