@@ -249,7 +249,7 @@ object DedupQueries {
     * via band-key equi-join over the (cached) band table — the caller
     * releases the cache via graft.Caches.releaseAll() once materialized.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[dedup] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val bands = graft.Caches.scoped(bandTable(s, d))
     bands.as("a")
       .join(bands.as("b"),
@@ -275,7 +275,7 @@ object DedupQueries {
     * they are output-shaped by contract.
     * One window min over the band exchange the pair join paid anyway.
     */
-  private def minhashStarEdges(s: SparkSession, d: String): DataFrame = {
+  private[dedup] def minhashStarEdges(s: SparkSession, d: String): DataFrame = {
     val bands = graft.Caches.scoped(bandTable(s, d))
     // bucket-min via map-side-combinable agg + equi-join back (NOT a
     // window: a window min sorts the whole band table per partition —

@@ -82,4 +82,50 @@ class DedupSpec extends AnyFunSuite {
     val n = spark.range(1).select(size(sh).as("n")).collect()(0).getInt(0)
     assert(n === 4) // 6 tokens -> 4 trigrams, all distinct
   }
+
+  test("star edges yield EXACTLY the components the pair edges yield (r15 swap safety)") {
+    // the star-edge substitution in the three cluster consumers is
+    // only sound if connectivity is preserved verbatim — assert label
+    // maps are identical on real data, not just "same cluster count"
+    val d = "/root/testdata/sf0.001"
+    val viaPairs = DedupQueries.connectedComponents(
+      DedupQueries.minhashPairs(spark, d)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = DedupQueries.connectedComponents(
+      DedupQueries.minhashStarEdges(spark, d)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars === viaPairs)
+    graft.Caches.releaseAll()
+  }
+
+  test("width-1 ensemble bands recover a planted excerpt the 2-row bands miss") {
+    // the excerpt geometry: shingle containment ~1, Jaccard ~ len
+    // ratio (0.2 here). 2-row bands agree w.p. J^2 per band (~0.6%
+    // across 8); a width-1 band agrees w.p. J (96% across 16). The
+    // corpus is fixed, so both outcomes are deterministic.
+    val rnd = new scala.util.Random(7)
+    def word() = (1 to (3 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val long = Seq.fill(100)(word())
+    val excerpt = long.slice(30, 50)
+    val other = Seq.fill(80)(word())
+    val dir = graft.etl.TmpDirs.dir("ensemble_spec")
+    import spark.implicits._
+    Seq(
+      (0L, long.mkString(" "), "en", "src0", long.mkString(" ").length.toLong),
+      (1L, excerpt.mkString(" "), "en", "src0", excerpt.mkString(" ").length.toLong),
+      (2L, other.mkString(" "), "en", "src1", other.mkString(" ").length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ens = graft.SparkEntry.queries("dedup_containment_ensemble")(spark, dir)
+      .select(col("da"), col("db"), col("cont_bp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ens.exists { case (da, db, bp) => da == 0L && db == 1L && bp >= 9000 },
+      s"excerpt pair (0,1) not recovered: ${ens.mkString(", ")}")
+    // and the Jaccard 2-row band index misses it on this geometry
+    val mh = DedupQueries.minhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!mh.contains((0L, 1L)),
+      "fixture no longer demonstrates the 2-row blind spot — rebuild it")
+    graft.Caches.releaseAll()
+  }
 }
