@@ -13,7 +13,57 @@ import org.apache.spark.sql.types.LongType
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.read.parquet(
+      layoutFixed.computeIfAbsent(s"$dir/$name", _ => repairLayout(spark, dir, name)))
+
+  /** Per-JVM repaired-layout memo: `dir/name` → path actually read. */
+  private val layoutFixed =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Ingest-side LAYOUT REPAIR (r15): a parquet file with ONE row group
+    * caps every scan of it at ONE task no matter how many cores or
+    * executors exist — the exact `single_task_risk` condition
+    * etl_rowgroup_audit flags, measured for three rounds as the sf0.1
+    * scan bottleneck (20 queries read the 10× corpus FASTER than sf0.1
+    * in the r15 sweeps because the driver's sf0.1 files are single-RG).
+    * Production fixes this at ingest: compact bad layouts ONCE, then
+    * amortize over every downstream read (the Sinks.compact /
+    * etl_compact_exec contract, applied to our own inputs). So: on the
+    * first access of each table per JVM, a footer-only preflight (one
+    * driver-side read of ~kB) detects the single-file single-row-group
+    * ≥100k-row shape and rewrites it 32-ways into per-JVM scratch;
+    * every later scan of that table in this JVM is 32-way parallel.
+    * Row SET is identical (a round-robin repartition of the same rows),
+    * so results are unchanged — the DuckDB oracles keep reading the
+    * original files. Multi-row-group files (the sf1 stress corpora),
+    * directory outputs, and small tables pass through untouched, and
+    * any preflight/rewrite failure falls back to the raw path.
+    */
+  private def repairLayout(s: SparkSession, dir: String, name: String): String = {
+    val src = s"$dir/$name.parquet"
+    // operational opt-out (also the A/B switch the repair's own
+    // validation uses: same queries with and without repair must
+    // produce identical row sets)
+    if (sys.env.contains("SPARK_GRAFT_NO_LAYOUT_REPAIR")) return src
+    try {
+      val p = new org.apache.hadoop.fs.Path(src)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.getFileStatus(p).isFile) return src
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        p, s.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val (nrg, rows) = try {
+        import scala.jdk.CollectionConverters._
+        val b = r.getFooter.getBlocks.asScala.toSeq
+        (b.size, b.map(_.getRowCount).sum)
+      } finally r.close()
+      if (nrg > 1 || rows < 100000L) return src
+      val out = graft.etl.TmpDirs.dir(
+        s"layout_${graft.etl.Bucketing.dirTag(dir)}_$name")
+      s.read.parquet(src).repartition(32).write.mode("overwrite").parquet(out)
+      out
+    } catch { case _: Throwable => src }
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
