@@ -58,7 +58,7 @@ object GrowthProbe {
           // buckets (true near-dup structure — output-shaped)?
           val bprof = bands.groupBy(col("band_idx"), col("bkey"))
             .agg(count(lit(1)).as("c"))
-            .agg(max(col("c")).as("mx"),
+            .agg(coalesce(max(col("c")), lit(0L)).as("mx"),
               coalesce(sum(expr(
                 "CASE WHEN c <= 64 THEN c * (c - 1) div 2 ELSE 0 END")),
                 lit(0L)).as("small"))
@@ -98,7 +98,7 @@ object GrowthProbe {
           val nVecs = Tables.embeddings(spark, d).count()
           val asg = graft.similarity.Ivf.pairAssignments(spark, d)
             .groupBy(col("cid")).agg(countDistinct(col("vec_id")).as("c"))
-            .agg(max(col("c")).as("mx"),
+            .agg(coalesce(max(col("c")), lit(0L)).as("mx"),
               coalesce(avg(col("c")), lit(0.0)).as("av"),
               coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("pre"),
               coalesce(sum(expr(
@@ -120,7 +120,7 @@ object GrowthProbe {
               coalesce(sum(expr(
                 s"CASE WHEN deg > ${graft.operators.GraphEdges.HubCap} " +
                   "THEN 1 ELSE 0 END")), lit(0L)).as("hubs"),
-              max(col("deg")).as("mx"))
+              coalesce(max(col("deg")), lit(0L)).as("mx"))
             .first()
           val oriented = graft.operators.GraphEdges.fwdByDegree(spark, d)
             .groupBy(col("s")).agg(count(lit(1)).as("c"))

@@ -12,13 +12,38 @@ import org.apache.spark.sql.types.LongType
   * prunes columns into the parquet reader.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(
-      layoutFixed.computeIfAbsent(s"$dir/$name", _ => repairLayout(spark, dir, name)))
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = s"$dir/$name"
+    // The repair is a full Spark read+write job and must NOT run inside
+    // ConcurrentHashMap.compute (the Bucketing.memoBucketed rule: CHM
+    // computations must be short and never re-enter the map — a long job
+    // under a bin lock stalls unrelated Tables.apply calls from streaming
+    // micro-batch threads, and deadlocks if the rewrite path ever touches
+    // the memo). computeIfAbsent here only allocates a per-key lock
+    // object; the check-then-repair critical section runs under that
+    // per-key monitor, so concurrent first-accesses of DIFFERENT tables
+    // repair in parallel and a second accessor of the SAME table waits
+    // for one repair instead of launching a duplicate.
+    val lock = layoutLocks.computeIfAbsent(key, _ => new AnyRef)
+    val path = lock.synchronized {
+      val prev = layoutFixed.get(key)
+      if (prev != null) prev
+      else {
+        val p = repairLayout(spark, dir, name)
+        layoutFixed.put(key, p)
+        p
+      }
+    }
+    spark.read.parquet(path)
+  }
 
   /** Per-JVM repaired-layout memo: `dir/name` → path actually read. */
   private val layoutFixed =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Per-key lock objects guarding the repair critical section. */
+  private val layoutLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   /** Ingest-side LAYOUT REPAIR (r15): a parquet file with ONE row group
     * caps every scan of it at ONE task no matter how many cores or
@@ -31,11 +56,20 @@ object Tables {
     * etl_compact_exec contract, applied to our own inputs). So: on the
     * first access of each table per JVM, a footer-only preflight (one
     * driver-side read of ~kB) detects the single-file single-row-group
-    * ≥100k-row shape and rewrites it 32-ways into per-JVM scratch;
-    * every later scan of that table in this JVM is 32-way parallel.
-    * Row SET is identical (a round-robin repartition of the same rows),
-    * so results are unchanged — the DuckDB oracles keep reading the
-    * original files. Multi-row-group files (the sf1 stress corpora),
+    * ≥100k-row shape and rewrites it as 8 ORDER-PRESERVING chunk files
+    * (coalesce(1) + maxRecordsPerFile — see the inline comment for why
+    * repartition(32) was reverted) into per-JVM scratch; every later
+    * scan of that table in this JVM gets 8 independent splits with the
+    * original row order/locality intact chunk by chunk. Row SET is
+    * identical, so row sets and integer/decimal-exact aggregates are
+    * unchanged — the DuckDB oracles keep reading the original files.
+    * CAVEAT (floating point): the repair turns a 1-partition scan into
+    * up to 8, which reorders partial-aggregate combination, so any
+    * query summing DOUBLES can drift by ulps between repair-on and
+    * repair-off (the SPARK_GRAFT_NO_LAYOUT_REPAIR A/B) or versus
+    * pre-repair rounds' hashes; the A/B validation for such queries
+    * compares row sets with a numeric tolerance, not bit-exact hashes.
+    * Multi-row-group files (the sf1 stress corpora),
     * directory outputs, and small tables pass through untouched, and
     * any preflight/rewrite failure falls back to the raw path.
     */

@@ -17,9 +17,22 @@ object TmpDirs {
     // java.io.tmpdir where shm is absent or read-only. The durable
     // kill-and-restart RECOVERY guarantees are exercised by the
     // StreamingSpec checkpoint tests, not by scratch-media choice.
+    // Capacity guard (r16): tmpfs is typically sized at half of RAM but
+    // can be mounted small or already near-full, and this root receives
+    // whole repaired-table copies (Tables.repairLayout) plus streaming
+    // checkpoints and sink round-trips — on a small/full shm those
+    // writes would hard-fail mid-sweep. Only prefer shm when its USABLE
+    // space covers an expected-scratch budget (default 8 GiB ≈ 2× the
+    // largest observed per-JVM scratch footprint: repaired sf1-scale
+    // tables + sliced streaming fixtures + sink outputs); otherwise use
+    // java.io.tmpdir. Overridable for ops via SPARK_GRAFT_SCRATCH_MIN_GB.
+    val budgetBytes =
+      sys.env.get("SPARK_GRAFT_SCRATCH_MIN_GB").flatMap(_.toLongOption)
+        .getOrElse(8L) << 30
     val shm = new java.io.File("/dev/shm")
     val root =
-      if (shm.isDirectory && shm.canWrite) shm
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= budgetBytes)
+        shm
       else new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     val d = new java.io.File(root, s"graft-${ProcessHandle.current().pid()}")
     d.mkdirs()
