@@ -82,6 +82,49 @@ object DedupQueries {
     */
   private[graft] val EnsembleBandCap = 32L
 
+  /** dedup_containment_ensemble's Spark body with the band cap
+    * explicit — the registered entry runs the production
+    * EnsembleBandCap; QualitySpec drives the same body at the
+    * production cap (corpus-scale excerpt-recall floor) AND at a
+    * deliberately recall-breaking cap to prove the floor binds, so a
+    * future cap retune cannot silently trade recall (the r15 cap
+    * 64→32 tune was validated only by a manual re-measure).
+    */
+  private[graft] def containmentEnsemble(s: SparkSession, d: String,
+                                         cap: Long = EnsembleBandCap): DataFrame = {
+    val sigs = graft.Caches.scoped(signatures(s, d))
+    val posStructs = (0 until 16).map(i =>
+      struct(lit(i).as("p"), col(s"sig$i").as("v")))
+    val sb0 = graft.Caches.scoped(sigs
+      .select(col("doc_id"), explode(array(posStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.p").as("p"), col("b.v").as("v")))
+    val keep = sb0.groupBy(col("p"), col("v"))
+      .agg(count(lit(1)).as("m")).filter(col("m") <= cap)
+      .select(col("p"), col("v"))
+    val sb = graft.Caches.scoped(sb0.join(keep, Seq("p", "v"), "left_semi"))
+    val cand = sb.as("a")
+      .join(sb.as("b"),
+        col("a.p") === col("b.p") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val raw = graft.Caches.scoped(shingleHash60Rows(s, d))
+    val hot = raw.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 100).select(col("shh"))
+    val ex = graft.Caches.scoped(raw.join(broadcast(hot), Seq("shh"), "left_anti"))
+    val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(ex.as("x"), col("da") === col("x.doc_id"))
+      .join(ex.as("y"),
+        col("db") === col("y.doc_id") && col("x.shh") === col("y.shh"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .filter(col("inter") * 2 >= least(col("na"), col("nb")))
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"),
+        expr("inter * 10000 div least(na, nb)").as("cont_bp"))
+  }
+
   private def substringRuns(s: SparkSession, d: String): DataFrame = {
     // repartition first: the window-hash walk + self-join is CPU-bound
     // and a compact parquet input is ~1 split — without the exchange
@@ -549,17 +592,18 @@ object DedupQueries {
         // broadcast semi-join BEFORE the intersection join — without
         // it the y-side shuffled the ENTIRE shingle table on
         // (doc_id, sh) to serve a sample-sized probe (measured 14.8 s
-        // -> see §5). Scale caveat (r14 ADVICE): the audited-doc list
-        // is a 1-in-8 FRACTION of the selected near-dup pairs, not a
-        // constant size — gate-safe, but on a corpus with a huge
-        // near-dup population the hint should be dropped past a size
-        // threshold (the semi-join stays correct as a shuffle join).
+        // -> see §5). Scale guard (r16 — previously a documented
+        // caveat): the audited-doc list is a 1-in-8 FRACTION of the
+        // selected near-dup pairs, not a constant size, so the hint is
+        // SIZE-CONDITIONAL (Hints.broadcastIfBounded — dropped past 1M
+        // docs, where the semi-join stays correct as a shuffle join).
         // Pure physical filter either way: every row the intersection
         // consumes has doc_id in the audited set, oracle unchanged.
         val audDocs = aud.select(col("da").as("doc_id"))
           .unionAll(aud.select(col("db").as("doc_id"))).distinct()
         val srA = graft.Caches.scoped(shingleRows(s, d)
-          .join(broadcast(audDocs), Seq("doc_id"), "left_semi"))
+          .join(graft.Hints.broadcastIfBounded(s, d, audDocs),
+            Seq("doc_id"), "left_semi"))
         val szs = srA.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = aud
           .join(srA.as("x"), col("da") === col("x.doc_id"))
@@ -673,14 +717,15 @@ object DedupQueries {
         // the corpus shingle table down to the audited docs before the
         // intersection join. The audited-doc list is sample-sized in
         // EXPECTATION (1-in-8 of selected pairs) but corpus-
-        // proportional in the worst case — on a cluster the broadcast
-        // hint should be dropped past a size threshold (the semi-join
-        // stays correct as a shuffle join); at gate scales it is a
-        // kilobyte.
+        // proportional in the worst case — so the hint is
+        // SIZE-CONDITIONAL (r16, Hints.broadcastIfBounded: dropped
+        // past 1M docs, where the semi-join stays correct as a shuffle
+        // join); at gate scales it is a kilobyte.
         val audDocs = aud.select(col("da").as("doc_id"))
           .unionAll(aud.select(col("db").as("doc_id"))).distinct()
         val srA = graft.Caches.scoped(shingleRows(s, d)
-          .join(broadcast(audDocs), Seq("doc_id"), "left_semi"))
+          .join(graft.Hints.broadcastIfBounded(s, d, audDocs),
+            Seq("doc_id"), "left_semi"))
         val inter = aud
           .join(srA.as("x"), col("da") === col("x.doc_id"))
           .join(srA.as("y"),
@@ -758,39 +803,7 @@ object DedupQueries {
     // >= 0.5, integer cross-multiplied. Emits the verified pair list
     // with exact integer containment bp.
     "dedup_containment_ensemble" -> Query(
-      (s, d) => {
-        val sigs = graft.Caches.scoped(signatures(s, d))
-        val posStructs = (0 until 16).map(i =>
-          struct(lit(i).as("p"), col(s"sig$i").as("v")))
-        val sb0 = graft.Caches.scoped(sigs
-          .select(col("doc_id"), explode(array(posStructs: _*)).as("b"))
-          .select(col("doc_id"), col("b.p").as("p"), col("b.v").as("v")))
-        val keep = sb0.groupBy(col("p"), col("v"))
-          .agg(count(lit(1)).as("m")).filter(col("m") <= EnsembleBandCap)
-          .select(col("p"), col("v"))
-        val sb = graft.Caches.scoped(sb0.join(keep, Seq("p", "v"), "left_semi"))
-        val cand = sb.as("a")
-          .join(sb.as("b"),
-            col("a.p") === col("b.p") && col("a.v") === col("b.v") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .distinct()
-        val raw = graft.Caches.scoped(shingleHash60Rows(s, d))
-        val hot = raw.groupBy(col("shh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > 100).select(col("shh"))
-        val ex = graft.Caches.scoped(raw.join(broadcast(hot), Seq("shh"), "left_anti"))
-        val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        cand
-          .join(ex.as("x"), col("da") === col("x.doc_id"))
-          .join(ex.as("y"),
-            col("db") === col("y.doc_id") && col("x.shh") === col("y.shh"))
-          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-          .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-          .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-          .filter(col("inter") * 2 >= least(col("na"), col("nb")))
-          .select(col("da"), col("db"), col("inter"), col("na"), col("nb"),
-            expr("inter * 10000 div least(na, nb)").as("cont_bp"))
-      },
+      (s, d) => containmentEnsemble(s, d),
       Some(s"""WITH $tokCte,
              |td AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
              |hsx AS (SELECT doc_id,

@@ -300,4 +300,177 @@ object Ivf {
         greatest(col("va"), col("vb")).as("vb"))
       .distinct()
   }
+
+  // ───────────────────────────────────────────────────────────────────
+  // HIERARCHICAL (two-level coarse→fine) pair regime — round 16.
+  //
+  // The r15 growth probe's own conclusion: past the flat-k ceiling
+  // (32768 cells binding at n ≈ 128k) the production answer is
+  // hierarchical assignment, not bigger flat k. Flat assignment costs
+  // O(k·dim) PER ROW, so growing k with the corpus makes the scan
+  // itself superlinear in n. Two levels split the key space into
+  // kc (fixed coarse model) × kf (fine cells over coarse RESIDUALS,
+  // data-proportional) effective cells at O((kc+kf)·dim) per-row cost:
+  // at n = 512k that is kc+kf = 256+496 = 752 centroid distances per
+  // row where flat proportional-k would need 32768 (43× — and flat is
+  // CLAMPED there, so its cells are 4× oversized and its pair join
+  // superlinear). The effective-cell ceiling moves from n ≈ 128k to
+  // n ≈ 1M (kc·kfMax = 256·1024 cells of ~4).
+  //
+  // Assignment never shuffles the corpus: coarse probes via the
+  // codegen'd centroidRanks literal model, residual via a broadcast
+  // join against the kc-row centroid table (a MODEL artifact, bounded
+  // by construction — NOT corpus-proportional), fine probes via a
+  // second centroidRanks over the exactly-quantized residual.
+  // Candidates come from the (cid, fid) equi-join. This is the
+  // IVFADC/residual coarse-fine composition (Jégou et al., TPAMI'11)
+  // applied to the pair regime.
+  // ───────────────────────────────────────────────────────────────────
+
+  /** Coarse cells for the hierarchical regime — fixed model constant
+    * (the coarse level never tracks the corpus; resolution growth is
+    * the FINE level's job).
+    */
+  val hierKc = 256
+
+  /** Coarse probe width (matches the flat pair regime's graphNprobe). */
+  val hierNprobe = 4
+
+  /** Fine probe width within EACH coarse probe cell: a true neighbor
+    * pair needs one shared (coarse, fine) key among 4×2 assignments.
+    */
+  val hierFineNprobe = 2
+
+  /** Data-proportional fine-cell count: kc·kf ≈ n/4 effective cells
+    * (~4 vectors per (coarse, fine) cell) in steps of 16, clamped to
+    * [16, 1024]. Deterministic in the data; mirrored by `hierKfSql`.
+    */
+  def hierKf(s: SparkSession, d: String): Int =
+    kfCache.computeIfAbsent(d, _ => {
+      val n = Tables.embeddings(s, d).count()
+      math.max(16, math.min(1024, 16 * math.round(n / 16384.0).toInt))
+    })
+
+  private val kfCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
+  /** DuckDB mirror of `hierKf`: one row, column `k`. */
+  val hierKfSql: String =
+    "SELECT GREATEST(16, LEAST(1024, 16 * CAST(round(COUNT(*) / 16384.0) AS BIGINT))) AS k FROM embeddings"
+
+  /** Coarse centroid table as a broadcastable (cid, cv) frame — kc rows
+    * of 64 doubles, a model artifact.
+    */
+  private def centsDf(s: SparkSession,
+                      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    cents.toDF("cid", "cv")
+  }
+
+  /** Exactly-quantized residual of `qv` (array<long>) w.r.t. the joined
+    * centroid vector `cv` (array<double>, exact s/n values):
+    * floor(qv[i] − cv[i] + 0.5) — deterministic IEEE ops on exact
+    * operands, so the residual is engine-identical (the same trick as
+    * the ×1000 embedding quantization).
+    */
+  private def residCol: Column =
+    zip_with(col("qv"), col("cv"),
+      (a, b) => floor(a.cast("double") - b + lit(0.5)).cast("long"))
+
+  /** Fine codebook: kf centroids trained on the coarse TOP-1 residuals
+    * with the same deterministic seed-then-one-Lloyd-update recipe as
+    * `trainedCentroids` (md5 bottom-kf seeds, exact BIGINT member sums,
+    * exact s/n centroids). Memoized per dir — a reusable model trained
+    * once, like the coarse quantizer.
+    */
+  def hierFineCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
+    fineCache.computeIfAbsent(d, _ => {
+      val kf = hierKf(s, d)
+      val cents = trainedCentroids(s, d, hierKc)
+      val r = quantizedVecs(s, d)
+        .withColumn("cid", centroidRanks(cents, 1).getItem(0))
+        .join(broadcast(centsDf(s, cents)), Seq("cid"))
+        .select(col("vec_id"), residCol.as("rq"))
+      val f0 = r.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(kf).collect()
+        .map(row => row.getLong(0) -> row.getSeq[Long](1).map(_.toDouble).toSeq)
+        .toSeq.sortBy(_._1)
+      r.withColumn("fid",
+          graft.plans.PqExpressions.centroidRanks(col("rq"), f0, 1).getItem(0))
+        .select(col("fid"), posexplode(col("rq")).as(Seq("pos", "v")))
+        .groupBy(col("fid"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (fid, rows) =>
+          fid -> rows.sortBy(_._2).map(t => t._3.toDouble / t._4).toSeq
+        }
+    })
+
+  private val fineCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+
+  /** Hierarchical cell assignments `(vec_id, cid, fid)`: each vector
+    * under its `hierNprobe` nearest coarse cells × `hierFineNprobe`
+    * nearest fine cells of the per-cell residual — 8 keys per vector,
+    * zero corpus shuffle before the pair join (the repartition is the
+    * round-11 narrow-scan parallelism exchange, same as the flat
+    * regime's `pairAssignments`).
+    */
+  def hierAssignments(s: SparkSession, d: String): DataFrame = {
+    val cents = trainedCentroids(s, d, hierKc)
+    val fine = hierFineCentroids(s, d)
+    Tables.embeddings(s, d)
+      .repartition(col("vec_id"))
+      .withColumn("qv", quantCol)
+      .select(col("vec_id"), col("qv"),
+        explode(centroidRanks(cents, hierNprobe)).as("cid"))
+      .join(broadcast(centsDf(s, cents)), Seq("cid"))
+      .select(col("vec_id"), col("cid"), residCol.as("rq"))
+      .select(col("vec_id"), col("cid"),
+        explode(graft.plans.PqExpressions.centroidRanks(
+          col("rq"), fine, hierFineNprobe)).as("fid"))
+  }
+
+  /** Oracle CTE chain ending in `hasg(vec_id, cid, fid)` — the full
+    * hierarchical replay: coarse train/assign (shared kmeans chain at
+    * k = hierKc), top-1 residuals, fine seed + one Lloyd update, then
+    * per-probe-cell residual fine assignment.
+    */
+  def hierAssignCteSql: String =
+    s"""${kmeansCteSql(hierKc.toString)},
+      |casg AS (SELECT vec_id, qv, cid FROM (
+      |          SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+      |          FROM d1) WHERE rn <= $hierNprobe),
+      |ca1 AS (SELECT vec_id, qv, cid FROM (
+      |          SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+      |          FROM d1) WHERE rn = 1),
+      |rt AS (SELECT a.vec_id, list_transform(generate_series(1,64),
+      |          i -> CAST(floor(CAST(a.qv[i] AS DOUBLE) - c.cv[i] + 0.5) AS BIGINT)) AS rq
+      |       FROM ca1 a JOIN c1 c ON a.cid = c.cid),
+      |fkk AS (SELECT CAST(($hierKfSql) AS BIGINT) AS k),
+      |f0 AS (SELECT fid, fv FROM (
+      |         SELECT vec_id AS fid, list_transform(rq, x -> CAST(x AS DOUBLE)) AS fv,
+      |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+      |         FROM rt), fkk WHERE srn <= fkk.k),
+      |fd0 AS (SELECT rt.vec_id, rt.rq, f.fid,
+      |          list_sum(list_transform(generate_series(1,64),
+      |            i -> (CAST(rt.rq[i] AS DOUBLE) - f.fv[i]) * (CAST(rt.rq[i] AS DOUBLE) - f.fv[i]))) AS dist
+      |        FROM rt CROSS JOIN f0 f),
+      |fa0 AS (SELECT vec_id, rq, fid FROM (
+      |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, fid) rn
+      |          FROM fd0) WHERE rn = 1),
+      |fu1 AS (SELECT fid, i AS dim, SUM(rq[i]) AS s, COUNT(*) AS n
+      |        FROM fa0 CROSS JOIN ii GROUP BY fid, i),
+      |fc1 AS (SELECT fid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS fv FROM fu1 GROUP BY fid),
+      |rp AS (SELECT p.vec_id, p.cid, list_transform(generate_series(1,64),
+      |          i -> CAST(floor(CAST(p.qv[i] AS DOUBLE) - c.cv[i] + 0.5) AS BIGINT)) AS rq
+      |       FROM casg p JOIN c1 c ON p.cid = c.cid),
+      |fd1 AS (SELECT r.vec_id, r.cid, f.fid,
+      |          list_sum(list_transform(generate_series(1,64),
+      |            i -> (CAST(r.rq[i] AS DOUBLE) - f.fv[i]) * (CAST(r.rq[i] AS DOUBLE) - f.fv[i]))) AS dist
+      |        FROM rp r CROSS JOIN fc1 f),
+      |hasg AS (SELECT vec_id, cid, fid FROM (
+      |          SELECT vec_id, cid, fid, ROW_NUMBER() OVER (PARTITION BY vec_id, cid ORDER BY dist, fid) rn
+      |          FROM fd1) WHERE rn <= $hierFineNprobe)""".stripMargin
 }

@@ -1242,6 +1242,61 @@ object SimilarityQueries {
              |FROM pasg l JOIN pasg r ON l.cid = r.cid AND l.vec_id < r.vec_id""".stripMargin)
     ),
 
+    // HIERARCHICAL IVF kNN — the past-the-flat-ceiling scale path the
+    // r15 growth probe called for (see the Ivf hierarchical block doc):
+    // two-level coarse→fine assignment (fixed kc=256 coarse cells +
+    // data-proportional fine cells over exactly-quantized coarse
+    // residuals — the IVFADC coarse-fine composition), candidates from
+    // the (cid, fid) equi-join, exact cosine re-score, top-3 per
+    // source. Same deliverable shape as vec_knn_graph so the two
+    // regimes are directly comparable; recall floor vs the flat graph
+    // asserted in QualitySpec. Assignment stays O((kc+kf)·dim) per row
+    // no matter how large the corpus — flat proportional-k is O(k·dim)
+    // with k tracking n — and never shuffles the corpus (coarse probes
+    // and fine probes are codegen'd literal-model expressions; the
+    // residual join broadcasts the kc-row centroid MODEL).
+    "ann_ivf_hierarchical" -> Query(
+      (s, d) => {
+        val h = Ivf.hierAssignments(s, d)
+        val cand = h.as("a")
+          .join(h.as("b"),
+            col("a.cid") === col("b.cid") && col("a.fid") === col("b.fid")
+              && col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+          .distinct()
+        val scored = cand
+          .join(corpus(s, d).select(col("vec_id").as("dst"),
+            col("embedding").as("dv"), col("nrm").as("dnrm")), Seq("dst"))
+          .join(corpus(s, d).select(col("vec_id").as("src"),
+            col("embedding").as("sv"), col("nrm").as("snrm")), Seq("src"))
+          .select(col("src"), col("dst"),
+            round(VectorFunctions.dot(col("sv"), col("dv"))
+              / (col("snrm") * col("dnrm")), 4).as("cos"))
+        scored.withColumn("rn",
+            row_number().over(Window.partitionBy(col("src"))
+              .orderBy(col("cos").desc, col("dst"))).cast("long"))
+          .filter(col("rn") <= 3)
+      },
+      Some(s"""WITH ${Ivf.hierAssignCteSql},
+             |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+             |         FROM hasg a JOIN hasg b ON a.cid = b.cid AND a.fid = b.fid AND a.vec_id <> b.vec_id),
+             |c AS (SELECT cand.src, cand.dst,
+             |        ROUND(
+             |          list_sum(list_transform(generate_series(1, 64),
+             |            i -> CAST(s.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+             |          (sqrt(list_sum(list_transform(generate_series(1, 64),
+             |            i -> CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE)))) *
+             |           sqrt(list_sum(list_transform(generate_series(1, 64),
+             |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+             |        , 4) AS cos
+             |      FROM cand
+             |      JOIN embeddings s ON s.vec_id = cand.src
+             |      JOIN embeddings e ON e.vec_id = cand.dst)
+             |SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+             |  FROM c) WHERE rn <= 3""".stripMargin)
+    ),
+
     // ANN RECALL EVALUATION — the index-quality report as a QUERY, not
     // just a test: per probe, how many of the exact top-5 each
     // approximate index (LSH, IVF) recovered, with recall in integer

@@ -555,14 +555,15 @@ object TextQueries {
     // + 7 lead frames over ONE doc_id sort — the codegen'd shape shared
     // with dedup shingling), the eval index is distinct 60-bit shingle
     // hashes, and the flagging join is a hash equi-join: O(n_shingles)
-    // shuffle rows, never doc x doc. Scale caveat (r14 ADVICE): this
-    // gate fixture's eval split is a FIXED FRACTION of the corpus
-    // (doc_id % 20), so the broadcast index grows with the corpus —
-    // gate-safe, but a production run swaps in real benchmark suites
-    // (truly constant-size) or drops the broadcast hint past a size
-    // threshold (the equi-join stays correct as a shuffle join);
-    // zero-hit docs come back via the left join so the output is a
-    // verdict per training doc.
+    // shuffle rows, never doc x doc. Scale guard (r16 — previously a
+    // documented caveat): this gate fixture's eval split is a FIXED
+    // FRACTION of the corpus (doc_id % 20), so the broadcast index
+    // grows with the corpus; the hint is now SIZE-CONDITIONAL
+    // (Hints.broadcastIfBounded — kept under 1M docs, dropped past it
+    // so AQE picks the strategy; the equi-join stays correct as a
+    // shuffle join). A production run swaps in real benchmark suites
+    // (truly constant-size). Zero-hit docs come back via the left join
+    // so the output is a verdict per training doc.
     "text_decontaminate" -> Query(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -579,7 +580,7 @@ object TextQueries {
         val ev = sh.filter(col("doc_id") % 20 === 0).select(col("h")).distinct()
         val hits = sh.filter(col("doc_id") % 20 =!= 0)
           .select(col("doc_id"), col("h")).distinct()
-          .join(broadcast(ev), "h")
+          .join(graft.Hints.broadcastIfBounded(s, d, ev), "h")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
         Tables.documents(s, d).filter(col("doc_id") % 20 =!= 0)
           .select(col("doc_id"))
@@ -611,10 +612,11 @@ object TextQueries {
     // is each benchmark if we don't" — the number leakage studies
     // actually publish per benchmark. Same relational shingle assembly
     // and 60-bit hashes; the join direction flips: the eval index
-    // BROADCASTS onto the training shingle stream (same scale caveat
+    // BROADCASTS onto the training shingle stream (same scale guard
     // as text_decontaminate: the doc_id % 20 eval split is corpus-
-    // proportional, not constant-size — real benchmark suites are;
-    // past a size threshold drop the hint and let it shuffle-join),
+    // proportional, not constant-size — real benchmark suites are —
+    // so the hint is size-conditional via Hints.broadcastIfBounded,
+    // dropped past 1M docs where it degrades to a shuffle join),
     // partial-aggs collapse map-side, and
     // the only shuffle is eval-sized (one row per eval doc). leak_bp
     // is integer basis points, zero-shingle eval docs come back via
@@ -637,7 +639,7 @@ object TextQueries {
           .select(col("doc_id").as("eval_doc_id"), col("h"))
         val tot = ev.groupBy(col("eval_doc_id")).agg(count(lit(1)).as("n_shingles"))
         val hits = sh.filter(col("doc_id") % 20 =!= 0)
-          .join(broadcast(ev), Seq("h"))
+          .join(graft.Hints.broadcastIfBounded(s, d, ev), Seq("h"))
           .groupBy(col("eval_doc_id"))
           .agg(count_distinct(col("h")).as("n_leaked"),
             count_distinct(col("doc_id")).as("n_train_docs"))

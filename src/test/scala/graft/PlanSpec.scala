@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.{FormattedMode, SimpleMode}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape regressions: the properties that keep these queries fast
@@ -68,6 +69,25 @@ class PlanSpec extends AnyFunSuite {
   test("decontamination broadcasts the eval index — the corpus side never shuffles for the flag join") {
     val p = plan("text_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "eval shingle index must broadcast")
+  }
+
+  test("corpus-proportional broadcast hints are size-conditional (r16 guard, both sides)") {
+    // at gate scale the conditional helper must still hint (the pin
+    // above proves the resulting physical broadcast); past the
+    // threshold it must return the frame UNHINTED so AQE decides —
+    // proven here on the logical plan: a forced-zero limit yields no
+    // UnresolvedHint/ResolvedHint node
+    val df = Tables.documents(spark, sf).select(col("doc_id")).limit(5)
+    def hasHint(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    assert(hasHint(Hints.broadcastIfBounded(spark, sf, df).queryExecution.logical),
+      "under the limit the broadcast hint must be attached")
+    assert(!hasHint(Hints.broadcastIfBounded(spark, sf, df, limit = 0L)
+        .queryExecution.logical),
+      "past the limit the frame must be unhinted (AQE decides)")
   }
 
   test("semdedup assignment is in the scan and the pair join is a cid equi-join") {

@@ -16,6 +16,67 @@ class QualitySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.01"
 
+  test("ensemble excerpt recall clears 0.95 at corpus scale, and the floor binds") {
+    // the r15 asymmetric-recall claim (0.996 measured on the committed
+    // gen_excerpt corpus) pinned IN the gate: a deterministic
+    // ~550-doc open-vocab corpus with ~10% contiguous-slice excerpt
+    // plants (the containment-not-Jaccard geometry width-1 bands
+    // exist for). Floor at production EnsembleBandCap, plus a
+    // binding proof: a recall-breaking cap (1 — every >=2-doc bucket
+    // drops, so no collisions survive) must fall BELOW the floor, so
+    // a future cap retune cannot silently trade recall away.
+    val rnd = new scala.util.Random(46)
+    val vocab = {
+      val seen = scala.collection.mutable.LinkedHashSet[String]()
+      while (seen.size < 2000)
+        seen += (1 to (2 + rnd.nextInt(9))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      seen.toIndexedSeq
+    }
+    // log-uniform rank draw ~ Zipf-ish: informative (non-saturating) shingles
+    def zw(): String = vocab(math.min(1999, (math.pow(2000.0, rnd.nextDouble()) - 1).toInt))
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val plants = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val isExcerpt = scala.collection.mutable.ArrayBuffer[Boolean]()
+    for (i <- 0 until 550) {
+      val srcIdx =
+        if (i > 20 && rnd.nextDouble() < 0.10)
+          (0 until 20).map(_ => rnd.nextInt(i))
+            .find(j => !isExcerpt(j) && docs(j)._2.split(' ').length >= 40)
+        else None
+      srcIdx match {
+        case Some(j) =>
+          val tp = docs(j)._2.split(' ')
+          val m = math.max(8, (tp.length * (0.25 + rnd.nextDouble() * 0.25)).toInt)
+          val start = rnd.nextInt(tp.length - m + 1)
+          docs += ((i.toLong, tp.slice(start, start + m).mkString(" ")))
+          plants += ((j.toLong, i.toLong))
+          isExcerpt += true
+        case None =>
+          docs += ((i.toLong, Seq.fill(40 + rnd.nextInt(81))(zw()).mkString(" ")))
+          isExcerpt += false
+      }
+    }
+    assert(plants.size >= 20, s"fixture degenerated: only ${plants.size} plants")
+    val dir = graft.etl.TmpDirs.dir("ensemble_recall_spec")
+    import spark.implicits._
+    docs.toSeq.map { case (id, t) => (id, t, "en", s"src${id % 7}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def recallAt(cap: Long): Double = {
+      val got = graft.dedup.DedupQueries.containmentEnsemble(spark, dir, cap)
+        .select(col("da"), col("db")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.Caches.releaseAll()
+      plants.count(got).toDouble / plants.size
+    }
+    val r = recallAt(graft.dedup.DedupQueries.EnsembleBandCap)
+    info(s"ensemble excerpt recall = $r over ${plants.size} plants")
+    assert(r >= 0.95, s"ensemble excerpt recall $r below floor")
+    val broken = recallAt(1L)
+    assert(broken < 0.95,
+      s"cap=1 still scored $broken — the floor no longer binds, rebuild the fixture")
+  }
+
   test("count-min sketch never underestimates and stays within the collision budget") {
     // CMS one-sided error is a THEOREM (counters only ever add):
     // est >= true for every key; and est - true <= 3N/width is the
@@ -119,6 +180,34 @@ class QualitySpec extends AnyFunSuite {
     assert(truth.nonEmpty)
     val recall = truth.count(got).toDouble / truth.size
     assert(recall >= 0.6, s"kNN-graph recall@3 = $recall")
+  }
+
+  test("ann_ivf_hierarchical recall@3 vs brute-force neighbors clears 0.6") {
+    // the two-level coarse→fine regime matches the flat graph's floor
+    // (measured 0.77 at sf0.01 with kc=256 × kf=16, probes 4×2; flat
+    // vec_knn_graph measured 0.80) — the floor guards against a
+    // probe-width or kf retune silently collapsing coverage
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding"), VectorFunctions.norm(col("embedding")).as("nrm"))
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        round(VectorFunctions.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rn") <= 3)
+      .select(col("src").cast("long"), col("dst").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("ann_ivf_hierarchical")(spark, sf)
+      .select(col("src").cast("long"), col("dst").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caches.releaseAll()
+    assert(truth.nonEmpty)
+    val recall = truth.count(got).toDouble / truth.size
+    info(s"hierarchical kNN recall@3 = $recall")
+    assert(recall >= 0.6, s"hierarchical kNN recall@3 = $recall")
   }
 
   test("vec_knn_graph edges agree with brute-force neighbors where candidates exist") {
