@@ -110,6 +110,35 @@ object GrowthProbe {
             f""""max_cell":${asg.getLong(0)},"avg_cell":${asg.getDouble(1)}%.1f,""" +
             s""""cell_cand_precap":${asg.getLong(2)},"cell_cand_postcap":${asg.getLong(3)},""" +
             s""""capped_candidate_pairs":$capped}""")
+        case "vecs_hier" =>
+          // flat vs hierarchical A/B at the SAME corpus (r16 — VERDICT
+          // r15 #2): candidate volume per regime from the aggregate
+          // bucket profile (no pair rows materialized), plus the
+          // assignment scans' wall seconds — the quantity that makes
+          // flat-k superlinear past its ceiling is the O(k·dim)
+          // per-row assignment, so it is measured here too.
+          val nVecs = Tables.embeddings(spark, d).count()
+          val flatK = graft.similarity.Ivf.graphK(spark, d)
+          val t0 = System.nanoTime()
+          val flatAsg = graft.similarity.Ivf.pairAssignments(spark, d)
+          val flatRows = flatAsg.count()
+          val flatSec = (System.nanoTime() - t0) / 1e9
+          // rows of the assignment table are distinct (vec_id, cid) /
+          // (vec_id, cid, fid) keys by construction, so the per-bucket
+          // row count IS the member count
+          val flatCand = pairsPerBucket(flatAsg, Seq("cid"))
+          val kf = graft.similarity.Ivf.hierKf(spark, d)
+          val t1 = System.nanoTime()
+          val hierAsg = graft.similarity.Ivf.hierAssignments(spark, d)
+          val hierRows = hierAsg.count()
+          val hierSec = (System.nanoTime() - t1) / 1e9
+          val hierCand = pairsPerBucket(hierAsg, Seq("cid", "fid"))
+          println(s"""{"family":"vecs_hier","dir":"$d","n_vecs":$nVecs,""" +
+            s""""flat_k":$flatK,"flat_assign_rows":$flatRows,""" +
+            f""""flat_assign_sec":$flatSec%.2f,"flat_cand":$flatCand,""" +
+            s""""hier_kc":${graft.similarity.Ivf.hierKc},"hier_kf":$kf,""" +
+            s""""hier_assign_rows":$hierRows,""" +
+            f""""hier_assign_sec":$hierSec%.2f,"hier_cand":$hierCand}""")
         case "graph" =>
           val edges = graft.operators.GraphEdges.pairs(spark, d).count()
           val degAgg = graft.operators.GraphEdges.deg(spark, d)
@@ -130,7 +159,7 @@ object GrowthProbe {
             s""""max_deg":${degAgg.getLong(3)},"sum_deg2":${degAgg.getLong(0)},""" +
             s""""oriented_wedges":$oriented,"hubcap_wedges":${degAgg.getLong(1)},""" +
             s""""hubs_gt_cap":${degAgg.getLong(2)}}""")
-        case other => sys.error(s"unknown family: $other (docs|vecs|graph)")
+        case other => sys.error(s"unknown family: $other (docs|vecs|vecs_hier|graph)")
       }
       Caches.releaseAll()
       spark.catalog.clearCache()

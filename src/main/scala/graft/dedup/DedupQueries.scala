@@ -318,6 +318,18 @@ object DedupQueries {
     * they are output-shaped by contract.
     * One window min over the band exchange the pair join paid anyway.
     */
+  /** Edge source for the component-consuming queries: star edges in
+    * production; `SPARK_GRAFT_STAR_OFF` swaps in the C(c,2) pair join
+    * — the r14 shape — purely for A/B measurement (DedupSpec proves
+    * the two produce identical components, so this cannot change any
+    * output; it exists because the r15 sf1 sweep timed the star
+    * consumers SLOWER than their r14 pair-join ancestors and the
+    * adjudication needs both shapes runnable at HEAD).
+    */
+  private[dedup] def componentEdges(s: SparkSession, d: String): DataFrame =
+    if (sys.env.contains("SPARK_GRAFT_STAR_OFF")) minhashPairs(s, d)
+    else minhashStarEdges(s, d)
+
   private[dedup] def minhashStarEdges(s: SparkSession, d: String): DataFrame = {
     val bands = graft.Caches.scoped(bandTable(s, d))
     // bucket-min via map-side-combinable agg + equi-join back (NOT a
@@ -892,7 +904,7 @@ object DedupQueries {
     // labels (see minhashStarEdges), edge volume Σc instead of Σc²;
     // the oracle keeps its self-contained pairs-based derivation.
     "dedup_cluster_components" -> Query(
-      (s, d) => connectedComponents(minhashStarEdges(s, d)),
+      (s, d) => connectedComponents(componentEdges(s, d)),
       Some(s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
              |edges AS (SELECT da AS src, db AS dst FROM pairs
              |          UNION ALL SELECT db, da FROM pairs),
@@ -962,7 +974,7 @@ object DedupQueries {
     "dedup_cluster_survivors" -> Query(
       (s, d) => {
         // r15: star edges — identical components, Σc edge volume
-        val cc = connectedComponents(minhashStarEdges(s, d))
+        val cc = connectedComponents(componentEdges(s, d))
         cc.join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
           .groupBy(col("cluster_id"))
           .agg(
@@ -1246,7 +1258,7 @@ object DedupQueries {
     "dedup_cluster_stats" -> Query(
       (s, d) =>
         // r15: star edges — identical components, Σc edge volume
-        connectedComponents(minhashStarEdges(s, d))
+        connectedComponents(componentEdges(s, d))
           .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
           .groupBy(col("sz").as("cluster_size"))
           .agg(count(lit(1)).as("n_clusters"),
