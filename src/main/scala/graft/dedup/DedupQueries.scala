@@ -318,17 +318,61 @@ object DedupQueries {
     * they are output-shaped by contract.
     * One window min over the band exchange the pair join paid anyway.
     */
-  /** Edge source for the component-consuming queries: star edges in
-    * production; `SPARK_GRAFT_STAR_OFF` swaps in the C(c,2) pair join
-    * — the r14 shape — purely for A/B measurement (DedupSpec proves
-    * the two produce identical components, so this cannot change any
-    * output; it exists because the r15 sf1 sweep timed the star
-    * consumers SLOWER than their r14 pair-join ancestors and the
-    * adjudication needs both shapes runnable at HEAD).
+  /** Edge source for the component-consuming queries, chosen from the
+    * DATA (r16 — closing VERDICT r15 #5): the star rewrite wins
+    * exactly where bucket depth makes C(c,2) explode and LOSES where
+    * buckets are shallow, both measured at HEAD
+    * (bench_adjudication_r16.json starab_*): sfdx10 (684-deep
+    * dup-chain buckets) star 14.6/15.2/15.3 s vs pairs 49.8/25.6/25.2
+    * — 1.7-3.4× for star; sf1 + sfov10 (shallow buckets) pairs
+    * 6.5-7.1 / 9.4-10.8 s vs star 8.0-8.2 / 10.4-12.2 — star's extra
+    * agg + join-back costs 15-25% when no bucket is deep. So, AQE
+    * style, ONE memoized aggregate over the (already cached) band
+    * table compares pair volume Σ c(c-1)/2 to star volume Σ (c-1);
+    * pairs win while the ratio — the candidate-weighted mean bucket
+    * depth — stays ≤ PairDepthThreshold (both measured regimes sit
+    * FAR from the boundary: ~1-2 shallow, ≥50 deep). Components are
+    * provably identical either way (DedupSpec property), so this is a
+    * physical-plan choice, never semantics. `SPARK_GRAFT_COMPONENT_EDGES`
+    * (star|pairs) forces a shape for A/B runs.
     */
   private[dedup] def componentEdges(s: SparkSession, d: String): DataFrame =
-    if (sys.env.contains("SPARK_GRAFT_STAR_OFF")) minhashPairs(s, d)
-    else minhashStarEdges(s, d)
+    decideEdgeShape(s, d) match {
+      case "pairs" => minhashPairs(s, d)
+      case _       => minhashStarEdges(s, d)
+    }
+
+  /** Candidate-weighted bucket-depth ratio: pairs while
+    * Σ c(c-1)/2 ≤ threshold · Σ (c-1).
+    */
+  private[dedup] val PairDepthThreshold = 8L
+
+  private val edgeShape =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[dedup] def decideEdgeShape(s: SparkSession, d: String): String =
+    sys.env.get("SPARK_GRAFT_COMPONENT_EDGES").getOrElse {
+      // benign-race memo (NOT compute-under-CHM-lock — the probe is a
+      // Spark job; see Tables/Bucketing): concurrent first callers may
+      // both run the aggregate, but it is deterministic in the data,
+      // so putIfAbsent keeps one identical value
+      val cached = edgeShape.get(d)
+      if (cached != null) cached
+      else {
+        val r = graft.Caches.scoped(bandTable(s, d))
+          .groupBy(col("band_idx"), col("bkey"))
+          .agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("pairs"),
+            coalesce(sum(expr("c - 1")), lit(0L)).as("stars"))
+          .first()
+        val v =
+          if (r.getLong(0) <= PairDepthThreshold * math.max(1L, r.getLong(1)))
+            "pairs"
+          else "star"
+        edgeShape.putIfAbsent(d, v)
+        v
+      }
+    }
 
   private[dedup] def minhashStarEdges(s: SparkSession, d: String): DataFrame = {
     val bands = graft.Caches.scoped(bandTable(s, d))

@@ -98,6 +98,25 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("edge-shape decision: pairs on shallow buckets, star on deep dup chains (r16)") {
+    // the adaptive choice behind componentEdges must flip exactly with
+    // the regime the A/B measured (bench_adjudication_r16.json):
+    // shallow buckets (the gate corpus) → pair join; a deep
+    // exact-dup chain (every band bucket depth ≈ corpus) → star edges
+    assert(DedupQueries.decideEdgeShape(spark, "/root/testdata/sf0.001") === "pairs")
+    graft.Caches.releaseAll()
+    val rnd = new scala.util.Random(9)
+    def word() = (1 to (3 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val boiler = Seq.fill(60)(word()).mkString(" ")
+    val dir = graft.etl.TmpDirs.dir("edge_shape_spec")
+    import spark.implicits._
+    (0 until 100).map(i => (i.toLong, boiler, "en", "src0", boiler.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(DedupQueries.decideEdgeShape(spark, dir) === "star")
+    graft.Caches.releaseAll()
+  }
+
   test("width-1 ensemble bands recover a planted excerpt the 2-row bands miss") {
     // the excerpt geometry: shingle containment ~1, Jaccard ~ len
     // ratio (0.2 here). 2-row bands agree w.p. J^2 per band (~0.6%

@@ -16,11 +16,11 @@ CP="target/scala-2.13/classes:/opt/spark/jars/*"
 python3 tools/gen_vec_saturate.py >"$OUT/gen_sfvs.log" 2>&1
 echo "gen done rc=$?"
 
+# force each shape explicitly (the adaptive default would pick its own)
 for corpus in sf1 sfdx10 sfov10; do
   for mode in star pairs; do
-    ENVV=""
-    [ "$mode" = pairs ] && ENVV="SPARK_GRAFT_STAR_OFF=1"
-    env SPARK_GRAFT_SF_DIR=target/$corpus SPARK_GRAFT_BENCH_RUNS=3 $ENVV \
+    env SPARK_GRAFT_SF_DIR=target/$corpus SPARK_GRAFT_BENCH_RUNS=3 \
+      SPARK_GRAFT_COMPONENT_EDGES=$mode \
       java $AO $JOPTS -cp "$CP" graft.Bench dedup_cluster \
       >"$OUT/starab_${corpus}_${mode}.json" 2>"$OUT/starab_${corpus}_${mode}.err"
     echo "done starab_${corpus}_${mode} rc=$?"
