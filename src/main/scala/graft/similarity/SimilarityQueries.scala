@@ -1242,6 +1242,42 @@ object SimilarityQueries {
              |FROM pasg l JOIN pasg r ON l.cid = r.cid AND l.vec_id < r.vec_id""".stripMargin)
     ),
 
+    // HIERARCHICAL IVF ANN top-k — the probe-based twin of
+    // ann_ivf_hierarchical (same two-level index, the ANN-query regime
+    // instead of the all-pairs regime): probes search their own
+    // 4-coarse × 2-fine (cid, fid) keys against the corpus assignment,
+    // exact cosine reranks the candidates, top-5 per probe. At query
+    // time the corpus side pays O((kc+kf)·dim) assignment in the scan
+    // — flat proportional-k pays O(k·dim), 43× more at 512k vectors —
+    // and the candidate join touches |probes|·cell-size rows, never
+    // the corpus pairwise. Recall floor vs brute force in QualitySpec.
+    "ann_ivf_hier_topk" -> Query(
+      (s, d) => {
+        val h = Ivf.hierAssignments(s, d)
+        val qh = h.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("cid"), col("fid"))
+        val cand = h.join(broadcast(qh), Seq("cid", "fid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id")).distinct()
+        val scored = cand.join(corpus(s, d), Seq("vec_id"))
+          .join(broadcast(queriesDf(s, d)), Seq("qid"))
+          .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos"))
+        topK(scored, 5)
+      },
+      Some(s"""WITH ${Ivf.hierAssignCteSql},
+             |qh AS (SELECT vec_id AS qid, cid, fid FROM hasg WHERE vec_id < 10),
+             |cand AS (SELECT DISTINCT qh.qid, h.vec_id
+             |         FROM hasg h JOIN qh ON h.cid = qh.cid AND h.fid = qh.fid AND h.vec_id <> qh.qid),
+             |c AS (SELECT cand.qid, cand.vec_id, $cosSql AS cos
+             |      FROM cand
+             |      JOIN embeddings e ON e.vec_id = cand.vec_id
+             |      JOIN (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10) q
+             |        ON q.qid = cand.qid)
+             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |  FROM c) WHERE rn <= 5""".stripMargin)
+    ),
+
     // HIERARCHICAL IVF kNN — the past-the-flat-ceiling scale path the
     // r15 growth probe called for (see the Ivf hierarchical block doc):
     // two-level coarse→fine assignment (fixed kc=256 coarse cells +

@@ -230,6 +230,14 @@ class QualitySpec extends AnyFunSuite {
     assert(badRank == 0, "edge ranked better with lower cosine")
   }
 
+  test("ann_ivf_hier_topk recall@5 vs brute force clears 0.5") {
+    // 0.62 measured at sf0.01 (4 coarse x 2 fine probes) — between
+    // flat ann_ivf_topk's 0.60 and ann_ivf_trained's 0.72
+    val r = meanRecallAt5("ann_ivf_hier_topk")
+    info(s"hier ANN recall@5 = $r")
+    assert(r >= 0.5, s"hierarchical IVF mean recall@5 = $r")
+  }
+
   test("ann_ivf_topk recall@5 vs brute force clears 0.4") {
     val r = meanRecallAt5("ann_ivf_topk")
     assert(r >= 0.4, s"IVF mean recall@5 = $r")
