@@ -119,10 +119,20 @@ object GrowthProbe {
           // per-row assignment, so it is measured here too.
           val nVecs = Tables.embeddings(spark, d).count()
           val flatK = graft.similarity.Ivf.graphK(spark, d)
+          // each regime is timed COLD (first call: model training +
+          // assignment — the stand-up cost of the index) and then WARM
+          // (models memoized: the pure per-scan assignment cost). Both
+          // matter at scale: training is once per corpus version,
+          // assignment is every query. The r16 committed artifact's
+          // headline numbers are the COLD ones; the warm split was
+          // added after review so future artifacts separate them.
           val t0 = System.nanoTime()
           val flatAsg = graft.similarity.Ivf.pairAssignments(spark, d)
           val flatRows = flatAsg.count()
           val flatSec = (System.nanoTime() - t0) / 1e9
+          val t0w = System.nanoTime()
+          graft.similarity.Ivf.pairAssignments(spark, d).count(): Unit
+          val flatWarmSec = (System.nanoTime() - t0w) / 1e9
           // rows of the assignment table are distinct (vec_id, cid) /
           // (vec_id, cid, fid) keys by construction, so the per-bucket
           // row count IS the member count
@@ -132,13 +142,18 @@ object GrowthProbe {
           val hierAsg = graft.similarity.Ivf.hierAssignments(spark, d)
           val hierRows = hierAsg.count()
           val hierSec = (System.nanoTime() - t1) / 1e9
+          val t1w = System.nanoTime()
+          graft.similarity.Ivf.hierAssignments(spark, d).count(): Unit
+          val hierWarmSec = (System.nanoTime() - t1w) / 1e9
           val hierCand = pairsPerBucket(hierAsg, Seq("cid", "fid"))
           println(s"""{"family":"vecs_hier","dir":"$d","n_vecs":$nVecs,""" +
             s""""flat_k":$flatK,"flat_assign_rows":$flatRows,""" +
-            f""""flat_assign_sec":$flatSec%.2f,"flat_cand":$flatCand,""" +
+            f""""flat_train_plus_assign_sec":$flatSec%.2f,""" +
+            f""""flat_assign_warm_sec":$flatWarmSec%.2f,"flat_cand":$flatCand,""" +
             s""""hier_kc":${graft.similarity.Ivf.hierKc},"hier_kf":$kf,""" +
             s""""hier_assign_rows":$hierRows,""" +
-            f""""hier_assign_sec":$hierSec%.2f,"hier_cand":$hierCand}""")
+            f""""hier_train_plus_assign_sec":$hierSec%.2f,""" +
+            f""""hier_assign_warm_sec":$hierWarmSec%.2f,"hier_cand":$hierCand}""")
         case "graph" =>
           val edges = graft.operators.GraphEdges.pairs(spark, d).count()
           val degAgg = graft.operators.GraphEdges.deg(spark, d)

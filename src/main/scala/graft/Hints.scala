@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions.{broadcast, coalesce, lit, sum}
 
 /** Corpus-size-conditional broadcast hints (r16, closing the r15
   * "documented, not guarded" caveat).
@@ -13,42 +13,59 @@ import org.apache.spark.sql.functions.broadcast
   * An unconditional `broadcast()` hint on such a frame is a latent
   * OOM at some future corpus size: the hint FORCES the build side
   * regardless of actual bytes. This helper keeps the hint only while
-  * the driving `documents` table is under a row threshold (one
-  * memoized metadata-cheap count per dir) and otherwise returns the
-  * frame unhinted, letting Catalyst/AQE pick the join strategy from
-  * real sizes — the pruning joins are plain equi-/semi-joins, so they
-  * stay correct as shuffle joins.
+  * the corpus's total TEXT VOLUME (sum of `n_chars`, one memoized
+  * cheap aggregate per dir — chars bound tokens bound shingles, so it
+  * tracks the eval index's actual bytes where a doc COUNT would be
+  * off by the unbounded shingles-per-doc factor) is under a budget,
+  * and otherwise returns the frame unhinted, letting Catalyst/AQE
+  * pick the join strategy from real sizes — the pruning joins are
+  * plain equi-/semi-joins, so they stay correct as shuffle joins.
   *
-  * Why a threshold on the SOURCE table rather than no hint at all: the
-  * r14 measurement behind the audit prune (DedupQueries, 14.8 s → 2 s)
-  * showed the win comes from never shuffling the corpus shingle table.
-  * Without the hint the initial plan is a shuffle join, and AQE's
-  * broadcast conversion still pays the big side's shuffle WRITE before
-  * runtime stats arrive — so dropping the hint everywhere would
-  * re-introduce most of the measured cost at gate scales. The
-  * threshold (1M docs ≈ tens of MB for the largest derived frame —
-  * ~5× every corpus this repo measures, incl. the 500k-doc decade
-  * stress corpora) keeps the measured-fast plan where it is proven and
-  * degrades to AQE's choice where it is not. PlanSpec pins both sides:
-  * broadcast chosen at gate scale, hint absent under a forced-zero
-  * threshold.
+  * Why a threshold rather than no hint at all: the r14 measurement
+  * behind the audit prune (DedupQueries, 14.8 s → 2 s) showed the win
+  * comes from never shuffling the corpus shingle table. Without the
+  * hint the initial plan is a shuffle join, and AQE's broadcast
+  * conversion still pays the big side's shuffle WRITE before runtime
+  * stats arrive — so dropping the hint everywhere would re-introduce
+  * most of the measured cost at gate scales. The 1e9-char budget
+  * bounds the largest derived frame (the 1-in-20 shingle index) near
+  * ~60 MB — comfortably broadcastable — and sits ~5× above every
+  * corpus this repo measures, incl. the 500k-doc decade stress
+  * corpora (~2e8 chars). PlanSpec pins both sides: broadcast chosen
+  * at gate scale, hint absent under a forced-zero threshold.
   */
 object Hints {
 
-  /** Document-count ceiling for keeping corpus-derived broadcast hints. */
-  val BroadcastDocLimit: Long = 1000000L
+  /** Total-corpus-chars ceiling for keeping corpus-derived broadcast
+    * hints (chars ≈ 6× tokens ≈ 6× shingles; 1e9 chars ≈ a ~60 MB
+    * 1-in-20 distinct-hash index).
+    */
+  val BroadcastCharLimit: Long = 1000000000L
 
   private val counts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Memoized row count of `documents` for a data dir. */
-  def docCount(s: SparkSession, d: String): Long =
-    counts.computeIfAbsent(d, _ => Tables.documents(s, d).count()).longValue()
+  /** Memoized total `n_chars` of `documents` for a data dir. Benign-
+    * race memo (NOT compute-under-CHM-lock — this is a Spark job; the
+    * Tables/Bucketing rule): concurrent first callers may both run the
+    * aggregate, but it is deterministic, so putIfAbsent keeps one
+    * identical value and nobody ever blocks on a bin lock.
+    */
+  def charCount(s: SparkSession, d: String): Long = {
+    val cached = counts.get(d)
+    if (cached != null) cached.longValue()
+    else {
+      val v = Tables.documents(s, d)
+        .agg(coalesce(sum("n_chars"), lit(0L))).head().getLong(0)
+      counts.putIfAbsent(d, java.lang.Long.valueOf(v))
+      v
+    }
+  }
 
-  /** `broadcast(df)` while the dir's documents table is within `limit`
-    * rows; `df` unhinted past it.
+  /** `broadcast(df)` while the dir's corpus text volume is within
+    * `limit` chars; `df` unhinted past it.
     */
   def broadcastIfBounded(s: SparkSession, d: String, df: DataFrame,
-                         limit: Long = BroadcastDocLimit): DataFrame =
-    if (docCount(s, d) <= limit) broadcast(df) else df
+                         limit: Long = BroadcastCharLimit): DataFrame =
+    if (charCount(s, d) <= limit) broadcast(df) else df
 }

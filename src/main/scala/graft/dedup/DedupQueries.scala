@@ -351,7 +351,13 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[dedup] def decideEdgeShape(s: SparkSession, d: String): String =
-    sys.env.get("SPARK_GRAFT_COMPONENT_EDGES").getOrElse {
+    sys.env.get("SPARK_GRAFT_COMPONENT_EDGES").map {
+      // validate loudly: a typo'd forced shape would otherwise run
+      // star on BOTH A/B legs and record a vacuous measurement
+      case v @ ("star" | "pairs") => v
+      case other => sys.error(
+        s"SPARK_GRAFT_COMPONENT_EDGES must be star|pairs, got '$other'")
+    }.getOrElse {
       // benign-race memo (NOT compute-under-CHM-lock — the probe is a
       // Spark job; see Tables/Bucketing): concurrent first callers may
       // both run the aggregate, but it is deterministic in the data,
@@ -651,8 +657,9 @@ object DedupQueries {
         // -> see §5). Scale guard (r16 — previously a documented
         // caveat): the audited-doc list is a 1-in-8 FRACTION of the
         // selected near-dup pairs, not a constant size, so the hint is
-        // SIZE-CONDITIONAL (Hints.broadcastIfBounded — dropped past 1M
-        // docs, where the semi-join stays correct as a shuffle join).
+        // SIZE-CONDITIONAL (Hints.broadcastIfBounded — dropped past the
+        // corpus-chars budget, where the semi-join stays correct as a
+        // shuffle join).
         // Pure physical filter either way: every row the intersection
         // consumes has doc_id in the audited set, oracle unchanged.
         val audDocs = aud.select(col("da").as("doc_id"))
@@ -774,9 +781,9 @@ object DedupQueries {
         // intersection join. The audited-doc list is sample-sized in
         // EXPECTATION (1-in-8 of selected pairs) but corpus-
         // proportional in the worst case — so the hint is
-        // SIZE-CONDITIONAL (r16, Hints.broadcastIfBounded: dropped
-        // past 1M docs, where the semi-join stays correct as a shuffle
-        // join); at gate scales it is a kilobyte.
+        // SIZE-CONDITIONAL (r16, Hints.broadcastIfBounded: dropped past
+        // the corpus-chars budget, where the semi-join stays correct
+        // as a shuffle join); at gate scales it is a kilobyte.
         val audDocs = aud.select(col("da").as("doc_id"))
           .unionAll(aud.select(col("db").as("doc_id"))).distinct()
         val srA = graft.Caches.scoped(shingleRows(s, d)

@@ -105,13 +105,23 @@ object Ivf {
     * near the ceiling (n=500 → k=128, n=2000 → k=512), so every
     * oracle value is unchanged.
     */
-  def graphK(s: SparkSession, d: String): Int =
-    nCache.computeIfAbsent(d, _ => {
+  def graphK(s: SparkSession, d: String): Int = {
+    // benign-race memo (NOT compute-under-CHM-lock — the count is a
+    // Spark job; the Tables/Bucketing rule): concurrent first callers
+    // may both count, but the value is deterministic, so putIfAbsent
+    // keeps one identical result and nobody blocks on a bin lock
+    val cached = nCache.get(d)
+    if (cached != null) cached.intValue()
+    else {
       val n = Tables.embeddings(s, d).count()
-      math.max(128, math.min(32768, 128 * math.round(n / 500.0).toInt))
-    })
+      val v = math.max(128, math.min(32768, 128 * math.round(n / 500.0).toInt))
+      nCache.putIfAbsent(d, Integer.valueOf(v))
+      v
+    }
+  }
 
-  private val nCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  private val nCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** DuckDB mirror of `graphK`: one row, column `k`. */
   val graphKSql: String =
@@ -128,8 +138,17 @@ object Ivf {
     * result, the memo cannot change any output.
     */
   def trainedCentroids(s: SparkSession, d: String,
-                       k: Int = kmeansK): Seq[(Long, Seq[Double])] =
-    centCache.computeIfAbsent(s"$d#$k", _ => trainCentroids(s, d, k))
+                       k: Int = kmeansK): Seq[(Long, Seq[Double])] = {
+    // benign-race memo — the training is a multi-job Spark run and
+    // must not execute under a CHM bin lock (see graphK)
+    val key = s"$d#$k"
+    val cached = centCache.get(key)
+    if (cached != null) cached
+    else {
+      val v = trainCentroids(s, d, k)
+      Option(centCache.putIfAbsent(key, v)).getOrElse(v)
+    }
+  }
 
   private val centCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
@@ -345,13 +364,20 @@ object Ivf {
     * (~4 vectors per (coarse, fine) cell) in steps of 16, clamped to
     * [16, 1024]. Deterministic in the data; mirrored by `hierKfSql`.
     */
-  def hierKf(s: SparkSession, d: String): Int =
-    kfCache.computeIfAbsent(d, _ => {
+  def hierKf(s: SparkSession, d: String): Int = {
+    // benign-race memo — see graphK
+    val cached = kfCache.get(d)
+    if (cached != null) cached.intValue()
+    else {
       val n = Tables.embeddings(s, d).count()
-      math.max(16, math.min(1024, 16 * math.round(n / 16384.0).toInt))
-    })
+      val v = math.max(16, math.min(1024, 16 * math.round(n / 16384.0).toInt))
+      kfCache.putIfAbsent(d, Integer.valueOf(v))
+      v
+    }
+  }
 
-  private val kfCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  private val kfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** DuckDB mirror of `hierKf`: one row, column `k`. */
   val hierKfSql: String =
@@ -382,8 +408,17 @@ object Ivf {
     * exact s/n centroids). Memoized per dir — a reusable model trained
     * once, like the coarse quantizer.
     */
-  def hierFineCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
-    fineCache.computeIfAbsent(d, _ => {
+  def hierFineCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
+    // benign-race memo — multi-job training must not run under a CHM
+    // bin lock (see graphK); putIfAbsent keeps the first-stored model
+    // so later callers always get the SAME object (spec-pinned)
+    val cached = fineCache.get(d)
+    if (cached != null) cached
+    else Option(fineCache.putIfAbsent(d, trainFineCentroids(s, d)))
+      .getOrElse(fineCache.get(d))
+  }
+
+  private def trainFineCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
       val kf = hierKf(s, d)
       val cents = trainedCentroids(s, d, hierKc)
       val r = quantizedVecs(s, d)
@@ -405,7 +440,7 @@ object Ivf {
         .map { case (fid, rows) =>
           fid -> rows.sortBy(_._2).map(t => t._3.toDouble / t._4).toSeq
         }
-    })
+  }
 
   private val fineCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
@@ -420,17 +455,95 @@ object Ivf {
   def hierAssignments(s: SparkSession, d: String): DataFrame = {
     val cents = trainedCentroids(s, d, hierKc)
     val fine = hierFineCentroids(s, d)
+    // probe widths clamp to the surviving model sizes: on a degenerate
+    // corpus (singleton coarse cells => all-zero residuals) the fine
+    // codebook can collapse below hierFineNprobe, where the oracle's
+    // `rn <= nprobe` silently yields fewer rows — the clamp is the
+    // exact Spark mirror of that semantics (r16 spike-fixture find)
     Tables.embeddings(s, d)
       .repartition(col("vec_id"))
       .withColumn("qv", quantCol)
       .select(col("vec_id"), col("qv"),
-        explode(centroidRanks(cents, hierNprobe)).as("cid"))
+        explode(centroidRanks(cents, math.min(hierNprobe, cents.size))).as("cid"))
       .join(broadcast(centsDf(s, cents)), Seq("cid"))
       .select(col("vec_id"), col("cid"), residCol.as("rq"))
       .select(col("vec_id"), col("cid"),
         explode(graft.plans.PqExpressions.centroidRanks(
-          col("rq"), fine, hierFineNprobe)).as("fid"))
+          col("rq"), fine, math.min(hierFineNprobe, fine.size))).as("fid"))
   }
+
+  /** Hot-cell cap for the hierarchical pair regime — the (cid, fid)
+    * member of the frequency-guard family beside CellCap /
+    * SimhashBandCap / EnsembleBandCap (r16 review fix: the first cut
+    * of the hier pair join had NEITHER the cap nor the duplicate
+    * collapse its flat ancestor ships, so an m-copy boilerplate spike
+    * was O(m²) in ONE cell). Buckets with more than this many
+    * DISTINCT quantized reps drop from candidate generation; a true
+    * pair survives unless all 8 of its shared probe keys are hot.
+    * No-op at every gate corpus; mirrored in every consuming oracle
+    * and exercised at a binding cap by vec_hier_cellcap_pairs.
+    */
+  val HierCellCap = 256L
+
+  /** Distinct undirected hierarchical candidate pairs (va < vb) —
+    * the (cid, fid) equi-join with the SAME two scale guards as the
+    * flat `candidatePairs`: exact-duplicate collapse (equal qv ⇒
+    * equal residuals ⇒ equal keys, so the join runs over one rep per
+    * qv group and member pairs re-expand afterwards —
+    * output-preserving, spec-pinned) and the HierCellCap hot-bucket
+    * drop (oracle-mirrored).
+    */
+  def hierCandidatePairs(s: SparkSession, d: String,
+                         cap: Long = HierCellCap): DataFrame = {
+    val cents = trainedCentroids(s, d, hierKc)
+    val fine = hierFineCentroids(s, d)
+    val q = Tables.embeddings(s, d)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), quantCol.as("qv"))
+    val grouped = q.withColumn("gid",
+      min(col("vec_id")).over(Window.partitionBy(col("qv"))))
+    val members = grouped.select(col("vec_id"), col("gid"))
+    val reps = grouped.filter(col("vec_id") === col("gid"))
+      .select(col("gid"), col("qv"),
+        explode(centroidRanks(cents, math.min(hierNprobe, cents.size))).as("cid"))
+      .join(broadcast(centsDf(s, cents)), Seq("cid"))
+      .select(col("gid"), col("cid"), residCol.as("rq"))
+      // fine width clamps to the surviving codebook (see hierAssignments)
+      .select(col("gid"), col("cid"),
+        explode(graft.plans.PqExpressions.centroidRanks(
+          col("rq"), fine, math.min(hierFineNprobe, fine.size))).as("fid"))
+    val keep = reps.groupBy(col("cid"), col("fid"))
+      .agg(count(lit(1)).as("m")).filter(col("m") <= cap)
+      .select(col("cid"), col("fid"))
+    val rk = reps.join(keep, Seq("cid", "fid"), "left_semi")
+    val repPairs = rk.as("a")
+      .join(rk.as("b"),
+        col("a.cid") === col("b.cid") && col("a.fid") === col("b.fid") &&
+          col("a.gid") <= col("b.gid"))
+      .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
+      .distinct()
+    repPairs
+      .join(members.select(col("gid").as("ga"), col("vec_id").as("va")), Seq("ga"))
+      .join(members.select(col("gid").as("gb"), col("vec_id").as("vb")), Seq("gb"))
+      .filter(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("va"),
+        greatest(col("va"), col("vb")).as("vb"))
+      .distinct()
+  }
+
+  /** [[hierAssignCteSql]] extended with the capped-key chain: `qg`
+    * (qv-duplicate groups), `hotcf` (buckets with > cap distinct
+    * reps), `hk` (the surviving assignment keys) — the oracle twin of
+    * `hierCandidatePairs`' guards. Members carry their rep's exact
+    * keys (equal qv ⇒ equal residuals), so the all-vector `hk` join
+    * is provably the rep join re-expanded.
+    */
+  def hierPairCteSqlWithCap(cap: Long): String =
+    s"""$hierAssignCteSql,
+      |qg AS (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qv) AS gid FROM q),
+      |hotcf AS (SELECT h.cid, h.fid FROM hasg h JOIN qg g USING (vec_id)
+      |          GROUP BY h.cid, h.fid HAVING COUNT(DISTINCT g.gid) > $cap),
+      |hk AS (SELECT h.* FROM hasg h ANTI JOIN hotcf USING (cid, fid))""".stripMargin
 
   /** Oracle CTE chain ending in `hasg(vec_id, cid, fid)` — the full
     * hierarchical replay: coarse train/assign (shared kmeans chain at

@@ -1293,13 +1293,14 @@ object SimilarityQueries {
     // residual join broadcasts the kc-row centroid MODEL).
     "ann_ivf_hierarchical" -> Query(
       (s, d) => {
-        val h = Ivf.hierAssignments(s, d)
-        val cand = h.as("a")
-          .join(h.as("b"),
-            col("a.cid") === col("b.cid") && col("a.fid") === col("b.fid")
-              && col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-          .distinct()
+        // r16 review fix: candidates come from the GUARDED generator
+        // (duplicate collapse + HierCellCap, same contract as the flat
+        // regime's Ivf.candidatePairs) — the raw (cid,fid) self-join
+        // was O(cell²) on a boilerplate spike. Symmetric closure for
+        // the per-source ranking, as vec_knn_graph does.
+        val candU = Ivf.hierCandidatePairs(s, d)
+        val cand = candU.select(col("va").as("src"), col("vb").as("dst"))
+          .unionAll(candU.select(col("vb").as("src"), col("va").as("dst")))
         val scored = cand
           .join(corpus(s, d).select(col("vec_id").as("dst"),
             col("embedding").as("dv"), col("nrm").as("dnrm")), Seq("dst"))
@@ -1313,9 +1314,9 @@ object SimilarityQueries {
               .orderBy(col("cos").desc, col("dst"))).cast("long"))
           .filter(col("rn") <= 3)
       },
-      Some(s"""WITH ${Ivf.hierAssignCteSql},
+      Some(s"""WITH ${Ivf.hierPairCteSqlWithCap(Ivf.HierCellCap)},
              |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-             |         FROM hasg a JOIN hasg b ON a.cid = b.cid AND a.fid = b.fid AND a.vec_id <> b.vec_id),
+             |         FROM hk a JOIN hk b ON a.cid = b.cid AND a.fid = b.fid AND a.vec_id <> b.vec_id),
              |c AS (SELECT cand.src, cand.dst,
              |        ROUND(
              |          list_sum(list_transform(generate_series(1, 64),
@@ -1331,6 +1332,22 @@ object SimilarityQueries {
              |SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
              |  FROM c) WHERE rn <= 3""".stripMargin)
+    ),
+
+    // HIERARCHICAL CELL-CAP PAIRS at a cap that BINDS at gate scale —
+    // the vec_cellcap_pairs falsifier applied to the (cid, fid)
+    // regime: the full capped candidate-pair set from
+    // Ivf.hierCandidatePairs at cap=8, hash-compared against the
+    // oracle's hotcf/hk capped branch (a no-op under the production
+    // HierCellCap on every gate corpus), so drift between the guard's
+    // semantics (distinct-rep counting, duplicate collapse, clique
+    // re-expansion) and the SQL mirror surfaces at the gate every
+    // round instead of on some future boilerplate-heavy corpus.
+    "vec_hier_cellcap_pairs" -> Query(
+      (s, d) => Ivf.hierCandidatePairs(s, d, cap = 8L),
+      Some(s"""WITH ${Ivf.hierPairCteSqlWithCap(8L)}
+             |SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
+             |FROM hk l JOIN hk r ON l.cid = r.cid AND l.fid = r.fid AND l.vec_id < r.vec_id""".stripMargin)
     ),
 
     // ANN RECALL EVALUATION — the index-quality report as a QUERY, not

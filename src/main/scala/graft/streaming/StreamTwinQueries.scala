@@ -36,6 +36,9 @@ object StreamTwinQueries {
 
   private val seq = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Guards the session-conf save/restore in runToTable. */
+  private val confLock = new AnyRef
+
   /** ORDERING CONTRACT (shared by every flatMapGroupsWithState twin
     * below): the fold components repair arrival order by sorting
     * WITHIN a micro-batch, so the twins are exact batch equivalents
@@ -161,15 +164,23 @@ object StreamTwinQueries {
     // cadence, watermarks, state carry, checkpoints — is untouched).
     // The session conf is restored after the run so batch queries keep
     // the box-wide 32.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
-    try {
-      out.writeStream.format("memory").queryName(name)
-        .outputMode(mode).option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-        .awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // Serialize twin runs: the save/restore of a session-global conf
+    // is not reentrant (a nested/overlapping call would capture "4" as
+    // prevParts and leave the JVM under-parallelized forever), and the
+    // twins are sequential by construction everywhere they run
+    // (Verify, Bench, the spec suites) — the monitor makes that
+    // assumption enforceable instead of incidental.
+    confLock.synchronized {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+      try {
+        out.writeStream.format("memory").queryName(name)
+          .outputMode(mode).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     // Dataset creation analyzes eagerly, so the plan holds the sink
     // relation itself; dropping the catalog name afterwards frees the
     // name and lets the sink rows be GC'd once the caller lets go.

@@ -559,9 +559,9 @@ object TextQueries {
     // documented caveat): this gate fixture's eval split is a FIXED
     // FRACTION of the corpus (doc_id % 20), so the broadcast index
     // grows with the corpus; the hint is now SIZE-CONDITIONAL
-    // (Hints.broadcastIfBounded — kept under 1M docs, dropped past it
-    // so AQE picks the strategy; the equi-join stays correct as a
-    // shuffle join). A production run swaps in real benchmark suites
+    // (Hints.broadcastIfBounded — kept while corpus text volume stays
+    // under the char budget, dropped past it so AQE picks the
+    // strategy; the equi-join stays correct as a shuffle join). A production run swaps in real benchmark suites
     // (truly constant-size). Zero-hit docs come back via the left join
     // so the output is a verdict per training doc.
     "text_decontaminate" -> Query(
@@ -616,7 +616,8 @@ object TextQueries {
     // as text_decontaminate: the doc_id % 20 eval split is corpus-
     // proportional, not constant-size — real benchmark suites are —
     // so the hint is size-conditional via Hints.broadcastIfBounded,
-    // dropped past 1M docs where it degrades to a shuffle join),
+    // dropped past the corpus-chars budget where it degrades to a
+    // shuffle join),
     // partial-aggs collapse map-side, and
     // the only shuffle is eval-sized (one row per eval doc). leak_bp
     // is integer basis points, zero-shingle eval docs come back via
