@@ -68,4 +68,41 @@ object Hints {
   def broadcastIfBounded(s: SparkSession, d: String, df: DataFrame,
                          limit: Long = BroadcastCharLimit): DataFrame =
     if (charCount(s, d) <= limit) broadcast(df) else df
+
+  /** Document-count ceiling for keeping DOC-ID-LIST broadcast hints
+    * (r17, closing the r16 ADVICE gap): the dedup audit-doc frames
+    * are one-column doc_id lists whose worst case is the DISTINCT DOC
+    * COUNT of the corpus, not its text volume — a char-small,
+    * duplicate-dense corpus (millions of tiny near-identical docs)
+    * stays under `BroadcastCharLimit` while its audit list grows with
+    * the doc population. 4e6 doc_id longs ≈ 64 MB broadcast-side —
+    * the same ~60 MB calibration point as the chars budget, measured
+    * against the frame the hint actually forces.
+    */
+  val BroadcastDocLimit: Long = 4000000L
+
+  private val docCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Memoized row count of `documents` for a data dir — benign-race
+    * memo, same discipline as [[charCount]].
+    */
+  def docCount(s: SparkSession, d: String): Long = {
+    val cached = docCounts.get(d)
+    if (cached != null) cached.longValue()
+    else {
+      val v = Tables.documents(s, d).count()
+      docCounts.putIfAbsent(d, java.lang.Long.valueOf(v))
+      v
+    }
+  }
+
+  /** `broadcast(df)` while the dir's DOCUMENT COUNT is within `limit`
+    * rows; `df` unhinted past it (AQE decides from real sizes). The
+    * gate for frames that scale with the doc POPULATION (audit doc-id
+    * lists) rather than text volume — see [[BroadcastDocLimit]].
+    */
+  def broadcastIfDocsBounded(s: SparkSession, d: String, df: DataFrame,
+                             limit: Long = BroadcastDocLimit): DataFrame =
+    if (docCount(s, d) <= limit) broadcast(df) else df
 }

@@ -655,17 +655,19 @@ object DedupQueries {
         // it the y-side shuffled the ENTIRE shingle table on
         // (doc_id, sh) to serve a sample-sized probe (measured 14.8 s
         // -> see §5). Scale guard (r16 — previously a documented
-        // caveat): the audited-doc list is a 1-in-8 FRACTION of the
-        // selected near-dup pairs, not a constant size, so the hint is
-        // SIZE-CONDITIONAL (Hints.broadcastIfBounded — dropped past the
-        // corpus-chars budget, where the semi-join stays correct as a
-        // shuffle join).
+        // caveat; r17 — gated on the bound that tracks THIS frame):
+        // the audited-doc list is a 1-in-8 FRACTION of the selected
+        // near-dup pairs, worst-case the corpus DOC COUNT — which a
+        // chars budget misses on a duplicate-dense small-doc corpus —
+        // so the hint is DOC-COUNT-CONDITIONAL
+        // (Hints.broadcastIfDocsBounded: dropped past 4e6 docs, where
+        // the semi-join stays correct as a shuffle join).
         // Pure physical filter either way: every row the intersection
         // consumes has doc_id in the audited set, oracle unchanged.
         val audDocs = aud.select(col("da").as("doc_id"))
           .unionAll(aud.select(col("db").as("doc_id"))).distinct()
         val srA = graft.Caches.scoped(shingleRows(s, d)
-          .join(graft.Hints.broadcastIfBounded(s, d, audDocs),
+          .join(graft.Hints.broadcastIfDocsBounded(s, d, audDocs),
             Seq("doc_id"), "left_semi"))
         val szs = srA.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = aud
@@ -779,15 +781,16 @@ object DedupQueries {
         // audit prune, same shape as dedup_jaccard_approx: semi-join
         // the corpus shingle table down to the audited docs before the
         // intersection join. The audited-doc list is sample-sized in
-        // EXPECTATION (1-in-8 of selected pairs) but corpus-
-        // proportional in the worst case — so the hint is
-        // SIZE-CONDITIONAL (r16, Hints.broadcastIfBounded: dropped past
-        // the corpus-chars budget, where the semi-join stays correct
-        // as a shuffle join); at gate scales it is a kilobyte.
+        // EXPECTATION (1-in-8 of selected pairs) but DOC-COUNT-
+        // proportional in the worst case — so the hint is gated on the
+        // bound that tracks the frame itself (r17,
+        // Hints.broadcastIfDocsBounded: dropped past 4e6 docs, where
+        // the semi-join stays correct as a shuffle join); at gate
+        // scales it is a kilobyte.
         val audDocs = aud.select(col("da").as("doc_id"))
           .unionAll(aud.select(col("db").as("doc_id"))).distinct()
         val srA = graft.Caches.scoped(shingleRows(s, d)
-          .join(graft.Hints.broadcastIfBounded(s, d, audDocs),
+          .join(graft.Hints.broadcastIfDocsBounded(s, d, audDocs),
             Seq("doc_id"), "left_semi"))
         val inter = aud
           .join(srA.as("x"), col("da") === col("x.doc_id"))

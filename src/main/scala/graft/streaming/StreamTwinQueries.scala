@@ -36,8 +36,34 @@ object StreamTwinQueries {
 
   private val seq = new java.util.concurrent.atomic.AtomicInteger()
 
-  /** Guards the session-conf save/restore in runToTable. */
-  private val confLock = new AnyRef
+  /** A CLONED session for one twin run (r17, closing the r16 ADVICE
+    * gap): the state-store partition tune is a session conf, and
+    * setting it on the SHARED session — even save/restored under a
+    * lock — leaked 4 shuffle partitions to any batch query another
+    * thread issued mid-twin. `newSession()` shares the SparkContext
+    * and cached data but owns its conf, so the override is invisible
+    * outside the twin by construction instead of by a documented
+    * no-concurrent-batch invariant. Every frame in a twin body
+    * (stream source, static join sides, sink post-processing) builds
+    * against the clone — Tables reads fresh per call, so nothing
+    * crosses sessions.
+    */
+  private def twinSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    // State-store sizing (r16, VERDICT r15 #8): a stateful micro-batch
+    // loads, updates, commits and snapshots ONE state store PER shuffle
+    // partition PER stateful operator — at the batch sizes these twins
+    // process (≤100k rows split over ≤4 AvailableNow batches) the
+    // box-wide 32 partitions are ~800 rows of state work plus 31
+    // partitions of pure store-lifecycle overhead each batch. Sizing
+    // state partitions to the stream's throughput is the standard
+    // production tune (a per-query deployment choice; results are
+    // partition-count-independent, and the cross-batch oracle —
+    // cadence, watermarks, state carry, checkpoints — is untouched).
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+    ss
+  }
 
   /** ORDERING CONTRACT (shared by every flatMapGroupsWithState twin
     * below): the fold components repair arrival order by sorting
@@ -152,35 +178,14 @@ object StreamTwinQueries {
                          mode: String): DataFrame = {
     val name = "graft_stream_twin_" + seq.incrementAndGet()
     val ckpt = graft.etl.TmpDirs.dir(name)
-    // State-store sizing (r16, VERDICT r15 #8): a stateful micro-batch
-    // loads, updates, commits and snapshots ONE state store PER shuffle
-    // partition PER stateful operator — at the batch sizes these twins
-    // process (≤100k rows split over ≤4 AvailableNow batches) the
-    // session's 32 partitions are ~800 rows of state work plus 31
-    // partitions of pure store-lifecycle overhead each batch. Sizing
-    // state partitions to the stream's throughput is the standard
-    // production tune (it is a per-query deployment choice; results
-    // are partition-count-independent, and the cross-batch oracle —
-    // cadence, watermarks, state carry, checkpoints — is untouched).
-    // The session conf is restored after the run so batch queries keep
-    // the box-wide 32.
-    // Serialize twin runs: the save/restore of a session-global conf
-    // is not reentrant (a nested/overlapping call would capture "4" as
-    // prevParts and leave the JVM under-parallelized forever), and the
-    // twins are sequential by construction everywhere they run
-    // (Verify, Bench, the spec suites) — the monitor makes that
-    // assumption enforceable instead of incidental.
-    confLock.synchronized {
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
-      try {
-        out.writeStream.format("memory").queryName(name)
-          .outputMode(mode).option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-          .awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    }
+    // `s` here is the per-twin CLONED session (every registered twin fn
+    // is wrapped in `twinSession` below), so the state-store partition
+    // tune is already on this session's conf and nothing needs a
+    // save/restore or a lock — the shared session never sees it.
+    out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
     // Dataset creation analyzes eagerly, so the plan holds the sink
     // relation itself; dropping the catalog name afterwards frees the
     // name and lets the sink rows be GC'd once the caller lets go.
@@ -196,7 +201,15 @@ object StreamTwinQueries {
     f.delete(): Unit
   }
 
-  val entries: Seq[(String, Query)] = Seq(
+  /** The registered twins: every body runs against a [[twinSession]]
+    * clone so the stream-tuned conf never touches the shared session.
+    */
+  val entries: Seq[(String, Query)] =
+    rawEntries.map { case (n, q) =>
+      n -> q.copy(fn = (s, d) => q.fn(twinSession(s), d))
+    }
+
+  private def rawEntries: Seq[(String, Query)] = Seq(
 
     // WindowedAgg end-to-end: 1h tumbling count+sum per event type —
     // the streaming twin of window_tumbling, checked against the SAME

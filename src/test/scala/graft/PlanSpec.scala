@@ -88,6 +88,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!hasHint(Hints.broadcastIfBounded(spark, sf, df, limit = 0L)
         .queryExecution.logical),
       "past the limit the frame must be unhinted (AQE decides)")
+    // r17: the dedup audit-doc hints gate on DOC COUNT (the bound that
+    // tracks a doc-id-list frame — a chars budget misses a duplicate-
+    // dense small-doc corpus), pinned on both sides like the chars gate
+    assert(hasHint(Hints.broadcastIfDocsBounded(spark, sf, df).queryExecution.logical),
+      "under the doc limit the broadcast hint must be attached")
+    assert(!hasHint(Hints.broadcastIfDocsBounded(spark, sf, df, limit = 0L)
+        .queryExecution.logical),
+      "past the doc limit the frame must be unhinted (AQE decides)")
   }
 
   test("semdedup assignment is in the scan and the pair join is a cid equi-join") {

@@ -23,11 +23,17 @@ AO="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.
 JOPTS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx24g -XX:ReservedCodeCacheSize=512m"
 
 bench() { # bench <outfile> <prefix...>
+  # truncated-artifact guard (r17, mirrors sweeps_r16.sh): write to a
+  # .raw file and publish the final .json only on rc=0, so a crashed
+  # run can never be ingested downstream as a complete measurement
   local out="$1"; shift
   SPARK_GRAFT_SF_DIR=target/sf1 SPARK_GRAFT_BENCH_RUNS=3 \
     java $AO $JOPTS -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-    graft.Bench "$@" >"$OUT/$out.json" 2>"$OUT/$out.err"
-  echo "done $out rc=$?"
+    graft.Bench "$@" >"$OUT/$out.raw" 2>"$OUT/$out.err"
+  local rc=$?
+  if [ $rc -eq 0 ]; then mv "$OUT/$out.raw" "$OUT/$out.json"
+  else rm -f "$OUT/$out.raw"; fi
+  echo "done $out rc=$rc"
 }
 
 for q in dedup_winnowing_pairs dedup_ngram_jaccard dedup_cluster_stats \
