@@ -470,8 +470,12 @@ object DedupQueries {
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       col("embedding"), VectorFunctions.norm(col("embedding")).as("nrm"))
     // round 13: candidates come from the shared duplicate-collapsed,
-    // CellCap-guarded generator (Ivf.candidatePairs — see its doc)
-    val cand = Ivf.candidatePairs(s, d)
+    // cap-guarded generator; round 17: the generator is QUANTIZER-
+    // ADAPTIVE (Ivf.adaptiveCandidatePairs — flat proportional-k below
+    // Ivf.HierSwitchN, two-level coarse→fine past it, where flat
+    // assignment saturates; the oracle replays the same count-gated
+    // decision)
+    val cand = Ivf.adaptiveCandidatePairs(s, d)
     cand
       .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na")), Seq("va"))
       .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("vb"))
@@ -481,12 +485,11 @@ object DedupQueries {
       .filter(col("cos") >= 0.3)
   }
 
-  /** DuckDB mirror of `embeddingPairs`, ending in `(va, vb, cos)`. */
+  /** DuckDB mirror of `embeddingPairs`, ending in `(va, vb, cos)` —
+    * candidates from the quantizer-adaptive count-gated union chain.
+    */
   private lazy val embPairsSql: String =
-    s"""WITH ${graft.similarity.Ivf.pairAssignCteSql},
-       |cand AS (SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
-       |         FROM pasg l JOIN pasg r
-       |           ON l.cid = r.cid AND l.vec_id < r.vec_id),
+    s"""WITH ${graft.similarity.Ivf.adaptiveCandCteSql},
        |p AS (
        |  SELECT cand.va, cand.vb,
        |    ROUND(
@@ -1112,21 +1115,61 @@ object DedupQueries {
              |FROM cand WHERE bit_count(xor(sima, simb)) <= 20""".stripMargin)
     ),
 
-    // Embedding near-dup pairs, blocked by multi-table hyperplane LSH:
-    // candidate generation is a (table, bucket)-key EQUI-JOIN over an
-    // O(L*n) hash index — unlike label blocking (whose per-block
-    // self-join is quadratic in corpus size at a fixed label count),
-    // bucket occupancy is controlled by the plane count (P planes =>
-    // 2^P buckets per table; at 100 TB P grows with log n to keep
-    // blocks bounded). L tables band the planes the way MinHash bands
-    // signature rows: a true near-dup pair only needs to collide in ONE
-    // table. Exact cosine confirms candidates, rounded to 4dp on both
-    // sides before the threshold compare. Fully deterministic (literal
-    // plane coefficients) => hash-checked; pair recall vs the exact
-    // same-label pairs is asserted in QualitySpec.
+    // Embedding near-dup pairs, blocked on trained quantizer cells
+    // (see embeddingPairs): candidate generation is a cell-key
+    // EQUI-JOIN whose volume stays linear in n under ~constant cell
+    // size — flat proportional-k below Ivf.HierSwitchN, two-level
+    // coarse→fine past it (r17 adaptive routing). Exact cosine
+    // confirms candidates, rounded to 4dp on both sides before the
+    // threshold compare. Fully deterministic => hash-checked; pair
+    // recall vs the exact same-label pairs is asserted in QualitySpec.
     "dedup_embedding" -> Query(
       (s, d) => embeddingPairs(s, d),
       Some(embPairsSql)
+    ),
+
+    // FORCED-HIER EMBEDDING NEAR-DUP TWIN — the hierarchical leg of
+    // the adaptive embeddingPairs generator pinned at GATE scale (the
+    // adaptive entries pick flat below Ivf.HierSwitchN, so without
+    // this twin the hier leg of the count-gated union would execute
+    // only on some future large corpus): the guarded two-level
+    // (cid, fid) candidate join, exact 4dp cosine, same 0.3 threshold,
+    // hash-compared against the standalone hier replay every round.
+    // The vec_hier_cellcap_pairs falsifier pattern, applied one level
+    // up the consumer stack.
+    "dedup_embedding_hier" -> Query(
+      (s, d) => {
+        import graft.functions.VectorFunctions
+        import graft.similarity.Ivf
+        val e = Tables.embeddings(s, d).select(col("vec_id"),
+          col("embedding"), VectorFunctions.norm(col("embedding")).as("nrm"))
+        Ivf.hierCandidatePairs(s, d)
+          .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+            col("nrm").as("na")), Seq("va"))
+          .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+            col("nrm").as("nb")), Seq("vb"))
+          .select(col("va"), col("vb"),
+            round(VectorFunctions.dot(col("ea"), col("eb"))
+              / (col("na") * col("nb")), 4).as("cos"))
+          .filter(col("cos") >= 0.3)
+      },
+      Some(s"""WITH ${graft.similarity.Ivf.hierPairCteSqlWithCap(graft.similarity.Ivf.HierCellCap)},
+             |cand AS (SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
+             |         FROM hk l JOIN hk r
+             |           ON l.cid = r.cid AND l.fid = r.fid AND l.vec_id < r.vec_id),
+             |p AS (
+             |  SELECT cand.va, cand.vb,
+             |    ROUND(
+             |      list_sum(list_transform(generate_series(1, 64),
+             |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+             |      (sqrt(list_sum(list_transform(generate_series(1, 64),
+             |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+             |       sqrt(list_sum(list_transform(generate_series(1, 64),
+             |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+             |    , 4) AS cos
+             |  FROM cand JOIN embeddings a ON a.vec_id = cand.va
+             |            JOIN embeddings b ON b.vec_id = cand.vb)
+             |SELECT va, vb, cos FROM p WHERE cos >= 0.3""".stripMargin)
     ),
 
     // BITEXT MINING — the cross-lingual twin of dedup_embedding: the

@@ -106,22 +106,30 @@ object Ivf {
     * oracle value is unchanged.
     */
   def graphK(s: SparkSession, d: String): Int = {
-    // benign-race memo (NOT compute-under-CHM-lock — the count is a
-    // Spark job; the Tables/Bucketing rule): concurrent first callers
-    // may both count, but the value is deterministic, so putIfAbsent
-    // keeps one identical result and nobody blocks on a bin lock
+    val n = corpusN(s, d)
+    math.max(128, math.min(32768, 128 * math.round(n / 500.0).toInt))
+  }
+
+  /** Memoized embedding-corpus row count per dir — ONE metadata-only
+    * parquet count feeding every data-proportional model-size and
+    * regime decision (graphK, hierKf, decideQuantizer). Benign-race
+    * memo (NOT compute-under-CHM-lock — the count is a Spark job; the
+    * Tables/Bucketing rule): concurrent first callers may both count,
+    * but the value is deterministic, so putIfAbsent keeps one
+    * identical result and nobody blocks on a bin lock.
+    */
+  def corpusN(s: SparkSession, d: String): Long = {
     val cached = nCache.get(d)
-    if (cached != null) cached.intValue()
+    if (cached != null) cached.longValue()
     else {
       val n = Tables.embeddings(s, d).count()
-      val v = math.max(128, math.min(32768, 128 * math.round(n / 500.0).toInt))
-      nCache.putIfAbsent(d, Integer.valueOf(v))
-      v
+      nCache.putIfAbsent(d, java.lang.Long.valueOf(n))
+      n
     }
   }
 
   private val nCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** DuckDB mirror of `graphK`: one row, column `k`. */
   val graphKSql: String =
@@ -178,31 +186,36 @@ object Ivf {
     * seed draw: the FIXED regime passes the literal (`"128"`), the
     * pair regime passes a scalar subquery on `graphKSql` so the
     * oracle derives the same data-proportional k as `graphK`.
+    * `p` prefixes every CTE name (r17): the adaptive-quantizer
+    * oracles compose the FLAT and HIERARCHICAL chains — which both
+    * bottom out in this kmeans replay — inside one WITH, so the
+    * second instance must not shadow the first.
     */
-  def kmeansCteSql(kLimitSql: String = kmeansK.toString): String =
-    s"""kk AS (SELECT CAST(($kLimitSql) AS BIGINT) AS k),
-      |q AS (SELECT vec_id, list_transform(embedding,
+  def kmeansCteSql(kLimitSql: String = kmeansK.toString,
+                   p: String = ""): String =
+    s"""${p}kk AS (SELECT CAST(($kLimitSql) AS BIGINT) AS k),
+      |${p}q AS (SELECT vec_id, list_transform(embedding,
       |        x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
       |      FROM embeddings),
-      |c0 AS (SELECT cid, cv FROM (
+      |${p}c0 AS (SELECT cid, cv FROM (
       |         SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv,
       |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
-      |         FROM q), kk WHERE srn <= kk.k),
-      |d0 AS (SELECT q.vec_id, q.qv, c.cid,
+      |         FROM ${p}q), ${p}kk WHERE srn <= ${p}kk.k),
+      |${p}d0 AS (SELECT q.vec_id, q.qv, c.cid,
       |         list_sum(list_transform(generate_series(1,64),
       |           i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i]) * (CAST(q.qv[i] AS DOUBLE) - c.cv[i]))) AS dist
-      |       FROM q CROSS JOIN c0 c),
-      |a0 AS (SELECT vec_id, qv, cid FROM (
+      |       FROM ${p}q q CROSS JOIN ${p}c0 c),
+      |${p}a0 AS (SELECT vec_id, qv, cid FROM (
       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
-      |         FROM d0) WHERE rn = 1),
-      |ii AS (SELECT unnest(generate_series(1,64)) AS i),
-      |u1 AS (SELECT cid, i AS dim, SUM(qv[i]) AS s, COUNT(*) AS n
-      |       FROM a0 CROSS JOIN ii GROUP BY cid, i),
-      |c1 AS (SELECT cid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS cv FROM u1 GROUP BY cid),
-      |d1 AS (SELECT q.vec_id, q.qv, c.cid,
+      |         FROM ${p}d0) WHERE rn = 1),
+      |${p}ii AS (SELECT unnest(generate_series(1,64)) AS i),
+      |${p}u1 AS (SELECT cid, i AS dim, SUM(qv[i]) AS s, COUNT(*) AS n
+      |       FROM ${p}a0 CROSS JOIN ${p}ii GROUP BY cid, i),
+      |${p}c1 AS (SELECT cid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS cv FROM ${p}u1 GROUP BY cid),
+      |${p}d1 AS (SELECT q.vec_id, q.qv, c.cid,
       |         list_sum(list_transform(generate_series(1,64),
       |           i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i]) * (CAST(q.qv[i] AS DOUBLE) - c.cv[i]))) AS dist
-      |       FROM q CROSS JOIN c1 c)""".stripMargin
+      |       FROM ${p}q q CROSS JOIN ${p}c1 c)""".stripMargin
 
   /** Hot-cell cap for the pair regime (round 13 — the IVF member of
     * the frequency-guard family beside SimhashBandCap / EditBlockCap /
@@ -235,15 +248,15 @@ object Ivf {
     * against DuckDB every round instead of lying dormant until a
     * hot-celled corpus arrives (round-13 ADVICE).
     */
-  def pairAssignCteSqlWithCap(cap: Long): String =
-    s"""${kmeansCteSql(s"($graphKSql)")},
-      |pasg0 AS (SELECT vec_id, cid FROM (
+  def pairAssignCteSqlWithCap(cap: Long, p: String = ""): String =
+    s"""${kmeansCteSql(s"($graphKSql)", p)},
+      |${p}pasg0 AS (SELECT vec_id, cid FROM (
       |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
-      |          FROM d1) WHERE rn <= $graphNprobe),
-      |qg AS (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qv) AS gid FROM q),
-      |hotc AS (SELECT p.cid FROM pasg0 p JOIN qg g USING (vec_id)
+      |          FROM ${p}d1) WHERE rn <= $graphNprobe),
+      |${p}qg AS (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qv) AS gid FROM ${p}q),
+      |${p}hotc AS (SELECT p.cid FROM ${p}pasg0 p JOIN ${p}qg g USING (vec_id)
       |         GROUP BY p.cid HAVING COUNT(DISTINCT g.gid) > $cap),
-      |pasg AS (SELECT * FROM pasg0 WHERE cid NOT IN (SELECT cid FROM hotc))""".stripMargin
+      |${p}pasg AS (SELECT * FROM ${p}pasg0 WHERE cid NOT IN (SELECT cid FROM ${p}hotc))""".stripMargin
 
   /** Pair-regime cell assignments `(vec_id, cid)` — each vector under
     * its `graphNprobe` nearest scaled-k cells, REPARTITIONED by vec_id
@@ -289,36 +302,108 @@ object Ivf {
     * worse than output-shaped for duplicates.
     */
   def candidatePairs(s: SparkSession, d: String,
-                     cap: Long = CellCap): DataFrame = {
+                     cap: Long = CellCap): DataFrame =
+    candidatePairsImpl(s, d, cap, collapseDecision(s, d))
+
+  /** [[candidatePairs]] with the duplicate-collapse choice explicit —
+    * the spec pins skip ≡ collapse on the same corpus (the two paths
+    * are provably output-identical; see `collapseDecision`).
+    */
+  private[graft] def candidatePairsImpl(s: SparkSession, d: String,
+                                        cap: Long,
+                                        collapse: Boolean): DataFrame = {
     val cents = trainedCentroids(s, d, graphK(s, d))
     val q = Tables.embeddings(s, d)
       .repartition(col("vec_id"))
       .select(col("vec_id"), quantCol.as("qv"))
-    // gid = min vec_id per identical-qv group; one qv-keyed window
-    val grouped = q.withColumn("gid",
-      min(col("vec_id")).over(Window.partitionBy(col("qv"))))
-    val members = grouped.select(col("vec_id"), col("gid"))
-    val reps = grouped.filter(col("vec_id") === col("gid"))
-      .select(col("gid"), explode(centroidRanks(cents, graphNprobe)).as("cid"))
-    val keep = reps.groupBy(col("cid"))
-      .agg(count(lit(1)).as("m")).filter(col("m") <= cap)
-      .select(col("cid"))
-    val rk = reps.join(keep, Seq("cid"), "left_semi")
-    // rep-level co-membership: ga <= gb keeps within-group (ga = gb)
-    // pairs, whose expansion is the duplicate group's own clique
-    val repPairs = rk.as("a")
-      .join(rk.as("b"),
-        col("a.cid") === col("b.cid") && col("a.gid") <= col("b.gid"))
-      .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
-      .distinct()
-    repPairs
-      .join(members.select(col("gid").as("ga"), col("vec_id").as("va")), Seq("ga"))
-      .join(members.select(col("gid").as("gb"), col("vec_id").as("vb")), Seq("gb"))
-      .filter(col("va") =!= col("vb"))
-      .select(least(col("va"), col("vb")).as("va"),
-        greatest(col("va"), col("vb")).as("vb"))
-      .distinct()
+    if (!collapse) {
+      // NO duplicate qv anywhere (memoized probe) ⇒ every vector is its
+      // own rep: the qv-keyed collapse window (a full-corpus sort) and
+      // the two member re-expansion joins are identity ops — skip them.
+      // The cap agg stays: hot cells can exist without duplicates, and
+      // with all gids distinct "distinct reps per cell" IS the row
+      // count this agg sees. Strict < in the self-join: within-group
+      // pairs cannot exist without groups.
+      val reps = q.select(col("vec_id").as("gid"),
+        explode(centroidRanks(cents, graphNprobe)).as("cid"))
+      val keep = reps.groupBy(col("cid"))
+        .agg(count(lit(1)).as("m")).filter(col("m") <= cap)
+        .select(col("cid"))
+      val rk = reps.join(keep, Seq("cid"), "left_semi")
+      rk.as("a")
+        .join(rk.as("b"),
+          col("a.cid") === col("b.cid") && col("a.gid") < col("b.gid"))
+        .select(col("a.gid").as("va"), col("b.gid").as("vb"))
+        .distinct()
+    } else {
+      // gid = min vec_id per identical-qv group; one qv-keyed window
+      val grouped = q.withColumn("gid",
+        min(col("vec_id")).over(Window.partitionBy(col("qv"))))
+      val members = grouped.select(col("vec_id"), col("gid"))
+      val reps = grouped.filter(col("vec_id") === col("gid"))
+        .select(col("gid"), explode(centroidRanks(cents, graphNprobe)).as("cid"))
+      val keep = reps.groupBy(col("cid"))
+        .agg(count(lit(1)).as("m")).filter(col("m") <= cap)
+        .select(col("cid"))
+      val rk = reps.join(keep, Seq("cid"), "left_semi")
+      // rep-level co-membership: ga <= gb keeps within-group (ga = gb)
+      // pairs, whose expansion is the duplicate group's own clique
+      val repPairs = rk.as("a")
+        .join(rk.as("b"),
+          col("a.cid") === col("b.cid") && col("a.gid") <= col("b.gid"))
+        .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
+        .distinct()
+      repPairs
+        .join(members.select(col("gid").as("ga"), col("vec_id").as("va")), Seq("ga"))
+        .join(members.select(col("gid").as("gb"), col("vec_id").as("vb")), Seq("gb"))
+        .filter(col("va") =!= col("vb"))
+        .select(least(col("va"), col("vb")).as("va"),
+          greatest(col("va"), col("vb")).as("vb"))
+        .distinct()
+    }
   }
+
+  /** Run the duplicate-collapse machinery for a dir? (r17, VERDICT
+    * r16 #3: the guarded pair path paid ~2× on corpora with no
+    * duplicates to collapse — the window is a full-corpus sort on a
+    * 64-long array key and the re-expansion is two joins + a wider
+    * distinct, all identity work when every qv is unique.) ONE
+    * memoized aggregate decides: any duplicate quantized vector
+    * anywhere ⇒ collapse (the spike protection stays armed exactly
+    * when it can bind); zero duplicates ⇒ provably identical output
+    * without the machinery. `SPARK_GRAFT_VEC_DUP_COLLAPSE`
+    * (always|skip) forces a side for A/B runs — SAFE either way
+    * (unlike the quantizer force): both paths emit the same pair set,
+    * `skip` is only also CORRECT when the corpus truly has no dup qv
+    * (on a spiked corpus it re-opens the O(m²) cell the collapse
+    * exists to prevent — a perf force, never a semantics one).
+    */
+  private def collapseDecision(s: SparkSession, d: String): Boolean =
+    sys.env.get("SPARK_GRAFT_VEC_DUP_COLLAPSE").map {
+      case "always" => true
+      case "skip"   => false
+      case other => sys.error(
+        s"SPARK_GRAFT_VEC_DUP_COLLAPSE must be always|skip, got '$other'")
+    }.getOrElse(hasDupQv(s, d))
+
+  /** Memoized: does the dir's corpus contain ANY duplicate quantized
+    * vector? One map-side-combinable aggregate (count vs distinct-qv
+    * count). Benign-race memo — see corpusN.
+    */
+  def hasDupQv(s: SparkSession, d: String): Boolean = {
+    val cached = dupCache.get(d)
+    if (cached != null) cached.booleanValue()
+    else {
+      val r = quantizedVecs(s, d)
+        .agg(count(lit(1)).as("n"), countDistinct(col("qv")).as("nd")).first()
+      val v = r.getLong(0) != r.getLong(1)
+      dupCache.putIfAbsent(d, java.lang.Boolean.valueOf(v))
+      v
+    }
+  }
+
+  private val dupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   // ───────────────────────────────────────────────────────────────────
   // HIERARCHICAL (two-level coarse→fine) pair regime — round 16.
@@ -365,19 +450,9 @@ object Ivf {
     * [16, 1024]. Deterministic in the data; mirrored by `hierKfSql`.
     */
   def hierKf(s: SparkSession, d: String): Int = {
-    // benign-race memo — see graphK
-    val cached = kfCache.get(d)
-    if (cached != null) cached.intValue()
-    else {
-      val n = Tables.embeddings(s, d).count()
-      val v = math.max(16, math.min(1024, 16 * math.round(n / 16384.0).toInt))
-      kfCache.putIfAbsent(d, Integer.valueOf(v))
-      v
-    }
+    val n = corpusN(s, d)
+    math.max(16, math.min(1024, 16 * math.round(n / 16384.0).toInt))
   }
-
-  private val kfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** DuckDB mirror of `hierKf`: one row, column `k`. */
   val hierKfSql: String =
@@ -452,7 +527,9 @@ object Ivf {
     * round-11 narrow-scan parallelism exchange, same as the flat
     * regime's `pairAssignments`).
     */
-  def hierAssignments(s: SparkSession, d: String): DataFrame = {
+  def hierAssignments(s: SparkSession, d: String,
+                      nprobeC: Int = hierNprobe,
+                      nprobeF: Int = hierFineNprobe): DataFrame = {
     val cents = trainedCentroids(s, d, hierKc)
     val fine = hierFineCentroids(s, d)
     // probe widths clamp to the surviving model sizes: on a degenerate
@@ -464,12 +541,41 @@ object Ivf {
       .repartition(col("vec_id"))
       .withColumn("qv", quantCol)
       .select(col("vec_id"), col("qv"),
-        explode(centroidRanks(cents, math.min(hierNprobe, cents.size))).as("cid"))
+        explode(centroidRanks(cents, math.min(nprobeC, cents.size))).as("cid"))
       .join(broadcast(centsDf(s, cents)), Seq("cid"))
       .select(col("vec_id"), col("cid"), residCol.as("rq"))
       .select(col("vec_id"), col("cid"),
         explode(graft.plans.PqExpressions.centroidRanks(
-          col("rq"), fine, math.min(hierFineNprobe, fine.size))).as("fid"))
+          col("rq"), fine, math.min(nprobeF, fine.size))).as("fid"))
+  }
+
+  /** [[hierAssignments]] with BOTH probe ranks exposed —
+    * `(vec_id, cid, crn, fid, frn)` at the widest widths the caller
+    * sweeps. One assignment pass serves every (nprobeC, nprobeF)
+    * combination as a FILTER (`crn <= a AND frn <= b`): the
+    * calibration query reads the same trained model once instead of
+    * re-assigning per combination. `posexplode` emits the 0-based
+    * probe position; ranks are 1-based to match the oracle's
+    * ROW_NUMBER.
+    */
+  def hierAssignmentsRanked(s: SparkSession, d: String,
+                            maxC: Int, maxF: Int): DataFrame = {
+    val cents = trainedCentroids(s, d, hierKc)
+    val fine = hierFineCentroids(s, d)
+    Tables.embeddings(s, d)
+      .repartition(col("vec_id"))
+      .withColumn("qv", quantCol)
+      .select(col("vec_id"), col("qv"),
+        posexplode(centroidRanks(cents, math.min(maxC, cents.size)))
+          .as(Seq("cpos", "cid")))
+      .join(broadcast(centsDf(s, cents)), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        (col("cpos") + 1).cast("long").as("crn"), residCol.as("rq"))
+      .select(col("vec_id"), col("cid"), col("crn"),
+        posexplode(graft.plans.PqExpressions.centroidRanks(
+          col("rq"), fine, math.min(maxF, fine.size))).as(Seq("fpos", "fid")))
+      .select(col("vec_id"), col("cid"), col("crn"), col("fid"),
+        (col("fpos") + 1).cast("long").as("frn"))
   }
 
   /** Hot-cell cap for the hierarchical pair regime — the (cid, fid)
@@ -494,41 +600,68 @@ object Ivf {
     * drop (oracle-mirrored).
     */
   def hierCandidatePairs(s: SparkSession, d: String,
-                         cap: Long = HierCellCap): DataFrame = {
+                         cap: Long = HierCellCap): DataFrame =
+    hierCandidatePairsImpl(s, d, cap, collapseDecision(s, d))
+
+  /** [[hierCandidatePairs]] with the duplicate-collapse choice
+    * explicit — see `candidatePairsImpl`.
+    */
+  private[graft] def hierCandidatePairsImpl(s: SparkSession, d: String,
+                                            cap: Long,
+                                            collapse: Boolean): DataFrame = {
     val cents = trainedCentroids(s, d, hierKc)
     val fine = hierFineCentroids(s, d)
     val q = Tables.embeddings(s, d)
       .repartition(col("vec_id"))
       .select(col("vec_id"), quantCol.as("qv"))
-    val grouped = q.withColumn("gid",
-      min(col("vec_id")).over(Window.partitionBy(col("qv"))))
-    val members = grouped.select(col("vec_id"), col("gid"))
-    val reps = grouped.filter(col("vec_id") === col("gid"))
-      .select(col("gid"), col("qv"),
-        explode(centroidRanks(cents, math.min(hierNprobe, cents.size))).as("cid"))
+    def assignKeys(df: DataFrame): DataFrame = df
       .join(broadcast(centsDf(s, cents)), Seq("cid"))
       .select(col("gid"), col("cid"), residCol.as("rq"))
       // fine width clamps to the surviving codebook (see hierAssignments)
       .select(col("gid"), col("cid"),
         explode(graft.plans.PqExpressions.centroidRanks(
           col("rq"), fine, math.min(hierFineNprobe, fine.size))).as("fid"))
-    val keep = reps.groupBy(col("cid"), col("fid"))
-      .agg(count(lit(1)).as("m")).filter(col("m") <= cap)
-      .select(col("cid"), col("fid"))
-    val rk = reps.join(keep, Seq("cid", "fid"), "left_semi")
-    val repPairs = rk.as("a")
-      .join(rk.as("b"),
-        col("a.cid") === col("b.cid") && col("a.fid") === col("b.fid") &&
-          col("a.gid") <= col("b.gid"))
-      .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
-      .distinct()
-    repPairs
-      .join(members.select(col("gid").as("ga"), col("vec_id").as("va")), Seq("ga"))
-      .join(members.select(col("gid").as("gb"), col("vec_id").as("vb")), Seq("gb"))
-      .filter(col("va") =!= col("vb"))
-      .select(least(col("va"), col("vb")).as("va"),
-        greatest(col("va"), col("vb")).as("vb"))
-      .distinct()
+    if (!collapse) {
+      // no duplicate qv (memoized probe) ⇒ skip the collapse window and
+      // re-expansion — see candidatePairsImpl; the (cid, fid) cap agg
+      // stays armed
+      val reps = assignKeys(q.select(col("vec_id").as("gid"), col("qv"),
+        explode(centroidRanks(cents, math.min(hierNprobe, cents.size))).as("cid")))
+      val keep = reps.groupBy(col("cid"), col("fid"))
+        .agg(count(lit(1)).as("m")).filter(col("m") <= cap)
+        .select(col("cid"), col("fid"))
+      val rk = reps.join(keep, Seq("cid", "fid"), "left_semi")
+      rk.as("a")
+        .join(rk.as("b"),
+          col("a.cid") === col("b.cid") && col("a.fid") === col("b.fid") &&
+            col("a.gid") < col("b.gid"))
+        .select(col("a.gid").as("va"), col("b.gid").as("vb"))
+        .distinct()
+    } else {
+      val grouped = q.withColumn("gid",
+        min(col("vec_id")).over(Window.partitionBy(col("qv"))))
+      val members = grouped.select(col("vec_id"), col("gid"))
+      val reps = assignKeys(grouped.filter(col("vec_id") === col("gid"))
+        .select(col("gid"), col("qv"),
+          explode(centroidRanks(cents, math.min(hierNprobe, cents.size))).as("cid")))
+      val keep = reps.groupBy(col("cid"), col("fid"))
+        .agg(count(lit(1)).as("m")).filter(col("m") <= cap)
+        .select(col("cid"), col("fid"))
+      val rk = reps.join(keep, Seq("cid", "fid"), "left_semi")
+      val repPairs = rk.as("a")
+        .join(rk.as("b"),
+          col("a.cid") === col("b.cid") && col("a.fid") === col("b.fid") &&
+            col("a.gid") <= col("b.gid"))
+        .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
+        .distinct()
+      repPairs
+        .join(members.select(col("gid").as("ga"), col("vec_id").as("va")), Seq("ga"))
+        .join(members.select(col("gid").as("gb"), col("vec_id").as("vb")), Seq("gb"))
+        .filter(col("va") =!= col("vb"))
+        .select(least(col("va"), col("vb")).as("va"),
+          greatest(col("va"), col("vb")).as("vb"))
+        .distinct()
+    }
   }
 
   /** [[hierAssignCteSql]] extended with the capped-key chain: `qg`
@@ -538,52 +671,185 @@ object Ivf {
     * keys (equal qv ⇒ equal residuals), so the all-vector `hk` join
     * is provably the rep join re-expanded.
     */
-  def hierPairCteSqlWithCap(cap: Long): String =
-    s"""$hierAssignCteSql,
-      |qg AS (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qv) AS gid FROM q),
-      |hotcf AS (SELECT h.cid, h.fid FROM hasg h JOIN qg g USING (vec_id)
+  def hierPairCteSqlWithCap(cap: Long, p: String = ""): String =
+    s"""${hierAssignCteSql(p)},
+      |${p}qg AS (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qv) AS gid FROM ${p}q),
+      |${p}hotcf AS (SELECT h.cid, h.fid FROM ${p}hasg h JOIN ${p}qg g USING (vec_id)
       |          GROUP BY h.cid, h.fid HAVING COUNT(DISTINCT g.gid) > $cap),
-      |hk AS (SELECT h.* FROM hasg h ANTI JOIN hotcf USING (cid, fid))""".stripMargin
+      |${p}hk AS (SELECT h.* FROM ${p}hasg h ANTI JOIN ${p}hotcf USING (cid, fid))""".stripMargin
 
   /** Oracle CTE chain ending in `hasg(vec_id, cid, fid)` — the full
     * hierarchical replay: coarse train/assign (shared kmeans chain at
     * k = hierKc), top-1 residuals, fine seed + one Lloyd update, then
-    * per-probe-cell residual fine assignment.
+    * per-probe-cell residual fine assignment. `p` prefixes every CTE
+    * name (adaptive oracles compose this chain beside the flat one);
+    * `nprobeC`/`nprobeF` are the probe widths — the pair regime's
+    * 4×2 default, the semdedup cell regime's 1×1, the recall-curve
+    * calibration's wider sweeps. The fine CODEBOOK is width-
+    * independent (trained on top-1 residuals), so every width
+    * combination reads the same trained model, exactly like
+    * `hierAssignments`.
     */
-  def hierAssignCteSql: String =
-    s"""${kmeansCteSql(hierKc.toString)},
-      |casg AS (SELECT vec_id, qv, cid FROM (
+  def hierAssignCteSql(p: String = "", nprobeC: Int = hierNprobe,
+                       nprobeF: Int = hierFineNprobe): String =
+    s"""${kmeansCteSql(hierKc.toString, p)},
+      |${p}casg AS (SELECT vec_id, qv, cid FROM (
       |          SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
-      |          FROM d1) WHERE rn <= $hierNprobe),
-      |ca1 AS (SELECT vec_id, qv, cid FROM (
+      |          FROM ${p}d1) WHERE rn <= $nprobeC),
+      |${p}ca1 AS (SELECT vec_id, qv, cid FROM (
       |          SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
-      |          FROM d1) WHERE rn = 1),
-      |rt AS (SELECT a.vec_id, list_transform(generate_series(1,64),
+      |          FROM ${p}d1) WHERE rn = 1),
+      |${p}rt AS (SELECT a.vec_id, list_transform(generate_series(1,64),
       |          i -> CAST(floor(CAST(a.qv[i] AS DOUBLE) - c.cv[i] + 0.5) AS BIGINT)) AS rq
-      |       FROM ca1 a JOIN c1 c ON a.cid = c.cid),
-      |fkk AS (SELECT CAST(($hierKfSql) AS BIGINT) AS k),
-      |f0 AS (SELECT fid, fv FROM (
+      |       FROM ${p}ca1 a JOIN ${p}c1 c ON a.cid = c.cid),
+      |${p}fkk AS (SELECT CAST(($hierKfSql) AS BIGINT) AS k),
+      |${p}f0 AS (SELECT fid, fv FROM (
       |         SELECT vec_id AS fid, list_transform(rq, x -> CAST(x AS DOUBLE)) AS fv,
       |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
-      |         FROM rt), fkk WHERE srn <= fkk.k),
-      |fd0 AS (SELECT rt.vec_id, rt.rq, f.fid,
+      |         FROM ${p}rt), ${p}fkk WHERE srn <= ${p}fkk.k),
+      |${p}fd0 AS (SELECT rt.vec_id, rt.rq, f.fid,
       |          list_sum(list_transform(generate_series(1,64),
       |            i -> (CAST(rt.rq[i] AS DOUBLE) - f.fv[i]) * (CAST(rt.rq[i] AS DOUBLE) - f.fv[i]))) AS dist
-      |        FROM rt CROSS JOIN f0 f),
-      |fa0 AS (SELECT vec_id, rq, fid FROM (
+      |        FROM ${p}rt rt CROSS JOIN ${p}f0 f),
+      |${p}fa0 AS (SELECT vec_id, rq, fid FROM (
       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, fid) rn
-      |          FROM fd0) WHERE rn = 1),
-      |fu1 AS (SELECT fid, i AS dim, SUM(rq[i]) AS s, COUNT(*) AS n
-      |        FROM fa0 CROSS JOIN ii GROUP BY fid, i),
-      |fc1 AS (SELECT fid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS fv FROM fu1 GROUP BY fid),
-      |rp AS (SELECT p.vec_id, p.cid, list_transform(generate_series(1,64),
+      |          FROM ${p}fd0) WHERE rn = 1),
+      |${p}fu1 AS (SELECT fid, i AS dim, SUM(rq[i]) AS s, COUNT(*) AS n
+      |        FROM ${p}fa0 CROSS JOIN ${p}ii GROUP BY fid, i),
+      |${p}fc1 AS (SELECT fid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS fv FROM ${p}fu1 GROUP BY fid),
+      |${p}rp AS (SELECT p.vec_id, p.cid, list_transform(generate_series(1,64),
       |          i -> CAST(floor(CAST(p.qv[i] AS DOUBLE) - c.cv[i] + 0.5) AS BIGINT)) AS rq
-      |       FROM casg p JOIN c1 c ON p.cid = c.cid),
-      |fd1 AS (SELECT r.vec_id, r.cid, f.fid,
+      |       FROM ${p}casg p JOIN ${p}c1 c ON p.cid = c.cid),
+      |${p}fd1 AS (SELECT r.vec_id, r.cid, f.fid,
       |          list_sum(list_transform(generate_series(1,64),
       |            i -> (CAST(r.rq[i] AS DOUBLE) - f.fv[i]) * (CAST(r.rq[i] AS DOUBLE) - f.fv[i]))) AS dist
-      |        FROM rp r CROSS JOIN fc1 f),
-      |hasg AS (SELECT vec_id, cid, fid FROM (
+      |        FROM ${p}rp r CROSS JOIN ${p}fc1 f),
+      |${p}hasg AS (SELECT vec_id, cid, fid FROM (
       |          SELECT vec_id, cid, fid, ROW_NUMBER() OVER (PARTITION BY vec_id, cid ORDER BY dist, fid) rn
-      |          FROM fd1) WHERE rn <= $hierFineNprobe)""".stripMargin
+      |          FROM ${p}fd1) WHERE rn <= $nprobeF)""".stripMargin
+
+  /** [[hierAssignCteSql]] with BOTH probe ranks exposed — ends in
+    * `hasgr(vec_id, cid, crn, fid, frn)` at widths (maxC, maxF), the
+    * oracle twin of [[hierAssignmentsRanked]]: one assignment replay
+    * serves every (nprobeC <= maxC, nprobeF <= maxF) combination as a
+    * rank filter. Shares every training CTE with the unranked chain
+    * (same seeds, same one-Lloyd-update fine codebook).
+    */
+  def hierRankedCteSql(p: String = "", maxC: Int = hierNprobe,
+                       maxF: Int = hierFineNprobe): String =
+    s"""${kmeansCteSql(hierKc.toString, p)},
+      |${p}casg AS (SELECT vec_id, qv, cid, CAST(rn AS BIGINT) AS crn FROM (
+      |          SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+      |          FROM ${p}d1) WHERE rn <= $maxC),
+      |${p}ca1 AS (SELECT vec_id, qv, cid FROM ${p}casg WHERE crn = 1),
+      |${p}rt AS (SELECT a.vec_id, list_transform(generate_series(1,64),
+      |          i -> CAST(floor(CAST(a.qv[i] AS DOUBLE) - c.cv[i] + 0.5) AS BIGINT)) AS rq
+      |       FROM ${p}ca1 a JOIN ${p}c1 c ON a.cid = c.cid),
+      |${p}fkk AS (SELECT CAST(($hierKfSql) AS BIGINT) AS k),
+      |${p}f0 AS (SELECT fid, fv FROM (
+      |         SELECT vec_id AS fid, list_transform(rq, x -> CAST(x AS DOUBLE)) AS fv,
+      |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+      |         FROM ${p}rt), ${p}fkk WHERE srn <= ${p}fkk.k),
+      |${p}fd0 AS (SELECT rt.vec_id, rt.rq, f.fid,
+      |          list_sum(list_transform(generate_series(1,64),
+      |            i -> (CAST(rt.rq[i] AS DOUBLE) - f.fv[i]) * (CAST(rt.rq[i] AS DOUBLE) - f.fv[i]))) AS dist
+      |        FROM ${p}rt rt CROSS JOIN ${p}f0 f),
+      |${p}fa0 AS (SELECT vec_id, rq, fid FROM (
+      |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, fid) rn
+      |          FROM ${p}fd0) WHERE rn = 1),
+      |${p}fu1 AS (SELECT fid, i AS dim, SUM(rq[i]) AS s, COUNT(*) AS n
+      |        FROM ${p}fa0 CROSS JOIN ${p}ii GROUP BY fid, i),
+      |${p}fc1 AS (SELECT fid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS fv FROM ${p}fu1 GROUP BY fid),
+      |${p}rp AS (SELECT p.vec_id, p.cid, p.crn, list_transform(generate_series(1,64),
+      |          i -> CAST(floor(CAST(p.qv[i] AS DOUBLE) - c.cv[i] + 0.5) AS BIGINT)) AS rq
+      |       FROM ${p}casg p JOIN ${p}c1 c ON p.cid = c.cid),
+      |${p}fd1 AS (SELECT r.vec_id, r.cid, r.crn, f.fid,
+      |          list_sum(list_transform(generate_series(1,64),
+      |            i -> (CAST(r.rq[i] AS DOUBLE) - f.fv[i]) * (CAST(r.rq[i] AS DOUBLE) - f.fv[i]))) AS dist
+      |        FROM ${p}rp r CROSS JOIN ${p}fc1 f),
+      |${p}hasgr AS (SELECT vec_id, cid, crn, fid, CAST(rn AS BIGINT) AS frn FROM (
+      |          SELECT vec_id, cid, crn, fid, ROW_NUMBER() OVER (PARTITION BY vec_id, cid ORDER BY dist, fid) rn
+      |          FROM ${p}fd1) WHERE rn <= $maxF)""".stripMargin
+
+  // ───────────────────────────────────────────────────────────────────
+  // ADAPTIVE QUANTIZER (round 17, VERDICT r16 Next #1): route the
+  // pair-generating consumers (vec_knn_graph / vec_knn_hubness,
+  // dedup_embedding / text_bitext_mine / vec_cluster_components via
+  // embeddingPairs) through FLAT or HIERARCHICAL assignment from one
+  // memoized corpus statistic — the DedupQueries.decideEdgeShape
+  // pattern applied to the quantizer choice.
+  //
+  // Why a switch instead of hier-always: flat proportional-k has
+  // measurably better recall at small n (0.80 vs 0.77 @3 at the gate)
+  // and no two-level training/residual machinery, so below the flat
+  // assignment wall it is the better plan; past it, flat's O(k·dim)
+  // per-row assignment cost (k tracking n) goes superlinear in total —
+  // measured 79.9 s at 80k vectors / 175.4 s at 256k vs hierarchical
+  // 11.75 / 13.5 s (growth_vecs_hier_r16.json) — and the clamped-k
+  // fallback re-creates the oversized-cell quadratic the proportional
+  // design exists to prevent. The switch point sits at the decade
+  // BETWEEN the measured regimes: at 16k flat (k=4096) is already
+  // paying 16× hier's per-row assignment flops but its wall-clock is
+  // still small; by 80k flat is 6.8× behind. 32768 puts every gate
+  // corpus (n ≤ 20k) on flat — where every consumer oracle has been
+  // hash-exact for five rounds — and every saturation-ladder corpus
+  // (80k+) on hierarchical. Consumer-level A/B at the ladder
+  // (growth_consumer_r17.json) validates the choice each side of the
+  // boundary.
+  // ───────────────────────────────────────────────────────────────────
+
+  /** Corpus size above which the pair regime assigns hierarchically. */
+  val HierSwitchN = 32768L
+
+  /** The pair-regime quantizer for a data dir: `"flat"` (one-level
+    * proportional-k) or `"hier"` (two-level coarse→fine), decided
+    * from the memoized corpus count. `SPARK_GRAFT_VEC_QUANTIZER`
+    * forces a side for A/B runs — BENCH-ONLY (like
+    * SPARK_GRAFT_NO_LAYOUT_REPAIR): the candidate sets differ between
+    * quantizers, so a forced run does not match the adaptive oracle.
+    */
+  def decideQuantizer(s: SparkSession, d: String): String =
+    sys.env.get("SPARK_GRAFT_VEC_QUANTIZER").map {
+      // validate loudly — a typo'd force would run flat on both A/B
+      // legs and record a vacuous measurement (decideEdgeShape rule)
+      case v @ ("flat" | "hier") => v
+      case other => sys.error(
+        s"SPARK_GRAFT_VEC_QUANTIZER must be flat|hier, got '$other'")
+    }.getOrElse(if (corpusN(s, d) > HierSwitchN) "hier" else "flat")
+
+  /** The ONE adaptive pair generator every embedding-pair consumer
+    * calls: flat or hierarchical candidates per [[decideQuantizer]].
+    * Both legs carry the same two scale guards (duplicate collapse +
+    * hot-cell cap) and both are oracle-mirrored via
+    * [[adaptiveCandCteSql]]'s count-gated union.
+    */
+  def adaptiveCandidatePairs(s: SparkSession, d: String): DataFrame =
+    decideQuantizer(s, d) match {
+      case "hier" => hierCandidatePairs(s, d)
+      case _      => candidatePairs(s, d)
+    }
+
+  /** DuckDB twin of [[adaptiveCandidatePairs]], ending in
+    * `cand(va, vb)`: BOTH regime chains (flat prefixed `""`, hier
+    * prefixed `h_`) composed in one WITH, unioned under mutually
+    * exclusive count-gate predicates that replay [[decideQuantizer]]
+    * exactly — the oracle picks the same side as the engine at ANY
+    * corpus size, so the decision itself is gate-checked, not just
+    * each leg. (The flat leg mirrors candidatePairs' raw pasg
+    * self-join — duplicate collapse is output-preserving and the cap
+    * lives inside pasg; the hier leg mirrors hierCandidatePairs via
+    * h_hk the same way.)
+    */
+  def adaptiveCandCteSql: String =
+    s"""${pairAssignCteSqlWithCap(CellCap)},
+      |${hierPairCteSqlWithCap(HierCellCap, "h_")},
+      |nsel AS (SELECT COUNT(*) > $HierSwitchN AS hier FROM embeddings),
+      |cand AS (
+      |  SELECT l.vec_id AS va, r.vec_id AS vb
+      |  FROM pasg l JOIN pasg r ON l.cid = r.cid AND l.vec_id < r.vec_id
+      |  WHERE NOT (SELECT hier FROM nsel)
+      |  UNION
+      |  SELECT l.vec_id AS va, r.vec_id AS vb
+      |  FROM h_hk l JOIN h_hk r ON l.cid = r.cid AND l.fid = r.fid AND l.vec_id < r.vec_id
+      |  WHERE (SELECT hier FROM nsel))""".stripMargin
 }

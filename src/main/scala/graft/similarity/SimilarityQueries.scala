@@ -596,29 +596,44 @@ object SimilarityQueries {
              |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
     ),
 
-    // SemDeDup (Abbas et al. 2023): semantic dedup inside k-means
-    // clusters — assign every embedding to its trained-quantizer cell
-    // (literal-centroid argmin in the SCAN, zero assignment shuffle),
-    // then drop any vector whose cluster holds a higher-priority
-    // (lower vec_id) vector with cosine >= 0.40 on the 4dp-rounded
-    // score. The pair join keys on cid, so work is O(Σ cellᵢ²) with the
-    // CELL as the bounded unit — at 100 TB raise the kmeansK constant
-    // (k≈√n keeps cells ~constant; the model stays a fixed-size config
-    // choice either way), which is precisely why SemDeDup blocks on
-    // k-means cells instead of labels or nothing.
-    // Output is a verdict per vector (kept clusters included), so the
+    // SemDeDup (Abbas et al. 2023): semantic dedup inside quantizer
+    // cells — assign every embedding to its trained cell (literal-
+    // centroid argmin in the SCAN, zero assignment shuffle), then drop
+    // any vector whose cell holds a higher-priority (lower vec_id)
+    // vector with cosine >= 0.40 on the 4dp-rounded score. The pair
+    // join keys on the cell, so work is O(Σ cellᵢ²) with the CELL as
+    // the bounded unit — which is precisely why SemDeDup blocks on
+    // quantizer cells instead of labels or nothing.
+    // Round 17 (VERDICT r16 #1): the cell key is QUANTIZER-ADAPTIVE.
+    // Below Ivf.HierSwitchN it is the fixed-k flat argmin (kmeansK=128
+    // — the regime every gate corpus has hash-checked for five
+    // rounds); past it, fixed-k cells grow as n/k and the pair join
+    // goes quadratic, so the cell becomes the two-level (cid, fid)
+    // argmin (top-1 coarse × top-1 fine over coarse residuals) whose
+    // fine count tracks the corpus — cells stay ~constant-sized at
+    // O((kc+kf)·dim) assignment. Both legs emit (cid, fid) (flat pads
+    // fid = -1) and the oracle replays the same count-gated decision.
+    // Output is a verdict per vector (kept cells included), so the
     // downstream writer is one anti-join away from the deduped corpus.
     "pipeline_semdedup" -> Query(
       (s, d) => {
-        val cents = trainedCentroids(s, d)
-        val asg = corpus(s, d).withColumn("qv", quantCol)
-          .withColumn("cid", centroidRanks(cents, 1).getItem(0))
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-        val a = asg.select(col("cid"), col("vec_id").as("va"),
+        val keyed = Ivf.decideQuantizer(s, d) match {
+          case "hier" => Ivf.hierAssignments(s, d, 1, 1)
+          case _ =>
+            val cents = trainedCentroids(s, d)
+            corpus(s, d).withColumn("qv", quantCol)
+              .select(col("vec_id"),
+                centroidRanks(cents, 1).getItem(0).as("cid"),
+                lit(-1L).as("fid"))
+        }
+        val asg = keyed.join(corpus(s, d), Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("cid"), col("fid"))
+        val a = asg.select(col("cid"), col("fid"), col("vec_id").as("va"),
           col("embedding").as("ea"), col("nrm").as("na"))
-        val b = asg.select(col("cid"), col("vec_id").as("vb"),
+        val b = asg.select(col("cid"), col("fid"), col("vec_id").as("vb"),
           col("embedding").as("eb"), col("nrm").as("nb"))
-        val dropped = a.join(b, Seq("cid"))
+        val dropped = a.join(b, Seq("cid", "fid"))
           .filter(col("va") < col("vb"))
           .select(col("vb").as("vec_id"),
             round(VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
@@ -626,17 +641,22 @@ object SimilarityQueries {
           .filter(col("cos") >= 0.4)
           .select(col("vec_id")).distinct()
         asg.join(dropped.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
-          .select(col("vec_id"), col("cid"),
+          .select(col("vec_id"), col("cid"), col("fid"),
             coalesce(col("dropped"), lit(0L)).as("dropped"))
       },
       Some(s"""WITH $kmeansCteSql,
-             |a1 AS (SELECT vec_id, cid FROM (
+             |${Ivf.hierAssignCteSql("h_", 1, 1)},
+             |nsel AS (SELECT COUNT(*) > ${Ivf.HierSwitchN} AS hier FROM embeddings),
+             |a1 AS (SELECT vec_id, cid, CAST(-1 AS BIGINT) AS fid FROM (
              |         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
-             |         FROM d1) WHERE rn = 1),
-             |emb AS (SELECT a1.vec_id, a1.cid, e.embedding
+             |         FROM d1) WHERE rn = 1 AND NOT (SELECT hier FROM nsel)
+             |       UNION ALL
+             |       SELECT vec_id, cid, fid FROM h_hasg
+             |       WHERE (SELECT hier FROM nsel)),
+             |emb AS (SELECT a1.vec_id, a1.cid, a1.fid, e.embedding
              |        FROM a1 JOIN embeddings e USING (vec_id)),
              |pd AS (SELECT DISTINCT y.vec_id
-             |       FROM emb x JOIN emb y ON x.cid = y.cid AND x.vec_id < y.vec_id
+             |       FROM emb x JOIN emb y ON x.cid = y.cid AND x.fid = y.fid AND x.vec_id < y.vec_id
              |       WHERE ROUND(
              |         list_sum(list_transform(generate_series(1, 64),
              |           i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) /
@@ -644,8 +664,52 @@ object SimilarityQueries {
              |           i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))) *
              |          sqrt(list_sum(list_transform(generate_series(1, 64),
              |           i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))), 4) >= 0.4)
-             |SELECT a1.vec_id, a1.cid, CAST(pd.vec_id IS NOT NULL AS BIGINT) AS dropped
+             |SELECT a1.vec_id, a1.cid, a1.fid, CAST(pd.vec_id IS NOT NULL AS BIGINT) AS dropped
              |FROM a1 LEFT JOIN pd ON a1.vec_id = pd.vec_id""".stripMargin)
+    ),
+
+    // FORCED-HIER SEMDEDUP TWIN — pipeline_semdedup's hierarchical leg
+    // pinned at GATE scale (the adaptive entry picks flat below
+    // HierSwitchN, so without this twin the hier leg of the count-gated
+    // union would only ever execute on some future large corpus): the
+    // two-level (cid, fid) argmin cell, same drop rule, hash-compared
+    // against the standalone hier replay every round. The same
+    // falsifier pattern as vec_hier_cellcap_pairs.
+    "pipeline_semdedup_hier" -> Query(
+      (s, d) => {
+        val asg = Ivf.hierAssignments(s, d, 1, 1)
+          .join(corpus(s, d), Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("cid"), col("fid"))
+        val a = asg.select(col("cid"), col("fid"), col("vec_id").as("va"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = asg.select(col("cid"), col("fid"), col("vec_id").as("vb"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val dropped = a.join(b, Seq("cid", "fid"))
+          .filter(col("va") < col("vb"))
+          .select(col("vb").as("vec_id"),
+            round(VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+              .as("cos"))
+          .filter(col("cos") >= 0.4)
+          .select(col("vec_id")).distinct()
+        asg.join(dropped.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cid"), col("fid"),
+            coalesce(col("dropped"), lit(0L)).as("dropped"))
+      },
+      Some(s"""WITH ${Ivf.hierAssignCteSql("", 1, 1)},
+             |emb AS (SELECT h.vec_id, h.cid, h.fid, e.embedding
+             |        FROM hasg h JOIN embeddings e USING (vec_id)),
+             |pd AS (SELECT DISTINCT y.vec_id
+             |       FROM emb x JOIN emb y ON x.cid = y.cid AND x.fid = y.fid AND x.vec_id < y.vec_id
+             |       WHERE ROUND(
+             |         list_sum(list_transform(generate_series(1, 64),
+             |           i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) /
+             |         (sqrt(list_sum(list_transform(generate_series(1, 64),
+             |           i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))) *
+             |          sqrt(list_sum(list_transform(generate_series(1, 64),
+             |           i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))), 4) >= 0.4)
+             |SELECT h.vec_id, h.cid, h.fid, CAST(pd.vec_id IS NOT NULL AS BIGINT) AS dropped
+             |FROM hasg h LEFT JOIN pd ON h.vec_id = pd.vec_id""".stripMargin)
     ),
 
     // TWO-STAGE retrieval (shortlist + rerank) — how production vector
@@ -1182,11 +1246,14 @@ object SimilarityQueries {
     "vec_knn_graph" -> Query(
       (s, d) => {
         // round 13: candidates are the symmetric closure of the shared
-        // duplicate-collapsed, CellCap-guarded generator
-        // (Ivf.candidatePairs — candidate SET unchanged vs the direct
-        // cell self-join; see its doc). candidatePairs repartitions by
-        // vec_id internally (the round-11 narrow-scan lesson).
-        val candU = Ivf.candidatePairs(s, d)
+        // duplicate-collapsed, cap-guarded generator (candidate SET
+        // unchanged vs the direct cell self-join; see its doc); the
+        // generator repartitions by vec_id internally (the round-11
+        // narrow-scan lesson). Round 17: the generator is QUANTIZER-
+        // ADAPTIVE (Ivf.adaptiveCandidatePairs — flat proportional-k
+        // below Ivf.HierSwitchN, two-level coarse→fine past it; the
+        // oracle replays the same count-gated decision).
+        val candU = Ivf.adaptiveCandidatePairs(s, d)
         val cand = candU.select(col("va").as("src"), col("vb").as("dst"))
           .unionAll(candU.select(col("vb").as("src"), col("va").as("dst")))
         val scored = cand
@@ -1202,9 +1269,9 @@ object SimilarityQueries {
               .orderBy(col("cos").desc, col("dst"))).cast("long"))
           .filter(col("rn") <= 3)
       },
-      Some(s"""WITH ${Ivf.pairAssignCteSql},
-             |cand AS (SELECT DISTINCT a.vec_id AS src, e.vec_id AS dst
-             |         FROM pasg a JOIN pasg e ON a.cid = e.cid AND a.vec_id <> e.vec_id),
+      Some(s"""WITH ${Ivf.adaptiveCandCteSql},
+             |candd AS (SELECT va AS src, vb AS dst FROM cand
+             |          UNION ALL SELECT vb, va FROM cand),
              |c AS (SELECT cand.src, cand.dst,
              |        ROUND(
              |          list_sum(list_transform(generate_series(1, 64),
@@ -1214,7 +1281,7 @@ object SimilarityQueries {
              |           sqrt(list_sum(list_transform(generate_series(1, 64),
              |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
              |        , 4) AS cos
-             |      FROM cand
+             |      FROM candd cand
              |      JOIN embeddings s ON s.vec_id = cand.src
              |      JOIN embeddings e ON e.vec_id = cand.dst)
              |SELECT src, dst, cos, CAST(rn AS BIGINT) AS rn FROM (
@@ -1264,7 +1331,7 @@ object SimilarityQueries {
           .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos"))
         topK(scored, 5)
       },
-      Some(s"""WITH ${Ivf.hierAssignCteSql},
+      Some(s"""WITH ${Ivf.hierAssignCteSql()},
              |qh AS (SELECT vec_id AS qid, cid, fid FROM hasg WHERE vec_id < 10),
              |cand AS (SELECT DISTINCT qh.qid, h.vec_id
              |         FROM hasg h JOIN qh ON h.cid = qh.cid AND h.fid = qh.fid AND h.vec_id <> qh.qid),
@@ -1962,6 +2029,94 @@ object SimilarityQueries {
              |FROM rk LEFT JOIN tr ON tr.qid = rk.qid AND tr.vec_id = rk.vec_id
              |WHERE rk.rnk <= 5
              |GROUP BY 1""".stripMargin)
+    ),
+
+    // HIERARCHICAL RECALL-vs-(nprobe_coarse × nprobe_fine) curve —
+    // the two-level twin of ann_nprobe_recall_curve (r17, VERDICT r16
+    // Next #6): before consumers route onto the hierarchical index,
+    // its 4×2 default probe widths get the same measured-choice
+    // treatment as flat's nprobe. ONE ranked assignment pass at the
+    // widest widths (hierAssignmentsRanked 4×4 — coarse/fine ranks as
+    // columns) serves every combination as a FILTER: a (qid, vec)
+    // pair is a candidate at combo (a, b) iff some shared (cid, fid)
+    // key satisfies max(crn) <= a and max(frn) <= b on both sides.
+    // Exact cosine reranks per combo; hits vs the brute-force truth
+    // ship in integer basis points. The model is read once — no
+    // per-combo re-assignment, no corpus shuffle.
+    "ann_hier_probe_recall_curve" -> Query(
+      (s, d) => {
+        val h = Ivf.hierAssignmentsRanked(s, d, 4, 4)
+        val qh = h.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("cid"), col("fid"),
+            col("crn").as("pcrn"), col("frn").as("pfrn"))
+        val keys = h.join(broadcast(qh), Seq("cid", "fid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            greatest(col("crn"), col("pcrn")).as("ka"),
+            greatest(col("frn"), col("pfrn")).as("kb"))
+          .distinct()
+        val combos = Seq((1, 1), (2, 1), (2, 2), (4, 1), (4, 2), (4, 4))
+        val cmb = explode(array(combos.map { case (a, b) =>
+          struct(lit(a.toLong).as("ca"), lit(b.toLong).as("cf"))
+        }: _*))
+        val cc = keys.select(col("qid"), col("vec_id"), col("ka"), col("kb"),
+            cmb.as("cmb"))
+          .filter(col("ka") <= col("cmb.ca") && col("kb") <= col("cmb.cf"))
+          .select(col("cmb.ca").as("ca"), col("cmb.cf").as("cf"),
+            col("qid"), col("vec_id"))
+          .distinct()
+        val scored = cc.join(corpus(s, d), Seq("vec_id"))
+          .join(broadcast(queriesDf(s, d)), Seq("qid"))
+          .select(col("ca"), col("cf"), col("qid"), col("vec_id"),
+            pairCos(col("qv"), col("qnrm")).as("cos"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("ca"), col("cf"), col("qid"))
+              .orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rnk") <= 5)
+        val truth = topK(corpus(s, d).crossJoin(broadcast(queriesDf(s, d)))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"),
+              pairCos(col("qv"), col("qnrm")).as("cos")), 5)
+          .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+        scored.join(truth, Seq("qid", "vec_id"), "left")
+          .groupBy(col("ca").as("nprobe_coarse"), col("cf").as("nprobe_fine"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+          .withColumn("recall_bp", expr("hits * 10000 div 50"))
+      },
+      Some(s"""WITH ${Ivf.hierRankedCteSql("", 4, 4)},
+             |qh AS (SELECT vec_id AS qid, cid, fid, crn AS pcrn, frn AS pfrn
+             |       FROM hasgr WHERE vec_id < 10),
+             |ks AS (SELECT DISTINCT qh.qid, h.vec_id,
+             |         GREATEST(h.crn, qh.pcrn) AS ka, GREATEST(h.frn, qh.pfrn) AS kb
+             |       FROM hasgr h JOIN qh ON h.cid = qh.cid AND h.fid = qh.fid
+             |         AND h.vec_id <> qh.qid),
+             |cmb(ca, cf) AS (VALUES (1, 1), (2, 1), (2, 2), (4, 1), (4, 2), (4, 4)),
+             |cc AS (SELECT DISTINCT cmb.ca, cmb.cf, ks.qid, ks.vec_id
+             |       FROM ks JOIN cmb ON ks.ka <= cmb.ca AND ks.kb <= cmb.cf),
+             |sc AS (SELECT cc.ca, cc.cf, cc.qid, cc.vec_id, $cosSql AS cos
+             |       FROM cc JOIN embeddings e ON e.vec_id = cc.vec_id
+             |       JOIN (SELECT vec_id AS qid2, embedding AS qv FROM embeddings
+             |             WHERE vec_id < 10) q ON q.qid2 = cc.qid),
+             |rk AS (SELECT ca, cf, qid, vec_id,
+             |         ROW_NUMBER() OVER (PARTITION BY ca, cf, qid
+             |                            ORDER BY cos DESC, vec_id) AS rnk
+             |       FROM sc),
+             |tr AS (SELECT qid, vec_id FROM (
+             |        SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+             |            ORDER BY cos DESC, vec_id) AS rn
+             |        FROM (SELECT q.vec_id AS qid, e.vec_id,
+             |                ${cosSqlAB("q.embedding", "e.embedding")} AS cos
+             |              FROM embeddings q CROSS JOIN embeddings e
+             |              WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id))
+             |      WHERE rn <= 5)
+             |SELECT CAST(rk.ca AS BIGINT) AS nprobe_coarse,
+             |  CAST(rk.cf AS BIGINT) AS nprobe_fine,
+             |  CAST(SUM(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+             |  CAST(SUM(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // 50
+             |    AS BIGINT) AS recall_bp
+             |FROM rk LEFT JOIN tr ON tr.qid = rk.qid AND tr.vec_id = rk.vec_id
+             |WHERE rk.rnk <= 5
+             |GROUP BY 1, 2""".stripMargin)
     ),
 
     // TWO-LEVEL RESIDUAL QUANTIZATION (RQ) — the additive-codebook
