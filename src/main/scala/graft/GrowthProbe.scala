@@ -154,6 +154,30 @@ object GrowthProbe {
             s""""hier_assign_rows":$hierRows,""" +
             f""""hier_train_plus_assign_sec":$hierSec%.2f,""" +
             f""""hier_assign_warm_sec":$hierWarmSec%.2f,"hier_cand":$hierCand}""")
+        case "edges" =>
+          // decideEdgeShape inputs one decade further (r17 — VERDICT
+          // r16 Next #7): the pairs↔star threshold (pair volume <= 8x
+          // star volume) was set from three corpora; this family
+          // recomputes the decision aggregate on any docs corpus —
+          // including target/sfdx100, the 5M-doc dup-chain decade —
+          // so the artifact shows whether the regimes still separate
+          // (shallow ~1-2x, deep >= 50x in the r16 measurements) or
+          // the threshold needs to become a measured crossover.
+          // Aggregate-only, no pair rows materialized.
+          val nDocs = Tables.documents(spark, d).count()
+          val r = graft.dedup.DedupQueries.bandTable(spark, d)
+            .groupBy(col("band_idx"), col("bkey")).agg(count(lit(1)).as("c"))
+            .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("pairs"),
+              coalesce(sum(expr("c - 1")), lit(0L)).as("stars"),
+              coalesce(max(col("c")), lit(0L)).as("mx"))
+            .first()
+          val ratio = r.getLong(0).toDouble / math.max(1L, r.getLong(1))
+          val decision = graft.dedup.DedupQueries.decideEdgeShape(spark, d)
+          println(s"""{"family":"edges","dir":"$d","n_docs":$nDocs,""" +
+            s""""pair_volume":${r.getLong(0)},"star_volume":${r.getLong(1)},""" +
+            f""""max_bucket":${r.getLong(2)},"depth_ratio":$ratio%.2f,""" +
+            s""""threshold":${graft.dedup.DedupQueries.PairDepthThreshold},""" +
+            s""""decision":"$decision"}""")
         case "graph" =>
           val edges = graft.operators.GraphEdges.pairs(spark, d).count()
           val degAgg = graft.operators.GraphEdges.deg(spark, d)

@@ -345,12 +345,12 @@ object DedupQueries {
   /** Candidate-weighted bucket-depth ratio: pairs while
     * Σ c(c-1)/2 ≤ threshold · Σ (c-1).
     */
-  private[dedup] val PairDepthThreshold = 8L
+  private[graft] val PairDepthThreshold = 8L
 
   private val edgeShape =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[dedup] def decideEdgeShape(s: SparkSession, d: String): String =
+  private[graft] def decideEdgeShape(s: SparkSession, d: String): String =
     sys.env.get("SPARK_GRAFT_COMPONENT_EDGES").map {
       // validate loudly: a typo'd forced shape would otherwise run
       // star on BOTH A/B legs and record a vacuous measurement

@@ -783,23 +783,32 @@ object Ivf {
   // measurably better recall at small n (0.80 vs 0.77 @3 at the gate)
   // and no two-level training/residual machinery, so below the flat
   // assignment wall it is the better plan; past it, flat's O(k·dim)
-  // per-row assignment cost (k tracking n) goes superlinear in total —
-  // measured 79.9 s at 80k vectors / 175.4 s at 256k vs hierarchical
-  // 11.75 / 13.5 s (growth_vecs_hier_r16.json) — and the clamped-k
-  // fallback re-creates the oversized-cell quadratic the proportional
-  // design exists to prevent. The switch point sits at the decade
-  // BETWEEN the measured regimes: at 16k flat (k=4096) is already
-  // paying 16× hier's per-row assignment flops but its wall-clock is
-  // still small; by 80k flat is 6.8× behind. 32768 puts every gate
-  // corpus (n ≤ 20k) on flat — where every consumer oracle has been
-  // hash-exact for five rounds — and every saturation-ladder corpus
-  // (80k+) on hierarchical. Consumer-level A/B at the ladder
-  // (growth_consumer_r17.json) validates the choice each side of the
-  // boundary.
+  // per-row assignment cost (k tracking n) goes superlinear in total
+  // and the clamped-k fallback re-creates the oversized-cell quadratic
+  // the proportional design exists to prevent.
+  //
+  // The switch point is MEASURED, not guessed — the r17 consumer-level
+  // ladder (growth_consumer_r17/, vec_knn_graph warm min-of-runs,
+  // forced legs):
+  //     n        flat      hier
+  //     500      1.12 s    1.36 s   (flat wins; training overhead)
+  //     2,000    1.37      1.36     (tie)
+  //     8,000    5.42      2.42     (hier 2.2×)
+  //     24,576   8.50      4.43     (hier 1.9×)
+  //     49,152   16.08     6.82     (hier 2.4×)
+  //     80,000   16.35     11.84    (hier 1.4×)
+  //     256,000  129.9¹    44.7     (hier 2.9×; ¹cold single run)
+  // The crossover sits between 2k and 8k; 4096 puts the DuckDB gate
+  // corpora (n = 500 / 2,000 — where flat also carries the better
+  // recall and five rounds of hash-exact lineage) on flat, and every
+  // larger corpus on the hierarchical path that is measured faster
+  // from 8k up. The forced-hier gate twins (dedup_embedding_hier,
+  // pipeline_semdedup_hier, ann_ivf_hierarchical) keep the hier leg
+  // oracle-exercised at gate scale; the flat leg IS the gate default.
   // ───────────────────────────────────────────────────────────────────
 
   /** Corpus size above which the pair regime assigns hierarchically. */
-  val HierSwitchN = 32768L
+  val HierSwitchN = 4096L
 
   /** The pair-regime quantizer for a data dir: `"flat"` (one-level
     * proportional-k) or `"hier"` (two-level coarse→fine), decided

@@ -117,6 +117,56 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll()
   }
 
+  test("edge-shape decision: star on MUTATION CHAINS, not just exact-copy spikes (r17)") {
+    // the sfdx100 regime (gen_decade100.py): near-dups are chains of
+    // 1-3 token mutations off EARLIER docs, so band buckets deepen
+    // with corpus size without any doc being an exact copy — the
+    // decade corpus the r16 threshold must keep separating. The
+    // fixture replays that recipe in miniature: 40 base docs + 160
+    // chained mutants. The candidate-weighted depth ratio must land
+    // far above PairDepthThreshold (the r16 measured deep regime was
+    // >= 50), not hover at the boundary.
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("spark", "window", "merge", "table", "column",
+      "vector", "stream", "value", "data", "small", "join", "filter")
+    def doc() = Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // 10 base lineages, 300 single-token mutants — the dup-DENSE deep
+    // regime (sfdx100 has 5% plants over 5M docs, so lineages hold
+    // thousands of members; the miniature needs the same members-per-
+    // lineage shape, not the same plant rate)
+    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    for (_ <- 0 until 10) texts += doc()
+    for (_ <- 0 until 300) {
+      val toks = texts(rnd.nextInt(texts.size)).split(" ")
+      toks(rnd.nextInt(toks.length)) = "dup"
+      texts += toks.mkString(" ")
+    }
+    val dir = graft.etl.TmpDirs.dir("edge_chain_spec")
+    import spark.implicits._
+    texts.toSeq.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "src0", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(DedupQueries.decideEdgeShape(spark, dir) === "star")
+    // and the decision is not a squeaker: recompute the ratio the
+    // decision reads and require a clear margin over the threshold
+    val r = DedupQueries.bandTable(spark, dir)
+      .groupBy(col("band_idx"), col("bkey")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("p"),
+        coalesce(sum(expr("c - 1")), lit(0L)).as("st"))
+      .first()
+    val ratio = r.getLong(0).toDouble / math.max(1L, r.getLong(1))
+    // finding worth pinning: MUTATION chains land measurably closer to
+    // the boundary than exact-copy spikes (this deterministic fixture:
+    // 12.06; the r16 copy-spike fixture: bucket depth ≈ corpus) — the
+    // threshold still separates, but with a 1.5× not 6× margin, which
+    // is why the decade corpus (sfdx100) gets its own measured
+    // decision in growth_edges_r17.json rather than an analogy
+    assert(ratio > 1.25 * DedupQueries.PairDepthThreshold,
+      f"chain fixture depth ratio $ratio%.1f too close to the threshold")
+    graft.Caches.releaseAll()
+  }
+
   test("width-1 ensemble bands recover a planted excerpt the 2-row bands miss") {
     // the excerpt geometry: shingle containment ~1, Jaccard ~ len
     // ratio (0.2 here). 2-row bands agree w.p. J^2 per band (~0.6%
