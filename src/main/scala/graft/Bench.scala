@@ -92,6 +92,27 @@ object Bench {
     try SparkEntry.queries.get("q1_agg").foreach(run)
     catch { case _: Throwable => () }
 
+    // Per-block warmup (r18, VERDICT r17 Next #3): the block sweep
+    // protocol runs each first-token block in a FRESH JVM for
+    // per-number provenance, which forgoes the JIT warmth a 400-query
+    // single-JVM sweep accumulates (~3% of sf1 wall, charged to the
+    // first-timed queries of every block). SPARK_GRAFT_BENCH_WARMUP
+    // names comma-separated EXACT query names to run once, untimed,
+    // before the timed loop — a fixed cross-shape trio (agg + window +
+    // banded join) exercises the hot Spark paths (janino codegen
+    // compile, Tungsten agg, sort-merge join, window exec) so the
+    // timed min-of-3 measures the code, not the protocol. Unknown
+    // names and failures are ignored: a warmup must never fail a
+    // bench.
+    sys.env.get("SPARK_GRAFT_BENCH_WARMUP").foreach { w =>
+      w.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
+        try SparkEntry.queries.get(n).foreach { fn =>
+          run(fn); Caches.releaseAll(); spark.catalog.clearCache()
+        }
+        catch { case _: Throwable => () }
+      }
+    }
+
     // Each query runs SPARK_GRAFT_BENCH_RUNS times (default 2); the
     // headline number is the MIN of the runs (the first execution of a
     // new plan shape pays one-off JIT/codegen cost — measured at 5-12x

@@ -110,6 +110,51 @@ object GrowthProbe {
             f""""max_cell":${asg.getLong(0)},"avg_cell":${asg.getDouble(1)}%.1f,""" +
             s""""cell_cand_precap":${asg.getLong(2)},"cell_cand_postcap":${asg.getLong(3)},""" +
             s""""capped_candidate_pairs":$capped}""")
+        case "probe_query" =>
+          // per-probe CANDIDATE growth for the QUERY regime (r18 —
+          // VERDICT r17 Next #1's ladder claim): the flat trained-IVF
+          // path probes ivfNprobe of kmeansK FIXED cells, so per-probe
+          // candidate volume is nprobe·n/k — LINEAR in the corpus; the
+          // hier (cid, fid) key space grows with the corpus
+          // (kc × data-proportional kf), so per-probe candidates stay
+          // ~bounded. Both measured as aggregates over the SAME
+          // assignment tables the registered queries use (trained
+          // k=128 flat; hierAssignments at the shipped 4×2 probe
+          // widths) — no candidate rows materialized.
+          val nVecs = Tables.embeddings(spark, d).count()
+          val cents = graft.similarity.Ivf.trainedCentroids(spark, d)
+          val e = Tables.embeddings(spark, d)
+          val fasg = e.select(col("vec_id"),
+            graft.similarity.Ivf.centroidRanks(cents, 1).getItem(0).as("cid"))
+          val fsizes = fasg.groupBy(col("cid")).agg(count(lit(1)).as("c"))
+          val fprobes = e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"),
+              explode(graft.similarity.Ivf.centroidRanks(
+                cents, graft.similarity.Ivf.ivfNprobe)).as("cid"))
+          val flat = fprobes.join(fsizes, Seq("cid"))
+            .groupBy(col("qid")).agg(sum(col("c")).as("cand"))
+            .agg(coalesce(avg(col("cand")), lit(0.0)).as("av"),
+              coalesce(max(col("cand")), lit(0L)).as("mx"))
+            .first()
+          val h = graft.similarity.Ivf.hierAssignments(spark, d)
+          val hsizes = h.groupBy(col("cid"), col("fid")).agg(count(lit(1)).as("c"))
+          val hier = h.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("cid"), col("fid"))
+            .join(hsizes, Seq("cid", "fid"))
+            .groupBy(col("qid")).agg(sum(col("c")).as("cand"))
+            .agg(coalesce(avg(col("cand")), lit(0.0)).as("av"),
+              coalesce(max(col("cand")), lit(0L)).as("mx"))
+            .first()
+          println(s"""{"family":"probe_query","dir":"$d","n_vecs":$nVecs,""" +
+            s""""flat_k":${graft.similarity.Ivf.kmeansK},""" +
+            s""""flat_nprobe":${graft.similarity.Ivf.ivfNprobe},""" +
+            f""""flat_cand_per_probe_avg":${flat.getDouble(0)}%.1f,""" +
+            s""""flat_cand_per_probe_max":${flat.getLong(1)},""" +
+            s""""hier_kc":${graft.similarity.Ivf.hierKc},""" +
+            s""""hier_kf":${graft.similarity.Ivf.hierKf(spark, d)},""" +
+            s""""hier_nprobe":"${graft.similarity.Ivf.hierNprobe}x${graft.similarity.Ivf.hierFineNprobe}",""" +
+            f""""hier_cand_per_probe_avg":${hier.getDouble(0)}%.1f,""" +
+            s""""hier_cand_per_probe_max":${hier.getLong(1)}}""")
         case "vecs_hier" =>
           // flat vs hierarchical A/B at the SAME corpus (r16 — VERDICT
           // r15 #2): candidate volume per regime from the aggregate
@@ -117,6 +162,10 @@ object GrowthProbe {
           // assignment scans' wall seconds — the quantity that makes
           // flat-k superlinear past its ceiling is the O(k·dim)
           // per-row assignment, so it is measured here too.
+          // SPARK_GRAFT_GROWTH_LEGS=hier skips the flat leg (r18,
+          // VERDICT r17 Next #7: flat is already measured superlinear
+          // at 256k — don't pay 300 s per decade to reconfirm it).
+          val legs = sys.env.getOrElse("SPARK_GRAFT_GROWTH_LEGS", "both")
           val nVecs = Tables.embeddings(spark, d).count()
           val flatK = graft.similarity.Ivf.graphK(spark, d)
           // each regime is timed COLD (first call: model training +
@@ -126,17 +175,19 @@ object GrowthProbe {
           // assignment is every query. The r16 committed artifact's
           // headline numbers are the COLD ones; the warm split was
           // added after review so future artifacts separate them.
-          val t0 = System.nanoTime()
-          val flatAsg = graft.similarity.Ivf.pairAssignments(spark, d)
-          val flatRows = flatAsg.count()
-          val flatSec = (System.nanoTime() - t0) / 1e9
-          val t0w = System.nanoTime()
-          graft.similarity.Ivf.pairAssignments(spark, d).count(): Unit
-          val flatWarmSec = (System.nanoTime() - t0w) / 1e9
-          // rows of the assignment table are distinct (vec_id, cid) /
-          // (vec_id, cid, fid) keys by construction, so the per-bucket
-          // row count IS the member count
-          val flatCand = pairsPerBucket(flatAsg, Seq("cid"))
+          val flatStats = if (legs == "hier") None else Some {
+            val t0 = System.nanoTime()
+            val flatAsg = graft.similarity.Ivf.pairAssignments(spark, d)
+            val flatRows = flatAsg.count()
+            val flatSec = (System.nanoTime() - t0) / 1e9
+            val t0w = System.nanoTime()
+            graft.similarity.Ivf.pairAssignments(spark, d).count(): Unit
+            val flatWarmSec = (System.nanoTime() - t0w) / 1e9
+            // rows of the assignment table are distinct (vec_id, cid) /
+            // (vec_id, cid, fid) keys by construction, so the per-bucket
+            // row count IS the member count
+            (flatRows, flatSec, flatWarmSec, pairsPerBucket(flatAsg, Seq("cid")))
+          }
           val kf = graft.similarity.Ivf.hierKf(spark, d)
           val t1 = System.nanoTime()
           val hierAsg = graft.similarity.Ivf.hierAssignments(spark, d)
@@ -146,10 +197,13 @@ object GrowthProbe {
           graft.similarity.Ivf.hierAssignments(spark, d).count(): Unit
           val hierWarmSec = (System.nanoTime() - t1w) / 1e9
           val hierCand = pairsPerBucket(hierAsg, Seq("cid", "fid"))
+          val flatJson = flatStats.map { case (rows, sec, warm, cand) =>
+            s""""flat_k":$flatK,"flat_assign_rows":$rows,""" +
+              f""""flat_train_plus_assign_sec":$sec%.2f,""" +
+              f""""flat_assign_warm_sec":$warm%.2f,"flat_cand":$cand,"""
+          }.getOrElse("")
           println(s"""{"family":"vecs_hier","dir":"$d","n_vecs":$nVecs,""" +
-            s""""flat_k":$flatK,"flat_assign_rows":$flatRows,""" +
-            f""""flat_train_plus_assign_sec":$flatSec%.2f,""" +
-            f""""flat_assign_warm_sec":$flatWarmSec%.2f,"flat_cand":$flatCand,""" +
+            flatJson +
             s""""hier_kc":${graft.similarity.Ivf.hierKc},"hier_kf":$kf,""" +
             s""""hier_assign_rows":$hierRows,""" +
             f""""hier_train_plus_assign_sec":$hierSec%.2f,""" +
@@ -172,7 +226,11 @@ object GrowthProbe {
               coalesce(max(col("c")), lit(0L)).as("mx"))
             .first()
           val ratio = r.getLong(0).toDouble / math.max(1L, r.getLong(1))
-          val decision = graft.dedup.DedupQueries.decideEdgeShape(spark, d)
+          // derive the decision from the aggregate just computed —
+          // decideEdgeShape would re-run the same full band-table
+          // pass a second time in this one diagnostic (r17 ADVICE)
+          val decision = graft.dedup.DedupQueries
+            .decideEdgeShapeFromVolumes(r.getLong(0), r.getLong(1))
           println(s"""{"family":"edges","dir":"$d","n_docs":$nDocs,""" +
             s""""pair_volume":${r.getLong(0)},"star_volume":${r.getLong(1)},""" +
             f""""max_bucket":${r.getLong(2)},"depth_ratio":$ratio%.2f,""" +
@@ -198,7 +256,8 @@ object GrowthProbe {
             s""""max_deg":${degAgg.getLong(3)},"sum_deg2":${degAgg.getLong(0)},""" +
             s""""oriented_wedges":$oriented,"hubcap_wedges":${degAgg.getLong(1)},""" +
             s""""hubs_gt_cap":${degAgg.getLong(2)}}""")
-        case other => sys.error(s"unknown family: $other (docs|vecs|vecs_hier|graph)")
+        case other => sys.error(
+          s"unknown family: $other (docs|vecs|vecs_hier|probe_query|edges|graph)")
       }
       Caches.releaseAll()
       spark.catalog.clearCache()

@@ -75,9 +75,13 @@ object Hints {
     * COUNT of the corpus, not its text volume — a char-small,
     * duplicate-dense corpus (millions of tiny near-identical docs)
     * stays under `BroadcastCharLimit` while its audit list grows with
-    * the doc population. 4e6 doc_id longs ≈ 64 MB broadcast-side —
-    * the same ~60 MB calibration point as the chars budget, measured
-    * against the frame the hint actually forces.
+    * the doc population. Sizing, stated explicitly so a recalibration
+    * doesn't inherit a 2× ambiguity (r17 ADVICE): the RAW payload at
+    * the limit is 4e6 × 8 B ≈ 32 MB of doc_id longs; what the
+    * executor actually holds is the broadcast HASHED RELATION
+    * (LongHashedRelation key table + pages), roughly 2× raw ≈ 64 MB —
+    * the same calibration point as the chars budget's ~60 MB index,
+    * measured against the in-memory form the hint actually forces.
     */
   val BroadcastDocLimit: Long = 4000000L
 

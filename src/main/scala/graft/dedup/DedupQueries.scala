@@ -108,10 +108,7 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val raw = graft.Caches.scoped(shingleHash60Rows(s, d))
-    val hot = raw.groupBy(col("shh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 100).select(col("shh"))
-    val ex = graft.Caches.scoped(raw.join(broadcast(hot), Seq("shh"), "left_anti"))
+    val ex = graft.Caches.scoped(cappedShingleRows(s, d))
     val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     cand
       .join(ex.as("x"), col("da") === col("x.doc_id"))
@@ -196,6 +193,27 @@ object DedupQueries {
           explode(graft.plans.TextExpressions.shingleHashes60(cleanToks, 3)).as("shh"))
         .distinct())
 
+  /** The df-capped shingle index — [[shingleHash60Rows]] minus the
+    * stop shingles present in > 100 docs — MATERIALIZED once per dir
+    * (r18, VERDICT r17 Next #4): dedup_ngram_jaccard,
+    * dedup_containment and dedup_containment_ensemble's verify side
+    * each re-derived the same hot-list aggregate + anti-join from the
+    * raw index per query (the containment/jaccard family held ≈54 s /
+    * 8% of the r17 sf1 sweep, much of it this repeated pass). Bucketed
+    * on the intersection-join key `shh`, so the pair self-join reads
+    * co-bucketed files with NO exchange on either side — the shape the
+    * in-memory cache could never give it. The DuckDB oracles keep
+    * their self-contained hot/shx CTE derivations, so the gate still
+    * checks the capped-index SEMANTICS, not the cache.
+    */
+  private[graft] def cappedShingleRows(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "shcap", "shh", {
+      val raw = shingleHash60Rows(s, d)
+      val hot = raw.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 100).select(col("shh"))
+      raw.join(broadcast(hot), Seq("shh"), "left_anti")
+    })
+
   /** DuckDB twin of `shingleHash60Rows`, ending in `shx0(doc_id, shh)`. */
   private[graft] val shingleHashCte =
     tokCte + """,
@@ -259,7 +277,18 @@ object DedupQueries {
     * its set; oracle CTE updated to the same all-window form).
     * Shared by the band table and the estimator-accuracy audit.
     */
-  private[graft] def signatures(s: SparkSession, d: String): DataFrame = {
+  private[graft] def signatures(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "sigs", "doc_id", signaturesFresh(s, d))
+
+  /** The raw signature build behind [[signatures]] — since r18 the
+    * public entry is MATERIALIZED once per dir (VERDICT r17 Next #4):
+    * the band table amortized its own build, but the signature frame
+    * itself was re-derived (full corpus tokenize + hash + 16-agg pass)
+    * by each of dedup_jaccard_approx / dedup_containment_approx /
+    * dedup_containment_ensemble / dedup_minhash_accuracy /
+    * dedup_band_calibration. Bucketed on the join key `doc_id`.
+    */
+  private def signaturesFresh(s: SparkSession, d: String): DataFrame = {
     val hs = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(graft.plans.TextExpressions.shingleHashes32(cleanToks, 3)).as("h"))
@@ -350,14 +379,33 @@ object DedupQueries {
   private val edgeShape =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def decideEdgeShape(s: SparkSession, d: String): String =
+  /** The env force parsed once — shared by the memoized decision and
+    * the volumes-in-hand entry below.
+    */
+  private def forcedEdgeShape: Option[String] =
     sys.env.get("SPARK_GRAFT_COMPONENT_EDGES").map {
       // validate loudly: a typo'd forced shape would otherwise run
       // star on BOTH A/B legs and record a vacuous measurement
       case v @ ("star" | "pairs") => v
       case other => sys.error(
         s"SPARK_GRAFT_COMPONENT_EDGES must be star|pairs, got '$other'")
-    }.getOrElse {
+    }
+
+  /** The pairs↔star decision from ALREADY-COMPUTED band volumes — for
+    * callers that compute the Σc(c−1)/2 / Σ(c−1) aggregate themselves
+    * (GrowthProbe's `edges` family publishes it in its artifact, so it
+    * derives the decision from the same pass instead of paying
+    * [[decideEdgeShape]]'s second full band-table aggregate — r17
+    * ADVICE). Same env force, same threshold rule.
+    */
+  private[graft] def decideEdgeShapeFromVolumes(pairVol: Long,
+                                                starVol: Long): String =
+    forcedEdgeShape.getOrElse(
+      if (pairVol <= PairDepthThreshold * math.max(1L, starVol)) "pairs"
+      else "star")
+
+  private[graft] def decideEdgeShape(s: SparkSession, d: String): String =
+    forcedEdgeShape.getOrElse {
       // benign-race memo (NOT compute-under-CHM-lock — the probe is a
       // Spark job; see Tables/Bucketing): concurrent first callers may
       // both run the aggregate, but it is deterministic in the data,
@@ -547,15 +595,14 @@ object DedupQueries {
     // (deterministic) double division.
     "dedup_ngram_jaccard" -> Query(
       (s, d) => {
-        val raw = graft.Caches.scoped(shingleHash60Rows(s, d))
         // stop-shingle guard: a shingle present in >100 docs contributes
-        // ~df^2 candidate pairs and no near-dup signal — drop it from the
-        // index (broadcast anti-join; the hot list is tiny by definition).
-        // Jaccard is then defined on the df-capped shingle sets — the
-        // oracle applies the identical cap.
-        val hot = raw.groupBy(col("shh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > 100).select(col("shh"))
-        val ex = graft.Caches.scoped(raw.join(broadcast(hot), Seq("shh"), "left_anti"))
+        // ~df^2 candidate pairs and no near-dup signal — dropped from
+        // the MATERIALIZED capped index (cappedShingleRows, shared with
+        // dedup_containment + the ensemble's verify side; bucketed on
+        // shh, so the self-join below is exchange-free). Jaccard is
+        // defined on the df-capped shingle sets — the oracle applies
+        // the identical cap.
+        val ex = graft.Caches.scoped(cappedShingleRows(s, d))
         val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val pairs = ex.as("a")
           .join(ex.as("b"), col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
@@ -591,10 +638,7 @@ object DedupQueries {
     // (5*inter >= 4*min) so no float exists for engines to disagree on.
     "dedup_containment" -> Query(
       (s, d) => {
-        val raw = graft.Caches.scoped(shingleHash60Rows(s, d))
-        val hot = raw.groupBy(col("shh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > 100).select(col("shh"))
-        val ex = graft.Caches.scoped(raw.join(broadcast(hot), Seq("shh"), "left_anti"))
+        val ex = graft.Caches.scoped(cappedShingleRows(s, d))
         val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         ex.as("a")
           .join(ex.as("b"), col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))

@@ -848,6 +848,16 @@ object Ivf {
     * self-join — duplicate collapse is output-preserving and the cap
     * lives inside pasg; the hier leg mirrors hierCandidatePairs via
     * h_hk the same way.)
+    *
+    * ORACLE COST NOTE (r17 ADVICE): the count-gate predicates pick one
+    * leg LOGICALLY, but DuckDB may still evaluate both CTE training
+    * chains — a verify run on a >HierSwitchN corpus pays the flat
+    * chain's up-to-32768-centroid cross join on top of the hier chain.
+    * Acceptable at gate scales (the adaptive-decision check is the
+    * point); the gate corpora sit below the switch, so the hier chain
+    * is the cheap extra there, and the >switch plumbing itself is
+    * hash-checked once per round by the tools/gate5k falsifier run
+    * (target/sfgate5k, 5,120 vectors — see tools/gate5k_verify.sh).
     */
   def adaptiveCandCteSql: String =
     s"""${pairAssignCteSqlWithCap(CellCap)},

@@ -312,6 +312,225 @@ object SimilarityQueries {
       cb2.map { case (c, v) => c -> v.map(_.toDouble) })
   }
 
+  // ───────────────────────────────────────────────────────────────────
+  // ADAPTIVE PROBE-QUERY regime (round 18, VERDICT r17 Next #1): the
+  // four probe-based ANN consumers that rode the FIXED k=128 flat
+  // quantizer (ann_ivf_trained, ann_filtered_topk, ann_range_search,
+  // ann_reranked) now route through Ivf.decideQuantizer — the same
+  // count-gated switch the pair regime ships. Why the query regime
+  // needs it too: with k fixed, cells grow as n/k, so per-probe
+  // candidate volume is nprobe·n/k — LINEAR in the corpus. Past
+  // HierSwitchN the two-level (cid, fid) key space grows with the
+  // corpus (kc × data-proportional kf), so cells stay ~constant-sized
+  // and per-probe candidates stay bounded; below it, flat carries the
+  // better measured recall (0.72 trained-topk vs 0.62 hier at the
+  // gate) and five rounds of hash-exact lineage. Probe widths on the
+  // hier leg are the MEASURED choices from ann_hier_probe_recall_curve
+  // (r17): (4, 2) at the knee for top-k shapes; (4, 4) — the widest
+  // calibrated point, +200 bp recall — for the epsilon-ball, mirroring
+  // flat's wider rangeNprobe. Each leg is oracle-replayed under the
+  // same count gate (adaptiveCandCteSql pattern), and each hier leg is
+  // ALSO a standalone forced twin so the gate corpora (below the
+  // switch) keep it hash-exercised every round: ann_ivf_hier_topk
+  // (pre-existing) plus ann_filtered_topk_hier / ann_range_search_hier
+  // / ann_reranked_hier (new).
+  // ───────────────────────────────────────────────────────────────────
+
+  /** Hier probe-query candidates `(qid, vec_id)`: corpus and probes
+    * assigned at (nprobeC × nprobeF) (cid, fid) keys from ONE
+    * hierAssignments pass, candidates from the key intersection —
+    * |probes|·nprobeC·nprobeF cells touched, never the corpus
+    * pairwise, and the corpus never shuffles (see hierAssignments).
+    */
+  private def hierQueryCands(s: SparkSession, d: String,
+                             nprobeC: Int, nprobeF: Int): DataFrame = {
+    val h = Ivf.hierAssignments(s, d, nprobeC, nprobeF)
+    val qh = h.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("cid"), col("fid"))
+    h.join(broadcast(qh), Seq("cid", "fid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+  }
+
+  /** Fine probe width for the hier epsilon-ball leg: the widest point
+    * ann_hier_probe_recall_curve calibrates (4×4 — a ball wants the
+    * whole neighborhood, exactly why flat range search probes
+    * rangeNprobe=24 > ivfNprobe=16).
+    */
+  private val rangeHierNprobeF = 4
+
+  /** Hier leg of ann_ivf_trained — identical body to the standalone
+    * forced twin ann_ivf_hier_topk, so the adaptive route and the
+    * gate-scale twin can never drift apart.
+    */
+  private def hierTopkBody(s: SparkSession, d: String): DataFrame = {
+    val scored = hierQueryCands(s, d, Ivf.hierNprobe, Ivf.hierFineNprobe)
+      .join(corpus(s, d), Seq("vec_id"))
+      .join(broadcast(queriesDf(s, d)), Seq("qid"))
+      .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos"))
+    topK(scored, 5)
+  }
+
+  /** Hier leg of ann_range_search (and the ann_range_search_hier twin):
+    * 4×4 key-intersection candidates, exact rounded cosine at the same
+    * 0.25 threshold.
+    */
+  private def hierRangeBody(s: SparkSession, d: String): DataFrame =
+    hierQueryCands(s, d, Ivf.hierNprobe, rangeHierNprobeF)
+      .join(corpus(s, d), Seq("vec_id"))
+      .join(broadcast(queriesDf(s, d)), Seq("qid"))
+      .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos"))
+      .filter(col("cos") >= 0.25)
+
+  /** Hier leg of ann_filtered_topk (and its twin): candidates must
+    * share BOTH the probe's label and a (cid, fid) probe key — the
+    * label predicate applies to the already-bounded candidate set, so
+    * per-probe work no longer scales with the label slice.
+    */
+  private def hierFilteredBody(s: SparkSession, d: String): DataFrame = {
+    val probes = corpus(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val scored = hierQueryCands(s, d, Ivf.hierNprobe, Ivf.hierFineNprobe)
+      .join(corpus(s, d), Seq("vec_id"))
+      .join(broadcast(probes), Seq("qid"))
+      .filter(col("label") === col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        pairCos(col("qv"), col("qnrm")).as("cos"))
+    topK(scored, 5)
+  }
+
+  /** Hier leg of ann_reranked (and its twin) — the full IVF-PQ serving
+    * composition: hier key-intersection candidates, ADC table-lookup
+    * scores over the candidates only (the flat leg ADC-scans the WHOLE
+    * corpus per probe — the linear-in-n pass this leg exists to
+    * bound), 32-candidate shortlist, exact cosine rerank.
+    */
+  private def hierRerankedBody(s: SparkSession, d: String): DataFrame = {
+    val cents = pqCents(s, d)
+    val coded = Tables.embeddings(s, d)
+      .withColumn("enc", graft.plans.PqExpressions.pqEncode(col("embedding"), cents))
+      .select(col("vec_id") +: (0 until 8).map(m =>
+        shiftright(col("enc.code"), 4 * m).bitwiseAND(15).as(s"c$m")): _*)
+    val probeDf = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid") +:
+        (for (m <- 0 until 8; j <- 0 until pqK)
+          yield pqSubDist(m, cents(m)(j)).as(s"d_${m}_$j")): _*)
+    val adc = (0 until 8).map { m =>
+      (0 until pqK).foldLeft(lit(null).cast("double")) { (acc, j) =>
+        when(col(s"c$m") === j, col(s"d_${m}_$j")).otherwise(acc)
+      }
+    }.reduce(_ + _)
+    val wS = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    val shortlist = hierQueryCands(s, d, Ivf.hierNprobe, Ivf.hierFineNprobe)
+      .join(coded, Seq("vec_id"))
+      .join(broadcast(probeDf), Seq("qid"))
+      .withColumn("adc", adc)
+      .withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= 32)
+      .select(col("qid"), col("vec_id"))
+    val scored = shortlist.join(corpus(s, d), Seq("vec_id"))
+      .join(broadcast(queriesDf(s, d)), Seq("qid"))
+      .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos"))
+    topK(scored, 5)
+  }
+
+  /** The pre-r18 ann_reranked body — the flat leg of the adaptive
+    * entry: full-corpus ADC scan per probe, 32-candidate shortlist,
+    * exact rerank.
+    */
+  private def annRerankedFlatBody(s: SparkSession, d: String): DataFrame = {
+    val cents = pqCents(s, d)
+    val coded = Tables.embeddings(s, d)
+      .withColumn("enc", graft.plans.PqExpressions.pqEncode(col("embedding"), cents))
+      .select(col("vec_id") +: (0 until 8).map(m =>
+        shiftright(col("enc.code"), 4 * m).bitwiseAND(15).as(s"c$m")): _*)
+    val probeDf = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid") +:
+        (for (m <- 0 until 8; j <- 0 until pqK)
+          yield pqSubDist(m, cents(m)(j)).as(s"d_${m}_$j")): _*)
+    val adc = (0 until 8).map { m =>
+      (0 until pqK).foldLeft(lit(null).cast("double")) { (acc, j) =>
+        when(col(s"c$m") === j, col(s"d_${m}_$j")).otherwise(acc)
+      }
+    }.reduce(_ + _)
+    val wS = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    val shortlist = coded.crossJoin(broadcast(probeDf))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc", adc)
+      .withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= 32)
+      .select(col("qid"), col("vec_id"))
+    val scored = shortlist.join(corpus(s, d), Seq("vec_id"))
+      .join(broadcast(queriesDf(s, d)), Seq("qid"))
+      .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos"))
+    topK(scored, 5)
+  }
+
+  /** Oracle CTEs for the hier candidate set, ending in `${p}cand(qid,
+    * vec_id)` — the SQL twin of [[hierQueryCands]]. `p` prefixes every
+    * CTE so the adaptive oracles can compose this chain beside the
+    * flat one.
+    */
+  private def hierCandCtes(p: String, nprobeC: Int, nprobeF: Int): String =
+    s"""${Ivf.hierAssignCteSql(p, nprobeC, nprobeF)},
+       |${p}qh AS (SELECT vec_id AS qid, cid, fid FROM ${p}hasg WHERE vec_id < 10),
+       |${p}cand AS (SELECT DISTINCT qh.qid, h.vec_id
+       |         FROM ${p}hasg h JOIN ${p}qh qh ON h.cid = qh.cid AND h.fid = qh.fid
+       |           AND h.vec_id <> qh.qid)""".stripMargin
+
+  /** `${p}cand` → exact-cosine scoring → `${p}hr(qid, vec_id, cos, rn)`. */
+  private def hierTopkTailCtes(p: String): String =
+    s"""${p}hc AS (SELECT cand.qid, cand.vec_id, $cosSql AS cos
+       |      FROM ${p}cand cand
+       |      JOIN embeddings e ON e.vec_id = cand.vec_id
+       |      JOIN (SELECT vec_id AS qid2, embedding AS qv FROM embeddings
+       |            WHERE vec_id < 10) q ON q.qid2 = cand.qid),
+       |${p}hr AS (SELECT qid, vec_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |      FROM ${p}hc)""".stripMargin
+
+  /** `${p}cand` → label-filtered scoring → `${p}fr(qid, vec_id, label,
+    * cos, rn)`.
+    */
+  private def hierFilteredTailCtes(p: String): String =
+    s"""${p}fc AS (SELECT cand.qid, cand.vec_id, e.label, $cosSql AS cos
+       |      FROM ${p}cand cand
+       |      JOIN embeddings e ON e.vec_id = cand.vec_id
+       |      JOIN (SELECT vec_id AS qid2, label AS qlabel, embedding AS qv
+       |            FROM embeddings WHERE vec_id < 10) q ON q.qid2 = cand.qid
+       |      WHERE e.label = q.qlabel),
+       |${p}fr AS (SELECT qid, vec_id, label, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |      FROM ${p}fc)""".stripMargin
+
+  /** `${p}cand` → candidate-only ADC shortlist → exact rerank →
+    * `${p}rr(qid, vec_id, cos, rn)`. Reads the UNPREFIXED PQ chain
+    * (`bc`, `dt`) — the codebook model is leg-independent.
+    */
+  private def hierRerankedTailCtes(p: String): String =
+    s"""${p}adc AS (SELECT dt.qid, cand.vec_id,
+       |    list_sum(list(dt.dist ORDER BY dt.m)) AS adc
+       |  FROM ${p}cand cand
+       |  JOIN bc ON bc.vec_id = cand.vec_id
+       |  JOIN dt ON dt.qid = cand.qid AND dt.m = bc.m AND dt.j = bc.j
+       |  GROUP BY 1, 2),
+       |${p}sl AS (SELECT qid, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS srn
+       |    FROM ${p}adc) WHERE srn <= 32),
+       |${p}rc AS (SELECT sl.qid, sl.vec_id, $cosSql AS cos
+       |      FROM ${p}sl sl
+       |      JOIN embeddings e ON e.vec_id = sl.vec_id
+       |      JOIN (SELECT vec_id AS qid2, embedding AS qv FROM embeddings) q
+       |        ON q.qid2 = sl.qid),
+       |${p}rr AS (SELECT qid, vec_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |      FROM ${p}rc)""".stripMargin
+
+  /** The count-gate CTE every adaptive probe oracle unions under. */
+  private val nselCte: String =
+    s"nsel AS (SELECT COUNT(*) > ${Ivf.HierSwitchN} AS hier FROM embeddings)"
+
   val entries: Seq[(String, Query)] = Seq(
 
     // Product quantization (the PQ of IVF-PQ): each 64-dim vector
@@ -560,23 +779,33 @@ object SimilarityQueries {
     // candidate equi-join on cid (broadcast probes), then exact-cosine
     // top-k within candidates. This is the full production IVF shape:
     // train (kmeans_train) -> assign at ingest -> probe nprobe cells
-    // (nprobe=16 of k=128: a constant ~12% cell fraction; both knobs
-    // are config constants that never scale with the corpus).
+    // (nprobe=16 of k=128: a constant ~12% cell fraction).
+    // Round 18 (VERDICT r17 Next #1): QUANTIZER-ADAPTIVE. Fixed-k flat
+    // cells grow as n/128, so each probe's candidate volume is
+    // nprobe·n/128 — linear in the corpus; past Ivf.HierSwitchN the
+    // query routes onto the two-level (cid, fid) index (the
+    // ann_ivf_hier_topk body, 4×2 probes at the calibrated knee) whose
+    // cell count tracks the corpus. The oracle replays the same
+    // count-gated decision, so the SWITCH is gate-checked, not just
+    // each leg; the hier leg stays gate-exercised at sub-switch scale
+    // by the standalone ann_ivf_hier_topk twin.
     "ann_ivf_trained" -> Query(
-      (s, d) => {
-        val cents = trainedCentroids(s, d)
-        val e = corpus(s, d).withColumn("qv", quantCol)
-        val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
-          centroidRanks(cents, 1).getItem(0).as("cid"))
-        val probes = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv2"),
-            col("nrm").as("qnrm"),
-            explode(centroidRanks(cents, ivfNprobe)).as("cid"))
-        val scored = assigned.join(broadcast(probes), Seq("cid"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
-            pairCos(col("qv2"), col("qnrm")).as("cos"))
-        topK(scored, 5)
+      (s, d) => Ivf.decideQuantizer(s, d) match {
+        case "hier" => hierTopkBody(s, d)
+        case _ =>
+          val cents = trainedCentroids(s, d)
+          val e = corpus(s, d).withColumn("qv", quantCol)
+          val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
+            centroidRanks(cents, 1).getItem(0).as("cid"))
+          val probes = e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv2"),
+              col("nrm").as("qnrm"),
+              explode(centroidRanks(cents, ivfNprobe)).as("cid"))
+          val scored = assigned.join(broadcast(probes), Seq("cid"))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"),
+              pairCos(col("qv2"), col("qnrm")).as("cos"))
+          topK(scored, 5)
       },
       Some(s"""WITH $kmeansCteSql,
              |asg AS (SELECT vec_id, cid FROM (
@@ -592,8 +821,15 @@ object SimilarityQueries {
              |        ON q.qid2 = pr.qid),
              |r AS (SELECT qid, vec_id, cos,
              |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
-             |      FROM c)
-             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
+             |      FROM c),
+             |${hierCandCtes("h_", Ivf.hierNprobe, Ivf.hierFineNprobe)},
+             |${hierTopkTailCtes("h_")},
+             |$nselCte
+             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r
+             |WHERE rn <= 5 AND NOT (SELECT hier FROM nsel)
+             |UNION ALL
+             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM h_hr
+             |WHERE rn <= 5 AND (SELECT hier FROM nsel)""".stripMargin)
     ),
 
     // SemDeDup (Abbas et al. 2023): semantic dedup inside quantizer
@@ -713,41 +949,26 @@ object SimilarityQueries {
     ),
 
     // TWO-STAGE retrieval (shortlist + rerank) — how production vector
-    // search actually answers: the cheap PQ/ADC pass ranks the WHOLE
-    // corpus from 16-bit codes (8 table lookups per candidate, codes
-    // never leave the scan) and keeps a 32-candidate shortlist; the
-    // exact cosine pass then re-scores only those 32 per probe. The
-    // expensive float arithmetic touches 32·|probes| rows instead of
-    // n·|probes| — the 100 TB shape where full-precision vectors are
-    // only ever fetched for a shortlist. Self-matches are excluded
-    // before the shortlist rank so all 32 slots carry real candidates.
+    // search actually answers: the cheap PQ/ADC pass ranks candidates
+    // from 16-bit codes (8 table lookups per candidate, codes never
+    // leave the scan) and keeps a 32-candidate shortlist; the exact
+    // cosine pass then re-scores only those 32 per probe. The expensive
+    // float arithmetic touches 32·|probes| rows — the 100 TB shape
+    // where full-precision vectors are only ever fetched for a
+    // shortlist. Self-matches are excluded before the shortlist rank so
+    // all 32 slots carry real candidates.
+    // Round 18: QUANTIZER-ADAPTIVE candidate generation. Below
+    // Ivf.HierSwitchN the ADC pass scans the whole corpus per probe
+    // (n·|probes| table lookups — cheap arithmetic but linear growth);
+    // past it candidates come from the hier (cid, fid) key
+    // intersection first and ADC ranks only those — the full IVF-PQ
+    // serving composition (coarse index → PQ shortlist → exact
+    // rerank). Count-gated oracle union; the hier leg is pinned at
+    // gate scale by ann_reranked_hier.
     "ann_reranked" -> Query(
-      (s, d) => {
-        val cents = pqCents(s, d)
-        val coded = Tables.embeddings(s, d)
-          .withColumn("enc", graft.plans.PqExpressions.pqEncode(col("embedding"), cents))
-          .select(col("vec_id") +: (0 until 8).map(m =>
-            shiftright(col("enc.code"), 4 * m).bitwiseAND(15).as(s"c$m")): _*)
-        val probeDf = Tables.embeddings(s, d).filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid") +:
-            (for (m <- 0 until 8; j <- 0 until pqK)
-              yield pqSubDist(m, cents(m)(j)).as(s"d_${m}_$j")): _*)
-        val adc = (0 until 8).map { m =>
-          (0 until pqK).foldLeft(lit(null).cast("double")) { (acc, j) =>
-            when(col(s"c$m") === j, col(s"d_${m}_$j")).otherwise(acc)
-          }
-        }.reduce(_ + _)
-        val wS = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
-        val shortlist = coded.crossJoin(broadcast(probeDf))
-          .filter(col("vec_id") =!= col("qid"))
-          .withColumn("adc", adc)
-          .withColumn("srn", row_number().over(wS))
-          .filter(col("srn") <= 32)
-          .select(col("qid"), col("vec_id"))
-        val scored = shortlist.join(corpus(s, d), Seq("vec_id"))
-          .join(broadcast(queriesDf(s, d)), Seq("qid"))
-          .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos"))
-        topK(scored, 5)
+      (s, d) => Ivf.decideQuantizer(s, d) match {
+        case "hier" => hierRerankedBody(s, d)
+        case _ => annRerankedFlatBody(s, d)
       },
       Some(s"""WITH $pqCentsCteSql,
              |sub AS (SELECT e.vec_id, c.m, c.j,
@@ -774,8 +995,41 @@ object SimilarityQueries {
              |        ON q.qid2 = sl.qid),
              |r AS (SELECT qid, vec_id, cos,
              |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
-             |      FROM c)
-             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
+             |      FROM c),
+             |${hierCandCtes("h_", Ivf.hierNprobe, Ivf.hierFineNprobe)},
+             |${hierRerankedTailCtes("h_")},
+             |$nselCte
+             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r
+             |WHERE rn <= 5 AND NOT (SELECT hier FROM nsel)
+             |UNION ALL
+             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM h_rr
+             |WHERE rn <= 5 AND (SELECT hier FROM nsel)""".stripMargin)
+    ),
+
+    // FORCED-HIER RERANK TWIN — ann_reranked's hierarchical leg pinned
+    // at GATE scale (the adaptive entry picks flat below HierSwitchN,
+    // so without this twin the hier leg of its count-gated union would
+    // only execute on some future large corpus): hier key-intersection
+    // candidates → candidate-only ADC shortlist → exact rerank,
+    // hash-compared against the standalone hier replay every round.
+    // Same falsifier pattern as dedup_embedding_hier.
+    "ann_reranked_hier" -> Query(
+      (s, d) => hierRerankedBody(s, d),
+      Some(s"""WITH $pqCentsCteSql,
+             |sub AS (SELECT e.vec_id, c.m, c.j,
+             |    list_sum(list_transform(generate_series(1, 8),
+             |      i -> (CAST(e.embedding[c.m*8 + i] AS DOUBLE) - c.cv[i])
+             |         * (CAST(e.embedding[c.m*8 + i] AS DOUBLE) - c.cv[i]))) AS dist
+             |  FROM embeddings e CROSS JOIN cents c),
+             |bc AS (SELECT vec_id, m, j FROM (
+             |    SELECT vec_id, m, j,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+             |    FROM sub) WHERE rn = 1),
+             |dt AS (SELECT vec_id AS qid, m, j, dist FROM sub WHERE vec_id < 10),
+             |${hierCandCtes("", Ivf.hierNprobe, Ivf.hierFineNprobe)},
+             |${hierRerankedTailCtes("")}
+             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM rr
+             |WHERE rn <= 5""".stripMargin)
     ),
 
     // Exact cosine top-5 per query vector (the baseline ANN answers are
@@ -854,17 +1108,26 @@ object SimilarityQueries {
     // post-filter would instead score everything and then starve top-k
     // below k. Each probe searches its OWN label's slice (the
     // partition-routing shape); ranks follow the probe's label stripe.
+    // Round 18: QUANTIZER-ADAPTIVE. A label slice is a constant
+    // FRACTION of the corpus, so the exact within-label scan is still
+    // linear per probe; past Ivf.HierSwitchN candidates must share
+    // both the probe's label AND a hier (cid, fid) probe key — the
+    // pre-filter+index intersection a production filtered-ANN serves.
+    // Count-gated oracle union; hier leg pinned at gate scale by
+    // ann_filtered_topk_hier.
     "ann_filtered_topk" -> Query(
-      (s, d) => {
-        val probes = corpus(s, d).filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
-            col("embedding").as("qv"), col("nrm").as("qnrm"))
-        val scored = corpus(s, d)
-          .join(broadcast(probes), col("label") === col("qlabel"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"), col("label"),
-            pairCos(col("qv"), col("qnrm")).as("cos"))
-        topK(scored, 5)
+      (s, d) => Ivf.decideQuantizer(s, d) match {
+        case "hier" => hierFilteredBody(s, d)
+        case _ =>
+          val probes = corpus(s, d).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+              col("embedding").as("qv"), col("nrm").as("qnrm"))
+          val scored = corpus(s, d)
+            .join(broadcast(probes), col("label") === col("qlabel"))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"), col("label"),
+              pairCos(col("qv"), col("qnrm")).as("cos"))
+          topK(scored, 5)
       },
       Some(s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
              |           FROM embeddings WHERE vec_id < 10),
@@ -873,8 +1136,27 @@ object SimilarityQueries {
              |      WHERE e.vec_id <> q.qid),
              |r AS (SELECT qid, vec_id, label, cos,
              |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
-             |      FROM c)
-             |SELECT qid, vec_id, label, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5""".stripMargin)
+             |      FROM c),
+             |${hierCandCtes("h_", Ivf.hierNprobe, Ivf.hierFineNprobe)},
+             |${hierFilteredTailCtes("h_")},
+             |$nselCte
+             |SELECT qid, vec_id, label, cos, CAST(rn AS BIGINT) AS rn FROM r
+             |WHERE rn <= 5 AND NOT (SELECT hier FROM nsel)
+             |UNION ALL
+             |SELECT qid, vec_id, label, cos, CAST(rn AS BIGINT) AS rn FROM h_fr
+             |WHERE rn <= 5 AND (SELECT hier FROM nsel)""".stripMargin)
+    ),
+
+    // FORCED-HIER FILTERED TWIN — ann_filtered_topk's hierarchical leg
+    // pinned at gate scale (same falsifier pattern as
+    // ann_reranked_hier): label ∧ (cid, fid) key-intersection
+    // candidates, exact cosine top-5 within the survivors.
+    "ann_filtered_topk_hier" -> Query(
+      (s, d) => hierFilteredBody(s, d),
+      Some(s"""WITH ${hierCandCtes("", Ivf.hierNprobe, Ivf.hierFineNprobe)},
+             |${hierFilteredTailCtes("")}
+             |SELECT qid, vec_id, label, cos, CAST(rn AS BIGINT) AS rn FROM fr
+             |WHERE rn <= 5""".stripMargin)
     ),
 
     // Multi-table random-hyperplane LSH ANN: hash the corpus once into
@@ -1318,19 +1600,11 @@ object SimilarityQueries {
     // — flat proportional-k pays O(k·dim), 43× more at 512k vectors —
     // and the candidate join touches |probes|·cell-size rows, never
     // the corpus pairwise. Recall floor vs brute force in QualitySpec.
+    // (Since r18 this body — hierQueryCands + exact-cosine topK — IS
+    // the hier leg of the adaptive ann_ivf_trained, so the twin pins
+    // exactly what the adaptive route runs past the switch.)
     "ann_ivf_hier_topk" -> Query(
-      (s, d) => {
-        val h = Ivf.hierAssignments(s, d)
-        val qh = h.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("cid"), col("fid"))
-        val cand = h.join(broadcast(qh), Seq("cid", "fid"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id")).distinct()
-        val scored = cand.join(corpus(s, d), Seq("vec_id"))
-          .join(broadcast(queriesDf(s, d)), Seq("qid"))
-          .select(col("qid"), col("vec_id"), pairCos(col("qv"), col("qnrm")).as("cos"))
-        topK(scored, 5)
-      },
+      (s, d) => hierTopkBody(s, d),
       Some(s"""WITH ${Ivf.hierAssignCteSql()},
              |qh AS (SELECT vec_id AS qid, cid, fid FROM hasg WHERE vec_id < 10),
              |cand AS (SELECT DISTINCT qh.qid, h.vec_id
@@ -1671,21 +1945,30 @@ object SimilarityQueries {
     // density made each probe's candidate set ~60% of the corpus.
     // Exact rounded cosine filters at the threshold; the oracle
     // replays training, assignment, and the 4dp compare bit-for-bit.
+    // Round 18: QUANTIZER-ADAPTIVE (same ceiling as ann_ivf_trained —
+    // fixed-k cells grow with the corpus, so the flat ball's candidate
+    // volume is n·nprobe/k per probe). Past Ivf.HierSwitchN the ball
+    // probes the hier index at 4×4 — the widest calibrated point of
+    // ann_hier_probe_recall_curve, mirroring flat's wider
+    // rangeNprobe=24. Count-gated oracle union; hier leg pinned at
+    // gate scale by ann_range_search_hier.
     "ann_range_search" -> Query(
-      (s, d) => {
-        val cents = trainedCentroids(s, d)
-        val e = corpus(s, d).withColumn("qv", quantCol)
-        val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
-          centroidRanks(cents, 1).getItem(0).as("cid"))
-        val probes = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv2"),
-            col("nrm").as("qnrm"),
-            explode(centroidRanks(cents, rangeNprobe)).as("cid"))
-        assigned.join(broadcast(probes), Seq("cid"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
-            pairCos(col("qv2"), col("qnrm")).as("cos"))
-          .filter(col("cos") >= 0.25)
+      (s, d) => Ivf.decideQuantizer(s, d) match {
+        case "hier" => hierRangeBody(s, d)
+        case _ =>
+          val cents = trainedCentroids(s, d)
+          val e = corpus(s, d).withColumn("qv", quantCol)
+          val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
+            centroidRanks(cents, 1).getItem(0).as("cid"))
+          val probes = e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv2"),
+              col("nrm").as("qnrm"),
+              explode(centroidRanks(cents, rangeNprobe)).as("cid"))
+          assigned.join(broadcast(probes), Seq("cid"))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"),
+              pairCos(col("qv2"), col("qnrm")).as("cos"))
+            .filter(col("cos") >= 0.25)
       },
       Some(s"""WITH $kmeansCteSql,
              |asg AS (SELECT vec_id, cid FROM (
@@ -1698,8 +1981,25 @@ object SimilarityQueries {
              |      FROM asg a JOIN pr ON a.cid = pr.cid AND a.vec_id <> pr.qid
              |      JOIN embeddings e ON e.vec_id = a.vec_id
              |      JOIN (SELECT vec_id AS qid2, embedding AS qv FROM embeddings) q
-             |        ON q.qid2 = pr.qid)
-             |SELECT qid, vec_id, cos FROM c WHERE cos >= 0.25""".stripMargin)
+             |        ON q.qid2 = pr.qid),
+             |${hierCandCtes("h_", Ivf.hierNprobe, rangeHierNprobeF)},
+             |${hierTopkTailCtes("h_")},
+             |$nselCte
+             |SELECT qid, vec_id, cos FROM c
+             |WHERE cos >= 0.25 AND NOT (SELECT hier FROM nsel)
+             |UNION ALL
+             |SELECT qid, vec_id, cos FROM h_hc
+             |WHERE cos >= 0.25 AND (SELECT hier FROM nsel)""".stripMargin)
+    ),
+
+    // FORCED-HIER RANGE TWIN — ann_range_search's hierarchical leg
+    // pinned at gate scale: 4×4 key-intersection candidates, exact
+    // rounded cosine at the same 0.25 threshold.
+    "ann_range_search_hier" -> Query(
+      (s, d) => hierRangeBody(s, d),
+      Some(s"""WITH ${hierCandCtes("", Ivf.hierNprobe, rangeHierNprobeF)},
+             |${hierTopkTailCtes("")}
+             |SELECT qid, vec_id, cos FROM hc WHERE cos >= 0.25""".stripMargin)
     ),
 
     // PER-DIMENSION EMBEDDING AUDIT — mean / std / dead-share for each

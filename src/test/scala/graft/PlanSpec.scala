@@ -133,8 +133,25 @@ class PlanSpec extends AnyFunSuite {
       assert(plan(q).contains("graft_bands"),
         s"$q must read the materialized band index")
     }
-    assert(plan("dedup_ngram_jaccard").contains("graft_shingles60"),
-      "jaccard must read the materialized shingle index")
+    // since r18 jaccard/containment read the df-CAPPED shingle index
+    // (graft_shcap — derived once from graft_shingles60, bucketed on
+    // shh), not the raw one: the hot-list aggregate + anti-join is
+    // paid at build time, and the pair self-join reads co-bucketed
+    // files with no exchange
+    Seq("dedup_ngram_jaccard", "dedup_containment").foreach { q =>
+      assert(plan(q).contains("graft_shcap"),
+        s"$q must read the materialized df-capped shingle index")
+    }
+  }
+
+  test("signature consumers read the materialized signature frame (r18)") {
+    // the 16-agg MinHash signature build (corpus tokenize + hash) was
+    // re-derived by each of 5 consumers; since r18 it is materialized
+    // once per dir, bucketed on doc_id
+    Seq("dedup_jaccard_approx", "dedup_minhash_accuracy").foreach { q =>
+      assert(plan(q).contains("graft_sigs"),
+        s"$q must read the materialized signature frame")
+    }
   }
 
   test("containment twin decides on signatures and semi-join-prunes its audit (r15)") {

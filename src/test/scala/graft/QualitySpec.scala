@@ -141,9 +141,17 @@ class QualitySpec extends AnyFunSuite {
     recalls.sum / recalls.size
   }
 
-  test("ann_lsh_topk recall@5 vs brute force clears 0.5") {
+  // Floors below sit at measured−0.05 (r18, VERDICT r17 Next #6): the
+  // fixtures are deterministic, so the measured recalls are stable
+  // numbers and a loose floor is a dead zone where a real regression —
+  // a quantizer bug, a bad HierSwitchN interaction — passes silently.
+  // Each test records its measured value (sf0.01 fixture) beside the
+  // floor.
+
+  test("ann_lsh_topk recall@5 vs brute force clears 0.68 (measured 0.74)") {
     val r = meanRecallAt5("ann_lsh_topk")
-    assert(r >= 0.5, s"LSH mean recall@5 = $r")
+    info(s"LSH mean recall@5 = $r")
+    assert(r >= 0.68, s"LSH mean recall@5 = $r")
   }
 
   test("ann_multiprobe_lsh recall@5 clears plain LSH on the same geometry") {
@@ -152,11 +160,12 @@ class QualitySpec extends AnyFunSuite {
     // candidate set, so per-query recall dominates plain LSH exactly.
     val mp = meanRecallAt5("ann_multiprobe_lsh")
     val plain = meanRecallAt5("ann_lsh_topk")
+    info(s"multiprobe mean recall@5 = $mp (plain LSH $plain)")
     assert(mp >= plain, s"multiprobe recall $mp < plain LSH $plain")
-    assert(mp >= 0.7, s"multiprobe mean recall@5 = $mp")
+    assert(mp >= 0.95, s"multiprobe mean recall@5 = $mp (measured 1.0)")
   }
 
-  test("vec_knn_graph recall@3 vs brute-force neighbors clears 0.6") {
+  test("vec_knn_graph recall@3 vs brute-force neighbors clears 0.75 (measured 0.80)") {
     // the round-12 scale path (trained-IVF-cell blocking, cells
     // proportional to the corpus) must stay a usable kNN-graph
     // constructor: measured 0.80 at sf0.01 (probe=4, ~4 vectors/cell)
@@ -179,10 +188,11 @@ class QualitySpec extends AnyFunSuite {
     graft.Caches.releaseAll()
     assert(truth.nonEmpty)
     val recall = truth.count(got).toDouble / truth.size
-    assert(recall >= 0.6, s"kNN-graph recall@3 = $recall")
+    info(s"kNN-graph recall@3 = $recall")
+    assert(recall >= 0.75, s"kNN-graph recall@3 = $recall")
   }
 
-  test("ann_ivf_hierarchical recall@3 vs brute-force neighbors clears 0.6") {
+  test("ann_ivf_hierarchical recall@3 vs brute-force neighbors clears 0.72 (measured 0.77)") {
     // the two-level coarse→fine regime matches the flat graph's floor
     // (measured 0.77 at sf0.01 with kc=256 × kf=16, probes 4×2; flat
     // vec_knn_graph measured 0.80) — the floor guards against a
@@ -207,7 +217,7 @@ class QualitySpec extends AnyFunSuite {
     assert(truth.nonEmpty)
     val recall = truth.count(got).toDouble / truth.size
     info(s"hierarchical kNN recall@3 = $recall")
-    assert(recall >= 0.6, s"hierarchical kNN recall@3 = $recall")
+    assert(recall >= 0.72, s"hierarchical kNN recall@3 = $recall")
   }
 
   test("vec_knn_graph edges agree with brute-force neighbors where candidates exist") {
@@ -230,25 +240,31 @@ class QualitySpec extends AnyFunSuite {
     assert(badRank == 0, "edge ranked better with lower cosine")
   }
 
-  test("ann_ivf_hier_topk recall@5 vs brute force clears 0.5") {
+  test("ann_ivf_hier_topk recall@5 vs brute force clears 0.56 (measured 0.62)") {
     // 0.62 measured at sf0.01 (4 coarse x 2 fine probes) — between
-    // flat ann_ivf_topk's 0.60 and ann_ivf_trained's 0.72
+    // flat ann_ivf_topk's 0.60 and ann_ivf_trained's 0.72. Since r18
+    // this body IS the hier leg of the adaptive ann_ivf_trained, so
+    // the floor also guards what the adaptive route serves past
+    // HierSwitchN.
     val r = meanRecallAt5("ann_ivf_hier_topk")
     info(s"hier ANN recall@5 = $r")
-    assert(r >= 0.5, s"hierarchical IVF mean recall@5 = $r")
+    assert(r >= 0.56, s"hierarchical IVF mean recall@5 = $r")
   }
 
-  test("ann_ivf_topk recall@5 vs brute force clears 0.4") {
+  test("ann_ivf_topk recall@5 vs brute force clears 0.54 (measured 0.60)") {
     val r = meanRecallAt5("ann_ivf_topk")
-    assert(r >= 0.4, s"IVF mean recall@5 = $r")
+    info(s"IVF mean recall@5 = $r")
+    assert(r >= 0.54, s"IVF mean recall@5 = $r")
   }
 
-  test("ann_ivf_trained recall@5 vs brute force clears 0.5") {
+  test("ann_ivf_trained recall@5 vs brute force clears 0.66 (measured 0.72)") {
     // trained quantizer should not be WORSE than the seed-sampled one
     // (measured 0.72 at k=128/nprobe=16 vs untrained ann_ivf_topk 0.60
-    // at sf0.01)
+    // at sf0.01 — the sf0.01 fixture sits below HierSwitchN, so this
+    // measures the adaptive entry's FLAT leg)
     val r = meanRecallAt5("ann_ivf_trained")
-    assert(r >= 0.5, s"trained-IVF mean recall@5 = $r")
+    info(s"trained-IVF mean recall@5 = $r")
+    assert(r >= 0.66, s"trained-IVF mean recall@5 = $r")
   }
 
   test("trained quantizer model is fixed-k: cell count never tracks the corpus") {
@@ -523,7 +539,7 @@ class QualitySpec extends AnyFunSuite {
     assert(r >= 0.04, s"maxsim mean recall@5 vs exact cosine = $r (random ~= 0.01)")
   }
 
-  test("ann_range_search returns a pure subset of the true epsilon-ball, most of it") {
+  test("ann_range_search returns a pure subset of the true epsilon-ball, most of it (measured 0.77)") {
     // Truth = EVERY (qid, vec) pair with rounded cosine >= 0.25 (brute
     // force at sf0.01: 10 probes x 500 vectors). The registered query
     // only scores LSH candidates, and exact cosine confirms each — so
@@ -547,7 +563,70 @@ class QualitySpec extends AnyFunSuite {
     assert(truth.nonEmpty)
     assert(got.subsetOf(truth), "range-search pairs must be a subset of the true ball")
     val recall = got.size.toDouble / truth.size
-    assert(recall >= 0.5, s"epsilon-ball recall = $recall (${got.size}/${truth.size})")
+    info(s"epsilon-ball recall = $recall (${got.size}/${truth.size})")
+    assert(recall >= 0.72, s"epsilon-ball recall = $recall (${got.size}/${truth.size})")
+  }
+
+  // ── r18 hier-leg floors: the three new forced-hier twins pin what
+  // the adaptive probe-query entries serve PAST HierSwitchN, so each
+  // needs its own quality floor — a hier-leg recall collapse at gate
+  // scale would otherwise only surface on a >4096-vector corpus.
+  // Floors at measured−0.05 like the rest of the family. NOTE on the
+  // levels: the sf0.01 fixture (500 vectors) sits far BELOW
+  // HierSwitchN, where the hier index is deliberately the worse
+  // choice — the adaptive entries serve the flat leg here. These
+  // floors pin the twins against a WIRING regression at gate scale;
+  // the hier leg's serving quality where it actually serves is
+  // calibrated by ann_hier_probe_recall_curve and the >switch
+  // falsifier corpus (tools/gate5k_verify.sh).
+
+  test("ann_reranked_hier recall@5 vs brute force clears 0.51 (measured 0.56)") {
+    // hier key-intersection candidates -> candidate-only ADC shortlist
+    // -> exact rerank; the candidate set is ann_ivf_hier_topk's
+    // (measured 0.62), and ADC shortlisting inside it can only lose a
+    // little more.
+    val r = meanRecallAt5("ann_reranked_hier")
+    info(s"hier reranked mean recall@5 = $r")
+    assert(r >= 0.51, s"hier reranked mean recall@5 = $r")
+  }
+
+  test("ann_filtered_topk_hier recovers the exact within-label top-5 (measured 0.46)") {
+    // the flat ann_filtered_topk leg is EXACT within the probe's label
+    // slice (it scans the whole slice), so it is the truth set for the
+    // hier leg's label ∧ (cid, fid) intersection. 0.46 at 500 vectors:
+    // label ∧ key intersection leaves ~tens of candidates per probe —
+    // exactly the below-switch regime the adaptive entry routes to
+    // flat.
+    val truth = topkSets("ann_filtered_topk")
+    val got = topkSets("ann_filtered_topk_hier")
+    val recalls = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).count(t).toDouble / t.size }
+    val r = recalls.sum / recalls.size
+    info(s"hier filtered mean recall@5 vs exact-within-label = $r")
+    assert(r >= 0.41, s"hier filtered mean recall@5 = $r")
+  }
+
+  test("ann_range_search_hier is a pure subset of the true ball, most of it (measured 0.57)") {
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding"), VectorFunctions.norm(col("embedding")).as("nrm"))
+    val p = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val truth = e.crossJoin(p).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFunctions.dot(col("qv"), col("embedding"))
+          / (col("qnrm") * col("nrm")), 4).as("cos"))
+      .filter(col("cos") >= 0.25)
+      .select(col("qid").cast("long"), col("vec_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("ann_range_search_hier")(spark, sf)
+      .select(col("qid").cast("long"), col("vec_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(got.subsetOf(truth), "hier range pairs must be a subset of the true ball")
+    val recall = got.size.toDouble / truth.size
+    info(s"hier epsilon-ball recall = $recall (${got.size}/${truth.size})")
+    assert(recall >= 0.52, s"hier epsilon-ball recall = $recall")
   }
 
   test("centroid-classifier accuracy beats chance by 2.5x") {

@@ -1,14 +1,17 @@
 #!/usr/bin/env python3
 """Crossover-validation vector corpora for the r17 adaptive quantizer.
 
-HierSwitchN = 32768 was placed between the measured regimes (flat
-fine at n <= 8k gate corpora; hier 6.8-13x ahead at 80k/256k,
-growth_vecs_hier_r16.json). These two corpora bracket the switch so
-the consumer-level A/B (growth_consumer_r17.sh) can confirm the
-decision boundary sits on the right side of both points:
+HierSwitchN = 32768 was the PRE-measurement placement these corpora
+were built to test (between the then-measured regimes: flat fine at
+n <= 8k gate corpora; hier 6.8-13x ahead at 80k/256k,
+growth_vecs_hier_r16.json). The ladder they fed put the crossover
+between 2k and 8k, and the SHIPPED constant is Ivf.HierSwitchN =
+4096 (Ivf.scala) — so under the final constant BOTH corpora here are
+adaptive-hier; the per-leg numbers are unaffected (the A/B forces
+each side via SPARK_GRAFT_VEC_QUANTIZER):
 
-- target/sfvl24k/embeddings.parquet — 24576 vectors (adaptive: flat)
-- target/sfvl48k/embeddings.parquet — 49152 vectors (adaptive: hier)
+- target/sfvl24k/embeddings.parquet — 24576 vectors
+- target/sfvl48k/embeddings.parquet — 49152 vectors
 
 Same unit-norm near-uniform 10-label recipe as gen_decade.py /
 gen_vec_saturate.py, seeds pinned. Bench/diagnostic input only —

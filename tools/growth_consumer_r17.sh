@@ -7,8 +7,12 @@
 # 256k), time the two heaviest adaptive consumers (vec_knn_graph,
 # dedup_embedding) with the quantizer FORCED to each side
 # (SPARK_GRAFT_VEC_QUANTIZER=flat|hier) in separate fresh JVMs. The
-# adaptive decision (flat <= 32768 < hier) should pick the measured
-# winner on BOTH sides of the switch.
+# adaptive decision should pick the measured winner on BOTH sides of
+# the switch. (Historical note: this script was built to test the
+# PRE-measurement placement HierSwitchN = 32768; the ladder it ran
+# put the crossover between 2k and 8k, and the SHIPPED constant is
+# Ivf.HierSwitchN = 4096 — see Ivf.scala. Measurements are
+# unaffected: both legs are env-forced, never adaptive.)
 #
 # Also times the r16 verdict-#3 item: ann_ivf_hierarchical guarded
 # (SPARK_GRAFT_VEC_DUP_COLLAPSE=always) vs adaptive-skip (default) at
