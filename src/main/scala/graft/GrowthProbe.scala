@@ -124,6 +124,7 @@ object GrowthProbe {
           val nVecs = Tables.embeddings(spark, d).count()
           val cents = graft.similarity.Ivf.trainedCentroids(spark, d)
           val e = Tables.embeddings(spark, d)
+            .withColumn("qv", graft.similarity.Ivf.quantCol)
           val fasg = e.select(col("vec_id"),
             graft.similarity.Ivf.centroidRanks(cents, 1).getItem(0).as("cid"))
           val fsizes = fasg.groupBy(col("cid")).agg(count(lit(1)).as("c"))
