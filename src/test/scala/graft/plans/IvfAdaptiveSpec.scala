@@ -60,6 +60,36 @@ class IvfAdaptiveSpec extends AnyFunSuite {
     assert(a.nonEmpty && a === f)
   }
 
+  test("the adaptive probe-query entries serve the hier twin bodies past the switch") {
+    // r18 query-regime wiring pin (the in-suite half of the
+    // tools/gate5k falsifier): one row past HierSwitchN every adaptive
+    // probe-query entry must route to EXACTLY what its standalone
+    // forced-hier twin computes — through the PUBLIC registry, so an
+    // edit that forks a match arm from its twin body (or breaks the
+    // decision probe) fails here without needing a driver round.
+    val big = graft.etl.TmpDirs.dir("ivfadapt_query_big")
+    spark.range(Ivf.HierSwitchN + 104)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> CAST(sin(id * 64 + i) AS FLOAT))")
+          .as("embedding"),
+        (col("id") % 10).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    assert(Ivf.decideQuantizer(spark, big) === "hier")
+    def rows(name: String): Set[String] =
+      graft.SparkEntry.queries(name)(spark, big).collect().map(_.toString).toSet
+    for ((adaptive, twin) <- Seq(
+        "ann_ivf_trained" -> "ann_ivf_hier_topk",
+        "ann_filtered_topk" -> "ann_filtered_topk_hier",
+        "ann_range_search" -> "ann_range_search_hier",
+        "ann_reranked" -> "ann_reranked_hier")) {
+      val (ra, rt) = (rows(adaptive), rows(twin))
+      assert(ra.nonEmpty && ra === rt,
+        s"$adaptive must serve $twin's body past the switch")
+    }
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("hasDupQv: false on a clean corpus, true on a planted duplicate group") {
     val clean = fixture("ivfadapt_clean", 180, 0)
     val spiked = fixture("ivfadapt_spiked", 180, 12)
