@@ -144,6 +144,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("hier probe-query twins stay broadcast + equi-join shaped (r18)") {
+    // the hier legs' scale contract: candidates come from the
+    // (cid, fid) key equi-join against BROADCAST probe keys — never a
+    // cartesian (the flat ann_reranked leg's whole-corpus ADC cross
+    // join is exactly what these legs exist to replace past the
+    // switch)
+    Seq("ann_filtered_topk_hier", "ann_range_search_hier",
+        "ann_reranked_hier").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q probe keys must broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q must never go pairwise")
+    }
+  }
+
   test("signature consumers read the materialized signature frame (r18)") {
     // the 16-agg MinHash signature build (corpus tokenize + hash) was
     // re-derived by each of 5 consumers; since r18 it is materialized
