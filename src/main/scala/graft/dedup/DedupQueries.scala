@@ -174,7 +174,8 @@ object DedupQueries {
   private def materialized(s: SparkSession, d: String, kind: String,
                            key: String, fresh: => DataFrame): DataFrame =
     graft.etl.Bucketing.memoBucketed(s, builtIdx, s"$kind|$d",
-      s"graft_${kind}_" + graft.etl.Bucketing.dirTag(d), key, buckets = 8)(fresh)
+      s"graft_${kind}_" + graft.etl.Bucketing.dirTag(d), key,
+      buckets = graft.etl.Bucketing.adaptiveBuckets(s))(fresh)
 
   /** Distinct (doc_id, 60-bit shingle hash) rows — the string-free
     * index jaccard/containment join on: the native ShingleHashes60
@@ -1281,12 +1282,13 @@ object DedupQueries {
         val tbl = "graft_corpus_bands_" + graft.etl.Bucketing.dirTag(d)
         // corpus index build — in production this runs once per corpus
         // version, amortized over every batch that joins against it.
-        // 8 buckets at test scale; a real deployment sizes buckets so
-        // each holds ~128MB (e.g. thousands for 100 TB).
+        // Buckets track the session's parallelism (adaptiveBuckets);
+        // a real deployment sizes buckets so each holds ~128MB
+        // (e.g. thousands for 100 TB).
         graft.etl.Bucketing.writeBucketed(
           bands.filter(col("doc_id") % 10 =!= 0)
             .select(col("doc_id").as("corpus_id"), col("bk")),
-          tbl, "bk", buckets = 8)
+          tbl, "bk", buckets = graft.etl.Bucketing.adaptiveBuckets(s))
         val corpusIdx = s.table(tbl)
         // hint("merge") keeps the demonstration honest at test scale —
         // without it the tiny corpus side would broadcast and the

@@ -12,6 +12,36 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Bucketing {
 
+  /** Bucket count for the materialized shared indexes, derived from
+    * the session's parallelism instead of a constant (r18).
+    *
+    * A bucketed scan schedules exactly ONE task per bucket, and every
+    * exchange-free operator downstream of it (the co-bucketed
+    * self-join, the pair aggregation above it) inherits that
+    * partitioning — so the bucket count IS the parallelism ceiling of
+    * the whole shuffle-free chain. The former constant 8 capped the
+    * sf1 shingle-index self-join at 8 of 32 cores (measured: the one
+    * family member whose cost is join-dominated rather than
+    * build-dominated, dedup_ngram_jaccard, got SLOWER when it moved
+    * onto the 8-bucket index — 10.2 → 13.2 s in the r18 sf1 block
+    * sweep — while its build-dominated siblings improved).
+    *
+    * `defaultParallelism` tracks the scheduler's slot count on any
+    * deployment (local[N] → N, a cluster → total executor cores), so
+    * buckets ≈ slots keeps the one-task-per-bucket chain saturating
+    * the machine at every scale the driver benches (local[32] AND the
+    * lower-core scaling run). Floor of 8 so a tiny local[2] probe
+    * session doesn't write a 2-bucket index that a later 32-core
+    * session would be stuck with; env override for production sizing
+    * (e.g. a multiple of executor cores at 100 TB, where buckets also
+    * size the output files — guide §6).
+    */
+  def adaptiveBuckets(s: org.apache.spark.sql.SparkSession): Int =
+    sys.env.get("SPARK_GRAFT_INDEX_BUCKETS")
+      .map(v => scala.util.Try(v.trim.toInt).getOrElse(
+        sys.error(s"SPARK_GRAFT_INDEX_BUCKETS must be an integer, got '$v'")))
+      .getOrElse(math.max(8, s.sparkContext.defaultParallelism))
+
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int, sorted: Boolean = true): Unit = {
     val w = df.write.mode(SaveMode.Overwrite).bucketBy(buckets, key)

@@ -104,7 +104,8 @@ object Bpe {
     */
   def ntokTable(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     graft.etl.Bucketing.memoBucketed(s, ntokBuilt, d,
-      "graft_ntok_" + graft.etl.Bucketing.dirTag(d), "doc_id", buckets = 8) {
+      "graft_ntok_" + graft.etl.Bucketing.dirTag(d), "doc_id",
+      buckets = graft.etl.Bucketing.adaptiveBuckets(s)) {
       val tr = trained(s, d)
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
