@@ -173,9 +173,44 @@ object DedupQueries {
 
   private def materialized(s: SparkSession, d: String, kind: String,
                            key: String, fresh: => DataFrame): DataFrame =
+    materializedN(s, d, kind, key, 8, fresh)
+
+  /** As [[materialized]] with an explicit bucket count — the shingle
+    * indexes size buckets from the corpus (their consumers are heavy
+    * single-pass self-joins whose parallelism is capped by the bucket
+    * count); every per-doc-sized index keeps the measured-fine 8.
+    */
+  private def materializedN(s: SparkSession, d: String, kind: String,
+                            key: String, buckets: Int,
+                            fresh: => DataFrame): DataFrame =
     graft.etl.Bucketing.memoBucketed(s, builtIdx, s"$kind|$d",
       s"graft_${kind}_" + graft.etl.Bucketing.dirTag(d), key,
-      buckets = graft.etl.Bucketing.adaptiveBuckets(s))(fresh)
+      buckets = buckets)(fresh)
+
+  /** Corpus doc count, memoized per dir — the input to the shingle
+    * indexes' bucket sizing. A columnless parquet count reads only
+    * row-group metadata; deterministic, so the benign two-thread race
+    * on first call is harmless.
+    */
+  private val docCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def docCount(s: SparkSession, d: String): Long =
+    Option(docCounts.get(d)).map(_.longValue).getOrElse {
+      val n = Tables.documents(s, d).count()
+      docCounts.put(d, n)
+      n
+    }
+
+  /** Bucket count for the shingle indexes: ~1,536 docs per bucket —
+    * each doc carries ~150-250 distinct 3-gram shingles, so a bucket
+    * holds ~300k index rows, enough per-task work that one task per
+    * bucket stays efficient while the 10x corpus (50k docs) reaches
+    * the full core count (Bucketing.adaptiveBuckets clamps to
+    * [8, defaultParallelism]; gate corpora stay at 8).
+    */
+  private def shingleBuckets(s: SparkSession, d: String): Int =
+    graft.etl.Bucketing.adaptiveBuckets(s, docCount(s, d),
+      rowsPerBucket = 1536)
 
   /** Distinct (doc_id, 60-bit shingle hash) rows — the string-free
     * index jaccard/containment join on: the native ShingleHashes60
@@ -188,7 +223,7 @@ object DedupQueries {
     * (bucketed on the intersection-join key `shh`).
     */
   private[graft] def shingleHash60Rows(s: SparkSession, d: String): DataFrame =
-    materialized(s, d, "shingles60", "shh",
+    materializedN(s, d, "shingles60", "shh", shingleBuckets(s, d),
       Tables.documents(s, d)
         .select(col("doc_id"),
           explode(graft.plans.TextExpressions.shingleHashes60(cleanToks, 3)).as("shh"))
@@ -208,7 +243,7 @@ object DedupQueries {
     * checks the capped-index SEMANTICS, not the cache.
     */
   private[graft] def cappedShingleRows(s: SparkSession, d: String): DataFrame =
-    materialized(s, d, "shcap", "shh", {
+    materializedN(s, d, "shcap", "shh", shingleBuckets(s, d), {
       val raw = shingleHash60Rows(s, d)
       val hot = raw.groupBy(col("shh")).agg(count(lit(1)).as("df"))
         .filter(col("df") > 100).select(col("shh"))
@@ -1288,7 +1323,7 @@ object DedupQueries {
         graft.etl.Bucketing.writeBucketed(
           bands.filter(col("doc_id") % 10 =!= 0)
             .select(col("doc_id").as("corpus_id"), col("bk")),
-          tbl, "bk", buckets = graft.etl.Bucketing.adaptiveBuckets(s))
+          tbl, "bk", buckets = 8)
         val corpusIdx = s.table(tbl)
         // hint("merge") keeps the demonstration honest at test scale —
         // without it the tiny corpus side would broadcast and the

@@ -12,35 +12,47 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Bucketing {
 
-  /** Bucket count for the materialized shared indexes, derived from
-    * the session's parallelism instead of a constant (r18).
+  /** Bucket count for a materialized index whose downstream work is
+    * JOIN-dominated, derived from the index's estimated row volume and
+    * clamped by the session's parallelism (r18).
     *
     * A bucketed scan schedules exactly ONE task per bucket, and every
     * exchange-free operator downstream of it (the co-bucketed
     * self-join, the pair aggregation above it) inherits that
     * partitioning — so the bucket count IS the parallelism ceiling of
     * the whole shuffle-free chain. The former constant 8 capped the
-    * sf1 shingle-index self-join at 8 of 32 cores (measured: the one
+    * 10x shingle-index self-join at 8 of 32 cores (measured: the one
     * family member whose cost is join-dominated rather than
     * build-dominated, dedup_ngram_jaccard, got SLOWER when it moved
     * onto the 8-bucket index — 10.2 → 13.2 s in the r18 sf1 block
     * sweep — while its build-dominated siblings improved).
     *
-    * `defaultParallelism` tracks the scheduler's slot count on any
-    * deployment (local[N] → N, a cluster → total executor cores), so
-    * buckets ≈ slots keeps the one-task-per-bucket chain saturating
-    * the machine at every scale the driver benches (local[32] AND the
-    * lower-core scaling run). Floor of 8 so a tiny local[2] probe
-    * session doesn't write a 2-bucket index that a later 32-core
-    * session would be stuck with; env override for production sizing
-    * (e.g. a multiple of executor cores at 100 TB, where buckets also
-    * size the output files — guide §6).
+    * Buckets must track the DATA, not just cores: a parallelism-only
+    * rule (max(8, slots) = 32 here, measured first) HURT the
+    * small-corpus bench — iterative consumers reschedule the
+    * bucket-count tasks every iteration (graph_katz +1.4 s at sf0.1)
+    * and queries that rebuild an index in their timed body pay a
+    * 4x-wider bucketed write (dedup_incremental +2.9 s) — so only the
+    * indexes whose consumers are single-pass heavy self-joins use this
+    * rule, sized by estimated rows, and everything else keeps the
+    * measured-fine constant 8. Floor 8 (a tiny local[2] probe session
+    * must not write a 2-bucket index a later 32-core session would be
+    * stuck with); cap at `defaultParallelism` (more buckets than slots
+    * buys nothing locally and shrinks files). Production at 100 TB
+    * wants buckets >> slots so each bucket file lands in the
+    * 128 MB-1 GB range (guide §6) — the SPARK_GRAFT_INDEX_BUCKETS env
+    * override sets that explicitly; local defaults keep the driver's
+    * bench comparable at every core count it runs.
     */
-  def adaptiveBuckets(s: org.apache.spark.sql.SparkSession): Int =
+  def adaptiveBuckets(s: org.apache.spark.sql.SparkSession,
+                      estRows: Long, rowsPerBucket: Long): Int =
     sys.env.get("SPARK_GRAFT_INDEX_BUCKETS")
       .map(v => scala.util.Try(v.trim.toInt).getOrElse(
         sys.error(s"SPARK_GRAFT_INDEX_BUCKETS must be an integer, got '$v'")))
-      .getOrElse(math.max(8, s.sparkContext.defaultParallelism))
+      .getOrElse {
+        val byData = math.ceil(estRows.toDouble / rowsPerBucket).toInt
+        math.max(8, math.min(s.sparkContext.defaultParallelism, byData))
+      }
 
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int, sorted: Boolean = true): Unit = {

@@ -54,7 +54,7 @@ object GraphEdges {
   def pairs(s: SparkSession, d: String): DataFrame =
     graft.etl.Bucketing.memoBucketed(s, built, d,
       "graft_copurchase_" + graft.etl.Bucketing.dirTag(d), "pa",
-      buckets = graft.etl.Bucketing.adaptiveBuckets(s)) {
+      buckets = 8) {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       // equi-join on the order key: fan-out bounded by per-order line
@@ -121,7 +121,7 @@ object GraphEdges {
   def triangles(s: SparkSession, d: String): DataFrame =
     graft.etl.Bucketing.memoBucketed(s, built, "tri|" + d,
       "graft_triangles_" + graft.etl.Bucketing.dirTag(d), "a",
-      buckets = graft.etl.Bucketing.adaptiveBuckets(s)) {
+      buckets = 8) {
       val fwd = fwdByDegree(s, d)
       val wedges = fwd.select(col("s"), col("t").as("v1"), col("dt").as("d1"))
         .join(fwd.select(col("s"), col("t").as("v2"), col("dt").as("d2")),

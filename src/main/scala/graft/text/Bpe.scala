@@ -105,7 +105,7 @@ object Bpe {
   def ntokTable(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     graft.etl.Bucketing.memoBucketed(s, ntokBuilt, d,
       "graft_ntok_" + graft.etl.Bucketing.dirTag(d), "doc_id",
-      buckets = graft.etl.Bucketing.adaptiveBuckets(s)) {
+      buckets = 8) {
       val tr = trained(s, d)
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
