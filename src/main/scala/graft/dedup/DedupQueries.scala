@@ -109,10 +109,24 @@ object DedupQueries {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val ex = graft.Caches.scoped(cappedShingleRows(s, d))
-    val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // sz feeds TWO join subtrees (na and nb): persist AND materialize
+    // before the fan-out, or racing stages of the one final job each
+    // re-aggregate the full index (the round-10 cache-race lesson —
+    // the r18 plan audit showed the doc-size rollup built twice).
+    val sz = graft.Caches.scoped(
+      ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+    sz.count()
+    // shuffle_hash on the index side of the verify joins: the compact
+    // shcap table's file-size stats sit under the broadcast threshold,
+    // so the planner otherwise BROADCASTS the corpus-sized index —
+    // building a multi-million-entry hash relation twice per run (r18
+    // plan audit; the threshold would disarm this on a bigger corpus
+    // anyway, so pinning the shuffle shape here also removes a
+    // local-vs-production plan divergence). The pair side exchanges
+    // on da/db — bounded by the band cap — instead.
     cand
-      .join(ex.as("x"), col("da") === col("x.doc_id"))
-      .join(ex.as("y"),
+      .join(ex.as("x").hint("shuffle_hash"), col("da") === col("x.doc_id"))
+      .join(ex.as("y").hint("shuffle_hash"),
         col("db") === col("y.doc_id") && col("x.shh") === col("y.shh"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
       .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
