@@ -1520,7 +1520,14 @@ object DedupQueries {
     // costs O(candidates · doc shingles), never all-pairs.
     "dedup_minhash_accuracy" -> Query(
       (s, d) => {
+        // pairs and the shingle rows each feed TWO sibling subtrees
+        // (est+inter, inter+szs): materialize them before the fan-out
+        // or racing stages of the one final job recompute the band
+        // self-join / the tokenize+shingle pass per stage (the
+        // round-10 cache-race lesson; the r18 plan audit showed the
+        // bands table scanned 5x and sigs 3x in one plan).
         val pairs = graft.Caches.scoped(minhashPairs(s, d))
+        pairs.count()
         val sigs = graft.Caches.scoped(signatures(s, d))
         val matchCnt = (0 until 16)
           .map(i => (col(s"sa.sig$i") === col(s"sb.sig$i")).cast("long"))
@@ -1530,7 +1537,9 @@ object DedupQueries {
           .join(sigs.as("sb"), col("db") === col("sb.doc_id"))
           .select(col("da"), col("db"), (matchCnt * 625L).as("est_bp"))
         val sr = graft.Caches.scoped(shingleRows(s, d))
-        val szs = sr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        sr.count()
+        val szs = graft.Caches.scoped(
+          sr.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
         val inter = pairs
           .join(sr.as("x"), col("da") === col("x.doc_id"))
           .join(sr.as("y"),
