@@ -47,8 +47,11 @@ object Bucketing {
   def adaptiveBuckets(s: org.apache.spark.sql.SparkSession,
                       estRows: Long, rowsPerBucket: Long): Int =
     sys.env.get("SPARK_GRAFT_INDEX_BUCKETS")
-      .map(v => scala.util.Try(v.trim.toInt).getOrElse(
-        sys.error(s"SPARK_GRAFT_INDEX_BUCKETS must be an integer, got '$v'")))
+      // fail fast on non-positive too: 0/-1 would otherwise surface
+      // later as an opaque saveAsTable error AFTER the expensive fresh
+      // frame was built (r18 ADVICE)
+      .map(v => scala.util.Try(v.trim.toInt).toOption.filter(_ > 0).getOrElse(
+        sys.error(s"SPARK_GRAFT_INDEX_BUCKETS must be a positive integer, got '$v'")))
       .getOrElse {
         val byData = math.ceil(estRows.toDouble / rowsPerBucket).toInt
         math.max(8, math.min(s.sparkContext.defaultParallelism, byData))
@@ -92,6 +95,15 @@ object Bucketing {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
+  // Bucket-count staleness (r18 ADVICE): a FRESH JVM always rebuilds
+  // (memo miss => writeBucketed regardless of a pre-existing table, in
+  // Overwrite mode), so a warehouse left by an older build or an A/B
+  // leg with a different bucket rule cannot leak its layout across JVM
+  // invocations. The only skip path is a same-JVM memo hit, where the
+  // bucket count is deterministic per (data dir, parallelism); two
+  // SESSIONS with different core counts in one JVM would share the
+  // first session's layout — benign (layout only, never rows) and only
+  // reachable from test harnesses.
   def memoBucketed(s: org.apache.spark.sql.SparkSession,
                    memo: java.util.concurrent.ConcurrentHashMap[String, String],
                    memoKey: String, table: String, key: String,

@@ -195,11 +195,11 @@ object Graph {
         visited
       },
       Some("""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-             |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |pairs AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
              |          FROM li a JOIN li b
              |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
              |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-             |e AS (SELECT pa AS u, pb AS v FROM pairs
+             |e AS MATERIALIZED (SELECT pa AS u, pb AS v FROM pairs
              |      UNION ALL SELECT pb, pa FROM pairs),
              |r AS (SELECT DISTINCT u AS node, 0 AS d FROM e WHERE u % 97 = 0
              |      UNION

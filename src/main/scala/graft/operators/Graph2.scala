@@ -21,13 +21,18 @@ object Graph2 {
     */
   private def sym(s: SparkSession, d: String): DataFrame = GraphEdges.sym(s, d)
 
+  // e/sym are AS MATERIALIZED (r19): DuckDB inlines plain CTEs into
+  // every reference — graph_components' recursive walk re-derived the
+  // whole co-purchase self-join once per iteration, and the iterative
+  // katz/reach chains reference sym 3+ times (identical rows, same fix
+  // as the dedup cluster oracles).
   private val symSql =
     """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |e AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
       |      FROM li a JOIN li b
       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-      |sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e)""".stripMargin
+      |sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e)""".stripMargin
 
   val entries: Seq[(String, Query)] = Seq(
 

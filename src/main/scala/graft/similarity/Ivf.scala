@@ -190,13 +190,25 @@ object Ivf {
     * oracles compose the FLAT and HIERARCHICAL chains — which both
     * bottom out in this kmeans replay — inside one WITH, so the
     * second instance must not shadow the first.
+    * `src` names the relation the chain's rows come from (default the
+    * raw `embeddings` view). The adaptive count-gated oracles (r19)
+    * pass a count-gated base CTE here so the NON-selected regime's
+    * chain evaluates over an EMPTY relation: DuckDB materializes every
+    * CTE chain in the union regardless of the gate predicates, and the
+    * unselected chain's O(n·k) centroid cross joins were the dominant
+    * cost of the whole correctness gate (driver r18 verify blew its
+    * wall on exactly this). The SELECTED chain's base filter is
+    * identically true, so its rows — and the oracle output — are
+    * byte-identical. Model-size scalars (graphKSql / hierKfSql) keep
+    * reading the full corpus count: they are cheap COUNT(*) subqueries
+    * and must match the engine's corpusN-derived sizes either way.
     */
   def kmeansCteSql(kLimitSql: String = kmeansK.toString,
-                   p: String = ""): String =
+                   p: String = "", src: String = "embeddings"): String =
     s"""${p}kk AS (SELECT CAST(($kLimitSql) AS BIGINT) AS k),
       |${p}q AS (SELECT vec_id, list_transform(embedding,
       |        x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
-      |      FROM embeddings),
+      |      FROM $src),
       |${p}c0 AS (SELECT cid, cv FROM (
       |         SELECT vec_id AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv,
       |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
@@ -248,8 +260,9 @@ object Ivf {
     * against DuckDB every round instead of lying dormant until a
     * hot-celled corpus arrives (round-13 ADVICE).
     */
-  def pairAssignCteSqlWithCap(cap: Long, p: String = ""): String =
-    s"""${kmeansCteSql(s"($graphKSql)", p)},
+  def pairAssignCteSqlWithCap(cap: Long, p: String = "",
+                              src: String = "embeddings"): String =
+    s"""${kmeansCteSql(s"($graphKSql)", p, src)},
       |${p}pasg0 AS (SELECT vec_id, cid FROM (
       |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
       |          FROM ${p}d1) WHERE rn <= $graphNprobe),
@@ -671,8 +684,9 @@ object Ivf {
     * keys (equal qv ⇒ equal residuals), so the all-vector `hk` join
     * is provably the rep join re-expanded.
     */
-  def hierPairCteSqlWithCap(cap: Long, p: String = ""): String =
-    s"""${hierAssignCteSql(p)},
+  def hierPairCteSqlWithCap(cap: Long, p: String = "",
+                            src: String = "embeddings"): String =
+    s"""${hierAssignCteSql(p, src = src)},
       |${p}qg AS (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qv) AS gid FROM ${p}q),
       |${p}hotcf AS (SELECT h.cid, h.fid FROM ${p}hasg h JOIN ${p}qg g USING (vec_id)
       |          GROUP BY h.cid, h.fid HAVING COUNT(DISTINCT g.gid) > $cap),
@@ -691,8 +705,9 @@ object Ivf {
     * `hierAssignments`.
     */
   def hierAssignCteSql(p: String = "", nprobeC: Int = hierNprobe,
-                       nprobeF: Int = hierFineNprobe): String =
-    s"""${kmeansCteSql(hierKc.toString, p)},
+                       nprobeF: Int = hierFineNprobe,
+                       src: String = "embeddings"): String =
+    s"""${kmeansCteSql(hierKc.toString, p, src)},
       |${p}casg AS (SELECT vec_id, qv, cid FROM (
       |          SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
       |          FROM ${p}d1) WHERE rn <= $nprobeC),
@@ -849,20 +864,26 @@ object Ivf {
     * lives inside pasg; the hier leg mirrors hierCandidatePairs via
     * h_hk the same way.)
     *
-    * ORACLE COST NOTE (r17 ADVICE): the count-gate predicates pick one
-    * leg LOGICALLY, but DuckDB may still evaluate both CTE training
-    * chains — a verify run on a >HierSwitchN corpus pays the flat
-    * chain's up-to-32768-centroid cross join on top of the hier chain.
-    * Acceptable at gate scales (the adaptive-decision check is the
-    * point); the gate corpora sit below the switch, so the hier chain
-    * is the cheap extra there, and the >switch plumbing itself is
-    * hash-checked once per round by the tools/gate5k falsifier run
-    * (target/sfgate5k, 5,120 vectors — see tools/gate5k_verify.sh).
+    * ORACLE COST (r17 ADVICE; fixed r19 per VERDICT r18 Next #1): the
+    * count-gate predicates pick one leg LOGICALLY, but DuckDB
+    * materializes both CTE training chains — a verify run used to pay
+    * the unselected chain's O(n·k) centroid cross joins on top of the
+    * selected one (the gate5k falsifier lost three vec_* entries to a
+    * ~40-min DuckDB cutoff on the replayed flat chain at 5,120
+    * vectors, and the r18 driver verify produced nothing). Each
+    * chain's ROW SOURCE is therefore count-gated too (`embf`/`embh`):
+    * the unselected chain evaluates over an empty relation and costs
+    * ~nothing, while the selected chain's base filter is identically
+    * true — the union output is byte-identical and the decision
+    * replay (nsel) is unchanged. Model-size scalars still read the
+    * full corpus count, matching the engine's corpusN.
     */
   def adaptiveCandCteSql: String =
-    s"""${pairAssignCteSqlWithCap(CellCap)},
-      |${hierPairCteSqlWithCap(HierCellCap, "h_")},
-      |nsel AS (SELECT COUNT(*) > $HierSwitchN AS hier FROM embeddings),
+    s"""nsel AS (SELECT COUNT(*) > $HierSwitchN AS hier FROM embeddings),
+      |embf AS (SELECT * FROM embeddings WHERE NOT (SELECT hier FROM nsel)),
+      |embh AS (SELECT * FROM embeddings WHERE (SELECT hier FROM nsel)),
+      |${pairAssignCteSqlWithCap(CellCap, src = "embf")},
+      |${hierPairCteSqlWithCap(HierCellCap, "h_", src = "embh")},
       |cand AS (
       |  SELECT l.vec_id AS va, r.vec_id AS vb
       |  FROM pasg l JOIN pasg r ON l.cid = r.cid AND l.vec_id < r.vec_id

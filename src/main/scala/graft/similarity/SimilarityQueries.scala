@@ -472,8 +472,9 @@ object SimilarityQueries {
     * CTE so the adaptive oracles can compose this chain beside the
     * flat one.
     */
-  private def hierCandCtes(p: String, nprobeC: Int, nprobeF: Int): String =
-    s"""${Ivf.hierAssignCteSql(p, nprobeC, nprobeF)},
+  private def hierCandCtes(p: String, nprobeC: Int, nprobeF: Int,
+                           src: String = "embeddings"): String =
+    s"""${Ivf.hierAssignCteSql(p, nprobeC, nprobeF, src)},
        |${p}qh AS (SELECT vec_id AS qid, cid, fid FROM ${p}hasg WHERE vec_id < 10),
        |${p}cand AS (SELECT DISTINCT qh.qid, h.vec_id
        |         FROM ${p}hasg h JOIN ${p}qh qh ON h.cid = qh.cid AND h.fid = qh.fid
@@ -530,6 +531,23 @@ object SimilarityQueries {
   /** The count-gate CTE every adaptive probe oracle unions under. */
   private val nselCte: String =
     s"nsel AS (SELECT COUNT(*) > ${Ivf.HierSwitchN} AS hier FROM embeddings)"
+
+  /** Count-gated row sources for the two regime chains (r19, VERDICT
+    * r18 Next #1): DuckDB materializes BOTH chains of an adaptive
+    * union, so each chain now draws its rows from the side of this
+    * gate that selected it — the unselected chain runs over an empty
+    * relation (its O(n·k) centroid cross joins cost ~nothing) and the
+    * selected chain's base filter is identically true, leaving the
+    * output byte-identical. Must be the FIRST items in the WITH (the
+    * chains reference embf/embh).
+    */
+  private val gatedBaseCtes: String =
+    s"""$nselCte,
+       |embf AS (SELECT * FROM embeddings WHERE NOT (SELECT hier FROM nsel)),
+       |embh AS (SELECT * FROM embeddings WHERE (SELECT hier FROM nsel))""".stripMargin
+
+  /** Flat kmeans replay chain over the count-gated flat base. */
+  private val kmeansCteSqlGated = Ivf.kmeansCteSql(src = "embf")
 
   val entries: Seq[(String, Query)] = Seq(
 
@@ -807,7 +825,8 @@ object SimilarityQueries {
               pairCos(col("qv2"), col("qnrm")).as("cos"))
           topK(scored, 5)
       },
-      Some(s"""WITH $kmeansCteSql,
+      Some(s"""WITH $gatedBaseCtes,
+             |$kmeansCteSqlGated,
              |asg AS (SELECT vec_id, cid FROM (
              |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
              |          FROM d1) WHERE rn = 1),
@@ -822,9 +841,8 @@ object SimilarityQueries {
              |r AS (SELECT qid, vec_id, cos,
              |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
              |      FROM c),
-             |${hierCandCtes("h_", Ivf.hierNprobe, Ivf.hierFineNprobe)},
-             |${hierTopkTailCtes("h_")},
-             |$nselCte
+             |${hierCandCtes("h_", Ivf.hierNprobe, Ivf.hierFineNprobe, "embh")},
+             |${hierTopkTailCtes("h_")}
              |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r
              |WHERE rn <= 5 AND NOT (SELECT hier FROM nsel)
              |UNION ALL
@@ -880,9 +898,9 @@ object SimilarityQueries {
           .select(col("vec_id"), col("cid"), col("fid"),
             coalesce(col("dropped"), lit(0L)).as("dropped"))
       },
-      Some(s"""WITH $kmeansCteSql,
-             |${Ivf.hierAssignCteSql("h_", 1, 1)},
-             |nsel AS (SELECT COUNT(*) > ${Ivf.HierSwitchN} AS hier FROM embeddings),
+      Some(s"""WITH $gatedBaseCtes,
+             |$kmeansCteSqlGated,
+             |${Ivf.hierAssignCteSql("h_", 1, 1, "embh")},
              |a1 AS (SELECT vec_id, cid, CAST(-1 AS BIGINT) AS fid FROM (
              |         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
              |         FROM d1) WHERE rn = 1 AND NOT (SELECT hier FROM nsel)
@@ -970,7 +988,8 @@ object SimilarityQueries {
         case "hier" => hierRerankedBody(s, d)
         case _ => annRerankedFlatBody(s, d)
       },
-      Some(s"""WITH $pqCentsCteSql,
+      Some(s"""WITH $gatedBaseCtes,
+             |$pqCentsCteSql,
              |sub AS (SELECT e.vec_id, c.m, c.j,
              |    list_sum(list_transform(generate_series(1, 8),
              |      i -> (CAST(e.embedding[c.m*8 + i] AS DOUBLE) - c.cv[i])
@@ -984,6 +1003,7 @@ object SimilarityQueries {
              |adc AS (SELECT dt.qid, bc.vec_id,
              |    list_sum(list(dt.dist ORDER BY dt.m)) AS adc
              |  FROM bc JOIN dt ON bc.m = dt.m AND bc.j = dt.j AND bc.vec_id <> dt.qid
+             |  WHERE NOT (SELECT hier FROM nsel)
              |  GROUP BY 1, 2),
              |sl AS (SELECT qid, vec_id FROM (
              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS srn
@@ -996,9 +1016,8 @@ object SimilarityQueries {
              |r AS (SELECT qid, vec_id, cos,
              |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
              |      FROM c),
-             |${hierCandCtes("h_", Ivf.hierNprobe, Ivf.hierFineNprobe)},
-             |${hierRerankedTailCtes("h_")},
-             |$nselCte
+             |${hierCandCtes("h_", Ivf.hierNprobe, Ivf.hierFineNprobe, "embh")},
+             |${hierRerankedTailCtes("h_")}
              |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r
              |WHERE rn <= 5 AND NOT (SELECT hier FROM nsel)
              |UNION ALL
@@ -1129,17 +1148,17 @@ object SimilarityQueries {
               pairCos(col("qv"), col("qnrm")).as("cos"))
           topK(scored, 5)
       },
-      Some(s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+      Some(s"""WITH $gatedBaseCtes,
+             |q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
              |           FROM embeddings WHERE vec_id < 10),
              |c AS (SELECT q.qid, e.vec_id, e.label, $cosSql AS cos
-             |      FROM q JOIN embeddings e ON e.label = q.qlabel
+             |      FROM q JOIN embf e ON e.label = q.qlabel
              |      WHERE e.vec_id <> q.qid),
              |r AS (SELECT qid, vec_id, label, cos,
              |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
              |      FROM c),
-             |${hierCandCtes("h_", Ivf.hierNprobe, Ivf.hierFineNprobe)},
-             |${hierFilteredTailCtes("h_")},
-             |$nselCte
+             |${hierCandCtes("h_", Ivf.hierNprobe, Ivf.hierFineNprobe, "embh")},
+             |${hierFilteredTailCtes("h_")}
              |SELECT qid, vec_id, label, cos, CAST(rn AS BIGINT) AS rn FROM r
              |WHERE rn <= 5 AND NOT (SELECT hier FROM nsel)
              |UNION ALL
@@ -1970,7 +1989,8 @@ object SimilarityQueries {
               pairCos(col("qv2"), col("qnrm")).as("cos"))
             .filter(col("cos") >= 0.25)
       },
-      Some(s"""WITH $kmeansCteSql,
+      Some(s"""WITH $gatedBaseCtes,
+             |$kmeansCteSqlGated,
              |asg AS (SELECT vec_id, cid FROM (
              |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
              |          FROM d1) WHERE rn = 1),
@@ -1982,9 +2002,8 @@ object SimilarityQueries {
              |      JOIN embeddings e ON e.vec_id = a.vec_id
              |      JOIN (SELECT vec_id AS qid2, embedding AS qv FROM embeddings) q
              |        ON q.qid2 = pr.qid),
-             |${hierCandCtes("h_", Ivf.hierNprobe, rangeHierNprobeF)},
-             |${hierTopkTailCtes("h_")},
-             |$nselCte
+             |${hierCandCtes("h_", Ivf.hierNprobe, rangeHierNprobeF, "embh")},
+             |${hierTopkTailCtes("h_")}
              |SELECT qid, vec_id, cos FROM c
              |WHERE cos >= 0.25 AND NOT (SELECT hier FROM nsel)
              |UNION ALL

@@ -238,12 +238,18 @@ object Bpe {
     * match consumes one framing char from each neighbor, so adjacent
     * matches still fire). BMP-only assumption: `string_split(word,'')`
     * splits per character, mirrored by codePointSyms on the JVM side.
+    *
+    * ORACLE COST (r19): `aw` and `mg` are AS MATERIALIZED — DuckDB
+    * inlines plain CTEs into every reference, so the `enc` recursion
+    * re-derived `mg` (and with it the ENTIRE `tr` training recursion)
+    * once per merge step, and `aw` (the corpus word count) was paid
+    * twice. Identical rows; same fix as the cluster walk oracles.
     */
   lazy val wordTokensCteSql: String = {
     val sep = "chr(31)"
     val pat = s"$sep || bpa || $sep || $sep || bpb || $sep"
     val rep = s"$sep || bpa || bpb || $sep"
-    s"""aw AS (SELECT tok AS word, COUNT(*) AS cnt FROM (
+    s"""aw AS MATERIALIZED (SELECT tok AS word, COUNT(*) AS cnt FROM (
        |    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
        |                  x -> x <> '')) AS tok FROM documents) GROUP BY 1),
        |wc AS (SELECT word, cnt FROM aw WHERE cnt >= $MinFreq),
@@ -273,7 +279,7 @@ object Bpe {
        |         ORDER BY c DESC, a, b LIMIT 1)) AS bpb
        |    FROM tr)
        |  WHERE it < $MaxMerges AND bpa IS NOT NULL),
-       |mg AS (SELECT DISTINCT it, ma, mb FROM tr WHERE ma IS NOT NULL),
+       |mg AS MATERIALIZED (SELECT DISTINCT it, ma, mb FROM tr WHERE ma IS NOT NULL),
        |enc AS (
        |  SELECT 0 AS it, word,
        |    $sep || $sep ||

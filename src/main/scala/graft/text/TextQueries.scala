@@ -741,7 +741,7 @@ object TextQueries {
              |                  x -> x <> '')) AS word FROM documents),
              |ntc AS (SELECT doc_id, CAST(SUM(wt.nt) AS BIGINT) AS ntok
              |        FROM dw JOIN wt USING (word) GROUP BY 1),
-             |t AS (
+             |t AS MATERIALIZED (
              |  SELECT source, doc_id, doc_id // 4096 AS sub,
              |    COALESCE(ntc.ntok, 0) AS ntok,
              |    ROW_NUMBER() OVER (PARTITION BY source, doc_id // 4096 ORDER BY doc_id) AS rn

@@ -26,7 +26,7 @@ bench() { # bench <outfile> <classdir> <sfdir> <extra-env as K=V ...> -- <prefix
   while [ $# -gt 0 ] && [ "$1" != "--" ]; do envs+=("$1"); shift; done
   [ $# -gt 0 ] && shift
   env SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=3 \
-    "${envs[@]}" \
+    ${envs[@]+"${envs[@]}"} \
     java $AO $JOPTS -cp "$cls:/opt/spark/jars/*" \
     graft.Bench "$@" >"$OUT/$out.raw" 2>"$OUT/$out.err"
   local rc=$?
