@@ -202,11 +202,18 @@ object Ivf {
     * byte-identical. Model-size scalars (graphKSql / hierKfSql) keep
     * reading the full corpus count: they are cheap COUNT(*) subqueries
     * and must match the engine's corpusN-derived sizes either way.
+    *
+    * Multi-referenced CTEs (`q`, `c1`, `d1`) are AS MATERIALIZED
+    * (r19): DuckDB inlines plain CTEs into EVERY reference, so the
+    * probe oracles' asg+pr pattern and the pair chains re-ran the
+    * O(n·k) distance cross join per reference (gate5k vec_knn_graph
+    * 360 s → 13 s across this and the consumer-side marks, identical
+    * rows — the same inlining pathology as the recursive walks).
     */
   def kmeansCteSql(kLimitSql: String = kmeansK.toString,
                    p: String = "", src: String = "embeddings"): String =
     s"""${p}kk AS (SELECT CAST(($kLimitSql) AS BIGINT) AS k),
-      |${p}q AS (SELECT vec_id, list_transform(embedding,
+      |${p}q AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
       |        x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
       |      FROM $src),
       |${p}c0 AS (SELECT cid, cv FROM (
@@ -223,8 +230,8 @@ object Ivf {
       |${p}ii AS (SELECT unnest(generate_series(1,64)) AS i),
       |${p}u1 AS (SELECT cid, i AS dim, SUM(qv[i]) AS s, COUNT(*) AS n
       |       FROM ${p}a0 CROSS JOIN ${p}ii GROUP BY cid, i),
-      |${p}c1 AS (SELECT cid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS cv FROM ${p}u1 GROUP BY cid),
-      |${p}d1 AS (SELECT q.vec_id, q.qv, c.cid,
+      |${p}c1 AS MATERIALIZED (SELECT cid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS cv FROM ${p}u1 GROUP BY cid),
+      |${p}d1 AS MATERIALIZED (SELECT q.vec_id, q.qv, c.cid,
       |         list_sum(list_transform(generate_series(1,64),
       |           i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i]) * (CAST(q.qv[i] AS DOUBLE) - c.cv[i]))) AS dist
       |       FROM ${p}q q CROSS JOIN ${p}c1 c)""".stripMargin
@@ -263,13 +270,13 @@ object Ivf {
   def pairAssignCteSqlWithCap(cap: Long, p: String = "",
                               src: String = "embeddings"): String =
     s"""${kmeansCteSql(s"($graphKSql)", p, src)},
-      |${p}pasg0 AS (SELECT vec_id, cid FROM (
+      |${p}pasg0 AS MATERIALIZED (SELECT vec_id, cid FROM (
       |          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
       |          FROM ${p}d1) WHERE rn <= $graphNprobe),
-      |${p}qg AS (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qv) AS gid FROM ${p}q),
+      |${p}qg AS MATERIALIZED (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qv) AS gid FROM ${p}q),
       |${p}hotc AS (SELECT p.cid FROM ${p}pasg0 p JOIN ${p}qg g USING (vec_id)
       |         GROUP BY p.cid HAVING COUNT(DISTINCT g.gid) > $cap),
-      |${p}pasg AS (SELECT * FROM ${p}pasg0 WHERE cid NOT IN (SELECT cid FROM ${p}hotc))""".stripMargin
+      |${p}pasg AS MATERIALIZED (SELECT * FROM ${p}pasg0 WHERE cid NOT IN (SELECT cid FROM ${p}hotc))""".stripMargin
 
   /** Pair-regime cell assignments `(vec_id, cid)` — each vector under
     * its `graphNprobe` nearest scaled-k cells, REPARTITIONED by vec_id
@@ -687,10 +694,10 @@ object Ivf {
   def hierPairCteSqlWithCap(cap: Long, p: String = "",
                             src: String = "embeddings"): String =
     s"""${hierAssignCteSql(p, src = src)},
-      |${p}qg AS (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qv) AS gid FROM ${p}q),
+      |${p}qg AS MATERIALIZED (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qv) AS gid FROM ${p}q),
       |${p}hotcf AS (SELECT h.cid, h.fid FROM ${p}hasg h JOIN ${p}qg g USING (vec_id)
       |          GROUP BY h.cid, h.fid HAVING COUNT(DISTINCT g.gid) > $cap),
-      |${p}hk AS (SELECT h.* FROM ${p}hasg h ANTI JOIN ${p}hotcf USING (cid, fid))""".stripMargin
+      |${p}hk AS MATERIALIZED (SELECT h.* FROM ${p}hasg h ANTI JOIN ${p}hotcf USING (cid, fid))""".stripMargin
 
   /** Oracle CTE chain ending in `hasg(vec_id, cid, fid)` — the full
     * hierarchical replay: coarse train/assign (shared kmeans chain at
@@ -708,13 +715,13 @@ object Ivf {
                        nprobeF: Int = hierFineNprobe,
                        src: String = "embeddings"): String =
     s"""${kmeansCteSql(hierKc.toString, p, src)},
-      |${p}casg AS (SELECT vec_id, qv, cid FROM (
+      |${p}casg AS MATERIALIZED (SELECT vec_id, qv, cid FROM (
       |          SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
       |          FROM ${p}d1) WHERE rn <= $nprobeC),
       |${p}ca1 AS (SELECT vec_id, qv, cid FROM (
       |          SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
       |          FROM ${p}d1) WHERE rn = 1),
-      |${p}rt AS (SELECT a.vec_id, list_transform(generate_series(1,64),
+      |${p}rt AS MATERIALIZED (SELECT a.vec_id, list_transform(generate_series(1,64),
       |          i -> CAST(floor(CAST(a.qv[i] AS DOUBLE) - c.cv[i] + 0.5) AS BIGINT)) AS rq
       |       FROM ${p}ca1 a JOIN ${p}c1 c ON a.cid = c.cid),
       |${p}fkk AS (SELECT CAST(($hierKfSql) AS BIGINT) AS k),
@@ -731,7 +738,7 @@ object Ivf {
       |          FROM ${p}fd0) WHERE rn = 1),
       |${p}fu1 AS (SELECT fid, i AS dim, SUM(rq[i]) AS s, COUNT(*) AS n
       |        FROM ${p}fa0 CROSS JOIN ${p}ii GROUP BY fid, i),
-      |${p}fc1 AS (SELECT fid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS fv FROM ${p}fu1 GROUP BY fid),
+      |${p}fc1 AS MATERIALIZED (SELECT fid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS fv FROM ${p}fu1 GROUP BY fid),
       |${p}rp AS (SELECT p.vec_id, p.cid, list_transform(generate_series(1,64),
       |          i -> CAST(floor(CAST(p.qv[i] AS DOUBLE) - c.cv[i] + 0.5) AS BIGINT)) AS rq
       |       FROM ${p}casg p JOIN ${p}c1 c ON p.cid = c.cid),
@@ -739,7 +746,7 @@ object Ivf {
       |          list_sum(list_transform(generate_series(1,64),
       |            i -> (CAST(r.rq[i] AS DOUBLE) - f.fv[i]) * (CAST(r.rq[i] AS DOUBLE) - f.fv[i]))) AS dist
       |        FROM ${p}rp r CROSS JOIN ${p}fc1 f),
-      |${p}hasg AS (SELECT vec_id, cid, fid FROM (
+      |${p}hasg AS MATERIALIZED (SELECT vec_id, cid, fid FROM (
       |          SELECT vec_id, cid, fid, ROW_NUMBER() OVER (PARTITION BY vec_id, cid ORDER BY dist, fid) rn
       |          FROM ${p}fd1) WHERE rn <= $nprobeF)""".stripMargin
 
@@ -753,11 +760,11 @@ object Ivf {
   def hierRankedCteSql(p: String = "", maxC: Int = hierNprobe,
                        maxF: Int = hierFineNprobe): String =
     s"""${kmeansCteSql(hierKc.toString, p)},
-      |${p}casg AS (SELECT vec_id, qv, cid, CAST(rn AS BIGINT) AS crn FROM (
+      |${p}casg AS MATERIALIZED (SELECT vec_id, qv, cid, CAST(rn AS BIGINT) AS crn FROM (
       |          SELECT vec_id, qv, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
       |          FROM ${p}d1) WHERE rn <= $maxC),
       |${p}ca1 AS (SELECT vec_id, qv, cid FROM ${p}casg WHERE crn = 1),
-      |${p}rt AS (SELECT a.vec_id, list_transform(generate_series(1,64),
+      |${p}rt AS MATERIALIZED (SELECT a.vec_id, list_transform(generate_series(1,64),
       |          i -> CAST(floor(CAST(a.qv[i] AS DOUBLE) - c.cv[i] + 0.5) AS BIGINT)) AS rq
       |       FROM ${p}ca1 a JOIN ${p}c1 c ON a.cid = c.cid),
       |${p}fkk AS (SELECT CAST(($hierKfSql) AS BIGINT) AS k),
@@ -774,7 +781,7 @@ object Ivf {
       |          FROM ${p}fd0) WHERE rn = 1),
       |${p}fu1 AS (SELECT fid, i AS dim, SUM(rq[i]) AS s, COUNT(*) AS n
       |        FROM ${p}fa0 CROSS JOIN ${p}ii GROUP BY fid, i),
-      |${p}fc1 AS (SELECT fid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS fv FROM ${p}fu1 GROUP BY fid),
+      |${p}fc1 AS MATERIALIZED (SELECT fid, list(CAST(s AS DOUBLE)/n ORDER BY dim) AS fv FROM ${p}fu1 GROUP BY fid),
       |${p}rp AS (SELECT p.vec_id, p.cid, p.crn, list_transform(generate_series(1,64),
       |          i -> CAST(floor(CAST(p.qv[i] AS DOUBLE) - c.cv[i] + 0.5) AS BIGINT)) AS rq
       |       FROM ${p}casg p JOIN ${p}c1 c ON p.cid = c.cid),
@@ -782,7 +789,7 @@ object Ivf {
       |          list_sum(list_transform(generate_series(1,64),
       |            i -> (CAST(r.rq[i] AS DOUBLE) - f.fv[i]) * (CAST(r.rq[i] AS DOUBLE) - f.fv[i]))) AS dist
       |        FROM ${p}rp r CROSS JOIN ${p}fc1 f),
-      |${p}hasgr AS (SELECT vec_id, cid, crn, fid, CAST(rn AS BIGINT) AS frn FROM (
+      |${p}hasgr AS MATERIALIZED (SELECT vec_id, cid, crn, fid, CAST(rn AS BIGINT) AS frn FROM (
       |          SELECT vec_id, cid, crn, fid, ROW_NUMBER() OVER (PARTITION BY vec_id, cid ORDER BY dist, fid) rn
       |          FROM ${p}fd1) WHERE rn <= $maxF)""".stripMargin
 
@@ -884,7 +891,7 @@ object Ivf {
       |embh AS (SELECT * FROM embeddings WHERE (SELECT hier FROM nsel)),
       |${pairAssignCteSqlWithCap(CellCap, src = "embf")},
       |${hierPairCteSqlWithCap(HierCellCap, "h_", src = "embh")},
-      |cand AS (
+      |cand AS MATERIALIZED (
       |  SELECT l.vec_id AS va, r.vec_id AS vb
       |  FROM pasg l JOIN pasg r ON l.cid = r.cid AND l.vec_id < r.vec_id
       |  WHERE NOT (SELECT hier FROM nsel)

@@ -476,7 +476,7 @@ object SimilarityQueries {
                            src: String = "embeddings"): String =
     s"""${Ivf.hierAssignCteSql(p, nprobeC, nprobeF, src)},
        |${p}qh AS (SELECT vec_id AS qid, cid, fid FROM ${p}hasg WHERE vec_id < 10),
-       |${p}cand AS (SELECT DISTINCT qh.qid, h.vec_id
+       |${p}cand AS MATERIALIZED (SELECT DISTINCT qh.qid, h.vec_id
        |         FROM ${p}hasg h JOIN ${p}qh qh ON h.cid = qh.cid AND h.fid = qh.fid
        |           AND h.vec_id <> qh.qid)""".stripMargin
 
